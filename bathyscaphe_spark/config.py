@@ -1,0 +1,85 @@
+"""Crawl configuration — the engine's equivalent of the reference's
+ConfigAPI key-value store (reference: internal/configapi/client/client.go:17-50,
+defaults from deployments/docker/docker-compose.yml:90-93).
+
+In the batch-iterative design the config is a frozen dataclass loaded at
+the driver and closed over by the round's column expressions / broadcast to
+executors — no pub/sub needed: changes take effect at round boundaries,
+which is exactly the reproducibility the snapshot model wants.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class MimeType:
+    content_type: str = ""
+    extensions: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # allowed-mime-types (client.go:28-34; compose default docker-compose.yml:91)
+    allowed_mime_types: tuple[MimeType, ...] = (
+        MimeType(content_type="text/", extensions=("html", "php", "aspx", "htm")),
+    )
+    # forbidden-hostnames (client.go:36-39) — substring-contains semantics
+    forbidden_hostnames: tuple[str, ...] = ()
+    # refresh-delay seconds; 0 => seen entries never expire (cache.go:9-12)
+    refresh_delay_s: int = 0
+    # blacklist-config (client.go:46-50; compose default threshold=5 ttl=1200)
+    blacklist_threshold: int = 5
+    blacklist_ttl_s: int = 1200
+    # engine additions (north-star scheduler): politeness + priority
+    per_host_budget: int = 20  # max fetches per host per round
+    max_depth: int = 50
+    # skew handling: hosts with more frontier URLs than this get salted
+    # across this many sub-partitions during the fetch stage
+    skew_threshold: int = 10_000
+    skew_salt_buckets: int = 16
+    # bloom prefilter for the seen anti-join
+    bloom_enabled: bool = True
+    bloom_fpp: float = 0.01
+    bloom_shards: int = 8
+
+    @property
+    def allowed_extensions(self) -> tuple[str, ...]:
+        return tuple(
+            ext for mt in self.allowed_mime_types for ext in mt.extensions
+        )
+
+    @property
+    def allowed_content_types(self) -> tuple[str, ...]:
+        return tuple(
+            mt.content_type for mt in self.allowed_mime_types if mt.content_type
+        )
+
+    @staticmethod
+    def from_json(path: str) -> "CrawlConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        mimes = tuple(
+            MimeType(m.get("content-type", ""), tuple(m.get("extensions", ())))
+            for m in raw.get("allowed-mime-types", ())
+        )
+        kwargs = {}
+        if mimes:
+            kwargs["allowed_mime_types"] = mimes
+        if "forbidden-hostnames" in raw:
+            kwargs["forbidden_hostnames"] = tuple(
+                h["hostname"] if isinstance(h, dict) else h
+                for h in raw["forbidden-hostnames"]
+            )
+        if "refresh-delay" in raw:
+            kwargs["refresh_delay_s"] = int(raw["refresh-delay"].get("delay", 0))
+        if "blacklist-config" in raw:
+            bc = raw["blacklist-config"]
+            kwargs["blacklist_threshold"] = int(bc.get("threshold", 5))
+            kwargs["blacklist_ttl_s"] = int(bc.get("ttl", 1200))
+        return CrawlConfig(**kwargs)
+
+
+DEFAULT_CONFIG = CrawlConfig()

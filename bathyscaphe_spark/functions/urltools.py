@@ -1,0 +1,206 @@
+"""URL extraction, normalization, and component parsing.
+
+Reimplements (public-knowledge, from observed behavior + published docs):
+
+* URL extraction compatible with ``xurls.Strict()`` as used by the
+  reference scheduler (reference: internal/scheduler/scheduler.go:222-239):
+  scheme-mandatory matches, trailing punctuation excluded.
+* URL normalization compatible with purell flags
+  ``FlagsUsuallySafeGreedy | FlagRemoveDirectoryIndex | FlagRemoveFragment |
+  FlagRemoveDuplicateSlashes`` (reference: scheduler.go:241-249).  Golden:
+  ``https://this-is-sparta.de?url=url-query-param#fragment-23`` →
+  ``https://this-is-sparta.de?url=url-query-param`` (scheduler_test.go:51-60).
+* Component parsing semantics of Go ``net/url`` (Hostname() strips port).
+
+All exposed to Spark as Arrow-batched pandas UDFs (never per-row Python
+UDFs).  Inside a batch, normalization is a python loop over the batch's
+strings — acceptable because it runs worker-side over Arrow batches and the
+per-string work is tiny; extraction uses the compiled regex via pandas
+``str.findall`` (C-level loop).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+# --- extraction ------------------------------------------------------------
+# Strict = scheme required.  Character set mirrors xurls path continuation:
+# stop at whitespace, quotes, angle brackets and backslash; the final char
+# additionally must not be trailing punctuation (xurls "endChar" behavior),
+# so `https://google.onion.` matches without the dot and
+# `href=\"https://x.onion/p.php?id=1\">` stops before the backslash.
+URL_RE = re.compile(
+    r"[a-zA-Z][a-zA-Z0-9.+-]*://"  # mandatory scheme
+    r"[^\s<>\"'\\`]*"  # body
+    r"[^\s<>\"'\\`.,;:!?)\]}*@]"  # last char: no trailing punctuation
+)
+
+EXTRACT_RE_SQL = URL_RE.pattern  # same pattern is valid in DuckDB/RE2-ish
+
+
+def extract_urls_py(body: str) -> list[str]:
+    if not body:
+        return []
+    return URL_RE.findall(body)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_urls(body: pd.Series) -> pd.Series:
+    """xurls-strict-compatible extraction: html/text → array<string>."""
+    return body.fillna("").str.findall(URL_RE)
+
+
+# --- normalization (purell-compatible) -------------------------------------
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_DIR_INDEX_RE = re.compile(r"(^|/)(?:default|index)\.\w{1,4}$")
+_DUP_SLASH_RE = re.compile(r"/{2,}")
+# RFC 3986 unreserved + sub-delims Go keeps unescaped in paths
+_PATH_SAFE = "/$&+,;=:@!'()*-._~"
+_QUERY_SAFE = "$&+,;=:@!'()*-._~/?"
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, as purell applies to paths."""
+    if not path:
+        return path
+    output: list[str] = []
+    # operate on '/'-separated segments preserving leading slash semantics
+    leading = path.startswith("/")
+    segments = path.split("/")
+    for seg in segments:
+        if seg == ".":
+            continue
+        if seg == "..":
+            if output:
+                output.pop()
+            continue
+        output.append(seg)
+    # re-add trailing slash if original ended with /. or /..
+    result = "/".join(output)
+    if path.endswith(("/.", "/..")) and not result.endswith("/"):
+        result += "/"
+    if leading and not result.startswith("/"):
+        result = "/" + result
+    return result
+
+
+def _renorm_escapes(s: str, safe: str) -> str:
+    """Uppercase %XX escapes and decode unnecessary ones (purell's
+    FlagUppercaseEscapes | FlagDecodeUnnecessaryEscapes |
+    FlagEncodeNecessaryEscapes), by decode-then-requote with a Go-like
+    safe set."""
+    if "%" not in s:
+        return s
+    try:
+        return quote(unquote(s), safe=safe)
+    except Exception:
+        return s
+
+
+def normalize_url_py(raw: str) -> str | None:
+    """purell.NormalizeURLString with FlagsUsuallySafeGreedy |
+    FlagRemoveDirectoryIndex | FlagRemoveFragment |
+    FlagRemoveDuplicateSlashes.  Returns None when unparseable (the
+    reference drops such URLs: scheduler.go:229-236)."""
+    if raw is None:
+        return None
+    try:
+        parts = urlsplit(raw)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    path = parts.path
+    query = parts.query
+
+    # FlagRemoveDefaultPort
+    if ":" in netloc:
+        host, _, port = netloc.rpartition(":")
+        if port and _DEFAULT_PORTS.get(scheme) == port:
+            netloc = host
+    # FlagRemoveDirectoryIndex
+    path = _DIR_INDEX_RE.sub(r"\1", path)
+    # FlagRemoveDotSegments
+    path = _remove_dot_segments(path)
+    # FlagRemoveFragment: drop fragment entirely
+    # FlagRemoveDuplicateSlashes
+    path = _DUP_SLASH_RE.sub("/", path)
+    # FlagRemoveTrailingSlash (greedy variant: strip one trailing slash)
+    if path.endswith("/"):
+        path = path[:-1]
+    elif not path and netloc.endswith("/"):
+        netloc = netloc[:-1]
+    # escape renormalization
+    path = _renorm_escapes(path, _PATH_SAFE)
+    query = _renorm_escapes(query, _QUERY_SAFE)
+    # FlagRemoveEmptyQuerySeparator is implicit: urlunsplit omits '?' when
+    # query == ''
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+@pandas_udf(StringType())
+def normalize_url(s: pd.Series) -> pd.Series:
+    return s.map(normalize_url_py)
+
+
+# --- component parsing (Go net/url semantics) ------------------------------
+
+_HOSTPORT_RE = re.compile(r":\d*$")
+
+
+def url_host_py(raw: str) -> str:
+    """Go's u.Hostname(): host without port, lowercased netloc is NOT
+    implied (Parse keeps case; our normalize already lowercased)."""
+    try:
+        netloc = urlsplit(raw).netloc
+    except ValueError:
+        return ""
+    # strip userinfo then port
+    host = netloc.rpartition("@")[2]
+    if host.startswith("["):  # ipv6
+        return host[1 : host.find("]")] if "]" in host else host
+    return _HOSTPORT_RE.sub("", host)
+
+
+def url_parts_py(raw: str) -> tuple[str, str, str, str]:
+    """(scheme, hostname-no-port, path, query) per Go net/url.Parse."""
+    try:
+        p = urlsplit(raw)
+    except ValueError:
+        return ("", "", "", "")
+    return (p.scheme, url_host_py(raw), p.path, p.query)
+
+
+@pandas_udf(StringType())
+def url_host(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: url_host_py(v) if v is not None else None)
+
+
+@pandas_udf(StringType())
+def url_scheme(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: urlsplit(v).scheme if v is not None else None)
+
+
+@pandas_udf(StringType())
+def url_path(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: urlsplit(v).path if v is not None else None)
+
+
+@pandas_udf(StringType())
+def url_request_uri(s: pd.Series) -> pd.Series:
+    """Go's u.RequestURI(): path (or '/') plus '?query' when present."""
+
+    def _req(v: str) -> str:
+        p = urlsplit(v)
+        uri = p.path or "/"
+        if p.query:
+            uri += "?" + p.query
+        return uri
+
+    return s.map(lambda v: _req(v) if v is not None else None)

@@ -1,0 +1,135 @@
+"""Blacklister — host-timeout accounting and blacklist promotion.
+
+Re-creates the reference blacklister (internal/blacklister/blacklister.go:
+88-190) as an end-of-round aggregation instead of per-event handling:
+
+* F7 guard: timeouts for already-blacklisted hosts are dropped
+  (exact-equality here, not contains — blacklister.go:99-116).
+* F8 liveness recheck: the reference re-GETs ``scheme://host``; success ⇒
+  the failure counter is REMOVED (blacklister.go:118-137).  Simulated via
+  a ``host_status(host, up)`` table derived from the pages universe.
+* A1 counter: confirmed timeouts increment a per-host counter with TTL;
+  reaching ``threshold`` promotes the host to the blacklist
+  (blacklister.go:143-186) after D4 dedup-on-append.
+
+Batch semantics: one round processes each host's timeout events as a
+group — ``count_new = number of confirmed timeout events`` (the reference
+would increment one by one; the totals agree).  Counters carry
+``expires_ts``; an expired counter restarts from zero, matching Redis TTL
+expiry (cache/redis.go SetInt64 TTL).
+
+Scale notes: timeout volume per round is small relative to fetches; the
+groupBy is partial-aggregated map-side, and host_failures/blacklist are
+tiny full-state tables (broadcast on every use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import CrawlConfig
+
+HOST_FAILURES_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("count", LongType()),
+        StructField("expires_ts", TimestampType()),
+    ]
+)
+
+BLACKLIST_SCHEMA = StructType([StructField("hostname", StringType())])
+
+
+def empty_host_failures(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], HOST_FAILURES_SCHEMA)
+
+
+def empty_blacklist(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], BLACKLIST_SCHEMA)
+
+
+def process_timeouts(
+    timeouts: DataFrame,
+    host_failures: DataFrame,
+    blacklist: DataFrame,
+    host_status: DataFrame,
+    config: CrawlConfig,
+    round_ts,
+) -> tuple[DataFrame, DataFrame]:
+    """One round of blacklisting.
+
+    Inputs:
+      timeouts       (url, host)            — this round's timeout events
+      host_failures  (host, count, expires_ts) — full state
+      blacklist      (hostname)             — full state
+      host_status    (host, up:boolean)     — liveness fixture (F8)
+
+    Returns ``(new_host_failures, new_blacklist)`` — the next full states.
+    """
+    # F7: drop events for hosts already blacklisted (exact equality)
+    t = timeouts.join(
+        F.broadcast(blacklist.withColumnRenamed("hostname", "host")),
+        "host",
+        "left_anti",
+    )
+
+    # F8 liveness: hosts that respond are healthy — their counters are
+    # removed; unknown hosts default to down (the timeout stands)
+    t = t.join(F.broadcast(host_status), "host", "left")
+    up_hosts = t.where(F.col("up") == F.lit(True)).select("host").distinct()
+    confirmed = t.where((F.col("up").isNull()) | (F.col("up") == F.lit(False)))
+
+    # A1: per-host confirmed-timeout counts for this round
+    new_counts = confirmed.groupBy("host").agg(F.count(F.lit(1)).alias("new_count"))
+
+    # merge with previous counters: expired or host-up counters reset/drop
+    prev = (
+        host_failures.where(
+            F.col("expires_ts").isNull() | (F.col("expires_ts") > round_ts)
+        )
+        .join(F.broadcast(up_hosts), "host", "left_anti")
+        .select("host", F.col("count").alias("prev_count"))
+    )
+    merged = (
+        new_counts.join(prev, "host", "full_outer")
+        .select(
+            "host",
+            (
+                F.coalesce(F.col("prev_count"), F.lit(0))
+                + F.coalesce(F.col("new_count"), F.lit(0))
+            ).alias("count"),
+            F.when(
+                F.col("new_count").isNotNull(),
+                F.timestamp_seconds(
+                    F.unix_timestamp(round_ts) + F.lit(config.blacklist_ttl_s)
+                ),
+            ).otherwise(F.lit(None).cast("timestamp")).alias("_new_expiry"),
+        )
+    )
+    # hosts untouched this round keep their previous expiry
+    prev_exp = host_failures.select("host", F.col("expires_ts").alias("_prev_exp"))
+    new_host_failures = (
+        merged.join(prev_exp, "host", "left")
+        .select(
+            "host",
+            "count",
+            F.coalesce(F.col("_new_expiry"), F.col("_prev_exp")).alias("expires_ts"),
+        )
+    )
+
+    # threshold crossing ⇒ blacklist (D4: dedup on append)
+    crossed = (
+        new_host_failures.where(F.col("count") >= config.blacklist_threshold)
+        .select(F.col("host").alias("hostname"))
+        .join(F.broadcast(blacklist), "hostname", "left_anti")
+    )
+    new_blacklist = blacklist.unionByName(crossed)
+    return new_host_failures, new_blacklist

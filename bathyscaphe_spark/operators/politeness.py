@@ -1,0 +1,82 @@
+"""Politeness budget, priority ranking, and skew-aware partitioning.
+
+The reference scales by adding competing queue consumers with no key
+partitioning (README.md:35-44); politeness is implicit in Tor latency.
+The north-star design makes both explicit:
+
+* O1 priority queue: a Window rank over (host) ordered by
+  (priority desc, depth asc, discovered_ts asc, url) — depth+recency
+  priority with a deterministic total order, truncated to the per-host
+  fetch budget.  This is the politeness guarantee: at most
+  ``per_host_budget`` fetches per host per round.
+* O2 skew handling: hosts are Zipf-distributed; a mega-host would pin one
+  task during the fetch stage.  We compute per-host frontier counts (tiny
+  agg), pick hosts above ``skew_threshold``, and salt ONLY the fetch-stage
+  partitioning for those hosts (url_hash % skew_salt_buckets).  The budget
+  rank runs BEFORE salting on the unsalted host grouping, so politeness is
+  never broken by the salt — mirroring SURVEY.md §2.6 O2's discipline.
+
+Scale notes: the window shuffles once on host; the salted repartition
+reuses the ranked output.  With AQE on, skewed post-join partitions are
+additionally split at runtime, but salting keeps the *fetch* stage honest
+even when a single host exceeds one task's capacity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+
+
+def rank_frontier(frontier: DataFrame, config: CrawlConfig) -> DataFrame:
+    """O1: per-host priority rank + budget truncation.
+
+    Input columns: url, url_hash, host, depth, priority, discovered_ts.
+    Output: the scheduled subset, with ``fetch_rank`` retained for
+    lineage/metrics.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"),
+        F.asc("depth"),
+        F.asc("discovered_ts"),
+        F.asc("url"),
+    )
+    return (
+        frontier.withColumn("fetch_rank", F.row_number().over(w))
+        .where(F.col("fetch_rank") <= config.per_host_budget)
+    )
+
+
+def salted_repartition(
+    scheduled: DataFrame, config: CrawlConfig, num_partitions: int | None = None
+) -> DataFrame:
+    """O2: repartition the scheduled set by (host, salt) where salt is
+    nonzero only for skewed hosts.
+
+    The skewed-host set is computed with one small aggregation and folded
+    into the plan as a broadcast join (host dim is small after the
+    budget truncation; the agg is partial-combined map-side).
+    """
+    counts = scheduled.groupBy("host").agg(F.count(F.lit(1)).alias("_host_n"))
+    skewed = counts.where(F.col("_host_n") > config.skew_threshold).select(
+        "host", F.lit(True).alias("_skewed")
+    )
+    out = scheduled.join(F.broadcast(skewed), "host", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("_skewed").isNotNull(),
+            F.pmod(F.col("url_hash"), F.lit(config.skew_salt_buckets)),
+        ).otherwise(F.lit(0)),
+    ).drop("_skewed")
+    if num_partitions:
+        return out.repartition(num_partitions, F.col("host"), F.col("salt"))
+    return out.repartition(F.col("host"), F.col("salt"))
+
+
+def compute_priority(depth, discovered_ts, round_ts):
+    """Priority = fresher and shallower first.  Kept simple and monotone:
+    higher is better; recency decays per day since discovery."""
+    age_days = F.datediff(round_ts.cast("date"), discovered_ts.cast("date"))
+    return (F.lit(1000) - F.col(depth) * 10 - F.coalesce(age_days, F.lit(0))).cast("int")

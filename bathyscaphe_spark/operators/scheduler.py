@@ -1,0 +1,186 @@
+"""Scheduler — extract, filter, and deduplicate candidate URLs.
+
+Re-creates the reference scheduler (internal/scheduler/scheduler.go:93-249)
+as one declarative DataFrame pipeline per round instead of a
+record-at-a-time queue consumer:
+
+  pages → extract (X1, pandas UDF) → explode → normalize (X2, pandas UDF)
+        → F1 .onion filter → F2 protocol filter → F3 extension filter
+        → F4 forbidden-hostname filter → FNV-1/64 hash (X3, pandas UDF)
+        → D2 in-round dedup → D1 anti-join vs seen → new frontier URLs
+
+Scale notes:
+* F1-F3 are pure column expressions over JVM-side ``parse_url`` — they
+  stay inside whole-stage codegen and Catalyst pushes them below the
+  explode where legal; predicate order (cheap before joins) mirrors the
+  reference's hand-ordering (scheduler.go:150-213) but is Catalyst's to
+  re-order.
+* F4 is a broadcast anti "theta" join (substring containment,
+  constraint/hostname.go:21-25).  For small blacklists (the common case)
+  it is compiled into an OR-chain column predicate — no join at all; past
+  a threshold it becomes an explicit ``broadcast()`` nested-loop anti
+  join.  Either way nothing shuffles.
+* D1 shuffles both sides by url_hash (sort-merge / shuffled-hash anti
+  join).  At 10^10-URL seen-set scale the optional sharded Bloom
+  prefilter (operators/bloom.py) drops the candidates that cannot be new
+  before the shuffle.
+* D2 uses hash-partitioned ``dropDuplicates`` — map-side partial dedup
+  then one shuffle on url_hash, reused by D1 (same key ⇒ Catalyst plans a
+  single exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.fnv import fnv1_64
+from ..functions.urltools import extract_urls, normalize_url
+
+
+def extract_candidates(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """X1+X2: pages(url, html) → one row per extracted, normalized URL.
+
+    Keeps (src_url, url); nulls from unparseable URLs are dropped, exactly
+    as the reference skips them (scheduler.go:229-236).
+    """
+    body = F.col(body_col)
+    body = F.when(body.isNotNull(), body.cast("string")).otherwise(F.lit(""))
+    return (
+        pages.select(F.col("url").alias("src_url"), body.alias("_body"))
+        .select("src_url", F.explode(extract_urls(F.col("_body"))).alias("raw_url"))
+        .select("src_url", normalize_url(F.col("raw_url")).alias("url"))
+        .where(F.col("url").isNotNull())
+    )
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """JVM-side component parsing: scheme/host/path columns via parse_url
+    (X10).  parse_url returns host without port, matching Go's
+    ``u.Hostname()`` (scheduler.go:151)."""
+    u = F.col(url_col)
+    return (
+        df.withColumn("scheme", F.parse_url(u, F.lit("PROTOCOL")))
+        .withColumn("host", F.parse_url(u, F.lit("HOST")))
+        .withColumn("path", F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")))
+    )
+
+
+# --- F1/F2/F3 as pure column predicates ------------------------------------
+
+def onion_filter(host: Column) -> Column:
+    """F1 (scheduler.go:150-153): hostname must end with '.onion'."""
+    return host.isNotNull() & host.endswith(".onion")
+
+
+def protocol_filter(scheme: Column) -> Column:
+    """F2 (scheduler.go:155-158): scheme must start with 'http'."""
+    return scheme.isNotNull() & scheme.startswith("http")
+
+
+def extension_filter(path: Column, allowed_extensions: tuple[str, ...]) -> Column:
+    """F3 (scheduler.go:160-189): lowercased path ends with an allowed
+    '.ext', OR the last path component contains no '.' (no extension ⇒
+    assumed text/*)."""
+    lowered = F.lower(path)
+    by_ext = F.lit(False)
+    for ext in allowed_extensions:
+        by_ext = by_ext | lowered.endswith("." + ext)
+    last_component = F.element_at(F.split(path, "/"), -1)
+    no_ext = ~last_component.contains(".")
+    return by_ext | no_ext
+
+
+def hostname_allowed(host: Column, forbidden: tuple[str, ...]) -> Column:
+    """F4 as an OR-chain predicate (small blacklist fast path).
+
+    Reference semantics are substring-CONTAINS, not equality
+    (constraint/hostname.go:21-25): blacklisting 'facebookcorewwwi.onion'
+    also rejects 'www.facebookcorewwwi.onion'.
+    """
+    bad = F.lit(False)
+    for h in forbidden:
+        bad = bad | host.contains(h)
+    return ~bad
+
+
+_F4_EXPR_MAX = 64
+
+
+def apply_hostname_blacklist(
+    df: DataFrame, blacklist: DataFrame | list[str] | tuple[str, ...] | None,
+    host_col: str = "host",
+) -> DataFrame:
+    """F4: drop rows whose host CONTAINS any blacklisted hostname.
+
+    list/tuple (or a small DataFrame, collected) → codegen'd OR-chain;
+    larger DataFrame → broadcast nested-loop left-anti join (blacklist is
+    always the small side — broadcast keeps this shuffle-free).
+    """
+    if blacklist is None:
+        return df
+    if isinstance(blacklist, DataFrame):
+        # cheap count on the small side only
+        hosts = [r[0] for r in blacklist.limit(_F4_EXPR_MAX + 1).collect()]
+        if len(hosts) <= _F4_EXPR_MAX:
+            blacklist = tuple(hosts)
+    if isinstance(blacklist, (list, tuple)):
+        if not blacklist:
+            return df
+        return df.where(hostname_allowed(F.col(host_col), tuple(blacklist)))
+    bl = F.broadcast(blacklist.select(F.col("hostname").alias("_bl_hostname")))
+    return df.join(
+        bl, F.col(host_col).contains(F.col("_bl_hostname")), "left_anti"
+    )
+
+
+# --- the full per-round scheduling pipeline --------------------------------
+
+def schedule_candidates(
+    pages: DataFrame,
+    config: CrawlConfig,
+    seen: DataFrame | None = None,
+    blacklist: DataFrame | list[str] | None = None,
+    round_ts: Column | None = None,
+    body_col: str = "html",
+    bloom=None,
+) -> DataFrame:
+    """One scheduler round: pages → deduplicated new URLs to schedule.
+
+    Returns columns (url, url_hash, host, src_url) — the caller attaches
+    depth/priority/round bookkeeping.
+
+    ``seen`` rows: (url_hash long, expires_ts timestamp nullable); a hash
+    counts as seen iff expires_ts is null (NoTTL) or > round_ts (D3 TTL
+    semantics, cache.go:9-12).  Rejected URLs are never marked seen —
+    only survivors reach the caller's seen-append (scheduler_test.go:242-245).
+    """
+    cand = extract_candidates(pages, body_col=body_col)
+    cand = with_url_parts(cand)
+    cand = cand.where(onion_filter(F.col("host")))
+    cand = cand.where(protocol_filter(F.col("scheme")))
+    cand = cand.where(extension_filter(F.col("path"), config.allowed_extensions))
+    cand = apply_hostname_blacklist(cand, blacklist)
+    cand = cand.withColumn("url_hash", fnv1_64(F.col("url")))
+
+    # D2: in-round dedup (first occurrence wins in the reference; the set
+    # is identical under any tie-break)
+    cand = cand.dropDuplicates(["url_hash"])
+
+    # D1: exact anti-join vs live seen entries, optionally routed through
+    # the sharded Bloom prefilter (bit-miss candidates skip the shuffle)
+    if seen is not None:
+        if round_ts is None:
+            round_ts = F.current_timestamp()
+        live_seen = seen.where(
+            F.col("expires_ts").isNull() | (F.col("expires_ts") > round_ts)
+        ).select("url_hash")
+        if bloom is not None:
+            from .bloom import bloom_anti_join
+
+            cand = bloom_anti_join(cand, live_seen, "url_hash", bloom)
+        else:
+            cand = cand.join(live_seen, "url_hash", "left_anti")
+
+    return cand.select("url", "url_hash", "host", "src_url")

@@ -1,0 +1,160 @@
+"""Snapshot-versioned parquet tables — the engine's state backend.
+
+Replaces the reference's external state (RabbitMQ queues, Redis keyspaces,
+Elasticsearch index — reference: internal/event/event.go:7-16,
+internal/cache/redis.go) with durable tables, and replaces Iceberg
+snapshots (no Iceberg runtime jar ships in this environment) with an
+equivalent commit protocol:
+
+* every table's data lives under ``<root>/tables/<name>/round=N/`` —
+  one immutable parquet directory per crawl round,
+* a write first lands in a staging directory, then is atomically renamed
+  into place,
+* a round is COMMITTED only when the round barrier file ``_rounds.json``
+  is atomically replaced listing the round and its table deltas —
+  a crashed round leaves only ignorable staging/orphan dirs, never a
+  half-visible round (WAP: write-audit-publish per round),
+* resume = read the barrier file, continue from max committed round + 1.
+
+Two table flavors:
+
+* **append-only / delta** tables (``frontier``, ``seen``, ``resources``,
+  ``timeouts``, ``metrics``): a read at round N unions all committed
+  deltas ≤ N — exactly Iceberg snapshot-as-of semantics,
+* **full-state** tables (``host_failures``, ``blacklist``, ``robots``):
+  each round rewrites the complete (small) state; a read at round N
+  returns the latest committed state ≤ N.
+
+At 100 TB the same layout holds: per-round parquet deltas are
+hive-partitioned by ``round`` so time travel prunes on the partition
+value, appends never rewrite history, and the periodic ``compact_seen``
+job (see SeenStore) plays the role of Iceberg's rewrite-data-files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TableCatalog:
+    spark: SparkSession
+    root: str
+    _manifest_cache: dict | None = field(default=None, repr=False)
+
+    # --- manifest ---------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_rounds.json")
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"rounds": {}}
+
+    def _store_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)  # atomic publish
+        self._manifest_cache = manifest
+
+    @property
+    def manifest(self) -> dict:
+        if self._manifest_cache is None:
+            self._manifest_cache = self._load_manifest()
+        return self._manifest_cache
+
+    def last_committed_round(self) -> int:
+        rounds = self.manifest["rounds"]
+        return max((int(r) for r in rounds), default=-1)
+
+    # --- paths ------------------------------------------------------------
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, "tables", name)
+
+    def _round_dir(self, name: str, round_n: int) -> str:
+        return os.path.join(self._table_dir(name), f"round={round_n}")
+
+    # --- writes (staged, atomic) ------------------------------------------
+    def stage_round(self, name: str, df: DataFrame, round_n: int) -> dict:
+        """Write one table's round-N delta/state to staging and atomically
+        move it into place.  Invisible to readers until commit_round()."""
+        tdir = self._table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        staging = os.path.join(tdir, f"_staging-{round_n}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        final = self._round_dir(name, round_n)
+        if os.path.exists(final):  # re-run of an uncommitted round
+            shutil.rmtree(final)
+        os.rename(staging, final)
+        rows = None  # avoid a count job; stats come from the metrics table
+        return {"table": name, "round": round_n, "rows": rows}
+
+    def commit_round(self, round_n: int, tables: list[str], extra: dict | None = None) -> None:
+        """Publish the round barrier: after this, readers see the round."""
+        manifest = self._load_manifest()
+        manifest["rounds"][str(round_n)] = {
+            "tables": sorted(tables),
+            "committed_at": time.time(),
+            **(extra or {}),
+        }
+        self._store_manifest(manifest)
+
+    def cleanup_uncommitted(self) -> None:
+        """Drop staging dirs and round dirs newer than the last commit."""
+        last = self.last_committed_round()
+        tables_root = os.path.join(self.root, "tables")
+        if not os.path.isdir(tables_root):
+            return
+        for name in os.listdir(tables_root):
+            tdir = os.path.join(tables_root, name)
+            for entry in os.listdir(tdir):
+                path = os.path.join(tdir, entry)
+                if entry.startswith("_staging-"):
+                    shutil.rmtree(path, ignore_errors=True)
+                elif entry.startswith("round="):
+                    if int(entry.split("=", 1)[1]) > last:
+                        shutil.rmtree(path, ignore_errors=True)
+
+    # --- reads ------------------------------------------------------------
+    def _committed_rounds(self, name: str, upto: int | None) -> list[int]:
+        rounds = []
+        for r, info in self.manifest["rounds"].items():
+            rn = int(r)
+            if name in info["tables"] and (upto is None or rn <= upto):
+                rounds.append(rn)
+        return sorted(rounds)
+
+    def read_deltas(self, name: str, upto: int | None = None) -> DataFrame | None:
+        """Append-only table: union of all committed round deltas ≤ upto."""
+        paths = [self._round_dir(name, r) for r in self._committed_rounds(name, upto)]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def read_round(self, name: str, round_n: int) -> DataFrame | None:
+        path = self._round_dir(name, round_n)
+        if round_n not in self._committed_rounds(name, round_n) or not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def read_state(self, name: str, upto: int | None = None) -> DataFrame | None:
+        """Full-state table: the latest committed rewrite ≤ upto."""
+        rounds = self._committed_rounds(name, upto)
+        if not rounds:
+            return None
+        return self.spark.read.parquet(self._round_dir(name, rounds[-1]))
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

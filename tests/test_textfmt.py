@@ -1,0 +1,65 @@
+"""Byte-golden resource text + sink path tests (local_test.go:20-36,83,126-140)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bathyscaphe_spark.functions.textfmt import (
+    lowercase_header_keys,
+    resource_text,
+    with_sink_path,
+)
+
+GOLDEN_TS = datetime.datetime(2020, 10, 29, 12, 4, 9)  # 1603973049 UTC
+
+
+def test_resource_text_golden(spark):
+    # local_test.go:126-140: url + sorted headers + body, byte-identical
+    df = spark.createDataFrame(
+        [
+            (
+                "https://google.com",
+                {"Server": "Traefik", "Content-Type": "text/html"},
+                "Hello, world",
+            )
+        ],
+        "url string, headers map<string,string>, body string",
+    )
+    out = df.select(
+        resource_text(F.col("url"), F.col("headers"), F.col("body")).alias("text")
+    ).head()[0]
+    assert out == (
+        "https://google.com\n\nContent-Type: text/html\nServer: Traefik\n\nHello, world"
+    )
+
+
+def test_sink_path_goldens(spark):
+    rows = [
+        ("https://google.com", "https/google.com/1603973049"),
+        (
+            "http://facebook.com/admin/login.php?username=admin",
+            "http/facebook.com/16609974401560122507/1603973049",
+        ),
+        (
+            "http://thisisalonghostname.onion/admin/tools/list-accounts.php?token=123223453&username=test",
+            "http/thisisalonghostname.onion/7883137132857825203/1603973049",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(u, GOLDEN_TS) for u, _ in rows], "url string, time timestamp"
+    )
+    got = {
+        r["url"]: r["sink_path"]
+        for r in with_sink_path(df).select("url", "sink_path").collect()
+    }
+    for url, want in rows:
+        assert got[url] == want, url
+
+
+def test_lowercase_headers(spark):
+    df = spark.createDataFrame(
+        [({"Content-Type": "application/json", "X-FOO": "Bar"},)],
+        "headers map<string,string>",
+    )
+    out = df.select(lowercase_header_keys(F.col("headers")).alias("h")).head()[0]
+    assert out == {"content-type": "application/json", "x-foo": "Bar"}

@@ -1,0 +1,89 @@
+"""URL extraction/normalization goldens from the reference tests."""
+
+from bathyscaphe_spark.functions.fnv import fnv1_64_py
+from bathyscaphe_spark.functions.urltools import (
+    extract_urls_py,
+    normalize_url_py,
+    url_host_py,
+    url_parts_py,
+)
+
+SCENARIO_BODY = """
+<a href=\\"https://facebook.onion/test.php?id=1\\">This is a little test</a>.
+Check out https://google.onion. This is an image https://example.onion/test.png
+This domain is blacklisted: https://m.fbi.onion/test.php
+"""
+
+
+def test_normalize_golden():
+    # scheduler_test.go:51-60
+    assert (
+        normalize_url_py("https://this-is-sparta.de?url=url-query-param#fragment-23")
+        == "https://this-is-sparta.de?url=url-query-param"
+    )
+
+
+def test_normalize_flags():
+    cases = {
+        # lowercase scheme+host
+        "HTTPS://EXAMPLE.onion/Path": "https://example.onion/Path",
+        # remove default port
+        "https://example.onion:443/a": "https://example.onion/a",
+        "http://example.onion:80/a": "http://example.onion/a",
+        "http://example.onion:8080/a": "http://example.onion:8080/a",
+        # remove fragment
+        "https://example.onion/a#frag": "https://example.onion/a",
+        # duplicate slashes
+        "https://example.onion/a//b///c": "https://example.onion/a/b/c",
+        # trailing slash (greedy)
+        "https://example.onion/a/": "https://example.onion/a",
+        # directory index removal, then greedy trailing-slash removal
+        "https://example.onion/dir/index.html": "https://example.onion/dir",
+        # dot segments
+        "https://example.onion/a/./b/../c": "https://example.onion/a/c",
+    }
+    for raw, want in cases.items():
+        assert normalize_url_py(raw) == want, raw
+
+
+def test_extract_scenario_batch():
+    # scheduler_test.go:214-226: 4 URLs in order, with exact FNV goldens
+    urls = [normalize_url_py(u) for u in extract_urls_py(SCENARIO_BODY)]
+    assert urls == [
+        "https://facebook.onion/test.php?id=1",
+        "https://google.onion",
+        "https://example.onion/test.png",
+        "https://m.fbi.onion/test.php",
+    ]
+    assert [str(fnv1_64_py(u)) for u in urls] == [
+        "15038381360563270096",
+        "17173291053643777680",
+        "14332094874591870497",
+        "5985629257333875968",
+    ]
+
+
+def test_extract_strict_requires_scheme():
+    assert extract_urls_py("visit example.onion or www.foo.com today") == []
+
+
+def test_extract_trailing_punctuation():
+    assert extract_urls_py("see https://a.onion/x, and (https://b.onion/y).") == [
+        "https://a.onion/x",
+        "https://b.onion/y",
+    ]
+
+
+def test_url_parts():
+    # Go net/url Hostname() strips ports (scheduler_test.go:126 uses :9099)
+    assert url_host_py("https://google.onion:9099") == "google.onion"
+    assert url_host_py("http://facebook.onion:443/news/test.php?id=12") == "facebook.onion"
+    scheme, host, path, query = url_parts_py(
+        "https://example.onion/image.PNG?id=12&test=2"
+    )
+    assert (scheme, host, path, query) == (
+        "https",
+        "example.onion",
+        "/image.PNG",
+        "id=12&test=2",
+    )
