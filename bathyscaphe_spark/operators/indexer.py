@@ -44,11 +44,22 @@ def build_resources(
     )
 
 
-def build_local_sink(resources: DataFrame) -> DataFrame:
-    """X8+X9: add the byte-identical text payload and deterministic sink
-    path columns; partitioned by (scheme, host) like the local FS layout
-    (local.go:86-117)."""
-    df = with_sink_path(resources, url_col="url", ts_col="time")
+def build_local_sink(
+    fetched: DataFrame, blacklist: DataFrame | list[str] | None = None
+) -> DataFrame:
+    """X8+X9 over the RAW fetched rows: the local sink formats the
+    original (non-lowercased) headers — only the ES path lowercases them
+    (local.go:61-84 vs elastic.go:171-175).  Adds the byte-identical text
+    payload and deterministic sink path columns; partitioned by
+    (scheme, host) like the local FS layout (local.go:86-117)."""
+    df = apply_hostname_blacklist(fetched, blacklist)
+    df = df.select(
+        "url",
+        F.col("html").cast("string").alias("body"),
+        F.col("warc_ts").alias("time"),
+        "headers",
+    )
+    df = with_sink_path(df, url_col="url", ts_col="time")
     return df.withColumn(
         "text", resource_text(F.col("url"), F.col("headers"), F.col("body"))
     )

@@ -1,0 +1,111 @@
+"""Crawl driver — the batch-iterative loop replacing the reference's five
+always-on processes (SURVEY.md §3.4).
+
+``crawl()`` bootstraps the seed frontier (S13: the operator's hand-published
+seed event, README.md:22-33), then runs rounds until exhaustion or the
+round limit, committing an atomic snapshot per round.  ``resume`` picks up
+from the last committed round barrier — the exactly-from-any-round-boundary
+resumability the north rule requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.fnv import fnv1_64
+from ..state.tables import TableCatalog
+from .round import RoundStats, round_ts_col, run_round
+from .synth import build_host_status
+
+
+def bootstrap(
+    catalog: TableCatalog, seeds: DataFrame, config: CrawlConfig
+) -> None:
+    """Install the seed frontier as round 0's delta + initial seen set.
+
+    Seeds are marked seen at injection so a page linking back to a seed
+    does not schedule it twice (the engine's choice; the reference's
+    hand-injected seeds are unknown to the cache until re-discovered).
+    """
+    delta = seeds.select(
+        "url",
+        fnv1_64(F.col("url")).alias("url_hash"),
+        "host",
+        F.lit(0).alias("depth"),
+        F.lit(1000).alias("priority"),
+        round_ts_col(0).alias("discovered_ts"),
+        F.lit(0).alias("round"),
+    )
+    catalog.stage_round("frontier", delta, 0)
+    catalog.commit_round(0, ["frontier"], extra={"bootstrap": True})
+    seen0 = delta.select(
+        "url_hash",
+        F.lit(-1).alias("first_seen_round"),
+        F.lit(None).cast("timestamp").alias("expires_ts"),
+    )
+    catalog.stage_round("seen", seen0, -1)
+    catalog.commit_round(-1, ["seen"], extra={"bootstrap": True})
+
+
+def crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame | None,
+    state_root: str,
+    config: CrawlConfig | None = None,
+    max_rounds: int = 10,
+    host_status: DataFrame | None = None,
+) -> list[RoundStats]:
+    """Run (or resume) a crawl.  Returns per-round stats.
+
+    If ``state_root`` already holds committed rounds, ``seeds`` may be
+    None and the crawl resumes from the last round barrier.
+    """
+    config = config or CrawlConfig()
+    catalog = TableCatalog(spark, state_root)
+    catalog.cleanup_uncommitted()
+
+    if host_status is None:
+        host_status = build_host_status(pages)
+    host_status = host_status.persist()
+
+    last = catalog.last_committed_round()
+    if last < 0:
+        if seeds is None:
+            raise ValueError("fresh state dir requires seeds")
+        bootstrap(catalog, seeds, config)
+        start = 0
+        seen_count = None
+    else:
+        # resume: the next round to run is the first whose own tables are
+        # not committed (its frontier Δ was committed by its predecessor)
+        rounds = catalog.manifest["rounds"]
+        start = max(
+            (int(r) for r, e in rounds.items() if "seen" in e["tables"]),
+            default=-1,
+        ) + 1
+        seen_count = None
+
+    stats: list[RoundStats] = []
+    for round_n in range(start, max_rounds):
+        frontier = catalog.read_round("frontier", round_n)
+        if frontier is None or not frontier.head(1):
+            break  # frontier exhausted
+        if config.bloom_enabled and seen_count is None:
+            seen_df = catalog.read_deltas("seen")
+            seen_count = seen_df.count() if seen_df is not None else 0
+        s = run_round(
+            catalog,
+            pages,
+            host_status,
+            config,
+            round_n,
+            seen_count_hint=seen_count,
+        )
+        stats.append(s)
+        if seen_count is not None:
+            seen_count += s.discovered
+    host_status.unpersist()
+    return stats

@@ -1,0 +1,254 @@
+"""One crawl round — the engine's core DAG.
+
+Replaces the reference's always-on queue consumers (crawler + scheduler +
+indexer + blacklister, SURVEY.md §3) with one declarative batch round:
+
+  frontier Δ → O1 rank/budget → O2 salted repartition → S4 fetch join
+  → [O4 timeouts → F7/F8/A1 blacklister] → F5 content filter
+  → X1-X3 extract/normalize/hash → F1-F4 → D2 dedup → D1 anti-join seen
+  → writes: resources, seen Δ, frontier(round+1) Δ, host_failures,
+    blacklist, metrics → atomic round commit
+
+Everything is one Catalyst-optimized DAG per output; ``fetched_ok`` is
+cached and reused by the scheduler and indexer branches — the same
+fan-out the reference gets from its RabbitMQ fanout exchange
+(indexer.go:83-87) without computing the fetch twice.
+
+Determinism: round_ts is a pure function of the round number; candidate
+depth is aggregated with min() so the output is identical at any
+parallelism level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.fnv import fnv1_64
+from ..operators import blacklister as bl
+from ..operators.bloom import ShardedBloom, bloom_anti_join
+from ..operators.crawler import fetch
+from ..operators.indexer import build_resources
+from ..operators.politeness import rank_frontier, salted_repartition
+from ..operators.scheduler import (
+    apply_hostname_blacklist,
+    extension_filter,
+    extract_candidates,
+    onion_filter,
+    protocol_filter,
+    with_url_parts,
+)
+from ..state.tables import TableCatalog
+from .synth import BASE_TS
+
+ROUND_INTERVAL_S = 3600  # one deterministic "hour" per round
+
+
+def round_ts_col(round_n: int):
+    return F.timestamp_seconds(F.lit(BASE_TS + round_n * ROUND_INTERVAL_S))
+
+
+@dataclass
+class RoundStats:
+    round: int
+    scheduled: int
+    fetched: int
+    timeouts: int
+    discovered: int
+
+
+def discover_new_urls(
+    fetched_ok: DataFrame,
+    config: CrawlConfig,
+    seen: DataFrame | None,
+    blacklist,
+    round_n: int,
+    bloom: ShardedBloom | None = None,
+) -> DataFrame:
+    """Scheduler stage with depth propagation.
+
+    Unlike ``operators.scheduler.schedule_candidates`` (the parity-exact
+    single-shot API), this variant carries the parent's depth through a
+    deterministic min() aggregation: depth = min(parent depth) + 1.
+    Output: (url, url_hash, host, depth).
+    """
+    cand = extract_candidates(fetched_ok, body_col="html")
+    parents = fetched_ok.select(
+        F.col("url").alias("src_url"), F.col("depth").alias("_parent_depth")
+    )
+    cand = cand.join(parents, "src_url")
+    cand = with_url_parts(cand)
+    cand = cand.where(onion_filter(F.col("host")))
+    cand = cand.where(protocol_filter(F.col("scheme")))
+    cand = cand.where(extension_filter(F.col("path"), config.allowed_extensions))
+    cand = apply_hostname_blacklist(cand, blacklist)
+    cand = cand.withColumn("url_hash", fnv1_64(F.col("url")))
+
+    # D2 with deterministic attributes: url/host are functions of the
+    # hash; depth aggregates with min()
+    cand = cand.groupBy("url_hash").agg(
+        F.min("url").alias("url"),
+        F.min("host").alias("host"),
+        (F.min("_parent_depth") + 1).alias("depth"),
+    )
+    cand = cand.where(F.col("depth") <= config.max_depth)
+
+    if seen is not None:
+        rts = round_ts_col(round_n)
+        live_seen = seen.where(
+            F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
+        ).select("url_hash")
+        if bloom is not None:
+            cand = bloom_anti_join(cand, live_seen, "url_hash", bloom)
+        else:
+            cand = cand.join(live_seen, "url_hash", "left_anti")
+    return cand.select("url", "url_hash", "host", "depth")
+
+
+def _frontier_delta(new_urls: DataFrame, round_n: int) -> DataFrame:
+    """Attach frontier bookkeeping for round round_n+1."""
+    rts = round_ts_col(round_n)
+    return new_urls.select(
+        "url",
+        "url_hash",
+        "host",
+        "depth",
+        (F.lit(1000) - F.col("depth") * 10).cast("int").alias("priority"),
+        rts.alias("discovered_ts"),
+        F.lit(round_n + 1).alias("round"),
+    )
+
+
+def _seen_delta(new_urls: DataFrame, config: CrawlConfig, round_n: int) -> DataFrame:
+    """D3: only URLs that were actually scheduled are marked seen
+    (scheduler_test.go:242-245); TTL = refresh-delay, 0 ⇒ NULL = forever."""
+    if config.refresh_delay_s > 0:
+        expires = F.timestamp_seconds(
+            F.lit(BASE_TS + round_n * ROUND_INTERVAL_S + config.refresh_delay_s)
+        )
+    else:
+        expires = F.lit(None).cast("timestamp")
+    return new_urls.select(
+        "url_hash",
+        F.lit(round_n).alias("first_seen_round"),
+        expires.alias("expires_ts"),
+    )
+
+
+def run_round(
+    catalog: TableCatalog,
+    pages: DataFrame,
+    host_status: DataFrame,
+    config: CrawlConfig,
+    round_n: int,
+    seen_count_hint: int | None = None,
+) -> RoundStats:
+    """Execute round ``round_n``: read frontier Δ, produce all round outputs,
+    commit atomically."""
+    spark = catalog.spark
+    rts = round_ts_col(round_n)
+
+    frontier = catalog.read_round("frontier", round_n)
+    if frontier is None:
+        raise ValueError(f"no committed frontier delta for round {round_n}")
+    blacklist_df = catalog.read_state("blacklist")
+    if blacklist_df is None:
+        blacklist_df = bl.empty_blacklist(spark)
+    host_failures = catalog.read_state("host_failures")
+    if host_failures is None:
+        host_failures = bl.empty_host_failures(spark)
+    seen = catalog.read_deltas("seen")
+
+    # O1 + O2
+    scheduled = rank_frontier(frontier, config)
+    scheduled = salted_repartition(scheduled, config)
+
+    # S4/F5/O4 — crawl
+    fetched_ok, timeouts = fetch(scheduled, pages, config, blacklist_df)
+    fetched_ok = fetched_ok.persist()
+    timeouts = timeouts.persist()
+
+    # optional bloom over the current seen set
+    bloom = None
+    if config.bloom_enabled and seen is not None and seen_count_hint:
+        bloom = ShardedBloom.build(
+            seen.select("url_hash"),
+            "url_hash",
+            expected_items=seen_count_hint,
+            fpp=config.bloom_fpp,
+            num_shards=config.bloom_shards,
+        )
+
+    # scheduler — discover next frontier
+    new_urls = discover_new_urls(
+        fetched_ok, config, seen, blacklist_df, round_n, bloom=bloom
+    ).persist()
+
+    # indexer — resources output
+    resources = build_resources(
+        fetched_ok.select("url", "host", "html", "headers", "warc_ts"),
+        blacklist_df,
+    )
+
+    # blacklister
+    new_hf, new_bl = bl.process_timeouts(
+        timeouts, host_failures, blacklist_df, host_status, config, rts
+    )
+
+    # ---- stage writes (invisible until commit) ---------------------------
+    stats = RoundStats(
+        round=round_n,
+        scheduled=scheduled.count(),
+        fetched=fetched_ok.count(),
+        timeouts=timeouts.count(),
+        discovered=new_urls.count(),
+    )
+    catalog.stage_round("frontier", _frontier_delta(new_urls, round_n), round_n + 1)
+    catalog.stage_round("seen", _seen_delta(new_urls, config, round_n), round_n)
+    catalog.stage_round("resources", resources, round_n)
+    catalog.stage_round("timeouts", timeouts.withColumn("round", F.lit(round_n)), round_n)
+    catalog.stage_round("host_failures", new_hf, round_n)
+    catalog.stage_round("blacklist", new_bl, round_n)
+
+    # per-partition fetch lineage + per-stage metrics
+    lineage = fetched_ok.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(F.count(F.lit(1)).alias("rows")).select(
+        F.lit(round_n).alias("round"),
+        F.lit("fetch").alias("stage"),
+        "partition_id",
+        "rows",
+    )
+    stage_rows = [
+        (round_n, s, -1, int(v))
+        for s, v in (
+            ("scheduled", stats.scheduled),
+            ("fetched", stats.fetched),
+            ("timeouts", stats.timeouts),
+            ("discovered", stats.discovered),
+        )
+    ]
+    metrics = lineage.unionByName(
+        spark.createDataFrame(stage_rows, "round int, stage string, partition_id int, rows bigint")
+    )
+    catalog.stage_round("metrics", metrics, round_n)
+
+    # ---- atomic publish ---------------------------------------------------
+    catalog.commit_round(
+        round_n,
+        ["seen", "resources", "timeouts", "host_failures", "blacklist", "metrics"],
+        extra={"stats": stats.__dict__},
+    )
+    # frontier Δ for round_n+1 rides in the next round's manifest entry —
+    # record it under its own round key so read_round finds it
+    catalog.commit_round(
+        round_n + 1, ["frontier"], extra={"produced_by_round": round_n}
+    )
+
+    fetched_ok.unpersist()
+    timeouts.unpersist()
+    new_urls.unpersist()
+    return stats

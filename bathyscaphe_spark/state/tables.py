@@ -101,13 +101,17 @@ class TableCatalog:
         return {"table": name, "round": round_n, "rows": rows}
 
     def commit_round(self, round_n: int, tables: list[str], extra: dict | None = None) -> None:
-        """Publish the round barrier: after this, readers see the round."""
+        """Publish the round barrier: after this, readers see the round.
+
+        Merges with an existing entry for the round (a round's frontier Δ
+        is committed by the *previous* round, ahead of the round's own
+        table commit)."""
         manifest = self._load_manifest()
-        manifest["rounds"][str(round_n)] = {
-            "tables": sorted(tables),
-            "committed_at": time.time(),
-            **(extra or {}),
-        }
+        entry = manifest["rounds"].get(str(round_n), {"tables": []})
+        entry["tables"] = sorted(set(entry["tables"]) | set(tables))
+        entry["committed_at"] = time.time()
+        entry.update(extra or {})
+        manifest["rounds"][str(round_n)] = entry
         self._store_manifest(manifest)
 
     def cleanup_uncommitted(self) -> None:

@@ -1,0 +1,144 @@
+"""End-to-end crawl rounds: growth, state, resume, determinism, bloom parity."""
+
+import pytest
+
+from bathyscaphe_spark.config import CrawlConfig
+from bathyscaphe_spark.pipeline.driver import crawl
+from bathyscaphe_spark.pipeline.synth import build_host_status, build_pages, build_seeds
+from bathyscaphe_spark.state.tables import TableCatalog
+
+N_PAGES = 600
+
+
+@pytest.fixture(scope="module")
+def universe(spark):
+    pages = build_pages(spark, n_pages=N_PAGES, n_hosts=20, links_per_page=4).persist()
+    pages.count()
+    seeds = build_seeds(spark, pages, 6).persist()
+    seeds.count()
+    yield pages, seeds
+    pages.unpersist()
+    seeds.unpersist()
+
+
+def _frontier_sets(spark, root, upto=None):
+    cat = TableCatalog(spark, root)
+    out = {}
+    r = 0
+    while True:
+        df = cat.read_round("frontier", r)
+        if df is None:
+            break
+        out[r] = sorted((row["url"], row["depth"]) for row in df.collect())
+        r += 1
+        if upto is not None and r > upto:
+            break
+    return out
+
+
+def test_crawl_runs_and_grows(spark, tmp_path, universe):
+    pages, seeds = universe
+    cfg = CrawlConfig(per_host_budget=30, bloom_enabled=False)
+    stats = crawl(spark, pages, seeds, str(tmp_path / "s"), cfg, max_rounds=3)
+    assert len(stats) == 3
+    assert stats[0].scheduled == 6
+    assert stats[1].scheduled > stats[0].scheduled  # frontier grows
+    cat = TableCatalog(spark, str(tmp_path / "s"))
+    seen = cat.read_deltas("seen")
+    # seen hashes unique across rounds (D1/D2 exactness)
+    assert seen.count() == seen.select("url_hash").distinct().count()
+    # resources exist and carry extraction outputs
+    res = cat.read_deltas("resources")
+    assert res.count() > 0
+    assert res.where("title = '' or title is null").count() == 0
+
+
+def test_politeness_budget_enforced(spark, tmp_path, universe):
+    pages, seeds = universe
+    cfg = CrawlConfig(per_host_budget=5, bloom_enabled=False)
+    crawl(spark, pages, seeds, str(tmp_path / "s"), cfg, max_rounds=3)
+    cat = TableCatalog(spark, str(tmp_path / "s"))
+    m = cat.read_deltas("metrics")
+    # scheduled per round never exceeds hosts * budget
+    n_hosts = pages.select("host").distinct().count()
+    sched = {r["round"]: r["rows"] for r in m.where("stage='scheduled' and partition_id=-1").collect()}
+    for r, n in sched.items():
+        assert n <= n_hosts * 5
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path, universe):
+    pages, seeds = universe
+    cfg = CrawlConfig(per_host_budget=30, bloom_enabled=False)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    crawl(spark, pages, seeds, a, cfg, max_rounds=3)
+    # interrupted: 2 rounds, then resume (no seeds) for the third
+    crawl(spark, pages, seeds, b, cfg, max_rounds=2)
+    crawl(spark, pages, None, b, cfg, max_rounds=3)
+    assert _frontier_sets(spark, a) == _frontier_sets(spark, b)
+    ca, cb = TableCatalog(spark, a), TableCatalog(spark, b)
+    sa = sorted(r["url_hash"] for r in ca.read_deltas("seen").collect())
+    sb = sorted(r["url_hash"] for r in cb.read_deltas("seen").collect())
+    assert sa == sb
+
+
+def test_determinism_across_partitioning(spark, tmp_path, universe):
+    """Same outputs regardless of shuffle partitioning — the sandbox
+    stand-in for the N vs 4N executor equivalence (full two-process check
+    runs in bench.py)."""
+    pages, seeds = universe
+    cfg = CrawlConfig(per_host_budget=30, bloom_enabled=False)
+    a, b = str(tmp_path / "p4"), str(tmp_path / "p13")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        crawl(spark, pages.repartition(3), seeds, a, cfg, max_rounds=3)
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        crawl(spark, pages.repartition(11), seeds, b, cfg, max_rounds=3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert _frontier_sets(spark, a) == _frontier_sets(spark, b)
+
+
+def test_bloom_parity_full_crawl(spark, tmp_path, universe):
+    pages, seeds = universe
+    a, b = str(tmp_path / "nb"), str(tmp_path / "wb")
+    crawl(spark, pages, seeds, a, CrawlConfig(bloom_enabled=False), max_rounds=3)
+    crawl(spark, pages, seeds, b, CrawlConfig(bloom_enabled=True), max_rounds=3)
+    assert _frontier_sets(spark, a) == _frontier_sets(spark, b)
+
+
+def test_blacklist_applies_over_rounds(spark, tmp_path, universe):
+    """Timeout hosts accumulate failures and eventually stop being fetched."""
+    pages, seeds = universe
+    cfg = CrawlConfig(per_host_budget=50, blacklist_threshold=3, bloom_enabled=False)
+    root = str(tmp_path / "s")
+    crawl(spark, pages, seeds, root, cfg, max_rounds=5)
+    cat = TableCatalog(spark, root)
+    bl = cat.read_state("blacklist")
+    hf = cat.read_state("host_failures")
+    t = cat.read_deltas("timeouts")
+    assert t is not None and t.count() > 0, "universe should produce timeouts"
+    # any host with >= threshold confirmed timeouts in a single round must
+    # have been promoted to the blacklist (counters themselves expire:
+    # TTL 1200s < round interval 3600s, faithful to the reference TTL)
+    from pyspark.sql import functions as F
+
+    crossed = (
+        t.groupBy("host", "round")
+        .count()
+        .where(F.col("count") >= 3)
+        .select("host")
+        .distinct()
+    )
+    n_crossed = crossed.count()
+    assert n_crossed > 0, "expected at least one host to cross the threshold"
+    missing = crossed.join(bl, crossed.host == bl.hostname, "left_anti")
+    assert missing.count() == 0
+    # and blacklisted hosts are never fetched again: no timeout rows for a
+    # host in rounds after its blacklisting round
+    first_bl_round = (
+        t.groupBy("host", "round").count().where(F.col("count") >= 3)
+        .groupBy("host").agg(F.min("round").alias("bl_round"))
+    )
+    late = t.join(first_bl_round, "host").where(F.col("round") > F.col("bl_round") + 1)
+    assert late.count() == 0

@@ -1,0 +1,157 @@
+"""Scheduler scenario replay — the reference's richest test
+(scheduler_test.go:201-251) plus the predicate tables (:62-147)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bathyscaphe_spark.config import CrawlConfig, MimeType
+from bathyscaphe_spark.functions.fnv import unsigned_to_signed
+from bathyscaphe_spark.operators.scheduler import (
+    apply_hostname_blacklist,
+    schedule_candidates,
+    with_url_parts,
+)
+
+SCENARIO_BODY = """
+<a href=\\"https://facebook.onion/test.php?id=1\\">This is a little test</a>.
+Check out https://google.onion. This is an image https://example.onion/test.png
+This domain is blacklisted: https://m.fbi.onion/test.php
+"""
+
+PHP_ONLY = CrawlConfig(allowed_mime_types=(MimeType("text/", ("php",)),))
+HTML_PHP = CrawlConfig(allowed_mime_types=(MimeType("text/", ("html", "php")),))
+
+
+def _pages(spark, body=SCENARIO_BODY, url="https://l.facebookcorewwwi.onion/test.php"):
+    return spark.createDataFrame(
+        [(url, bytearray(body, "utf-8"))], "url string, html binary"
+    )
+
+
+def test_scenario_replay(spark):
+    """4-URL body, seen={google.onion}, blacklist={fbi.onion}, ext={php}
+    ⇒ publish exactly facebook.onion/test.php?id=1
+    (scheduler_test.go:201-251)."""
+    seen = spark.createDataFrame(
+        [(unsigned_to_signed(17173291053643777680), None)],
+        "url_hash long, expires_ts timestamp",
+    )
+    out = schedule_candidates(
+        _pages(spark), PHP_ONLY, seen=seen, blacklist=["fbi.onion"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["url"] == "https://facebook.onion/test.php?id=1"
+    assert out[0]["url_hash"] == unsigned_to_signed(15038381360563270096)
+    assert out[0]["host"] == "facebook.onion"
+
+
+def test_scenario_seen_delta(spark):
+    """Without the seen set, exactly {facebook, google} survive the
+    filters — these two hashes are what the reference writes back
+    (scheduler_test.go:242-245: SetManyInt64 gets exactly 2 of 4)."""
+    out = schedule_candidates(
+        _pages(spark), PHP_ONLY, seen=None, blacklist=["fbi.onion"]
+    ).collect()
+    assert sorted(r["url_hash"] for r in out) == sorted(
+        [
+            unsigned_to_signed(15038381360563270096),
+            unsigned_to_signed(17173291053643777680),
+        ]
+    )
+
+
+@pytest.mark.parametrize(
+    "url",
+    ["https://example.org", "https://pastebin.onionsearchengine.com"],
+)
+def test_f1_not_onion(spark, url):
+    # scheduler_test.go:62-74
+    body = f"link: {url}/page.php"
+    out = schedule_candidates(_pages(spark, body), HTML_PHP).collect()
+    assert out == []
+
+
+@pytest.mark.parametrize("url", ["ftp://example.onion", "irc://example.onion"])
+def test_f2_protocol(spark, url):
+    # scheduler_test.go:76-88
+    out = schedule_candidates(_pages(spark, f"see {url}"), HTML_PHP).collect()
+    assert out == []
+
+
+@pytest.mark.parametrize(
+    "url",
+    [
+        "https://example.onion/image.PNG?id=12&test=2",
+        "https://example.onion/favicon.ico",
+    ],
+)
+def test_f3_extension(spark, url):
+    # scheduler_test.go:90-106: uppercase PNG still rejected (lowercased path)
+    out = schedule_candidates(_pages(spark, f"see {url}"), HTML_PHP).collect()
+    assert out == []
+
+
+def test_f3_no_extension_allowed(spark):
+    # scheduler.go:172-185: last path component without '.' ⇒ allowed
+    body = "see https://example.onion/admin/secret and https://other.onion"
+    out = schedule_candidates(_pages(spark, body), HTML_PHP).collect()
+    assert sorted(r["url"] for r in out) == [
+        "https://example.onion/admin/secret",
+        "https://other.onion",
+    ]
+
+
+def test_f3_dotted_dir_with_allowed_ext(spark):
+    # scheduler_test.go:172: /admin.secret/login.html is allowed (ends .html)
+    body = "x http://google.onion/admin.secret/login.html y"
+    out = schedule_candidates(_pages(spark, body), HTML_PHP).collect()
+    assert [r["url"] for r in out] == ["http://google.onion/admin.secret/login.html"]
+
+
+@pytest.mark.parametrize(
+    "url,blacklist",
+    [
+        ("https://facebookcorewwwi.onion/login.html?id=12&test=2", ["facebookcorewwwi.onion"]),
+        ("https://google.onion:9099", ["google.onion"]),
+        ("http://facebook.onion:443/news/test.php?id=12&username=test", ["facebook.onion"]),
+        # substring-contains: www.facebookcorewwwi.onion matches too
+        ("https://www.facebookcorewwwi.onion/recover/initiate?ars=facebook_login", ["facebookcorewwwi.onion"]),
+    ],
+)
+def test_f4_forbidden(spark, url, blacklist):
+    # scheduler_test.go:108-147
+    out = schedule_candidates(_pages(spark, f"see {url}"), HTML_PHP, blacklist=blacklist).collect()
+    assert out == []
+
+
+def test_f4_no_false_substring(spark):
+    # constraint/hostname_test.go:23-28: google2.onion does NOT match google.onion
+    body = "see https://google2.onion/x.html"
+    out = schedule_candidates(_pages(spark, body), HTML_PHP, blacklist=["google.onion"]).collect()
+    assert [r["url"] for r in out] == ["https://google2.onion/x.html"]
+
+
+def test_f4_dataframe_blacklist(spark):
+    bl = spark.createDataFrame([("fbi.onion",)], "hostname string")
+    df = spark.createDataFrame(
+        [("https://m.fbi.onion/a.html", "m.fbi.onion"), ("https://ok.onion/a.html", "ok.onion")],
+        "url string, host string",
+    )
+    out = apply_hostname_blacklist(df, bl).collect()
+    assert [r["host"] for r in out] == ["ok.onion"]
+
+
+def test_d2_in_round_dedup(spark):
+    body = "dup https://a.onion/x.html and again https://a.onion/x.html"
+    out = schedule_candidates(_pages(spark, body), HTML_PHP).collect()
+    assert len(out) == 1
+
+
+def test_parse_url_matches_go_hostname(spark):
+    df = spark.createDataFrame(
+        [("https://google.onion:9099/a?b=1",)], "url string"
+    )
+    row = with_url_parts(df).head()
+    assert row["host"] == "google.onion"
+    assert row["scheme"] == "https"
+    assert row["path"] == "/a"
