@@ -34,9 +34,102 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
 from ..config import CrawlConfig
-from ..functions.fnv import fnv1_64
-from ..functions.urltools import extract_urls, normalize_url
+from ..functions.fnv import fnv1_64, fnv1_64_np
+from ..functions.urltools import URL_RE, extract_urls, normalize_url, normalize_url_py, url_parts_py
+
+
+CANDIDATE_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("url", StringType()),
+            StructField("url_hash", LongType()),
+            StructField("host", StringType()),
+            StructField("scheme", StringType()),
+            StructField("path", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(CANDIDATE_SCHEMA)
+def _extract_parse_hash(body: pd.Series) -> pd.Series:
+    """X1+X2+X3+X10 fused into ONE Arrow stage: extract (xurls-strict) →
+    normalize (purell flags) → parse components (Go net/url semantics) →
+    FNV-1/64 (numpy-vectorized over the whole batch).
+
+    One python stage per round instead of three, and no per-row JVM
+    parse_url invokes — the scale-critical hot path of the scheduler.
+    """
+    per_row: list[list[str]] = []
+    flat: list[str] = []
+    for b in body:
+        norm: list[str] = []
+        if b:
+            for u in URL_RE.findall(b):
+                n = normalize_url_py(u)
+                if n is not None:
+                    norm.append(n)
+        per_row.append(norm)
+        flat.extend(norm)
+    hashes = (
+        fnv1_64_np(pd.Series(flat, dtype=object)).view(np.int64)
+        if flat
+        else np.empty(0, dtype=np.int64)
+    )
+    out: list[list[dict]] = []
+    i = 0
+    for norm in per_row:
+        items = []
+        for n in norm:
+            scheme, host, path, _query = url_parts_py(n)
+            items.append(
+                {
+                    "url": n,
+                    "url_hash": int(hashes[i]),
+                    "host": host,
+                    "scheme": scheme,
+                    "path": path,
+                }
+            )
+            i += 1
+        out.append(items)
+    return pd.Series(out)
+
+
+def extract_candidates_fused(
+    pages: DataFrame,
+    body_col: str = "html",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """pages(url, html, *carry) → one row per candidate with
+    (src_url, *carry, url, url_hash, host, scheme, path) — a single
+    python stage; ``carry_cols`` (e.g. the parent depth) ride through the
+    explode so no self-join is needed afterwards."""
+    body = F.col(body_col)
+    body = F.when(body.isNotNull(), body.cast("string")).otherwise(F.lit(""))
+    keep = [F.col("url").alias("src_url"), *[F.col(c) for c in carry_cols]]
+    df = pages.select(*keep, F.explode(_extract_parse_hash(body)).alias("_c"))
+    return df.select(
+        "src_url",
+        *carry_cols,
+        F.col("_c.url").alias("url"),
+        F.col("_c.url_hash").alias("url_hash"),
+        F.col("_c.host").alias("host"),
+        F.col("_c.scheme").alias("scheme"),
+        F.col("_c.path").alias("path"),
+    )
 
 
 def extract_candidates(pages: DataFrame, body_col: str = "html") -> DataFrame:
@@ -156,13 +249,11 @@ def schedule_candidates(
     semantics, cache.go:9-12).  Rejected URLs are never marked seen —
     only survivors reach the caller's seen-append (scheduler_test.go:242-245).
     """
-    cand = extract_candidates(pages, body_col=body_col)
-    cand = with_url_parts(cand)
+    cand = extract_candidates_fused(pages, body_col=body_col)
     cand = cand.where(onion_filter(F.col("host")))
     cand = cand.where(protocol_filter(F.col("scheme")))
     cand = cand.where(extension_filter(F.col("path"), config.allowed_extensions))
     cand = apply_hostname_blacklist(cand, blacklist)
-    cand = cand.withColumn("url_hash", fnv1_64(F.col("url")))
 
     # D2: in-round dedup (first occurrence wins in the reference; the set
     # is identical under any tie-break)

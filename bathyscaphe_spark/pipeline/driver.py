@@ -91,8 +91,8 @@ def crawl(
     stats: list[RoundStats] = []
     for round_n in range(start, max_rounds):
         frontier = catalog.read_round("frontier", round_n)
-        if frontier is None or not frontier.head(1):
-            break  # frontier exhausted
+        if frontier is None or catalog.rows_in_round("frontier", round_n) == 0:
+            break  # frontier exhausted (row count from footers — no job)
         if config.bloom_enabled and seen_count is None:
             seen_df = catalog.read_deltas("seen")
             seen_count = seen_df.count() if seen_df is not None else 0

@@ -36,10 +36,9 @@ from ..operators.politeness import rank_frontier, salted_repartition
 from ..operators.scheduler import (
     apply_hostname_blacklist,
     extension_filter,
-    extract_candidates,
+    extract_candidates_fused,
     onion_filter,
     protocol_filter,
-    with_url_parts,
 )
 from ..state.tables import TableCatalog
 from .synth import BASE_TS
@@ -75,24 +74,21 @@ def discover_new_urls(
     deterministic min() aggregation: depth = min(parent depth) + 1.
     Output: (url, url_hash, host, depth).
     """
-    cand = extract_candidates(fetched_ok, body_col="html")
-    parents = fetched_ok.select(
-        F.col("url").alias("src_url"), F.col("depth").alias("_parent_depth")
+    cand = extract_candidates_fused(
+        fetched_ok, body_col="html", carry_cols=("depth",)
     )
-    cand = cand.join(parents, "src_url")
-    cand = with_url_parts(cand)
     cand = cand.where(onion_filter(F.col("host")))
     cand = cand.where(protocol_filter(F.col("scheme")))
     cand = cand.where(extension_filter(F.col("path"), config.allowed_extensions))
     cand = apply_hostname_blacklist(cand, blacklist)
-    cand = cand.withColumn("url_hash", fnv1_64(F.col("url")))
 
     # D2 with deterministic attributes: url/host are functions of the
-    # hash; depth aggregates with min()
+    # hash; depth aggregates with min() (parent depth rode through the
+    # explode — no self-join)
     cand = cand.groupBy("url_hash").agg(
         F.min("url").alias("url"),
         F.min("host").alias("host"),
-        (F.min("_parent_depth") + 1).alias("depth"),
+        (F.min("depth") + 1).alias("depth"),
     )
     cand = cand.where(F.col("depth") <= config.max_depth)
 
@@ -162,14 +158,13 @@ def run_round(
         host_failures = bl.empty_host_failures(spark)
     seen = catalog.read_deltas("seen")
 
-    # O1 + O2
+    # O1 + O2 — persisted: every downstream branch starts here
     scheduled = rank_frontier(frontier, config)
-    scheduled = salted_repartition(scheduled, config)
+    scheduled = salted_repartition(scheduled, config).persist()
 
     # S4/F5/O4 — crawl
     fetched_ok, timeouts = fetch(scheduled, pages, config, blacklist_df)
     fetched_ok = fetched_ok.persist()
-    timeouts = timeouts.persist()
 
     # optional bloom over the current seen set
     bloom = None
@@ -193,39 +188,75 @@ def run_round(
         blacklist_df,
     )
 
-    # blacklister
-    new_hf, new_bl = bl.process_timeouts(
-        timeouts, host_failures, blacklist_df, host_status, config, rts
-    )
+    # ---- stage writes (invisible until commit); row counts come from the
+    # written parquet footers — zero extra Spark jobs ----------------------
+    catalog.stage_round("timeouts", timeouts.withColumn("round", F.lit(round_n)), round_n)
+    n_timeouts = catalog.rows_in_round("timeouts", round_n)
 
-    # ---- stage writes (invisible until commit) ---------------------------
-    stats = RoundStats(
-        round=round_n,
-        scheduled=scheduled.count(),
-        fetched=fetched_ok.count(),
-        timeouts=timeouts.count(),
-        discovered=new_urls.count(),
+    committed_tables = ["seen", "resources", "timeouts", "metrics"]
+
+    # blacklister reads the tiny staged timeouts back from parquet —
+    # avoids recomputing the fetch join for the timeout branch.  When the
+    # round produced no timeouts and there is no live counter state, the
+    # host_failures/blacklist states are unchanged — skip their rewrites
+    # entirely (read_state falls back to the latest committed round).
+    hf_rounds = catalog._committed_rounds("host_failures", None)
+    prev_hf_rows = (
+        catalog.rows_in_round("host_failures", hf_rounds[-1]) if hf_rounds else 0
     )
+    if n_timeouts or prev_hf_rows:
+        timeouts_df = (
+            spark.read.parquet(catalog._round_dir("timeouts", round_n)).select(
+                "url", "host"
+            )
+            if n_timeouts
+            else timeouts.limit(0)
+        )
+        new_hf, new_bl = bl.process_timeouts(
+            timeouts_df, host_failures, blacklist_df, host_status, config, rts
+        )
+        catalog.stage_round("host_failures", new_hf, round_n)
+        catalog.stage_round("blacklist", new_bl, round_n)
+        committed_tables += ["host_failures", "blacklist"]
+
     catalog.stage_round("frontier", _frontier_delta(new_urls, round_n), round_n + 1)
     catalog.stage_round("seen", _seen_delta(new_urls, config, round_n), round_n)
     catalog.stage_round("resources", resources, round_n)
-    catalog.stage_round("timeouts", timeouts.withColumn("round", F.lit(round_n)), round_n)
-    catalog.stage_round("host_failures", new_hf, round_n)
-    catalog.stage_round("blacklist", new_bl, round_n)
 
-    # per-partition fetch lineage + per-stage metrics
-    lineage = fetched_ok.groupBy(
-        F.spark_partition_id().alias("partition_id")
-    ).agg(F.count(F.lit(1)).alias("rows")).select(
-        F.lit(round_n).alias("round"),
-        F.lit("fetch").alias("stage"),
-        "partition_id",
-        "rows",
+    stats = RoundStats(
+        round=round_n,
+        scheduled=0,  # filled from lineage below
+        fetched=catalog.rows_in_round("resources", round_n),
+        timeouts=n_timeouts,
+        discovered=catalog.rows_in_round("frontier", round_n + 1),
+    )
+
+    # per-partition lineage for the fetch and schedule stages (north rule:
+    # per-partition lineage + metrics per round) — one write job, inputs
+    # are cached
+    lineage = (
+        scheduled.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .select(
+            F.lit(round_n).alias("round"),
+            F.lit("scheduled").alias("stage"),
+            "partition_id",
+            "rows",
+        )
+        .unionByName(
+            fetched_ok.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .select(
+                F.lit(round_n).alias("round"),
+                F.lit("fetch").alias("stage"),
+                "partition_id",
+                "rows",
+            )
+        )
     )
     stage_rows = [
         (round_n, s, -1, int(v))
         for s, v in (
-            ("scheduled", stats.scheduled),
             ("fetched", stats.fetched),
             ("timeouts", stats.timeouts),
             ("discovered", stats.discovered),
@@ -235,11 +266,23 @@ def run_round(
         spark.createDataFrame(stage_rows, "round int, stage string, partition_id int, rows bigint")
     )
     catalog.stage_round("metrics", metrics, round_n)
+    # scheduled count from the just-written lineage parquet (no job)
+    import pyarrow.parquet as pq
+    import glob as _glob
+    import os as _os
+
+    sched = 0
+    for f in _glob.glob(_os.path.join(catalog._round_dir("metrics", round_n), "*.parquet")):
+        t = pq.read_table(f, columns=["stage", "rows"])
+        for s, r in zip(t["stage"].to_pylist(), t["rows"].to_pylist()):
+            if s == "scheduled":
+                sched += r
+    stats.scheduled = sched
 
     # ---- atomic publish ---------------------------------------------------
     catalog.commit_round(
         round_n,
-        ["seen", "resources", "timeouts", "host_failures", "blacklist", "metrics"],
+        committed_tables,
         extra={"stats": stats.__dict__},
     )
     # frontier Δ for round_n+1 rides in the next round's manifest entry —
@@ -248,7 +291,7 @@ def run_round(
         round_n + 1, ["frontier"], extra={"produced_by_round": round_n}
     )
 
+    scheduled.unpersist()
     fetched_ok.unpersist()
-    timeouts.unpersist()
     new_urls.unpersist()
     return stats

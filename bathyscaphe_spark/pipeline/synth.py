@@ -82,11 +82,11 @@ def url_for(id_col: Column, n_hosts: int) -> Column:
 
 
 def _link_target(id_col: Column, j: int, n_pages: int) -> Column:
-    """j-th outlink of page id: a deterministic scatter over the universe."""
-    return F.pmod(
-        id_col * F.lit(2654435761) + F.lit(j * 40503 + 7) + F.xxhash64(id_col, F.lit(SEED + 10 + j)),
-        F.lit(n_pages),
-    )
+    """j-th outlink of page id: a deterministic scatter over the universe.
+    Terms are mod-reduced before the add so the expression never overflows
+    a long, even at 10^10-page universes (ANSI mode)."""
+    h = F.pmod(F.xxhash64(id_col, F.lit(SEED + 10 + j)), F.lit(n_pages))
+    return F.pmod(h + F.lit((j * 40503 + 7) % n_pages), F.lit(n_pages))
 
 
 def build_pages(

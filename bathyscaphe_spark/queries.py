@@ -1,0 +1,710 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 exposed as a
+(spark_fn, oracle_sql) pair over the shared testdata tables.
+
+Design: the crawl-specific queries synthesize a deterministic URL/page
+corpus FROM the ``documents`` table *inside the query*, using a SQL
+fragment valid in BOTH Spark SQL and DuckDB (verified dialect overlap:
+``||``, CAST AS STRING, CASE, %, regexp_* , split_part, ends_with…).  The
+Spark side layers the REAL engine operators (pandas UDFs, column
+predicates, joins) on top of that corpus; the DuckDB oracle reimplements
+the semantics independently in SQL — including FNV-1/64 via
+``list_reduce`` (see functions/fnv.py DUCKDB_FNV1_64_SQL).
+
+Output-type discipline (the driver hash-compares values): BIGINT / STRING
+/ BOOLEAN only — money as integer cents, no raw doubles, no timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import CrawlConfig
+from .functions.fnv import duckdb_fnv_signed_sql, duckdb_fnv_str_sql, fnv1_64, fnv1_64_str
+from .functions.html import parse_doc
+from .functions.textfmt import resource_text, with_sink_path
+from .functions.urltools import URL_RE, normalize_url
+from .operators.politeness import rank_frontier
+from .operators.scheduler import schedule_candidates
+
+CFG = CrawlConfig()  # html/php/aspx/htm extensions — mirrored in oracles
+
+# --------------------------------------------------------------------------
+# shared corpus synthesis (valid in Spark SQL AND DuckDB)
+# --------------------------------------------------------------------------
+
+LINK1 = (
+    "'http://host' || CAST((doc_id * 7 + 1) % 97 AS STRING) || '.onion/s' || "
+    "CAST(doc_id % 7 AS STRING) || '/page' || CAST((doc_id * 13 + 1) % 5000 AS STRING) || "
+    "(CASE (doc_id % 5) WHEN 0 THEN '.html' WHEN 1 THEN '.php' WHEN 2 THEN '.png' "
+    "WHEN 3 THEN '' ELSE '.aspx' END)"
+)
+LINK2 = "'HTTP://HOST' || CAST((doc_id * 3 + 2) % 97 AS STRING) || '.ONION'"
+LINK3 = "'https://mirror' || CAST(doc_id % 31 AS STRING) || '.example.com/copy.html'"
+LINK4 = "'ftp://files' || CAST(doc_id % 11 AS STRING) || '.onion/dump'"
+LINK5 = (
+    "'http://host' || CAST((doc_id * 7 + 1) % 97 AS STRING) || '.onion/frag' || "
+    "CAST(doc_id % 50 AS STRING) || '.php#sec' || CAST(doc_id % 9 AS STRING)"
+)
+
+CORPUS_SQL = f"""
+SELECT doc_id,
+       {LINK1} AS link1,
+       {LINK2} AS link2,
+       {LINK3} AS link3,
+       {LINK4} AS link4,
+       {LINK5} AS link5
+FROM documents
+"""
+
+PAGES_SQL = f"""
+SELECT doc_id,
+       '<html><body><a href="' || link1 || '">one</a> see also ' || link2 ||
+       ' and ' || link3 || ' plus ' || link4 || ' ref ' || link5 ||
+       '</body></html>' AS body
+FROM ({CORPUS_SQL})
+"""
+
+BLACKLIST = ("host13.onion", "host7.onion", "host29.onion")
+
+# extraction pattern shared with the python UDF, quoted for SQL literals
+_URL_PAT_SQL = URL_RE.pattern.replace("'", "''")
+
+# oracle-side normalization of the controlled corpus: lowercase
+# scheme+authority, strip fragment (the full purell flag set is covered by
+# unit goldens; the corpus is built to stay inside this subset)
+_NORM = (
+    "lower(regexp_extract(raw, '^[a-zA-Z][a-zA-Z0-9.+-]*://[^/]*', 0)) || "
+    "split_part(substr(raw, length(regexp_extract(raw, "
+    "'^[a-zA-Z][a-zA-Z0-9.+-]*://[^/]*', 0)) + 1), '#', 1)"
+)
+
+_HOST = "regexp_extract(url, '://([^/:]+)', 1)"
+_SCHEME = "regexp_extract(url, '^([a-z][a-z0-9.+-]*)://', 1)"
+_PATH = "regexp_extract(url, '^[a-z][a-z0-9.+-]*://[^/]*(/[^?#]*)', 1)"
+
+_F3 = (
+    "(ends_with(lower(path), '.html') OR ends_with(lower(path), '.php') OR "
+    "ends_with(lower(path), '.aspx') OR ends_with(lower(path), '.htm') OR "
+    "NOT contains(split_part(path, '/', -1), '.'))"
+)
+_F4 = "NOT (" + " OR ".join(f"contains(host, '{h}')" for h in BLACKLIST) + ")"
+
+_EXTRACT_NORM_SQL = f"""
+WITH pages AS ({PAGES_SQL}),
+ extracted AS (
+   SELECT unnest(regexp_extract_all(body, '{_URL_PAT_SQL}')) AS raw FROM pages
+ ),
+ norm AS (SELECT {_NORM} AS url FROM extracted),
+ parts AS (
+   SELECT url, {_SCHEME} AS scheme, {_HOST} AS host, {_PATH} AS path FROM norm
+ )
+"""
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(CORPUS_SQL)
+
+
+def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized pages universe as (url, html) for the scheduler."""
+    _docs(spark, sf_dir)
+    return spark.sql(PAGES_SQL).selectExpr(
+        "'http://src' || CAST(doc_id AS STRING) || '.onion/idx.html' AS url",
+        "body AS html",
+    )
+
+
+def _seen_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen set: hashes of link1 for every 17th document."""
+    seen_urls = _corpus(spark, sf_dir).where("doc_id % 17 = 0").selectExpr("link1 AS url")
+    return seen_urls.select(
+        fnv1_64(F.col("url")).alias("url_hash"),
+        F.lit(None).cast("timestamp").alias("expires_ts"),
+    )
+
+
+_SEEN_ORACLE = (
+    f"SELECT {duckdb_fnv_signed_sql('link1')} AS h FROM ({CORPUS_SQL}) "
+    "WHERE doc_id % 17 = 0"
+)
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def q_scheduler_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — one full scheduler round over the synthesized corpus:
+    X1 extract → X2 normalize → F1-F4 → X3 hash → D2 dedup → D1 anti-join
+    (SURVEY.md §3.1; reference scheduler.go:93-142)."""
+    out = schedule_candidates(
+        _pages_df(spark, sf_dir),
+        CFG,
+        seen=_seen_df(spark, sf_dir),
+        blacklist=list(BLACKLIST),
+    )
+    return out.select("url", "url_hash", "host")
+
+
+ORACLE_SCHEDULER_ROUND = f"""
+{_EXTRACT_NORM_SQL},
+ filtered AS (
+   SELECT * FROM parts
+   WHERE ends_with(host, '.onion') AND starts_with(scheme, 'http') AND {_F3} AND {_F4}
+ ),
+ hashed AS (
+   SELECT DISTINCT url, {duckdb_fnv_signed_sql('url')} AS url_hash, host FROM filtered
+ )
+SELECT url, url_hash, host FROM hashed
+WHERE url_hash NOT IN ({_SEEN_ORACLE})
+"""
+
+
+def q_x2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 purell-compatible normalization (scheduler.go:241-249) applied
+    by the real pandas UDF to the case/fragment link variants."""
+    c = _corpus(spark, sf_dir)
+    raw = c.selectExpr("link2 AS raw").union(c.selectExpr("link5 AS raw")).distinct()
+    return raw.select("raw", normalize_url(F.col("raw")).alias("url"))
+
+
+ORACLE_X2 = f"""
+WITH c AS ({CORPUS_SQL}),
+ raws AS (
+   SELECT DISTINCT raw FROM (
+     SELECT link2 AS raw FROM c UNION ALL SELECT link5 AS raw FROM c
+   )
+ )
+SELECT raw, {_NORM} AS url FROM raws
+"""
+
+
+def q_x3_fnv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 FNV-1/64 (scheduler.go:106-116): signed long + decimal string."""
+    c = _corpus(spark, sf_dir).selectExpr("link1 AS url").distinct()
+    return c.select(
+        "url",
+        fnv1_64(F.col("url")).alias("url_hash"),
+        fnv1_64_str(F.col("url")).alias("url_hash_str"),
+    )
+
+
+ORACLE_X3 = f"""
+SELECT url, {duckdb_fnv_signed_sql('url')} AS url_hash,
+       {duckdb_fnv_str_sql('url')} AS url_hash_str
+FROM (SELECT DISTINCT link1 AS url FROM ({CORPUS_SQL}))
+"""
+
+
+def q_f3_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 extension allowlist incl. the no-extension fallback
+    (scheduler.go:160-189)."""
+    from .operators.scheduler import extension_filter, with_url_parts
+
+    c = _corpus(spark, sf_dir).selectExpr("link1 AS url").distinct()
+    c = with_url_parts(c)
+    return c.select(
+        "url", extension_filter(F.col("path"), CFG.allowed_extensions).alias("allowed")
+    )
+
+
+ORACLE_F3 = f"""
+WITH u AS (SELECT DISTINCT link1 AS url FROM ({CORPUS_SQL})),
+ parts AS (SELECT url, {_PATH} AS path FROM u)
+SELECT url, {_F3} AS allowed FROM parts
+"""
+
+
+def q_f4_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 substring-contains hostname blacklist as a broadcast anti
+    pattern (constraint/hostname.go:21-25)."""
+    from .operators.scheduler import apply_hostname_blacklist, with_url_parts
+
+    c = _corpus(spark, sf_dir).selectExpr("link1 AS url").distinct()
+    c = with_url_parts(c).select("url", "host")
+    return apply_hostname_blacklist(c, list(BLACKLIST))
+
+
+ORACLE_F4 = f"""
+WITH u AS (SELECT DISTINCT link1 AS url FROM ({CORPUS_SQL})),
+ parts AS (SELECT url, {_HOST} AS host FROM u)
+SELECT url, host FROM parts WHERE {_F4}
+"""
+
+
+def q_d1_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 anti-join of candidate hashes vs the seen set (scheduler.go:119-122,
+    206-213)."""
+    cand = (
+        _corpus(spark, sf_dir)
+        .selectExpr("link1 AS url")
+        .distinct()
+        .select("url", fnv1_64(F.col("url")).alias("url_hash"))
+    )
+    seen = _seen_df(spark, sf_dir).select("url_hash")
+    return cand.join(seen, "url_hash", "left_anti").select("url", "url_hash")
+
+
+ORACLE_D1 = f"""
+WITH cand AS (
+  SELECT url, {duckdb_fnv_signed_sql('url')} AS url_hash
+  FROM (SELECT DISTINCT link1 AS url FROM ({CORPUS_SQL}))
+)
+SELECT url, url_hash FROM cand WHERE url_hash NOT IN ({_SEEN_ORACLE})
+"""
+
+
+def q_o1_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 per-host priority rank + politeness budget as a Window
+    (SURVEY.md §2.6; budget=5)."""
+    f = _docs(spark, sf_dir).selectExpr(
+        f"{LINK1} AS url",
+        "'host' || CAST(doc_id % 23 AS STRING) || '.onion' AS host",
+        "CAST(doc_id % 8 AS INT) AS depth",
+        "CAST(1000 - (doc_id % 8) * 10 AS INT) AS priority",
+        "CAST('2020-10-29 12:04:09' AS TIMESTAMP) AS discovered_ts",
+    )
+    cfg = CrawlConfig(per_host_budget=5)
+    out = rank_frontier(f, cfg)
+    return out.select(
+        "url", "host", F.col("fetch_rank").cast("long").alias("fetch_rank")
+    )
+
+
+ORACLE_O1 = f"""
+WITH f AS (
+  SELECT {LINK1} AS url,
+         'host' || CAST(doc_id % 23 AS STRING) || '.onion' AS host,
+         doc_id % 8 AS depth,
+         1000 - (doc_id % 8) * 10 AS priority
+  FROM documents
+),
+ ranked AS (
+  SELECT url, host,
+         ROW_NUMBER() OVER (
+           PARTITION BY host ORDER BY priority DESC, depth ASC, url ASC
+         ) AS fetch_rank
+  FROM f
+ )
+SELECT url, host, CAST(fetch_rank AS BIGINT) AS fetch_rank
+FROM ranked WHERE fetch_rank <= 5
+"""
+
+
+def q_a1_host_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 per-host timeout counting + threshold promotion
+    (blacklister.go:143-186; threshold=5) over timeouts synthesized from
+    the events table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timeouts = ev.where(F.col("event_id") % 3 == 0).selectExpr(
+        "'host' || CAST(user_id % 37 AS STRING) || '.onion' AS host"
+    )
+    counts = timeouts.groupBy("host").agg(F.count(F.lit(1)).alias("timeout_count"))
+    return counts.select(
+        "host", "timeout_count", (F.col("timeout_count") >= 5).alias("blacklisted")
+    )
+
+
+ORACLE_A1 = """
+SELECT host, COUNT(*) AS timeout_count, COUNT(*) >= 5 AS blacklisted
+FROM (
+  SELECT 'host' || CAST(user_id % 37 AS STRING) || '.onion' AS host
+  FROM events WHERE event_id % 3 = 0
+)
+GROUP BY host
+"""
+
+
+def q_s4_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 simulated fetch: frontier ⋈ pages equi-join on url
+    (SURVEY.md S4; sandbox stand-in for internal/http/client.go:31-62)."""
+    c = _corpus(spark, sf_dir)
+    pages = c.selectExpr("link1 AS url", "doc_id AS page_doc")
+    frontier = c.where("doc_id % 4 = 0").selectExpr("link1 AS url").distinct()
+    joined = frontier.join(pages, "url")
+    return joined.groupBy("url").agg(F.count(F.lit(1)).alias("n_copies"))
+
+
+ORACLE_S4 = f"""
+WITH c AS ({CORPUS_SQL}),
+ pages AS (SELECT link1 AS url, doc_id AS page_doc FROM c),
+ frontier AS (SELECT DISTINCT link1 AS url FROM c WHERE doc_id % 4 = 0)
+SELECT url, COUNT(*) AS n_copies
+FROM frontier JOIN pages USING (url)
+GROUP BY url
+"""
+
+
+def q_x9_sink_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 deterministic sink path scheme/host/FNV(uri)/unix_ts
+    (local.go:86-117) — hash segment omitted for root URIs."""
+    c = _corpus(spark, sf_dir)
+    urls = (
+        c.selectExpr("link1 AS url")
+        .union(c.selectExpr("lower(link2) AS url"))
+        .distinct()
+        .selectExpr("url", "CAST('2020-10-29 12:04:09' AS TIMESTAMP) AS time")
+    )
+    return with_sink_path(urls).select("url", "sink_path")
+
+
+ORACLE_X9 = f"""
+WITH c AS ({CORPUS_SQL}),
+ urls AS (
+   SELECT DISTINCT url FROM (
+     SELECT link1 AS url FROM c UNION ALL SELECT lower(link2) AS url FROM c
+   )
+ ),
+ parts AS (
+   SELECT url, {_SCHEME} AS scheme, {_HOST} AS host,
+          CASE WHEN {_PATH} = '' THEN '/' ELSE {_PATH} END AS uri
+   FROM urls
+ )
+SELECT url,
+       CASE WHEN uri = '/' THEN scheme || '/' || host || '/1603973049'
+            ELSE scheme || '/' || host || '/' ||
+                 {duckdb_fnv_str_sql("substr(uri, 2)")} || '/1603973049'
+       END AS sink_path
+FROM parts
+"""
+
+
+def q_x8_resource_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 byte-identical resource text with lexically sorted headers
+    (local.go:61-84) — the per-row invariant anchor."""
+    d = _docs(spark, sf_dir).selectExpr(f"{LINK1} AS url", "text")
+    headers = F.create_map(
+        F.lit("Server"), F.lit("srv-1"),
+        F.lit("Content-Type"), F.lit("text/html"),
+        F.lit("X-Cache"), F.lit("HIT"),
+    )
+    return d.select(
+        "url", resource_text(F.col("url"), headers, F.col("text")).alias("rtext")
+    )
+
+
+ORACLE_X8 = f"""
+SELECT {LINK1} AS url,
+       {LINK1} || chr(10) || chr(10) ||
+       'Content-Type: text/html' || chr(10) ||
+       'Server: srv-1' || chr(10) ||
+       'X-Cache: HIT' || chr(10) || chr(10) || text AS rtext
+FROM documents
+"""
+
+
+def q_x4_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5/X6 title/meta/description extraction by the real HTML parser
+    (elastic.go:145-186) over synthesized html."""
+    html_sql = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title>"
+        "<meta name=\"DescriptIon\" content=\"about doc ' || CAST(doc_id AS STRING) || '\">"
+        f"<meta property=\"og:url\" content=\"' || {LINK1} || '\">"
+        "</head><body>x</body></html>'"
+    )
+    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{html_sql} AS html")
+    doc = parse_doc(F.col("html"))
+    return d.select(
+        "doc_id",
+        doc["title"].alias("title"),
+        doc["description"].alias("description"),
+        F.element_at(doc["meta"], "og:url").alias("og_url"),
+    )
+
+
+ORACLE_X4 = f"""
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS STRING) AS title,
+       'about doc ' || CAST(doc_id AS STRING) AS description,
+       {LINK1} AS og_url
+FROM documents
+"""
+
+
+# --- training-data pipeline operators over documents/embeddings -----------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: canonical doc per md5(text) group."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_md5"))
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_doc,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char length per document."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+    )
+
+
+ORACLE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_text
+FROM documents
+"""
+
+
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: punctuation/digit/uppercase/stopword
+    counts (integer outputs for hash stability)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(r"\p{Punct}")).cast("long").alias("n_punct"),
+        F.regexp_count(t, F.lit("[0-9]")).cast("long").alias("n_digit"),
+        F.regexp_count(t, F.lit("[A-Z]")).cast("long").alias("n_upper"),
+        F.regexp_count(t, F.lit(" the ")).cast("long").alias("n_the"),
+    )
+
+
+ORACLE_QUALITY = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CAST(len(regexp_extract_all(text, ' the ')) AS BIGINT) AS n_the
+FROM documents
+"""
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: stopword votes with a fixed
+    tie-break (en > fr > de)."""
+    d = _docs(spark, sf_dir)
+    t = F.lower(F.col("text"))
+    en = F.regexp_count(t, F.lit(" the ")) + F.regexp_count(t, F.lit(" and "))
+    fr = F.regexp_count(t, F.lit(" le ")) + F.regexp_count(t, F.lit(" et "))
+    de = F.regexp_count(t, F.lit(" der ")) + F.regexp_count(t, F.lit(" und "))
+    guess = (
+        F.when((en >= fr) & (en >= de), F.lit("en"))
+        .when(fr >= de, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select("doc_id", guess.alias("lang_guess"))
+
+
+ORACLE_LANG = """
+SELECT doc_id,
+  CASE WHEN en >= fr AND en >= de THEN 'en'
+       WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_guess
+FROM (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), ' the ')) + len(regexp_extract_all(lower(text), ' and ')) AS en,
+    len(regexp_extract_all(lower(text), ' le ')) + len(regexp_extract_all(lower(text), ' et ')) AS fr,
+    len(regexp_extract_all(lower(text), ' der ')) + len(regexp_extract_all(lower(text), ' und ')) AS de
+  FROM documents
+)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: FNV-1/64 over the printable-ASCII
+    projection of the text (engine-wide content hash)."""
+    d = _docs(spark, sf_dir)
+    ascii_text = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    return d.select("doc_id", fnv1_64(ascii_text).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       {duckdb_fnv_signed_sql("regexp_replace(text, '[^ -~]', '', 'g')")} AS fingerprint
+FROM documents
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (ANN baseline).
+    Queries = vec_id < 5; k = 3; ordering on cosine rounded to 3 decimals
+    with vec_id tie-break (cross-engine float stability)."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    with_norm = emb.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    q = with_norm.where("vec_id < 5").selectExpr(
+        "vec_id AS q_id", "v AS qv", "norm AS qnorm"
+    )
+    pairs = q.crossJoin(with_norm.selectExpr("vec_id AS n_id", "v AS nv", "norm AS nnorm"))
+    pairs = pairs.where("q_id != n_id").select(
+        "q_id",
+        "n_id",
+        F.round(dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")), 3).alias("cos3"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos3"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where("rank <= 3")
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+ORACLE_KNN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+ pairs AS (
+   SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+          round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 3) AS cos3
+   FROM n q, n t
+   WHERE q.vec_id < 5 AND q.vec_id != t.vec_id
+ ),
+ ranked AS (
+   SELECT q_id, n_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos3 DESC, n_id ASC) AS rank
+   FROM pairs
+ )
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+# --- generic relational coverage (SURVEY.md §2.8) -------------------------
+
+def q_tpch_q1_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation with exact integer-cent arithmetic
+    (hash-stable across engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per key over the events stream table."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 3")
+        .select("user_id", "event_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+ORACLE_EVENTS_TOPK = """
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation across the region→nation→customer join."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+ORACLE_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scheduler_round": q_scheduler_round,
+    "x2_normalize": q_x2_normalize,
+    "x3_fnv_hash": q_x3_fnv,
+    "f3_extension_filter": q_f3_extension,
+    "f4_hostname_blacklist": q_f4_blacklist,
+    "d1_seen_antijoin": q_d1_seen_antijoin,
+    "o1_priority_rank": q_o1_priority_rank,
+    "a1_host_timeouts": q_a1_host_timeouts,
+    "s4_fetch_join": q_s4_fetch_join,
+    "x9_sink_path": q_x9_sink_path,
+    "x8_resource_text": q_x8_resource_text,
+    "x4_meta_extract": q_x4_meta_extract,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_stats": q_quality_stats,
+    "lang_guess": q_lang_guess,
+    "doc_fingerprint": q_doc_fingerprint,
+    "knn_cosine_topk": q_knn_cosine,
+    "tpch_q1_cents": q_tpch_q1_cents,
+    "events_topk": q_events_topk,
+    "rollup_customers": q_rollup_customers,
+}
+
+ORACLES: dict[str, str] = {
+    "scheduler_round": ORACLE_SCHEDULER_ROUND,
+    "x2_normalize": ORACLE_X2,
+    "x3_fnv_hash": ORACLE_X3,
+    "f3_extension_filter": ORACLE_F3,
+    "f4_hostname_blacklist": ORACLE_F4,
+    "d1_seen_antijoin": ORACLE_D1,
+    "o1_priority_rank": ORACLE_O1,
+    "a1_host_timeouts": ORACLE_A1,
+    "s4_fetch_join": ORACLE_S4,
+    "x9_sink_path": ORACLE_X9,
+    "x8_resource_text": ORACLE_X8,
+    "x4_meta_extract": ORACLE_X4,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "quality_stats": ORACLE_QUALITY,
+    "lang_guess": ORACLE_LANG,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "knn_cosine_topk": ORACLE_KNN,
+    "tpch_q1_cents": ORACLE_TPCH_Q1,
+    "events_topk": ORACLE_EVENTS_TOPK,
+    "rollup_customers": ORACLE_ROLLUP,
+}

@@ -160,5 +160,17 @@ class TableCatalog:
             return None
         return self.spark.read.parquet(self._round_dir(name, rounds[-1]))
 
+    def rows_in_round(self, name: str, round_n: int) -> int:
+        """Exact row count of a staged/committed round directory from the
+        parquet footers — no Spark job."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in _glob.glob(os.path.join(self._round_dir(name, round_n), "*.parquet")):
+            total += pq.read_metadata(f).num_rows
+        return total
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,103 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Headline: the crawl engine itself — build a deterministically synthesized
+pages universe sized by the scale factor (input_hint shape), run 3 crawl
+rounds end-to-end (rank → fetch join → extract/normalize/hash → filters →
+dedup → seen anti-join → all state writes), and report wall time plus
+URLs scheduled+deduped per second.  Contract queries are timed
+individually against $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_ROUNDS (default 3), BENCH_QUERIES=0 to skip per-query timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
+RUN_QUERIES = os.environ.get("BENCH_QUERIES", "1") != "0"
+
+
+def sf_of(path: str) -> float:
+    name = Path(path).name
+    return float(name[2:]) if name.startswith("sf") else 0.1
+
+
+def main() -> None:
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.pipeline.synth import build_pages, build_seeds
+    from bathyscaphe_spark.queries import QUERIES
+    from bathyscaphe_spark.session import build_session
+
+    sf = sf_of(SF_DIR)
+    spark = build_session(
+        app_name=f"bathyscaphe-bench-{CPUS}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+
+    # --- headline: crawl throughput --------------------------------------
+    n_pages = max(2000, int(1_500_000 * sf))
+    n_hosts = max(40, n_pages // 200)
+    pages = build_pages(
+        spark, n_pages=n_pages, n_hosts=n_hosts, links_per_page=8,
+        parallelism=CPUS,
+    ).persist()
+    pages.count()  # materialize outside the timed section
+    seeds = build_seeds(spark, pages, n_hosts)  # thick frontier from round 1
+    cfg = CrawlConfig(per_host_budget=200, bloom_enabled=False)
+
+    state_root = tempfile.mkdtemp(prefix="bench_state_")
+    try:
+        t0 = time.perf_counter()
+        stats = crawl(spark, pages, seeds, state_root, cfg, max_rounds=ROUNDS)
+        crawl_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(state_root, ignore_errors=True)
+
+    urls_deduped = sum(s.discovered for s in stats)
+    urls_scheduled = sum(s.scheduled for s in stats)
+
+    # --- per-query timings -------------------------------------------------
+    qtimes: dict[str, float] = {"crawl_rounds": round(crawl_sec, 3)}
+    if RUN_QUERIES:
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "crawl_3rounds_wall_sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": CPUS,
+        "rounds": len(stats),
+        "pages_universe": n_pages,
+        "urls_scheduled": urls_scheduled,
+        "urls_scheduled_deduped": urls_deduped,
+        "urls_per_sec": round(urls_deduped / crawl_sec, 1) if crawl_sec else None,
+        "urls_per_sec_per_core": (
+            round(urls_deduped / crawl_sec / CPUS, 2) if crawl_sec else None
+        ),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
