@@ -1,0 +1,130 @@
+"""One scaling-measurement run: a single BIG crawl round at a given
+parallelism level (the sandbox stand-in for an N-executor cluster, per
+BASELINE.md's measurement protocol).
+
+Builds a deterministic universe + a pre-grown frontier (1M URLs by
+default), pre-populates the seen set with ~30% of the frontier's link
+targets, runs run_round() once, and prints one JSON line with timings +
+output fingerprints (order-insensitive hashes of the frontier/seen
+deltas) so the parent can assert bit-identical outputs across
+parallelism levels.
+
+Usage: python scaling_worker.py <cores> <state_dir> [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    state_root = sys.argv[2]
+    n_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 1_200_000
+
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.round import run_round, round_ts_col
+    from bathyscaphe_spark.pipeline.synth import build_host_status, build_pages, url_for
+    from bathyscaphe_spark.session import build_session
+    from bathyscaphe_spark.state.tables import TableCatalog
+
+    spark = build_session(
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 2,
+    )
+    n_hosts = n_pages // 200
+
+    t0 = time.perf_counter()
+    # bucketed by url: the fetch join reuses this partitioning and only
+    # shuffles the frontier side (Iceberg bucket(url) at real scale)
+    pages = build_pages(
+        spark, n_pages=n_pages, n_hosts=n_hosts, links_per_page=8,
+        parallelism=cores * 2,
+    ).repartition(cores * 2, "url").persist()
+    pages.count()
+    host_status = build_host_status(pages).persist()
+    host_status.count()
+    build_sec = time.perf_counter() - t0
+
+    # pre-grown frontier: every 2nd page's URL at depth 1 (deterministic)
+    frontier_sz = n_pages // 2
+    from bathyscaphe_spark.functions.fnv import fnv1_64
+
+    rng = spark.range(0, n_pages, 2, cores * 2)
+    frontier = rng.select(
+        url_for(F.col("id"), n_hosts).alias("url")
+    ).select(
+        "url",
+        fnv1_64(F.col("url")).alias("url_hash"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.lit(1).alias("depth"),
+        F.lit(990).alias("priority"),
+        round_ts_col(0).alias("discovered_ts"),
+        F.lit(0).alias("round"),
+    )
+
+    # seen set: hashes of every 3rd page's URL (overlaps link targets)
+    seen = (
+        spark.range(0, n_pages, 3, cores * 2)
+        .select(url_for(F.col("id"), n_hosts).alias("url"))
+        .select(
+            fnv1_64(F.col("url")).alias("url_hash"),
+            F.lit(-1).alias("first_seen_round"),
+            F.lit(None).cast("timestamp").alias("expires_ts"),
+        )
+    )
+
+    cat = TableCatalog(spark, state_root)
+    cat.stage_round("frontier", frontier, 0)
+    cat.commit_round(0, ["frontier"])
+    cat.stage_round("seen", seen, -1)
+    cat.commit_round(-1, ["seen"])
+
+    cfg = CrawlConfig(
+        per_host_budget=80, bloom_enabled=False, skew_threshold=2_000
+    )
+    t0 = time.perf_counter()
+    stats = run_round(cat, pages, host_status, cfg, 0,
+                      seen_count_hint=None)
+    round_sec = time.perf_counter() - t0
+
+    # order-insensitive fingerprints of the outputs
+    def fingerprint(name: str, rn: int) -> int:
+        df = spark.read.parquet(cat._round_dir(name, rn))
+        row = df.select(
+            F.expr(
+                "bit_xor("
+                + "xxhash64(" + ", ".join(sorted(df.columns)) + ")"
+                + ")"
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        return [int(row["h"] or 0), int(row["n"])]
+
+    out = {
+        "cores": cores,
+        "n_pages": n_pages,
+        "frontier_size": frontier_sz,
+        "build_sec": round(build_sec, 2),
+        "round_sec": round(round_sec, 2),
+        "scheduled": stats.scheduled,
+        "fetched": stats.fetched,
+        "discovered": stats.discovered,
+        "urls_per_sec": round(stats.discovered / round_sec, 1),
+        "fp_frontier": fingerprint("frontier", 1),
+        "fp_seen": fingerprint("seen", 0),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,20 +52,27 @@ def fnv1_64_np(values: pd.Series) -> np.ndarray:
         (v.encode("utf-8") if isinstance(v, str) else (v if v is not None else b""))
         for v in values
     ]
-    lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
-    max_len = int(lengths.max()) if n else 0
-    h = np.full(n, FNV1_64_OFFSET, dtype=np.uint64)
-    if max_len == 0:
-        return h
-    mat = np.zeros((n, max_len), dtype=np.uint64)
+    # Group rows by byte length: each group packs contiguously (one join
+    # + one reshape, no padded matrix, no large index arrays — this VM
+    # class is memory-allocation-bound, so the kernel avoids big
+    # temporaries entirely) and runs the horner loop in place.
+    groups: dict[int, list[int]] = {}
     for i, b in enumerate(encoded):
-        if b:
-            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        groups.setdefault(len(b), []).append(i)
+    out = np.empty(n, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for j in range(max_len):
-            active = lengths > j
-            h = np.where(active, (h * FNV1_64_PRIME) ^ mat[:, j], h)
-    return h
+        for length, idxs in groups.items():
+            if length == 0:
+                out[idxs] = FNV1_64_OFFSET
+                continue
+            blob = b"".join(encoded[i] for i in idxs)
+            m = np.frombuffer(blob, dtype=np.uint8).reshape(len(idxs), length)
+            h = np.full(len(idxs), FNV1_64_OFFSET, dtype=np.uint64)
+            for j in range(length):
+                h *= FNV1_64_PRIME
+                h ^= m[:, j].astype(np.uint64)
+            out[idxs] = h
+    return out
 
 
 @pandas_udf(LongType())

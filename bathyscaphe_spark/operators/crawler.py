@@ -50,6 +50,32 @@ def content_type_allowed(
     return ok
 
 
+def fetch_join(
+    scheduled: DataFrame,
+    pages: DataFrame,
+    blacklist: DataFrame | list[str] | None = None,
+) -> DataFrame:
+    """S4: the raw fetch join (frontier ⋈ pages on url) with the
+    crawler-side F4 filter applied first.  Callers persist THIS and
+    derive both branches from the cache — the join runs once per round."""
+    scheduled = apply_hostname_blacklist(scheduled, blacklist)
+    page_cols = ["url", "html", "headers", "warc_ts", "status"]
+    return scheduled.join(pages.select(*page_cols), "url", "inner")
+
+
+def split_fetched(
+    fetched: DataFrame, config: CrawlConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(fetched_ok, timeouts) from the (cached) fetch join output."""
+    timeouts = fetched.where(F.col("status") == STATUS_TIMEOUT).select(
+        "url", "host"
+    )
+    ok = fetched.where((F.col("status") >= 200) & (F.col("status") <= 302))
+    ct = F.element_at(F.col("headers"), "Content-Type")
+    ok = ok.where(content_type_allowed(ct, config.allowed_content_types))
+    return ok, timeouts
+
+
 def fetch(
     scheduled: DataFrame,
     pages: DataFrame,
@@ -68,18 +94,4 @@ def fetch(
     Frontier rows with no page in the universe simulate dead links
     (reference: fetch error ⇒ drop, crawler.go:106-114).
     """
-    scheduled = apply_hostname_blacklist(scheduled, blacklist)
-
-    page_cols = ["url", "html", "headers", "warc_ts", "status"]
-    fetched = scheduled.join(pages.select(*page_cols), "url", "inner")
-
-    timeouts = fetched.where(F.col("status") == STATUS_TIMEOUT).select(
-        "url", "host"
-    )
-
-    ok = fetched.where(
-        (F.col("status") >= 200) & (F.col("status") <= 302)
-    )
-    ct = F.element_at(F.col("headers"), "Content-Type")
-    ok = ok.where(content_type_allowed(ct, config.allowed_content_types))
-    return ok, timeouts
+    return split_fetched(fetch_join(scheduled, pages, blacklist), config)

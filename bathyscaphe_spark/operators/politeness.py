@@ -30,21 +30,39 @@ from pyspark.sql import functions as F
 from ..config import CrawlConfig
 
 
+_ORDER = lambda: [  # noqa: E731 — shared deterministic priority order
+    F.desc("priority"),
+    F.asc("depth"),
+    F.asc("discovered_ts"),
+    F.asc("url"),
+]
+
+
 def rank_frontier(frontier: DataFrame, config: CrawlConfig) -> DataFrame:
-    """O1: per-host priority rank + budget truncation.
+    """O1: per-host priority rank + budget truncation, skew-proof.
+
+    Two-phase salted rank: phase 1 ranks within (host, url_hash % B) and
+    keeps the per-host budget per salt bucket — a mega-host's frontier is
+    processed by B tasks, never one.  Phase 2 re-ranks the ≤ B×budget
+    survivors per host and applies the true budget.  Identical output to
+    a single global per-host rank (any row in the true top-K is in its
+    bucket's top-K), deterministic at any parallelism.
 
     Input columns: url, url_hash, host, depth, priority, discovered_ts.
     Output: the scheduled subset, with ``fetch_rank`` retained for
     lineage/metrics.
     """
-    w = Window.partitionBy("host").orderBy(
-        F.desc("priority"),
-        F.asc("depth"),
-        F.asc("discovered_ts"),
-        F.asc("url"),
+    b = max(1, config.skew_salt_buckets)
+    salt = F.pmod(F.col("url_hash"), F.lit(b))
+    w1 = Window.partitionBy("host", salt).orderBy(*_ORDER())
+    pre = (
+        frontier.withColumn("_pre_rank", F.row_number().over(w1))
+        .where(F.col("_pre_rank") <= config.per_host_budget)
+        .drop("_pre_rank")
     )
+    w2 = Window.partitionBy("host").orderBy(*_ORDER())
     return (
-        frontier.withColumn("fetch_rank", F.row_number().over(w))
+        pre.withColumn("fetch_rank", F.row_number().over(w2))
         .where(F.col("fetch_rank") <= config.per_host_budget)
     )
 

@@ -50,62 +50,70 @@ from ..functions.fnv import fnv1_64, fnv1_64_np
 from ..functions.urltools import URL_RE, extract_urls, normalize_url, normalize_url_py, url_parts_py
 
 
-CANDIDATE_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("url", StringType()),
-            StructField("url_hash", LongType()),
-            StructField("host", StringType()),
-            StructField("scheme", StringType()),
-            StructField("path", StringType()),
-        ]
-    )
+import re as _re
+
+# Fast path: a URL matching this is PROVABLY a fixed point of
+# normalize_url_py (lowercase scheme+host, no port/userinfo/escape/
+# fragment, no empty or dot path segments, no directory-index tail, no
+# trailing slash, non-empty query if any).  Anything else takes the
+# exact python path.  Property-tested in tests/test_urltools.py.
+_ALREADY_NORMAL_RE = _re.compile(
+    r"^(?!.*/\.{1,2}(?:/|$))"          # no '.'/'..' segments
+    r"(?!.*/(?:default|index)\.\w{1,4}$)"  # no directory-index tail
+    r"[a-z][a-z0-9+.-]*://"            # lowercase scheme
+    r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?"  # lowercase host, no port/userinfo
+    r"(/(?:[^/?#%]+/)*[^/?#%]+)?"      # path: no //, %, #; no trailing /
+    r"(\?[^#%]*[^#%?])?$"              # optional non-empty query
 )
 
+_PARTS_RE = r"^([a-z0-9+.-]+)://([^/?#]*)((?:/[^?#]*)?)"
 
-@pandas_udf(CANDIDATE_SCHEMA)
-def _extract_parse_hash(body: pd.Series) -> pd.Series:
-    """X1+X2+X3+X10 fused into ONE Arrow stage: extract (xurls-strict) →
-    normalize (purell flags) → parse components (Go net/url semantics) →
-    FNV-1/64 (numpy-vectorized over the whole batch).
 
-    One python stage per round instead of three, and no per-row JVM
-    parse_url invokes — the scale-critical hot path of the scheduler.
-    """
-    per_row: list[list[str]] = []
-    flat: list[str] = []
-    for b in body:
-        norm: list[str] = []
-        if b:
-            for u in URL_RE.findall(b):
-                n = normalize_url_py(u)
-                if n is not None:
-                    norm.append(n)
-        per_row.append(norm)
-        flat.extend(norm)
-    hashes = (
-        fnv1_64_np(pd.Series(flat, dtype=object)).view(np.int64)
-        if flat
-        else np.empty(0, dtype=np.int64)
-    )
-    out: list[list[dict]] = []
-    i = 0
-    for norm in per_row:
-        items = []
-        for n in norm:
-            scheme, host, path, _query = url_parts_py(n)
-            items.append(
-                {
-                    "url": n,
-                    "url_hash": int(hashes[i]),
-                    "host": host,
-                    "scheme": scheme,
-                    "path": path,
-                }
-            )
-            i += 1
-        out.append(items)
-    return pd.Series(out)
+def _extract_batch(pdf: pd.DataFrame, body_col: str, carry: list[str]) -> pd.DataFrame:
+    """One Arrow batch: bodies → flat candidate rows.  All hot loops are
+    pandas/numpy C-level; the exact python normalizer only runs for the
+    rare URL that is not already in normal form."""
+    bodies = pdf[body_col].fillna("")
+    found = bodies.str.findall(URL_RE)
+    counts = found.str.len().to_numpy(dtype=np.int64)
+    flat: list[str] = [u for lst in found for u in lst]
+    if not flat:
+        cols = {"src_url": [], **{c: [] for c in carry}}
+        return pd.DataFrame(
+            {
+                **cols,
+                "url": pd.Series([], dtype=object),
+                "url_hash": pd.Series([], dtype=np.int64),
+                "host": pd.Series([], dtype=object),
+                "scheme": pd.Series([], dtype=object),
+                "path": pd.Series([], dtype=object),
+            }
+        )
+    urls = pd.Series(flat, dtype=object)
+    normal = urls.str.match(_ALREADY_NORMAL_RE)
+    if not normal.all():
+        slow = urls[~normal].map(normalize_url_py)
+        urls = urls.copy()
+        urls[~normal] = slow
+        keep_mask = urls.notna()
+    else:
+        keep_mask = None
+
+    rep = np.repeat(np.arange(len(pdf)), counts)
+    out = pd.DataFrame({"src_url": pdf["url"].to_numpy()[rep]})
+    for c in carry:
+        out[c] = pdf[c].to_numpy()[rep]
+    out["url"] = urls.to_numpy()
+    if keep_mask is not None:
+        out = out[keep_mask.to_numpy()].reset_index(drop=True)
+    parts = out["url"].str.extract(_PARTS_RE)
+    out["scheme"] = parts[0]
+    # host: strip userinfo then port (rare post-normalization, vectorized)
+    netloc = parts[1].str.rpartition("@")[2]
+    out["host"] = netloc.str.replace(r":\d*$", "", regex=True)
+    out["path"] = parts[2].fillna("")
+    out["url_hash"] = fnv1_64_np(out["url"]).view(np.int64)
+    return out[["src_url", *carry, "url", "url_hash", "host", "scheme", "path"]]
 
 
 def extract_candidates_fused(
@@ -113,23 +121,41 @@ def extract_candidates_fused(
     body_col: str = "html",
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """pages(url, html, *carry) → one row per candidate with
-    (src_url, *carry, url, url_hash, host, scheme, path) — a single
-    python stage; ``carry_cols`` (e.g. the parent depth) ride through the
-    explode so no self-join is needed afterwards."""
+    """X1+X2+X3+X10 fused into ONE ``mapInPandas`` stage: extract
+    (xurls-strict) → normalize (purell flags, vectorized fast path) →
+    parse components (Go net/url semantics) → FNV-1/64 (numpy).
+
+    pages(url, html, *carry) → one row per candidate with
+    (src_url, *carry, url, url_hash, host, scheme, path).  ``carry_cols``
+    (e.g. the parent depth) ride through the flatten so no self-join is
+    needed afterwards.  This is the scale-critical hot path: one python
+    stage per round, C-level string kernels, no JVM explode.
+    """
+    carry = list(carry_cols)
+    in_cols = [F.col("url")] + [F.col(c) for c in carry]
     body = F.col(body_col)
-    body = F.when(body.isNotNull(), body.cast("string")).otherwise(F.lit(""))
-    keep = [F.col("url").alias("src_url"), *[F.col(c) for c in carry_cols]]
-    df = pages.select(*keep, F.explode(_extract_parse_hash(body)).alias("_c"))
-    return df.select(
-        "src_url",
-        *carry_cols,
-        F.col("_c.url").alias("url"),
-        F.col("_c.url_hash").alias("url_hash"),
-        F.col("_c.host").alias("host"),
-        F.col("_c.scheme").alias("scheme"),
-        F.col("_c.path").alias("path"),
+    in_cols.append(
+        F.when(body.isNotNull(), body.cast("string"))
+        .otherwise(F.lit(""))
+        .alias("_body")
     )
+    src = pages.select(*in_cols)
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in carry
+    )
+    out_schema = (
+        "src_url string"
+        + carry_schema
+        + ", url string, url_hash long, host string, scheme string, path string"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            yield _extract_batch(pdf, "_body", carry)
+
+    return src.mapInPandas(_run, schema=out_schema)
 
 
 def extract_candidates(pages: DataFrame, body_col: str = "html") -> DataFrame:

@@ -158,13 +158,19 @@ def run_round(
         host_failures = bl.empty_host_failures(spark)
     seen = catalog.read_deltas("seen")
 
-    # O1 + O2 — persisted: every downstream branch starts here
-    scheduled = rank_frontier(frontier, config)
-    scheduled = salted_repartition(scheduled, config).persist()
+    # O1 — two-phase salted rank (skew-proof politeness budget).  O2 for
+    # the fetch stage is the universe's url-hash partitioning: the fetch
+    # join reuses the pages table's bucketing, so only this (small)
+    # frontier side shuffles — salting the fetch itself is unnecessary
+    # because url-hash partitioning is inherently uniform.
+    scheduled = rank_frontier(frontier, config).persist()
 
-    # S4/F5/O4 — crawl
-    fetched_ok, timeouts = fetch(scheduled, pages, config, blacklist_df)
-    fetched_ok = fetched_ok.persist()
+    # S4/F5/O4 — crawl.  The raw join is persisted ONCE; both the ok and
+    # timeout branches filter the cache (the join never runs twice).
+    from ..operators.crawler import fetch_join, split_fetched
+
+    fetched = fetch_join(scheduled, pages, blacklist_df).persist()
+    fetched_ok, timeouts = split_fetched(fetched, config)
 
     # optional bloom over the current seen set
     bloom = None
@@ -292,6 +298,6 @@ def run_round(
     )
 
     scheduled.unpersist()
-    fetched_ok.unpersist()
+    fetched.unpersist()
     new_urls.unpersist()
     return stats

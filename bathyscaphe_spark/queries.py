@@ -273,6 +273,7 @@ def q_o1_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1000 - (doc_id % 8) * 10 AS INT) AS priority",
         "CAST('2020-10-29 12:04:09' AS TIMESTAMP) AS discovered_ts",
     )
+    f = f.withColumn("url_hash", fnv1_64(F.col("url")))
     cfg = CrawlConfig(per_host_budget=5)
     out = rank_frontier(f, cfg)
     return out.select(

@@ -26,6 +26,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shuffled-hash over sort-merge: the engine's big joins build on
+        # the small (frontier/seen-delta) side and stream the bucketed
+        # pages side — no per-round sort of the heavy html data
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.default.parallelism", str(cores))

@@ -52,10 +52,13 @@ def main() -> None:
     # --- headline: crawl throughput --------------------------------------
     n_pages = max(2000, int(1_500_000 * sf))
     n_hosts = max(40, n_pages // 200)
+    # bucket the universe by url: the per-round fetch join reuses this
+    # partitioning (Iceberg bucket(url) at real scale) and never shuffles
+    # the heavy html side
     pages = build_pages(
         spark, n_pages=n_pages, n_hosts=n_hosts, links_per_page=8,
         parallelism=CPUS,
-    ).persist()
+    ).repartition(CPUS * 2, "url").persist()
     pages.count()  # materialize outside the timed section
     seeds = build_seeds(spark, pages, n_hosts)  # thick frontier from round 1
     cfg = CrawlConfig(per_host_budget=200, bloom_enabled=False)

@@ -74,6 +74,65 @@ def test_extract_trailing_punctuation():
     ]
 
 
+def test_fast_path_is_normalization_fixed_point():
+    """Property: any URL matched by the vectorized fast-path regex must
+    be a fixed point of the exact normalizer (else the fast path would
+    change results)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bathyscaphe_spark.operators.scheduler import _ALREADY_NORMAL_RE
+
+    seg = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-~%#?/:@",
+        min_size=0,
+        max_size=12,
+    )
+
+    @settings(max_examples=1000, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "https", "HTTP", "ftp", "hTtPs"]),
+        host=st.sampled_from(
+            ["example.onion", "EXAMPLE.onion", "a.b.onion", "x1.onion:443", "x1.onion:8080"]
+        ),
+        path=seg,
+        query=seg,
+        frag=seg,
+    )
+    def check(scheme, host, path, query, frag):
+        url = f"{scheme}://{host}/{path}"
+        if query:
+            url += "?" + query
+        if frag:
+            url += "#" + frag
+        if _ALREADY_NORMAL_RE.match(url):
+            assert normalize_url_py(url) == url, url
+
+    check()
+
+    # known fixed points must take the fast path (perf regression guard)
+    from bathyscaphe_spark.operators.scheduler import _ALREADY_NORMAL_RE as R
+
+    for u in [
+        "http://host1.onion/s0/page5.html",
+        "https://facebook.onion/test.php?id=1",
+        "https://google.onion",
+    ]:
+        assert R.match(u), u
+    # and known NON-fixed-points must not
+    for u in [
+        "HTTP://HOST5.ONION",
+        "https://a.onion/x/",
+        "https://a.onion//x",
+        "https://a.onion/a/../b",
+        "https://a.onion/dir/index.html",
+        "https://a.onion:443/x",
+        "https://a.onion/x#f",
+        "https://a.onion/x?",
+    ]:
+        assert not R.match(u), u
+
+
 def test_url_parts():
     # Go net/url Hostname() strips ports (scheduler_test.go:126 uses :9099)
     assert url_host_py("https://google.onion:9099") == "google.onion"
