@@ -1,0 +1,326 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's dedup is the URL-seen hash set (D1/D2); a web-scale text
+pipeline additionally needs content-level dedup.  All operators here are
+DataFrame-native with vectorized (Arrow-batched) kernels:
+
+* exact dedup            — hash-groupBy, one shuffle
+* word n-gram shingling  — shared tokenizer for Jaccard/MinHash
+* exact n-gram Jaccard   — pairwise within candidate groups
+* MinHash + LSH          — shingle→FNV→k permutations→band buckets→
+                           bucket join→exact verify; the scale path:
+                           candidate generation never compares all pairs
+* SimHash                — 48-bit sign-vote fingerprint, pure column
+                           expressions (whole-stage codegen, no UDF)
+* embedding near-dup     — cosine-threshold pairs (brute force baseline;
+                           LSH-bucketed variant in operators/similarity.py)
+
+Determinism: every hash/permutation constant is fixed; outputs are
+identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.fnv import fnv1_64_np
+
+# MinHash parameters (mirrored verbatim in the DuckDB oracles)
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # 4 rows per band
+# 2^31-1: small enough that (a*h+b) never overflows a uint64, so the
+# DuckDB (hugeint) oracle and the numpy kernel agree bit-for-bit
+MINHASH_P = (1 << 31) - 1
+SHINGLE_K = 3  # word 3-grams
+
+
+def perm_coeffs(num_perm: int = MINHASH_PERMS) -> tuple[list[int], list[int]]:
+    """Deterministic permutation coefficients a_j (odd), b_j."""
+    a = [2 * j + 1 for j in range(num_perm)]
+    b = [(j * 0x9E3779B9 + 0x85EBCA6B) % MINHASH_P for j in range(num_perm)]
+    return a, b
+
+
+# --- exact dedup ----------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Canonical row per exact content group: (content_md5,
+    canonical_id, n_dups).  One hash-shuffle; partial agg map-side."""
+    return df.groupBy(F.md5(F.col(content_col)).alias("content_md5")).agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+# --- shingling ------------------------------------------------------------
+
+def shingles_py(text: str, k: int = SHINGLE_K) -> list[str]:
+    """Distinct word k-grams, order preserved (first occurrence)."""
+    words = [w for w in text.split() if w]
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    seen: dict[str, None] = {}
+    for i in range(len(words) - k + 1):
+        seen.setdefault(" ".join(words[i : i + k]), None)
+    return list(seen)
+
+
+def with_shingles(df: DataFrame, text_col: str, k: int = SHINGLE_K) -> DataFrame:
+    """Column-expression shingling: text → array of distinct word
+    k-grams (no UDF: split/filter/transform/slice are codegen'd)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n = F.size(words)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", words))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return df.withColumn("shingles", F.array_distinct(grams))
+
+
+# --- exact n-gram Jaccard -------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float,
+    group_col: str | None = None, k: int = SHINGLE_K,
+) -> DataFrame:
+    """All-pairs exact Jaccard over word k-gram sets, optionally blocked
+    by ``group_col`` (at scale: always block — e.g. by LSH bucket or
+    near-dup partition key — never all-pairs the corpus).
+
+    Output: (id_a, id_b, jaccard3) with id_a < id_b, jaccard rounded to
+    3 decimals for cross-engine stability.
+    """
+    s = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("_id"), "shingles",
+        *( [F.col(group_col).alias("_grp")] if group_col else [] ),
+    )
+    a = s.select(
+        F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a"),
+        *( [F.col("_grp")] if group_col else [] ),
+    )
+    b = s.select(
+        F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b"),
+        *( [F.col("_grp").alias("_grp_b")] if group_col else [] ),
+    )
+    if group_col:
+        pairs = a.join(b, (F.col("_grp") == F.col("_grp_b")) & (F.col("id_a") < F.col("id_b")))
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 3).alias("jaccard3"))
+        .where(F.col("jaccard3") >= threshold)
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    num_perm: int = MINHASH_PERMS, k: int = SHINGLE_K,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash over FNV-1/64 shingle hashes.
+
+    Kernel: per Arrow batch, all shingles hash in one vectorized FNV
+    call; each permutation is one (a*h+b) % p pass + segmented min
+    (``np.minimum.reduceat``) — no per-document python loops.
+    """
+    a_co, b_co = perm_coeffs(num_perm)
+    a_np = np.array(a_co, dtype=np.uint64)
+    b_np = np.array(b_co, dtype=np.uint64)
+    p = np.uint64(MINHASH_P)
+
+    out_schema = f"{id_col} long, sig array<long>"
+
+    def _run(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            sh_lists = [shingles_py(t or "", k) for t in pdf[text_col]]
+            counts = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=len(sh_lists))
+            flat = [s for lst in sh_lists for s in lst]
+            sigs: list[list[int]] = []
+            if flat:
+                h = fnv1_64_np(pd.Series(flat, dtype=object)) % p
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                nonempty = counts > 0
+                sig_mat = np.full((len(ids), len(a_np)), MINHASH_P, dtype=np.int64)
+                with np.errstate(over="ignore"):
+                    for j in range(len(a_np)):
+                        v = (a_np[j] * h + b_np[j]) % p
+                        mins = np.minimum.reduceat(v, starts[nonempty]) if nonempty.any() else np.empty(0, np.uint64)
+                        sig_mat[nonempty, j] = mins.astype(np.int64)
+                sigs = sig_mat.tolist()
+            else:
+                sigs = [[MINHASH_P] * len(a_np) for _ in ids]
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(_run, schema=out_schema)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str,
+    num_perm: int = MINHASH_PERMS, bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Band the signatures and self-join the band buckets:
+    (id_a, id_b) candidate pairs (id_a < id_b, distinct).
+
+    The shuffle key is (band, band_hash): only documents agreeing on a
+    full band ever meet — this is the 10^10-scale path (no all-pairs).
+    """
+    r = num_perm // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    x = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    y = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        x.join(y, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float,
+    num_perm: int = MINHASH_PERMS, bands: int = MINHASH_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH buckets → candidate pairs →
+    exact Jaccard verification ≥ threshold.
+
+    Output (id_a, id_b, jaccard3).  Exactness: every emitted pair is
+    exactly verified; LSH only bounds recall (tunable via bands/perms).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    s = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("_sid"), "shingles"
+    )
+    pairs = (
+        cand.join(s.withColumnRenamed("_sid", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(s.withColumnRenamed("_sid", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 3).alias("jaccard3"))
+        .where(F.col("jaccard3") >= threshold)
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 48
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint: explode words → FNV-1/64 word hash (the
+    engine-wide shared hash, one vectorized python stage) → per-bit ±1
+    votes and fingerprint reconstruction as pure column expressions
+    (partial-aggregated map-side, whole-stage codegen).
+
+    Output: (id, simhash) with ``bits`` significant bits (≤ 62 so the
+    fingerprint stays a positive long).
+    """
+    from ..functions.fnv import fnv1_64
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    hashed = words.withColumn("wh", fnv1_64(F.col("word")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long")
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, id_col: str, max_hamming: int = 3, bits: int = SIMHASH_BITS,
+    block_bits: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming.
+
+    Scale path: block on 4 rotated ``block_bits`` prefixes (pigeonhole:
+    any pair within distance 3 agrees on at least one of 4 disjoint
+    12-bit blocks) → candidates meet only within blocks; exact popcount
+    verify after.
+    """
+    n_blocks = max_hamming + 1
+    blocked = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), i * block_bits)
+                .bitwiseAND(F.lit((1 << block_bits) - 1))
+                for i in range(n_blocks)
+            ])
+        ).alias("block", "block_key"),
+    )
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "block", "block_key")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "block", "block_key")
+    cand = (
+        a.join(b, ["block", "block_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- embedding near-dup ---------------------------------------------------
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Cosine-threshold pairs, brute force (baseline; LSH-bucketed scale
+    variant in operators/similarity.py).  Output (id_a, id_b, cos3)."""
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    v = v.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = v.selectExpr("_id as id_a", "v as va", "nrm as na")
+    b = v.selectExpr("_id as id_b", "v as vb", "nrm as nb")
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 3).alias("cos3")
+    ).where(F.col("cos3") >= threshold)

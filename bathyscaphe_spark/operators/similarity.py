@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_topk``      — exact brute-force top-k (the correctness
+  baseline; queries broadcast, corpus streamed — one pass, no shuffle of
+  the corpus beyond its own partitioning).
+* ``lsh_bucket``/``ann_lsh_topk`` — random-hyperplane LSH: sign-bit
+  signatures bucket the corpus; a query only scores its own bucket
+  (+ multi-probe neighbors), cutting compared pairs by ~2^n_planes.
+  This is the 10^10-row scale path: bucketing is one narrow map, the
+  per-bucket join shuffles on the bucket key.
+
+Determinism: hyperplanes derive from a fixed seed; ordering ties break
+on (rounded cosine desc, id asc) so results are identical at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+ANN_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    df = emb.select(F.col(id_col).alias("_id"), v.alias("v"))
+    return df.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids, k: int
+) -> DataFrame:
+    """Exact top-k neighbors for the given query ids.
+    Output (q_id, n_id, rank); cosine rounded to 3 decimals for the
+    deterministic tie-break (see queries.py knn oracle)."""
+    base = _with_norm(emb, id_col, vec_col)
+    q = base.where(F.col("_id").isin(list(query_ids))).selectExpr(
+        "_id as q_id", "v as qv", "nrm as qn"
+    )
+    pairs = F.broadcast(q).crossJoin(
+        base.selectExpr("_id as n_id", "v as nv", "nrm as nn")
+    ).where(F.col("q_id") != F.col("n_id"))
+    cos3 = F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 3)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos3"), F.asc("n_id"))
+    return (
+        pairs.select("q_id", "n_id", cos3.alias("cos3"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = ANN_SEED) -> np.ndarray:
+    """Deterministic random hyperplanes, shape (n_planes, dim)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(
+    emb: DataFrame, id_col: str, vec_col: str, n_planes: int = 12,
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """(id, bucket) — sign-bit signature vs the fixed hyperplanes.
+    One vectorized matmul per Arrow batch (no shuffle)."""
+    planes_holder: dict[str, np.ndarray] = {}
+
+    @pandas_udf(LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if "p" not in planes_holder:
+            planes_holder["p"] = hyperplanes(mat.shape[1], n_planes, seed)
+        proj = mat @ planes_holder["p"].T  # (n, planes)
+        bits = (proj > 0).astype(np.int64)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
+        return pd.Series((bits * weights).sum(axis=1))
+
+    return emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    ).select("_id", "_v", _bucket(F.col("_v")).alias("bucket"))
+
+
+def ann_lsh_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids, k: int,
+    n_planes: int = 12, seed: int = ANN_SEED, multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, or
+    (multiprobe=1) a bucket within Hamming distance 1 of it; exact
+    cosine + rank within the candidate set.  Output (q_id, n_id, rank).
+
+    Recall improves with fewer planes (bigger buckets) or more probes;
+    tested against the exact baseline in tests/test_similarity.py.
+    """
+    bucketed = lsh_bucket(emb, id_col, vec_col, n_planes, seed)
+    base = _with_norm(emb, id_col, vec_col).join(
+        bucketed.select("_id", "bucket"), "_id"
+    )
+    q = base.where(F.col("_id").isin(list(query_ids))).selectExpr(
+        "_id as q_id", "v as qv", "nrm as qn", "bucket"
+    )
+    if multiprobe >= 1:
+        # probe the query's bucket plus every 1-bit-flip neighbor: the
+        # query side (tiny) explodes, the corpus side never replicates
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    cand = base.selectExpr("_id as n_id", "v as nv", "nrm as nn", "bucket")
+    pairs = (
+        q.join(cand, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    cos3 = F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 3)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos3"), F.asc("n_id"))
+    return (
+        pairs.select("q_id", "n_id", cos3.alias("cos3"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    )

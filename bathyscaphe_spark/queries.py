@@ -587,6 +587,235 @@ SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
 """
 
 
+# --- near-dup corpus: documents + mutated copies (shared SQL) -------------
+# every 5th doc gets a near-identical copy (two words appended) so the
+# near-dup operators have guaranteed positives with known pair ids
+
+NEARDUP_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id,
+       text || ' zz' || CAST(doc_id % 7 AS STRING) || ' qq' AS text
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+# DuckDB fragments replicating the shingling / MinHash kernels exactly
+_DUCK_WORDS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
+_DUCK_SHINGLES = (
+    "CASE WHEN len(words) = 0 THEN []::VARCHAR[] "
+    "WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(words) - 1), "
+    "i -> array_to_string(list_slice(words, i, i + 2), ' '))) END"
+)
+_DUCK_FNV = (
+    "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+    "list_transform(string_split_regex({v}, ''), c -> ord(c)::HUGEINT)), "
+    "(h, b) -> xor((h * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT, b))"
+)
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(NEARDUP_CORPUS_SQL)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs ≥ 0.6 over the mutated
+    corpus (operators/dedup.py ngram_jaccard_pairs)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _neardup_corpus(spark, sf_dir), "doc_id", "text", threshold=0.6
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+ w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM corpus),
+ s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w),
+ pairs AS (
+   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.sh, b.sh)) AS inter,
+          len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+   FROM s a, s b WHERE a.doc_id < b.doc_id
+ )
+SELECT id_a, id_b,
+       round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END, 3) AS jaccard3
+FROM pairs
+WHERE round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END, 3) >= 0.6
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands) + exact-Jaccard verification —
+    the full scale-path near-dup pipeline (operators/dedup.py)."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _neardup_corpus(spark, sf_dir), "doc_id", "text", threshold=0.6
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    from .operators.dedup import MINHASH_P, perm_coeffs
+
+    a, b = perm_coeffs()
+    fnv = _DUCK_FNV.format(v="s2")
+    perm_exprs = ", ".join(
+        f"coalesce(list_min(list_transform(hh, h -> ({a[j]}::HUGEINT * h + {b[j]}) % {MINHASH_P})), {MINHASH_P})::BIGINT"
+        for j in range(len(a))
+    )
+    bands = " OR ".join(
+        f"list_slice(a.sig, {1 + 4 * i}, {4 + 4 * i}) = list_slice(b.sig, {1 + 4 * i}, {4 + 4 * i})"
+        for i in range(4)
+    )
+    return f"""
+WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+ w AS (SELECT doc_id, text, {_DUCK_WORDS} AS words FROM corpus),
+ s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w),
+ hh AS (SELECT doc_id, sh,
+        list_transform(sh, s2 -> ({fnv}) % {MINHASH_P}) AS hh FROM s),
+ sigs AS (SELECT doc_id, sh, [{perm_exprs}] AS sig FROM hh),
+ cand AS (
+   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+   FROM sigs a, sigs b
+   WHERE a.doc_id < b.doc_id AND ({bands})
+ ),
+ verified AS (
+   SELECT id_a, id_b,
+          len(list_intersect(sha, shb)) AS inter,
+          len(sha) + len(shb) - len(list_intersect(sha, shb)) AS uni
+   FROM cand
+ )
+SELECT id_a, id_b,
+       round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END, 3) AS jaccard3
+FROM verified
+WHERE round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END, 3) >= 0.6
+"""
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash fingerprints of every document
+    (operators/dedup.py simhash — FNV word hashes + column-expr votes)."""
+    from .operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _simhash_oracle_sql() -> str:
+    from .operators.dedup import SIMHASH_BITS
+
+    fnv = _DUCK_FNV.format(v="word")
+    signed = (
+        f"(CASE WHEN {fnv} >= 9223372036854775808::HUGEINT "
+        f"THEN {fnv} - 18446744073709551616::HUGEINT ELSE {fnv} END)::BIGINT"
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (wh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest({_DUCK_WORDS}) AS word FROM documents
+),
+ h AS (SELECT doc_id, {signed} AS wh FROM w),
+ v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM v
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.40)
+    (operators/dedup.py embedding_near_dup_pairs)."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.40)
+
+
+ORACLE_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 3) AS cos3
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 3) >= 0.40
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via random-hyperplane LSH buckets
+    (operators/similarity.py ann_lsh_topk).  No SQL oracle — the
+    approximation is validated against the exact baseline in
+    tests/test_similarity.py (rows-only driver check)."""
+    from .operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, "vec_id", "embedding", range(5), k=3, n_planes=6)
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt disallow-prefix filtering as a broadcast theta
+    anti-join (operators/robots.py)."""
+    from .operators.robots import apply_robots
+    from .operators.scheduler import with_url_parts
+
+    urls = _corpus(spark, sf_dir).selectExpr("link1 AS url").distinct()
+    cand = with_url_parts(urls).select("url", "host", "path")
+    robots = spark.sql(
+        "SELECT DISTINCT 'host' || CAST((doc_id * 7 + 1) % 97 AS STRING) || '.onion' AS host, "
+        "array('/s1', '/s4') AS disallow FROM documents WHERE (doc_id * 7 + 1) % 97 % 3 = 0"
+    )
+    return apply_robots(cand, robots).select("url", "host")
+
+
+ORACLE_ROBOTS = f"""
+WITH u AS (SELECT DISTINCT link1 AS url FROM ({CORPUS_SQL})),
+ parts AS (SELECT url, {_HOST} AS host, {_PATH} AS path FROM u),
+ robots AS (
+   SELECT DISTINCT 'host' || CAST((doc_id * 7 + 1) % 97 AS STRING) || '.onion' AS host,
+          unnest(['/s1', '/s4']) AS prefix
+   FROM documents WHERE (doc_id * 7 + 1) % 97 % 3 = 0
+ )
+SELECT url, host FROM parts c
+WHERE NOT EXISTS (
+  SELECT 1 FROM robots r
+  WHERE r.host = c.host AND starts_with(c.path, r.prefix)
+)
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-payload plumbing: synth payloads → mapInPandas
+    feature extraction (deterministic stub) → (item_id, modality,
+    n_bytes, dim) (operators/multimodal.py)."""
+    from .operators.multimodal import extract_features, synth_payloads
+
+    df = synth_payloads(spark, 500)
+    feats = extract_features(df, fake=True)
+    return feats.select(
+        "item_id", "modality", "n_bytes",
+        F.size("features").cast("long").alias("dim"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT t.range AS item_id,
+       ['image', 'audio', 'video'][(t.range % 3) + 1] AS modality,
+       CAST(octet_length(encode(
+         'PAYLOAD:' || ['image', 'audio', 'video'][(t.range % 3) + 1] ||
+         ':' || CAST(t.range AS STRING) || repeat('«', CAST(t.range % 64 AS INT))
+       )) AS BIGINT) AS n_bytes,
+       16::BIGINT AS dim
+FROM range(500) t
+"""
+
+
 # --- generic relational coverage (SURVEY.md §2.8) -------------------------
 
 def q_tpch_q1_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +905,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x8_resource_text": q_x8_resource_text,
     "x4_meta_extract": q_x4_meta_extract,
     "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "robots_filter": q_robots_filter,
+    "multimodal_features": q_multimodal_features,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "lang_guess": q_lang_guess,
@@ -700,6 +936,13 @@ ORACLES: dict[str, str] = {
     "x8_resource_text": ORACLE_X8,
     "x4_meta_extract": ORACLE_X4,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "simhash_fingerprint": _simhash_oracle_sql(),
+    "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
+    # ann_lsh_topk: intentionally no oracle (approximate; rows-only)
+    "robots_filter": ORACLE_ROBOTS,
+    "multimodal_features": ORACLE_MULTIMODAL,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "lang_guess": ORACLE_LANG,

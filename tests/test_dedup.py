@@ -1,0 +1,121 @@
+"""Dedup operator tests: exact, Jaccard, MinHash+LSH, SimHash, embeddings."""
+
+from pyspark.sql import functions as F
+
+from bathyscaphe_spark.operators.dedup import (
+    MINHASH_P,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_py,
+    simhash,
+    simhash_near_pairs,
+    with_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again today"),  # near-dup of 1
+    (3, "completely different text about spark shuffle partitions and joins"),
+    (4, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (5, "one two"),  # shorter than k words
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r["canonical_id"]: r["n_dups"] for r in exact_dedup(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == 2  # docs 1 and 4
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+
+
+def test_shingles_spark_matches_python(spark):
+    rows = with_shingles(_docs(spark), "text").select("doc_id", "shingles").collect()
+    got = {r["doc_id"]: sorted(r["shingles"]) for r in rows}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == sorted(shingles_py(text)), doc_id
+
+
+def test_jaccard_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard3"]
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text", 0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.8 <= pairs[(1, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_identical_docs_equal_sigs(spark):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(_docs(spark), "doc_id", "text").collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+    assert all(0 <= v <= MINHASH_P for v in sigs[1])
+
+
+def test_minhash_deterministic_across_partitioning(spark):
+    one = {(r[0], tuple(r[1])) for r in minhash_signatures(_docs(spark).repartition(1), "doc_id", "text").collect()}
+    many = {(r[0], tuple(r[1])) for r in minhash_signatures(_docs(spark).repartition(5), "doc_id", "text").collect()}
+    assert one == many
+
+
+def test_lsh_finds_exact_dups(spark):
+    sigs = minhash_signatures(_docs(spark), "doc_id", "text")
+    cand = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 4) in cand  # identical sigs always collide
+
+
+def test_minhash_pipeline_end_to_end(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard3"]
+        for r in minhash_dedup_pairs(_docs(spark), "doc_id", "text", 0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert all(v >= 0.5 for v in pairs.values())
+
+
+def test_simhash_properties(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), "doc_id", "text").collect()}
+    assert fps[1] == fps[4]  # identical text ⇒ identical fingerprint
+    assert fps[1] != fps[3]
+    assert all(fp >= 0 for fp in fps.values())  # 48 bits ⇒ positive long
+    # near-dup differs in few bits
+    ham_12 = bin(fps[1] ^ fps[2]).count("1")
+    ham_13 = bin(fps[1] ^ fps[3]).count("1")
+    assert ham_12 < ham_13
+
+
+def test_simhash_near_pairs_blocked(spark):
+    """Controlled hamming distances: the 4-block pigeonhole must find
+    every pair within distance 3 and never a false positive."""
+    base = 0x123456789ABC  # 48-bit
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),          # hamming 3 ⇒ found
+        (3, base ^ 0b11110000),     # hamming 4 ⇒ not emitted
+        (4, base),                  # hamming 0 ⇒ found
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(fps, "doc_id").collect()}
+    assert out[(1, 2)] == 3
+    assert out[(1, 4)] == 0
+    assert out[(2, 4)] == 3
+    assert (1, 3) not in out
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),  # ~same direction
+        (3, [0.0, 1.0, 0.0]),     # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cos3"] for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert len(pairs) == 1
