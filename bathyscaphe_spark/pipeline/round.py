@@ -66,12 +66,15 @@ def discover_new_urls(
     blacklist,
     round_n: int,
     bloom: ShardedBloom | None = None,
+    robots: DataFrame | None = None,
 ) -> DataFrame:
     """Scheduler stage with depth propagation.
 
     Unlike ``operators.scheduler.schedule_candidates`` (the parity-exact
     single-shot API), this variant carries the parent's depth through a
-    deterministic min() aggregation: depth = min(parent depth) + 1.
+    deterministic min() aggregation: depth = min(parent depth) + 1, and
+    applies robots disallow-prefix filtering (north-rule addition) so a
+    disallowed URL never enters the frontier.
     Output: (url, url_hash, host, depth).
     """
     cand = extract_candidates_fused(
@@ -81,6 +84,10 @@ def discover_new_urls(
     cand = cand.where(protocol_filter(F.col("scheme")))
     cand = cand.where(extension_filter(F.col("path"), config.allowed_extensions))
     cand = apply_hostname_blacklist(cand, blacklist)
+    if robots is not None:
+        from ..operators.robots import apply_robots
+
+        cand = apply_robots(cand, robots)
 
     # D2 with deterministic attributes: url/host are functions of the
     # hash; depth aggregates with min() (parent depth rode through the
@@ -183,9 +190,12 @@ def run_round(
             num_shards=config.bloom_shards,
         )
 
-    # scheduler — discover next frontier
+    # scheduler — discover next frontier (robots state is optional: a
+    # committed `robots` table gates candidates by disallow prefix)
+    robots_df = catalog.read_state("robots")
     new_urls = discover_new_urls(
-        fetched_ok, config, seen, blacklist_df, round_n, bloom=bloom
+        fetched_ok, config, seen, blacklist_df, round_n, bloom=bloom,
+        robots=robots_df,
     ).persist()
 
     # indexer — resources output

@@ -887,6 +887,129 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_tpch_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style join + agg + deterministic top-10 (sort/limit coverage,
+    SURVEY.md §2.8)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    j = (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(F.sum(cents).alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue_c DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having a high-value order."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.where(F.col("o_totalprice") > 400000).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
+def q_anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with NO high-value order (the
+    complement of the semi-join — non-degenerate at every sf)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(big, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct aggregation per group."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers in AUTOMOBILE ∪/∩/− high-balance."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    union = auto.union(rich).distinct().select(
+        "c_custkey", F.lit("union").alias("op")
+    )
+    inter = auto.intersect(rich).select("c_custkey", F.lit("intersect").alias("op"))
+    minus = auto.exceptAll(rich).distinct().select(
+        "c_custkey", F.lit("except").alias("op")
+    )
+    return union.unionByName(inter).unionByName(minus)
+
+
+ORACLE_SET_OPS = """
+WITH auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+ rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey, 'union' AS op FROM (SELECT c_custkey FROM auto UNION SELECT c_custkey FROM rich)
+UNION ALL
+SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM auto INTERSECT SELECT c_custkey FROM rich)
+UNION ALL
+SELECT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM auto EXCEPT SELECT c_custkey FROM rich)
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) frontier-cardinality metric — no SQL
+    oracle (sketch values are engine-specific); accuracy is asserted
+    against the exact count in tests/test_oracle_parity.py."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -918,6 +1041,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
     "tpch_q1_cents": q_tpch_q1_cents,
+    "tpch_q3_topk": q_tpch_q3_style,
+    "semi_join_exists": q_semi_join_exists,
+    "anti_join_not_exists": q_anti_join_not_exists,
+    "distinct_agg": q_distinct_agg,
+    "set_ops": q_set_ops,
+    "approx_distinct": q_approx_distinct,
     "events_topk": q_events_topk,
     "rollup_customers": q_rollup_customers,
 }
@@ -949,6 +1078,13 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,
     "tpch_q1_cents": ORACLE_TPCH_Q1,
+    "tpch_q3_topk": ORACLE_TPCH_Q3,
+    "semi_join_exists": ORACLE_SEMI_JOIN,
+    "anti_join_not_exists": ORACLE_ANTI_JOIN,
+    "distinct_agg": ORACLE_DISTINCT_AGG,
+    "set_ops": ORACLE_SET_OPS,
+    # approx_distinct: intentionally no oracle (HLL sketch is
+    # engine-specific; accuracy asserted in tests)
     "events_topk": ORACLE_EVENTS_TOPK,
     "rollup_customers": ORACLE_ROLLUP,
 }

@@ -107,6 +107,36 @@ def test_bloom_parity_full_crawl(spark, tmp_path, universe):
     assert _frontier_sets(spark, a) == _frontier_sets(spark, b)
 
 
+def test_robots_state_gates_frontier(spark, tmp_path, universe):
+    """A committed robots table keeps disallowed paths out of every
+    subsequent frontier delta."""
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.state.tables import TableCatalog
+
+    pages, seeds = universe
+    root = str(tmp_path / "s")
+    cfg = CrawlConfig(per_host_budget=30, bloom_enabled=False)
+    # pre-commit a robots state before any crawl round
+    cat = TableCatalog(spark, root)
+    robots = spark.createDataFrame(
+        [(r["host"], ["/s0", "/s1"]) for r in pages.select("host").distinct().collect()],
+        "host string, disallow array<string>",
+    )
+    cat.stage_round("robots", robots, -1)
+    cat.commit_round(-1, ["robots"])
+    crawl(spark, pages, seeds, root, cfg, max_rounds=3)
+    cat = TableCatalog(spark, root)
+    for r in range(1, 4):
+        fr = cat.read_round("frontier", r)
+        if fr is None:
+            continue
+        bad = fr.where(
+            F.col("url").rlike("\\.onion/s0/") | F.col("url").rlike("\\.onion/s1/")
+        ).count()
+        assert bad == 0, f"round {r} frontier contains disallowed paths"
+
+
 def test_blacklist_applies_over_rounds(spark, tmp_path, universe):
     """Timeout hosts accumulate failures and eventually stop being fetched."""
     pages, seeds = universe
