@@ -14,6 +14,27 @@ import json
 from dataclasses import dataclass, field
 
 
+_DURATION_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+    "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0, "w": 604800.0,
+}
+
+
+def parse_duration_s(duration: str) -> float:
+    """X11: human duration string → seconds, -1 on empty/invalid
+    (reference: internal/duration/duration.go:10-21, str2duration
+    semantics — goldens in duration_test.go:8-24).  Supports compound
+    forms like '1h30m'."""
+    if not duration:
+        return -1
+    import re as _re
+
+    parts = _re.findall(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d|w)", duration)
+    if not parts or "".join(n + u for n, u in parts) != duration:
+        return -1
+    return sum(float(n) * _DURATION_UNITS[u] for n, u in parts)
+
+
 @dataclass(frozen=True)
 class MimeType:
     content_type: str = ""
@@ -73,12 +94,21 @@ class CrawlConfig:
                 h["hostname"] if isinstance(h, dict) else h
                 for h in raw["forbidden-hostnames"]
             )
+        def _secs(v, default: int) -> int:
+            """Accept integer seconds or a '50d'-style duration string
+            (X11); invalid strings fall back to the default, matching
+            the reference's -1-means-unset contract."""
+            if isinstance(v, str):
+                parsed = parse_duration_s(v)
+                return int(parsed) if parsed >= 0 else default
+            return int(v)
+
         if "refresh-delay" in raw:
-            kwargs["refresh_delay_s"] = int(raw["refresh-delay"].get("delay", 0))
+            kwargs["refresh_delay_s"] = _secs(raw["refresh-delay"].get("delay", 0), 0)
         if "blacklist-config" in raw:
             bc = raw["blacklist-config"]
             kwargs["blacklist_threshold"] = int(bc.get("threshold", 5))
-            kwargs["blacklist_ttl_s"] = int(bc.get("ttl", 1200))
+            kwargs["blacklist_ttl_s"] = _secs(bc.get("ttl", 1200), 1200)
         return CrawlConfig(**kwargs)
 
 

@@ -63,3 +63,10 @@ def build_local_sink(
     return df.withColumn(
         "text", resource_text(F.col("url"), F.col("headers"), F.col("body"))
     )
+
+
+def write_local_sink(sink_df: DataFrame, path: str, mode: str = "append") -> None:
+    """S9: persist the local-FS-sink shape partitioned by (scheme, host)
+    — the deterministic-path idea of local.go:86-117 carried over as
+    partition values + the path/hash columns inside each file."""
+    sink_df.write.mode(mode).partitionBy("scheme", "host").parquet(path)
