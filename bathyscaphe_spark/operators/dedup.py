@@ -88,6 +88,43 @@ def with_shingles(df: DataFrame, text_col: str, k: int = SHINGLE_K) -> DataFrame
 
 # --- exact n-gram Jaccard -------------------------------------------------
 
+def with_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *extra, sh_hashes array<long>) — distinct word-k-gram FNV
+    hashes per doc, one vectorized mapInPandas stage.  Set comparisons
+    downstream run on longs instead of strings (~10× cheaper
+    intersects)."""
+    schema_extra = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in extra_cols
+    )
+    out_schema = f"{id_col} long{schema_extra}, sh_hashes array<long>"
+
+    def _run(batches):
+        for pdf in batches:
+            sh_lists = [shingles_py(t or "", k) for t in pdf[text_col]]
+            flat = [s for lst in sh_lists for s in lst]
+            hashes: list[list[int]] = []
+            if flat:
+                h = fnv1_64_np(pd.Series(flat, dtype=object)).view(np.int64)
+                i = 0
+                for lst in sh_lists:
+                    hashes.append(sorted(int(x) for x in h[i : i + len(lst)]))
+                    i += len(lst)
+            else:
+                hashes = [[] for _ in sh_lists]
+            out = {id_col: pdf[id_col]}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            out["sh_hashes"] = hashes
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_run, schema=out_schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float,
     group_col: str | None = None, k: int = SHINGLE_K,
@@ -96,27 +133,46 @@ def ngram_jaccard_pairs(
     by ``group_col`` (at scale: always block — e.g. by LSH bucket or
     near-dup partition key — never all-pairs the corpus).
 
+    Scale tactics: shingle sets are FNV-hashed once (long intersects,
+    not string), and the size-ratio bound prunes pairs before the
+    intersect — J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so a pair whose
+    sizes differ beyond the threshold can never qualify (exact, no
+    false negatives).
+
     Output: (id_a, id_b, jaccard3) with id_a < id_b, jaccard rounded to
     3 decimals for cross-engine stability.
     """
-    s = with_shingles(df, text_col, k).select(
-        F.col(id_col).alias("_id"), "shingles",
-        *( [F.col(group_col).alias("_grp")] if group_col else [] ),
+    s = with_shingle_hashes(
+        df, id_col, text_col, k, extra_cols=(group_col,) if group_col else ()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col("sh_hashes"),
+        F.size("sh_hashes").alias("_n"),
+        *([F.col(group_col).alias("_grp")] if group_col else []),
     )
     a = s.select(
-        F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a"),
-        *( [F.col("_grp")] if group_col else [] ),
+        F.col("_id").alias("id_a"), F.col("sh_hashes").alias("sh_a"),
+        F.col("_n").alias("n_a"),
+        *([F.col("_grp")] if group_col else []),
     )
     b = s.select(
-        F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b"),
-        *( [F.col("_grp").alias("_grp_b")] if group_col else [] ),
+        F.col("_id").alias("id_b"), F.col("sh_hashes").alias("sh_b"),
+        F.col("_n").alias("n_b"),
+        *([F.col("_grp").alias("_grp_b")] if group_col else []),
+    )
+    size_ok = (
+        (F.col("n_a").cast("double") >= F.col("n_b") * threshold)
+        & (F.col("n_b").cast("double") >= F.col("n_a") * threshold)
     )
     if group_col:
-        pairs = a.join(b, (F.col("_grp") == F.col("_grp_b")) & (F.col("id_a") < F.col("id_b")))
+        pairs = a.join(
+            b,
+            (F.col("_grp") == F.col("_grp_b")) & (F.col("id_a") < F.col("id_b")),
+        ).where(size_ok)
     else:
-        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        pairs = a.crossJoin(b).where((F.col("id_a") < F.col("id_b")) & size_ok)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    union = F.col("n_a") + F.col("n_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
     return (
         pairs.select("id_a", "id_b", F.round(jac, 3).alias("jaccard3"))
@@ -211,8 +267,8 @@ def minhash_dedup_pairs(
     """
     sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    s = with_shingles(df, text_col, k).select(
-        F.col(id_col).alias("_sid"), "shingles"
+    s = with_shingle_hashes(df, id_col, text_col, k).select(
+        F.col(id_col).alias("_sid"), F.col("sh_hashes").alias("shingles")
     )
     pairs = (
         cand.join(s.withColumnRenamed("_sid", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
@@ -307,20 +363,42 @@ def simhash_near_pairs(
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """Cosine-threshold pairs, brute force (baseline; LSH-bucketed scale
-    variant in operators/similarity.py).  Output (id_a, id_b, cos3)."""
-    v = emb.select(
-        F.col(id_col).alias("_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    """Cosine-threshold pairs via blocked matrix multiplication: one
+    side is collected+broadcast as a normalized numpy matrix (bounded —
+    cap or tile the input at scale), the other streams through
+    ``mapInPandas``; each Arrow batch is one BLAS matmul and emits only
+    pairs ≥ threshold.  Output (id_a, id_b, cos3), id_a < id_b.
+
+    At 10^10 rows this becomes tile × tile (broadcast one tile at a
+    time); the LSH-bucketed variant in operators/similarity.py avoids
+    the quadratic work entirely when recall < 1 is acceptable.
+    """
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def _run(batches):
+        all_ids, all_m = b_ids.value, b_mat.value
+        for pdf in batches:
+            qi = pdf[id_col].to_numpy(dtype=np.int64)
+            qm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+            cos = np.round(qm @ all_m.T, 3)
+            keep_q, keep_c = np.where(
+                (cos >= threshold) & (qi[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": qi[keep_q],
+                    "id_b": all_ids[keep_c],
+                    "cos3": cos[keep_q, keep_c],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        _run, schema="id_a long, id_b long, cos3 double"
     )
-    dot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    v = v.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    a = v.selectExpr("_id as id_a", "v as va", "nrm as na")
-    b = v.selectExpr("_id as id_b", "v as vb", "nrm as nb")
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return pairs.select(
-        "id_a", "id_b", F.round(cos, 3).alias("cos3")
-    ).where(F.col("cos3") >= threshold)

@@ -620,24 +620,30 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs ≥ 0.6 over the mutated
-    corpus (operators/dedup.py ngram_jaccard_pairs)."""
+    """Exact word-3-gram Jaccard near-dup pairs ≥ 0.6, prefix-blocked:
+    only documents sharing the first word are compared (bounded
+    all-pairs — the exact-Jaccard operator is the verifier; unblocked
+    recall is MinHash+LSH's job).  Mutated copies append at the tail so
+    they always share the block."""
     from .operators.dedup import ngram_jaccard_pairs
 
+    corpus = _neardup_corpus(spark, sf_dir).selectExpr(
+        "doc_id", "text", "split_part(text, ' ', 1) AS blk"
+    )
     return ngram_jaccard_pairs(
-        _neardup_corpus(spark, sf_dir), "doc_id", "text", threshold=0.6
+        corpus, "doc_id", "text", threshold=0.6, group_col="blk"
     )
 
 
 ORACLE_NGRAM_JACCARD = f"""
 WITH corpus AS ({NEARDUP_CORPUS_SQL}),
- w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM corpus),
- s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w),
+ w AS (SELECT doc_id, split_part(text, ' ', 1) AS blk, {_DUCK_WORDS} AS words FROM corpus),
+ s AS (SELECT doc_id, blk, {_DUCK_SHINGLES} AS sh FROM w),
  pairs AS (
    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           len(list_intersect(a.sh, b.sh)) AS inter,
           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-   FROM s a, s b WHERE a.doc_id < b.doc_id
+   FROM s a, s b WHERE a.blk = b.blk AND a.doc_id < b.doc_id
  )
 SELECT id_a, id_b,
        round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END, 3) AS jaccard3
@@ -733,12 +739,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py embedding_near_dup_pairs)."""
     from .operators.dedup import embedding_near_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        "vec_id < 2000"  # bound the brute-force baseline at larger sf
+    )
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.40)
 
 
 ORACLE_EMB_NEAR_DUP = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 2000),
  n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 3) AS cos3
