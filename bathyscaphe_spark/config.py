@@ -61,8 +61,11 @@ class CrawlConfig:
     # across this many sub-partitions during the fetch stage
     skew_threshold: int = 10_000
     skew_salt_buckets: int = 16
-    # bloom prefilter for the seen anti-join
+    # membership router for the seen anti-join: "bloom" (rebuilt per
+    # round) or "cuckoo" (deletable — TTL expiries patch the filter);
+    # bloom_enabled=False disables routing entirely (plain anti-join)
     bloom_enabled: bool = True
+    seen_filter: str = "bloom"
     bloom_fpp: float = 0.01
     bloom_shards: int = 8
 

@@ -1,0 +1,157 @@
+"""Cuckoo filter over the URL-seen set — the deletable alternative to
+the sharded Bloom router (north rule: "bloom/cuckoo URL-seen").
+
+Why cuckoo: seen entries carry a TTL (refresh-delay, D3).  A Bloom
+filter must be rebuilt from scratch when entries expire; a cuckoo filter
+supports DELETE, so the per-round broadcast state can be patched with
+the round's expiries instead of rebuilt — at 10^10-URL scale that's the
+difference between shipping a delta and rescanning the seen table.
+
+Standard design (Fan et al., CoNLL'14 — public): buckets of 4
+fingerprint slots, 16-bit fingerprints, partial-key cuckoo hashing —
+``alt_bucket = bucket XOR hash(fingerprint)``.  All derived from the
+64-bit FNV url_hash, no re-hashing of URLs.  Build is distributed
+(per-partition inserts into a private table would break cuckoo kicks,
+so the build collects only the *hash column* of new entries per round —
+a long[] — and inserts driver-side; probing is a vectorized broadcast
+kernel like the Bloom router's).
+
+Exactness contract: identical to the Bloom router — ``might_contain``
+has false positives only, so the bit-miss fast path is exact and the
+maybe-seen remainder goes through the anti-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+_SLOTS = 4
+_FP_BITS = 16
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int):
+        n_buckets = 1
+        while n_buckets * _SLOTS < capacity * 1.3:
+            n_buckets <<= 1
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
+        self._rng = np.random.RandomState(42)  # deterministic kick choice
+
+    # --- hash derivation (all from the 64-bit FNV hash) --------------------
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 = empty slot marker
+
+    def _b1(self, h: np.ndarray) -> np.ndarray:
+        return (h & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def _alt(self, bucket: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key: alt = bucket XOR (fp * odd constant), masked
+        with np.errstate(over="ignore"):
+            mix = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        return (bucket.astype(np.uint64) ^ mix).astype(np.int64) & (self.n_buckets - 1)
+
+    # --- mutation (driver-side over hash arrays) ----------------------------
+    def insert_many(self, hashes: np.ndarray) -> int:
+        """Insert signed-long hashes; returns number inserted (drops on
+        table-full after MAX_KICKS — callers size capacity generously)."""
+        h = hashes.astype(np.int64).view(np.uint64)
+        fps = self._fp(h)
+        b1s = self._b1(h)
+        inserted = 0
+        for fp, b in zip(fps, b1s):
+            if self._insert_one(int(fp), int(b)):
+                inserted += 1
+        return inserted
+
+    def _insert_one(self, fp: int, b: int) -> bool:
+        for bucket in (b, int(self._alt(np.array([b]), np.array([fp], dtype=np.uint16))[0])):
+            row = self.table[bucket]
+            empty = np.where(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        # kick loop
+        cur_b, cur_fp = b, fp
+        for _ in range(_MAX_KICKS):
+            slot = int(self._rng.randint(_SLOTS))
+            cur_fp, self.table[cur_b, slot] = int(self.table[cur_b, slot]), cur_fp
+            cur_b = int(self._alt(np.array([cur_b]), np.array([cur_fp], dtype=np.uint16))[0])
+            row = self.table[cur_b]
+            empty = np.where(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = cur_fp
+                return True
+        return False
+
+    def delete_many(self, hashes: np.ndarray) -> int:
+        """Remove entries (e.g. the round's TTL expiries).  Returns the
+        number actually removed."""
+        h = hashes.astype(np.int64).view(np.uint64)
+        fps = self._fp(h)
+        b1s = self._b1(h)
+        alts = self._alt(b1s, fps)
+        removed = 0
+        for fp, b, a in zip(fps, b1s, alts):
+            for bucket in (int(b), int(a)):
+                row = self.table[bucket]
+                hit = np.where(row == fp)[0]
+                if hit.size:
+                    row[hit[0]] = 0
+                    removed += 1
+                    break
+        return removed
+
+    # --- probing (vectorized, executor-side) --------------------------------
+    def might_contain_np(self, hashes: np.ndarray) -> np.ndarray:
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        h = hashes.astype(np.int64).view(np.uint64)
+        fps = self._fp(h)
+        b1s = self._b1(h)
+        alts = self._alt(b1s, fps)
+        in_b1 = (self.table[b1s] == fps[:, None]).any(axis=1)
+        in_alt = (self.table[alts] == fps[:, None]).any(axis=1)
+        return in_b1 | in_alt
+
+    @classmethod
+    def build(cls, df: DataFrame, col: str, capacity: int) -> "CuckooFilter":
+        """Build from a hash column.  Collects ONLY the long column —
+        8 bytes/row; at real scale, build per hash-range shard and union
+        the broadcast, or patch last round's filter with insert/delete
+        deltas instead of rebuilding."""
+        cf = cls(capacity)
+        hashes = np.array(
+            [r[0] for r in df.select(col).collect()], dtype=np.int64
+        )
+        cf.insert_many(hashes)
+        return cf
+
+
+def cuckoo_anti_join(
+    cand: DataFrame, seen_keys: DataFrame, col: str, cf: CuckooFilter
+) -> DataFrame:
+    """Exact anti-join with the cuckoo router (same contract as
+    bloom_anti_join: bit-miss rows skip the shuffle, result identical)."""
+    spark = cand.sparkSession
+    b = spark.sparkContext.broadcast(cf)
+
+    @pandas_udf(BooleanType())
+    def _might_contain(s: pd.Series) -> pd.Series:
+        return pd.Series(b.value.might_contain_np(s.to_numpy(dtype=np.int64, na_value=0)))
+
+    flagged = cand.withColumn("_maybe_seen", _might_contain(F.col(col)))
+    definitely_new = flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = (
+        flagged.where(F.col("_maybe_seen"))
+        .drop("_maybe_seen")
+        .join(seen_keys, col, "left_anti")
+    )
+    return definitely_new.unionByName(maybe)

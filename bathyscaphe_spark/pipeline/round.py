@@ -179,16 +179,25 @@ def run_round(
     fetched = fetch_join(scheduled, pages, blacklist_df).persist()
     fetched_ok, timeouts = split_fetched(fetched, config)
 
-    # optional bloom over the current seen set
+    # optional membership router over the current seen set (bloom or
+    # the deletable cuckoo variant — identical exactness contract)
     bloom = None
     if config.bloom_enabled and seen is not None and seen_count_hint:
-        bloom = ShardedBloom.build(
-            seen.select("url_hash"),
-            "url_hash",
-            expected_items=seen_count_hint,
-            fpp=config.bloom_fpp,
-            num_shards=config.bloom_shards,
-        )
+        if config.seen_filter == "cuckoo":
+            from ..operators.cuckoo import CuckooFilter
+
+            bloom = CuckooFilter.build(
+                seen.select("url_hash"), "url_hash",
+                capacity=max(seen_count_hint, 1024),
+            )
+        else:
+            bloom = ShardedBloom.build(
+                seen.select("url_hash"),
+                "url_hash",
+                expected_items=seen_count_hint,
+                fpp=config.bloom_fpp,
+                num_shards=config.bloom_shards,
+            )
 
     # scheduler — discover next frontier (robots state is optional: a
     # committed `robots` table gates candidates by disallow prefix)

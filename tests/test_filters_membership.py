@@ -1,0 +1,75 @@
+"""Membership routers: sharded Bloom and cuckoo filter."""
+
+import numpy as np
+import pytest
+
+from bathyscaphe_spark.operators.bloom import ShardedBloom, bloom_anti_join
+from bathyscaphe_spark.operators.cuckoo import CuckooFilter, cuckoo_anti_join
+
+
+def _hashes(n, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+
+
+def test_bloom_no_false_negatives():
+    import pandas as pd
+
+    from pyspark.sql import SparkSession  # session via fixture below
+    # pure-kernel check (no spark): every inserted key must probe true
+    h = _hashes(10_000)
+    bloom = ShardedBloom(bits_per_shard=1 << 14, num_shards=8, num_hashes=4,
+                         packed=np.zeros(8 * (1 << 14) // 8, dtype=np.uint8))
+    idx = ShardedBloom._positions(h, bloom.bits_per_shard, bloom.num_shards, bloom.num_hashes).ravel()
+    np.bitwise_or.at(bloom.packed, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    assert bloom.might_contain_np(h).all()
+
+
+def test_cuckoo_insert_probe_delete():
+    cf = CuckooFilter(capacity=20_000)
+    h = _hashes(10_000)
+    assert cf.insert_many(h) == len(h)
+    assert cf.might_contain_np(h).all()  # no false negatives
+    # false-positive rate on fresh keys is small
+    other = _hashes(10_000, seed=99)
+    fpr = cf.might_contain_np(other).mean()
+    assert fpr < 0.01, fpr
+    # deletion: removed keys stop matching (modulo fp-sharing, rare)
+    removed = cf.delete_many(h[:5_000])
+    assert removed == 5_000
+    still = cf.might_contain_np(h[:5_000]).mean()
+    assert still < 0.01, still
+    assert cf.might_contain_np(h[5_000:]).all()
+
+
+def test_cuckoo_router_exactness(spark):
+    """cuckoo_anti_join must equal the plain anti-join exactly."""
+    from pyspark.sql import functions as F
+
+    cand = spark.range(0, 3000).select(
+        (F.col("id") * 2654435761 % 999999937).alias("url_hash"),
+        F.col("id").alias("payload"),
+    )
+    seen = spark.range(0, 3000, 3).select(
+        (F.col("id") * 2654435761 % 999999937).alias("url_hash")
+    )
+    cf = CuckooFilter.build(seen, "url_hash", capacity=2000)
+    plain = sorted(r["payload"] for r in cand.join(seen, "url_hash", "left_anti").collect())
+    routed = sorted(r["payload"] for r in cuckoo_anti_join(cand, seen, "url_hash", cf).collect())
+    assert plain == routed
+
+
+def test_bloom_router_exactness(spark):
+    from pyspark.sql import functions as F
+
+    cand = spark.range(0, 3000).select(
+        (F.col("id") * 40503 % 999999937).alias("url_hash"),
+        F.col("id").alias("payload"),
+    )
+    seen = spark.range(0, 3000, 2).select(
+        (F.col("id") * 40503 % 999999937).alias("url_hash")
+    )
+    bloom = ShardedBloom.build(seen, "url_hash", expected_items=1500)
+    plain = sorted(r["payload"] for r in cand.join(seen, "url_hash", "left_anti").collect())
+    routed = sorted(r["payload"] for r in bloom_anti_join(cand, seen, "url_hash", bloom).collect())
+    assert plain == routed

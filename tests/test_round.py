@@ -107,6 +107,17 @@ def test_bloom_parity_full_crawl(spark, tmp_path, universe):
     assert _frontier_sets(spark, a) == _frontier_sets(spark, b)
 
 
+def test_cuckoo_parity_full_crawl(spark, tmp_path, universe):
+    pages, seeds = universe
+    a, b = str(tmp_path / "nc"), str(tmp_path / "wc")
+    crawl(spark, pages, seeds, a, CrawlConfig(bloom_enabled=False), max_rounds=3)
+    crawl(
+        spark, pages, seeds, b,
+        CrawlConfig(bloom_enabled=True, seen_filter="cuckoo"), max_rounds=3,
+    )
+    assert _frontier_sets(spark, a) == _frontier_sets(spark, b)
+
+
 def test_robots_state_gates_frontier(spark, tmp_path, universe):
     """A committed robots table keeps disallowed paths out of every
     subsequent frontier delta."""
