@@ -27,8 +27,8 @@ Two table flavors:
 
 At 100 TB the same layout holds: per-round parquet deltas are
 hive-partitioned by ``round`` so time travel prunes on the partition
-value, appends never rewrite history, and the periodic ``compact_seen``
-job (see SeenStore) plays the role of Iceberg's rewrite-data-files.
+value, appends never rewrite history, and the periodic
+``compact_deltas`` job plays the role of Iceberg's rewrite-data-files.
 """
 
 from __future__ import annotations
@@ -124,7 +124,16 @@ class TableCatalog:
             tdir = os.path.join(tables_root, name)
             for entry in os.listdir(tdir):
                 path = os.path.join(tdir, entry)
-                if entry.startswith("_staging-"):
+                if entry.startswith("_precompact-"):
+                    # interrupted compaction: restore the backup if the
+                    # round dir it replaced is missing, else discard it
+                    rn = entry.split("-")[1]
+                    final = os.path.join(tdir, f"round={rn}")
+                    if not os.path.exists(final):
+                        os.rename(path, final)
+                    else:
+                        shutil.rmtree(path, ignore_errors=True)
+                elif entry.startswith("_staging-"):
                     shutil.rmtree(path, ignore_errors=True)
                 elif entry.startswith("round="):
                     if int(entry.split("=", 1)[1]) > last:
@@ -159,6 +168,46 @@ class TableCatalog:
         if not rounds:
             return None
         return self.spark.read.parquet(self._round_dir(name, rounds[-1]))
+
+    def compact_deltas(self, name: str, agg_fn=None) -> int:
+        """Rewrite all committed deltas of an append-only table into one
+        consolidated delta (Iceberg rewrite-data-files equivalent) —
+        e.g. periodic ``seen`` maintenance: dedupe by url_hash keeping
+        the earliest first_seen_round and the latest expiry.
+
+        ``agg_fn(df) -> df`` consolidates rows (default: identity).
+        Publishes atomically: the new manifest stops listing the table
+        under the old rounds and lists it once under the max round; the
+        superseded dirs are removed afterwards (readers go through the
+        manifest, never the directory listing).  Returns the number of
+        rounds folded."""
+        rounds = self._committed_rounds(name, None)
+        if len(rounds) <= 1:
+            return 0
+        df = self.read_deltas(name)
+        if agg_fn is not None:
+            df = agg_fn(df)
+        target = max(rounds)
+        tdir = self._table_dir(name)
+        staging = os.path.join(tdir, f"_staging-compact-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        old_target = self._round_dir(name, target)
+        # backup encodes the round so cleanup can RESTORE it if we crash
+        # between the two renames (the only window where round=<target>
+        # is missing); it never matches the "round=*" pattern
+        backup = os.path.join(tdir, f"_precompact-{target}-{uuid.uuid4().hex}")
+        os.rename(old_target, backup)
+        os.rename(staging, old_target)
+        manifest = self._load_manifest()
+        for r in rounds[:-1]:
+            entry = manifest["rounds"][str(r)]
+            entry["tables"] = [t for t in entry["tables"] if t != name]
+        manifest["rounds"][str(target)].setdefault("compacted", []).append(name)
+        self._store_manifest(manifest)  # atomic publish
+        shutil.rmtree(backup, ignore_errors=True)
+        for r in rounds[:-1]:
+            shutil.rmtree(self._round_dir(name, r), ignore_errors=True)
+        return len(rounds)
 
     def rows_in_round(self, name: str, round_n: int) -> int:
         """Exact row count of a staged/committed round directory from the

@@ -1,0 +1,105 @@
+"""State compaction + stateful streaming dedup."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from bathyscaphe_spark.state.tables import TableCatalog
+
+
+def test_compact_deltas(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "s"))
+    for r in range(4):
+        df = spark.range(r * 10, r * 10 + 10).select(
+            F.col("id").alias("url_hash"),
+            F.lit(r).alias("first_seen_round"),
+            F.lit(None).cast("timestamp").alias("expires_ts"),
+        )
+        cat.stage_round("seen", df, r)
+        cat.commit_round(r, ["seen"])
+    before = sorted(r["url_hash"] for r in cat.read_deltas("seen").collect())
+    folded = cat.compact_deltas("seen")
+    assert folded == 4
+    after = sorted(r["url_hash"] for r in cat.read_deltas("seen").collect())
+    assert before == after
+    # only one physical round dir remains and it is the max round
+    assert cat._committed_rounds("seen", None) == [3]
+    # idempotent: nothing left to fold
+    assert cat.compact_deltas("seen") == 0
+
+
+def test_compact_with_agg(spark, tmp_path):
+    """Consolidation agg: duplicate hashes collapse keeping min round."""
+    cat = TableCatalog(spark, str(tmp_path / "s"))
+    for r in range(2):
+        df = spark.range(0, 10).select(  # same hashes both rounds
+            F.col("id").alias("url_hash"),
+            F.lit(r).alias("first_seen_round"),
+            F.lit(None).cast("timestamp").alias("expires_ts"),
+        )
+        cat.stage_round("seen", df, r)
+        cat.commit_round(r, ["seen"])
+
+    def agg(df):
+        return df.groupBy("url_hash").agg(
+            F.min("first_seen_round").alias("first_seen_round"),
+            F.max("expires_ts").alias("expires_ts"),
+        )
+
+    cat.compact_deltas("seen", agg_fn=agg)
+    out = cat.read_deltas("seen")
+    assert out.count() == 10
+    assert out.where("first_seen_round != 0").count() == 0
+
+
+def test_crawl_after_compaction(spark, tmp_path):
+    """Compacting seen mid-crawl must not change subsequent rounds."""
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.pipeline.synth import build_pages, build_seeds
+
+    pages = build_pages(spark, 800, n_hosts=20, links_per_page=4).persist()
+    seeds = build_seeds(spark, pages, 6)
+    cfg = CrawlConfig(bloom_enabled=False)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    crawl(spark, pages, seeds, a, cfg, max_rounds=3)
+    crawl(spark, pages, seeds, b, cfg, max_rounds=2)
+    TableCatalog(spark, b).compact_deltas("seen")
+    crawl(spark, pages, None, b, cfg, max_rounds=3)
+    sa = sorted(r["url_hash"] for r in TableCatalog(spark, a).read_deltas("seen").collect())
+    sb = sorted(r["url_hash"] for r in TableCatalog(spark, b).read_deltas("seen").collect())
+    assert sa == sb
+    pages.unpersist()
+
+
+def test_streaming_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates across micro-batches are
+    dropped; first occurrence survives."""
+    from bathyscaphe_spark.streaming.stateful import streaming_seen_dedup
+
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [("u1", 1), ("u2", 2), ("u1", 1)], "url string, url_hash long"
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        [("u2", 2), ("u3", 3)], "url string, url_hash long"
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("url string, url_hash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_seen_dedup(stream, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["url"], r["url_hash"]) for r in spark.sql("select * from dedup_out").collect()}
+    assert rows == {("u1", 1), ("u2", 2), ("u3", 3)}
