@@ -215,8 +215,11 @@ def run_round(
 
     # ---- stage writes (invisible until commit); row counts come from the
     # written parquet footers — zero extra Spark jobs ----------------------
+    # Phase A (sequential): the two writes that MATERIALIZE the caches —
+    # timeouts warms scheduled+fetched, frontier warms new_urls.
     catalog.stage_round("timeouts", timeouts.withColumn("round", F.lit(round_n)), round_n)
     n_timeouts = catalog.rows_in_round("timeouts", round_n)
+    catalog.stage_round("frontier", _frontier_delta(new_urls, round_n), round_n + 1)
 
     committed_tables = ["seen", "resources", "timeouts", "metrics"]
 
@@ -229,7 +232,21 @@ def run_round(
     prev_hf_rows = (
         catalog.rows_in_round("host_failures", hf_rounds[-1]) if hf_rounds else 0
     )
-    if n_timeouts or prev_hf_rows:
+
+    # Phase B (concurrent): the remaining writes only read warm caches /
+    # tiny staged files — independent Spark jobs, overlapped via threads
+    # (the scheduler interleaves their tasks; wall ≈ max, not sum).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_seen():
+        catalog.stage_round("seen", _seen_delta(new_urls, config, round_n), round_n)
+
+    def _write_resources():
+        catalog.stage_round("resources", resources, round_n)
+
+    def _write_blacklister():
+        if not (n_timeouts or prev_hf_rows):
+            return False
         timeouts_df = (
             spark.read.parquet(catalog._round_dir("timeouts", round_n)).select(
                 "url", "host"
@@ -242,11 +259,16 @@ def run_round(
         )
         catalog.stage_round("host_failures", new_hf, round_n)
         catalog.stage_round("blacklist", new_bl, round_n)
-        committed_tables += ["host_failures", "blacklist"]
+        return True
 
-    catalog.stage_round("frontier", _frontier_delta(new_urls, round_n), round_n + 1)
-    catalog.stage_round("seen", _seen_delta(new_urls, config, round_n), round_n)
-    catalog.stage_round("resources", resources, round_n)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_seen = pool.submit(_write_seen)
+        f_res = pool.submit(_write_resources)
+        f_bl = pool.submit(_write_blacklister)
+        f_seen.result()
+        f_res.result()
+        if f_bl.result():
+            committed_tables += ["host_failures", "blacklist"]
 
     stats = RoundStats(
         round=round_n,
