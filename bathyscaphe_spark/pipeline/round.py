@@ -3,9 +3,10 @@
 Replaces the reference's always-on queue consumers (crawler + scheduler +
 indexer + blacklister, SURVEY.md §3) with one declarative batch round:
 
-  frontier Δ → O1 rank/budget → O2 salted repartition → S4 fetch join
+  frontier Δ → O1 two-phase salted rank/budget → S4 fetch join (reusing
+  the url-bucketed universe partitioning — O2)
   → [O4 timeouts → F7/F8/A1 blacklister] → F5 content filter
-  → X1-X3 extract/normalize/hash → F1-F4 → D2 dedup → D1 anti-join seen
+  → X1-X3 extract/normalize/hash → F1-F4 + robots → D2 dedup → D1 anti-join seen
   → writes: resources, seen Δ, frontier(round+1) Δ, host_failures,
     blacklist, metrics → atomic round commit
 
@@ -27,12 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.fnv import fnv1_64
 from ..operators import blacklister as bl
 from ..operators.bloom import ShardedBloom, bloom_anti_join
-from ..operators.crawler import fetch
 from ..operators.indexer import build_resources
-from ..operators.politeness import rank_frontier, salted_repartition
+from ..operators.politeness import rank_frontier
 from ..operators.scheduler import (
     apply_hostname_blacklist,
     extension_filter,

