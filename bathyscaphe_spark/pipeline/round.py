@@ -159,6 +159,15 @@ def run_round(
     blacklist_df = catalog.read_state("blacklist")
     if blacklist_df is None:
         blacklist_df = bl.empty_blacklist(spark)
+    # collect the (tiny) blacklist ONCE per round: every F4 call site
+    # then compiles it into a codegen'd OR-chain instead of re-collecting
+    # (falls back to the broadcast anti-join DataFrame form when large)
+    from ..operators.scheduler import _F4_EXPR_MAX
+
+    _bl_head = [r[0] for r in blacklist_df.limit(_F4_EXPR_MAX + 1).collect()]
+    blacklist_pred = (
+        tuple(_bl_head) if len(_bl_head) <= _F4_EXPR_MAX else blacklist_df
+    )
     host_failures = catalog.read_state("host_failures")
     if host_failures is None:
         host_failures = bl.empty_host_failures(spark)
@@ -175,7 +184,7 @@ def run_round(
     # timeout branches filter the cache (the join never runs twice).
     from ..operators.crawler import fetch_join, split_fetched
 
-    fetched = fetch_join(scheduled, pages, blacklist_df).persist()
+    fetched = fetch_join(scheduled, pages, blacklist_pred).persist()
     fetched_ok, timeouts = split_fetched(fetched, config)
 
     # optional membership router over the current seen set (bloom or
@@ -202,14 +211,14 @@ def run_round(
     # committed `robots` table gates candidates by disallow prefix)
     robots_df = catalog.read_state("robots")
     new_urls = discover_new_urls(
-        fetched_ok, config, seen, blacklist_df, round_n, bloom=bloom,
+        fetched_ok, config, seen, blacklist_pred, round_n, bloom=bloom,
         robots=robots_df,
     ).persist()
 
     # indexer — resources output
     resources = build_resources(
         fetched_ok.select("url", "host", "html", "headers", "warc_ts"),
-        blacklist_df,
+        blacklist_pred,
     )
 
     # ---- stage writes (invisible until commit); row counts come from the
