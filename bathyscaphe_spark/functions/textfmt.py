@@ -19,7 +19,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .fnv import fnv1_64_str
-from .urltools import url_host, url_request_uri, url_scheme
+from .urltools import url_host, url_host_port, url_request_uri, url_scheme
 
 
 def resource_text(url: Column, headers: Column, body: Column) -> Column:
@@ -40,15 +40,19 @@ def resource_text(url: Column, headers: Column, body: Column) -> Column:
 
 
 def with_sink_path(df, url_col: str = "url", ts_col: str = "time"):
-    """Add (scheme, host, path_hash, unix_ts, sink_path) columns.
+    """Add (scheme, host, host_port, path_hash, unix_ts, sink_path).
 
     path_hash is the decimal FNV-1/64 of the request URI without its
-    leading slash, null when the URI is exactly '/'.
+    leading slash, null when the URI is exactly '/'.  The path's host
+    segment is Go's ``u.Host`` — port KEPT when non-default
+    (local.go writes u.Host, not Hostname(); ADVICE r1) — while the
+    ``host`` column stays the port-less hostname used as partition key.
     """
     uri = url_request_uri(F.col(url_col))
     df = (
         df.withColumn("scheme", url_scheme(F.col(url_col)))
         .withColumn("host", url_host(F.col(url_col)))
+        .withColumn("host_port", url_host_port(F.col(url_col)))
         .withColumn(
             "path_hash",
             F.when(uri == "/", F.lit(None).cast("string")).otherwise(
@@ -62,7 +66,7 @@ def with_sink_path(df, url_col: str = "url", ts_col: str = "time"):
         F.concat_ws(
             "/",
             F.col("scheme"),
-            F.col("host"),
+            F.col("host_port"),
             F.col("path_hash"),  # concat_ws skips nulls → segment omitted
             F.col("unix_ts").cast("string"),
         ),

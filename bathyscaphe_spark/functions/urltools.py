@@ -177,9 +177,25 @@ def url_parts_py(raw: str) -> tuple[str, str, str, str]:
     return (p.scheme, url_host_py(raw), p.path, p.query)
 
 
+def url_host_port_py(raw: str) -> str:
+    """Go's u.Host: netloc with userinfo stripped but the PORT KEPT —
+    the local sink's path segment uses this, not Hostname()
+    (local.go: b.WriteString(u.Host))."""
+    try:
+        netloc = urlsplit(raw).netloc
+    except ValueError:
+        return ""
+    return netloc.rpartition("@")[2]
+
+
 @pandas_udf(StringType())
 def url_host(s: pd.Series) -> pd.Series:
     return s.map(lambda v: url_host_py(v) if v is not None else None)
+
+
+@pandas_udf(StringType())
+def url_host_port(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: url_host_port_py(v) if v is not None else None)
 
 
 @pandas_udf(StringType())

@@ -10,11 +10,17 @@ difference between shipping a delta and rescanning the seen table.
 Standard design (Fan et al., CoNLL'14 — public): buckets of 4
 fingerprint slots, 16-bit fingerprints, partial-key cuckoo hashing —
 ``alt_bucket = bucket XOR hash(fingerprint)``.  All derived from the
-64-bit FNV url_hash, no re-hashing of URLs.  Build is distributed
-(per-partition inserts into a private table would break cuckoo kicks,
-so the build collects only the *hash column* of new entries per round —
-a long[] — and inserts driver-side; probing is a vectorized broadcast
-kernel like the Bloom router's).
+64-bit FNV url_hash, no re-hashing of URLs.
+
+Build is DISTRIBUTED: the hash space is split into ``num_shards``
+(power of two) by the low bits of the hash; each shard is an
+independent cuckoo table built executor-side (groupBy(shard) →
+applyInPandas), and only the finished tables — a few MB total — come
+back to the driver for broadcast.  Kicks never cross shards because a
+hash's two candidate buckets live in its own shard's table.  Inserts
+are VERIFIED: a shard whose table fills is rebuilt at doubled capacity
+(false negatives would break the router's exactness contract —
+might_contain must have false positives only).
 
 Exactness contract: identical to the Bloom router — ``might_contain``
 has false positives only, so the bit-miss fast path is exact and the
@@ -36,11 +42,14 @@ _MAX_KICKS = 500
 
 
 class CuckooFilter:
-    def __init__(self, capacity: int):
+    def __init__(self, capacity: int, bucket_shift: int = 0):
         n_buckets = 1
         while n_buckets * _SLOTS < capacity * 1.3:
             n_buckets <<= 1
         self.n_buckets = n_buckets
+        # bits consumed by the shard router (ShardedCuckoo) — the bucket
+        # index skips them so shard and bucket derivation stay independent
+        self.bucket_shift = bucket_shift
         self.table = np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
         self._rng = np.random.RandomState(42)  # deterministic kick choice
 
@@ -50,7 +59,9 @@ class CuckooFilter:
         return np.where(fp == 0, np.uint16(1), fp)  # 0 = empty slot marker
 
     def _b1(self, h: np.ndarray) -> np.ndarray:
-        return (h & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        return (
+            (h >> np.uint64(self.bucket_shift)) & np.uint64(self.n_buckets - 1)
+        ).astype(np.int64)
 
     def _alt(self, bucket: np.ndarray, fp: np.ndarray) -> np.ndarray:
         # partial-key: alt = bucket XOR (fp * odd constant), masked
@@ -122,17 +133,120 @@ class CuckooFilter:
         return in_b1 | in_alt
 
     @classmethod
-    def build(cls, df: DataFrame, col: str, capacity: int) -> "CuckooFilter":
-        """Build from a hash column.  Collects ONLY the long column —
-        8 bytes/row; at real scale, build per hash-range shard and union
-        the broadcast, or patch last round's filter with insert/delete
-        deltas instead of rebuilding."""
-        cf = cls(capacity)
-        hashes = np.array(
-            [r[0] for r in df.select(col).collect()], dtype=np.int64
+    def from_hashes(
+        cls, hashes: np.ndarray, capacity: int, bucket_shift: int = 0
+    ) -> "CuckooFilter":
+        """Verified build from an in-memory hash array: if the table fills
+        (stale capacity hint / unlucky kicks) it is rebuilt at doubled
+        capacity — NEVER a silent drop, because a dropped insert is a
+        false negative and breaks the router's exactness contract."""
+        hashes = np.sort(np.unique(hashes.astype(np.int64)))  # deterministic
+        cap = max(int(capacity), len(hashes), 1)
+        for _ in range(8):
+            cf = cls(cap, bucket_shift=bucket_shift)
+            if cf.insert_many(hashes) == len(hashes):
+                return cf
+            cap *= 2
+        raise RuntimeError(
+            f"cuckoo build failed at capacity {cap} for {len(hashes)} hashes"
         )
-        cf.insert_many(hashes)
-        return cf
+
+    @classmethod
+    def build(cls, df: DataFrame, col: str, capacity: int,
+              num_shards: int = 16) -> "ShardedCuckoo":
+        """Distributed build — see ShardedCuckoo.build."""
+        return ShardedCuckoo.build(df, col, capacity, num_shards=num_shards)
+
+
+class ShardedCuckoo:
+    """num_shards independent cuckoo tables, one per low-bits hash range.
+
+    Built executor-side (one applyInPandas group per shard); only the
+    finished uint16 tables travel to the driver.  Probe/delete route by
+    ``hash & (num_shards - 1)`` (two's-complement low bits — identical
+    for signed and unsigned interpretations)."""
+
+    def __init__(self, shards: list[CuckooFilter], num_shards: int):
+        assert num_shards & (num_shards - 1) == 0
+        self.shards = shards
+        self.num_shards = num_shards
+        self.shard_bits = num_shards.bit_length() - 1
+
+    def _route(self, h_signed: np.ndarray) -> np.ndarray:
+        return (h_signed.view(np.uint64) & np.uint64(self.num_shards - 1)).astype(
+            np.int64
+        )
+
+    def might_contain_np(self, h_signed: np.ndarray) -> np.ndarray:
+        if h_signed.size == 0:
+            return np.zeros(0, dtype=bool)
+        h = h_signed.astype(np.int64)
+        out = np.zeros(len(h), dtype=bool)
+        sid = self._route(h)
+        for s in range(self.num_shards):
+            mask = sid == s
+            if mask.any():
+                out[mask] = self.shards[s].might_contain_np(h[mask])
+        return out
+
+    def insert_many(self, h_signed: np.ndarray) -> int:
+        h = h_signed.astype(np.int64)
+        sid = self._route(h)
+        return sum(
+            int(self.shards[s].insert_many(h[sid == s]))
+            for s in range(self.num_shards)
+            if (sid == s).any()
+        )
+
+    def delete_many(self, h_signed: np.ndarray) -> int:
+        h = h_signed.astype(np.int64)
+        sid = self._route(h)
+        return sum(
+            int(self.shards[s].delete_many(h[sid == s]))
+            for s in range(self.num_shards)
+            if (sid == s).any()
+        )
+
+    @classmethod
+    def build(cls, df: DataFrame, col: str, capacity: int,
+              num_shards: int = 16) -> "ShardedCuckoo":
+        """Distributed build from a hash column.  Nothing but the finished
+        per-shard tables (uint16 bytes) is collected — the hash column
+        itself never leaves the executors."""
+        shard_bits = num_shards.bit_length() - 1
+        per_cap = max(1024, capacity // num_shards)
+        keyed = df.select(
+            F.col(col).cast("long").alias("_h"),
+            F.pmod(F.col(col).cast("long"), F.lit(num_shards)).alias("_shard"),
+        )
+
+        def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["_shard"].iloc[0])
+            cf = CuckooFilter.from_hashes(
+                pdf["_h"].to_numpy(dtype=np.int64), per_cap,
+                bucket_shift=shard_bits,
+            )
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "n_buckets": [cf.n_buckets],
+                    "table": [cf.table.tobytes()],
+                }
+            )
+
+        rows = (
+            keyed.groupBy("_shard")
+            .applyInPandas(_build_shard, "shard int, n_buckets long, table binary")
+            .collect()
+        )
+        shards = [CuckooFilter(1, bucket_shift=shard_bits) for _ in range(num_shards)]
+        for r in rows:
+            cf = shards[r["shard"]]
+            cf.n_buckets = int(r["n_buckets"])
+            cf.table = np.frombuffer(r["table"], dtype=np.uint16).reshape(
+                cf.n_buckets, _SLOTS
+            ).copy()
+        return cls(shards, num_shards)
 
 
 def cuckoo_anti_join(

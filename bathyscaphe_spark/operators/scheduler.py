@@ -58,8 +58,8 @@ import re as _re
 # trailing slash, non-empty query if any).  Anything else takes the
 # exact python path.  Property-tested in tests/test_urltools.py.
 _ALREADY_NORMAL_RE = _re.compile(
-    r"^(?!.*/\.{1,2}(?:/|$))"          # no '.'/'..' segments
-    r"(?!.*/(?:default|index)\.\w{1,4}$)"  # no directory-index tail
+    r"^(?!.*/\.{1,2}(?:[/?#]|$))"      # no '.'/'..' segments (even pre-query)
+    r"(?!.*/(?:default|index)\.\w{1,4}(?:[?#]|$))"  # no dir-index last segment
     r"[a-z][a-z0-9+.-]*://"            # lowercase scheme
     r"[a-z0-9]([a-z0-9.-]*[a-z0-9])?"  # lowercase host, no port/userinfo
     r"(/(?:[^/?#%]+/)*[^/?#%]+)?"      # path: no //, %, #; no trailing /

@@ -334,16 +334,14 @@ def run_round(
                 sched += r
     stats.scheduled = sched
 
-    # ---- atomic publish ---------------------------------------------------
-    catalog.commit_round(
-        round_n,
-        committed_tables,
-        extra={"stats": stats.__dict__},
-    )
-    # frontier Δ for round_n+1 rides in the next round's manifest entry —
-    # record it under its own round key so read_round finds it
-    catalog.commit_round(
-        round_n + 1, ["frontier"], extra={"produced_by_round": round_n}
+    # ---- atomic publish: the round's tables AND the produced frontier Δ
+    # (keyed under round_n+1 so read_round finds it) go out in ONE manifest
+    # replace — no crash window between them (ADVICE r1)
+    catalog.commit_rounds(
+        [
+            (round_n, committed_tables, {"stats": stats.__dict__}),
+            (round_n + 1, ["frontier"], {"produced_by_round": round_n}),
+        ]
     )
 
     scheduled.unpersist()

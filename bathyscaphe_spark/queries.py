@@ -346,33 +346,44 @@ GROUP BY url
 
 
 def q_x9_sink_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X9 deterministic sink path scheme/host/FNV(uri)/unix_ts
-    (local.go:86-117) — hash segment omitted for root URIs."""
+    """X9 deterministic sink path scheme/u.Host/FNV(uri)/unix_ts
+    (local.go:86-117) — hash segment omitted for root URIs; the host
+    segment keeps a non-default port (Go u.Host, ADVICE r1)."""
     c = _corpus(spark, sf_dir)
     urls = (
         c.selectExpr("link1 AS url")
         .union(c.selectExpr("lower(link2) AS url"))
+        .union(
+            c.limit(1).selectExpr(
+                "'http://portal.onion:8080/files/a.php' AS url"
+            )
+        )
+        .union(c.limit(1).selectExpr("'http://portal.onion:8080' AS url"))
         .distinct()
         .selectExpr("url", "CAST('2020-10-29 12:04:09' AS TIMESTAMP) AS time")
     )
     return with_sink_path(urls).select("url", "sink_path")
 
 
+_HOSTPORT = "regexp_extract(url, '://([^/?#]+)', 1)"
+
 ORACLE_X9 = f"""
 WITH c AS ({CORPUS_SQL}),
  urls AS (
    SELECT DISTINCT url FROM (
      SELECT link1 AS url FROM c UNION ALL SELECT lower(link2) AS url FROM c
+     UNION ALL SELECT 'http://portal.onion:8080/files/a.php' FROM (SELECT 1) _x
+     UNION ALL SELECT 'http://portal.onion:8080' FROM (SELECT 1) _y
    )
  ),
  parts AS (
-   SELECT url, {_SCHEME} AS scheme, {_HOST} AS host,
+   SELECT url, {_SCHEME} AS scheme, {_HOSTPORT} AS hostport,
           CASE WHEN {_PATH} = '' THEN '/' ELSE {_PATH} END AS uri
    FROM urls
  )
 SELECT url,
-       CASE WHEN uri = '/' THEN scheme || '/' || host || '/1603973049'
-            ELSE scheme || '/' || host || '/' ||
+       CASE WHEN uri = '/' THEN scheme || '/' || hostport || '/1603973049'
+            ELSE scheme || '/' || hostport || '/' ||
                  {duckdb_fnv_str_sql("substr(uri, 2)")} || '/1603973049'
        END AS sink_path
 FROM parts

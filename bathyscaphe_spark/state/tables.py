@@ -106,12 +106,25 @@ class TableCatalog:
         Merges with an existing entry for the round (a round's frontier Δ
         is committed by the *previous* round, ahead of the round's own
         table commit)."""
+        self.commit_rounds([(round_n, tables, extra)])
+
+    def commit_rounds(
+        self, entries: list[tuple[int, list[str], dict | None]]
+    ) -> None:
+        """Publish SEVERAL round entries in one atomic manifest replace.
+
+        A crawl round commits its own tables AND the next round's frontier
+        delta together — a crash can never leave round N committed with
+        its produced frontier invisible (which cleanup_uncommitted() would
+        otherwise delete, stranding the crawl)."""
         manifest = self._load_manifest()
-        entry = manifest["rounds"].get(str(round_n), {"tables": []})
-        entry["tables"] = sorted(set(entry["tables"]) | set(tables))
-        entry["committed_at"] = time.time()
-        entry.update(extra or {})
-        manifest["rounds"][str(round_n)] = entry
+        now = time.time()
+        for round_n, tables, extra in entries:
+            entry = manifest["rounds"].get(str(round_n), {"tables": []})
+            entry["tables"] = sorted(set(entry["tables"]) | set(tables))
+            entry["committed_at"] = now
+            entry.update(extra or {})
+            manifest["rounds"][str(round_n)] = entry
         self._store_manifest(manifest)
 
     def cleanup_uncommitted(self) -> None:

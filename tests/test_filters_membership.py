@@ -42,6 +42,58 @@ def test_cuckoo_insert_probe_delete():
     assert cf.might_contain_np(h[5_000:]).all()
 
 
+def test_cuckoo_verified_build_grows_on_overflow():
+    """A stale/low capacity hint must never produce false negatives —
+    from_hashes rebuilds at doubled capacity instead of dropping inserts
+    (ADVICE r1: silent drops broke the router's exactness contract)."""
+    h = _hashes(20_000)
+    cf = CuckooFilter.from_hashes(h, capacity=100)  # absurdly low hint
+    assert cf.might_contain_np(h).all()
+
+
+def test_sharded_cuckoo_kernel_1m():
+    """Per-shard build parity at 1M hashes: no false negatives, small
+    false-positive rate, shard-routed deletes work."""
+    from bathyscaphe_spark.operators.cuckoo import ShardedCuckoo
+
+    h = np.unique(_hashes(1_000_000))
+    num_shards, shard_bits = 16, 4
+    sid = (h.view(np.uint64) & np.uint64(num_shards - 1)).astype(np.int64)
+    shards = [
+        CuckooFilter.from_hashes(
+            h[sid == s], len(h) // num_shards, bucket_shift=shard_bits
+        )
+        for s in range(num_shards)
+    ]
+    sc = ShardedCuckoo(shards, num_shards)
+    assert sc.might_contain_np(h).all()
+    other = np.setdiff1d(_hashes(200_000, seed=123), h)
+    assert sc.might_contain_np(other).mean() < 0.01
+    # delete the first 1000 — they stop matching (modulo fp-sharing)
+    assert sc.delete_many(h[:1000]) == 1000
+    assert sc.might_contain_np(h[:1000]).mean() < 0.01
+    assert sc.might_contain_np(h[1000:]).all()
+
+
+def test_sharded_cuckoo_distributed_build_matches_bloom_router(spark):
+    """Distributed (executor-side) build: router output identical to the
+    Bloom router and the plain anti-join on the same data."""
+    from pyspark.sql import functions as F
+
+    cand = spark.range(0, 20_000).select(
+        F.xxhash64(F.col("id")).alias("url_hash"), F.col("id").alias("payload")
+    )
+    seen = spark.range(0, 20_000, 3).select(
+        F.xxhash64(F.col("id")).alias("url_hash")
+    )
+    cf = CuckooFilter.build(seen, "url_hash", capacity=7000)
+    bloom = ShardedBloom.build(seen, "url_hash", expected_items=7000)
+    plain = sorted(r["payload"] for r in cand.join(seen, "url_hash", "left_anti").collect())
+    via_cuckoo = sorted(r["payload"] for r in cuckoo_anti_join(cand, seen, "url_hash", cf).collect())
+    via_bloom = sorted(r["payload"] for r in bloom_anti_join(cand, seen, "url_hash", bloom).collect())
+    assert plain == via_cuckoo == via_bloom
+
+
 def test_cuckoo_router_exactness(spark):
     """cuckoo_anti_join must equal the plain anti-join exactly."""
     from pyspark.sql import functions as F

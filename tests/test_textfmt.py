@@ -44,6 +44,9 @@ def test_sink_path_goldens(spark):
             "http://thisisalonghostname.onion/admin/tools/list-accounts.php?token=123223453&username=test",
             "http/thisisalonghostname.onion/7883137132857825203/1603973049",
         ),
+        # non-default port: the host segment is Go's u.Host — port KEPT
+        # (local.go writes u.Host, not Hostname(); ADVICE r1)
+        ("http://x.onion:8080", "http/x.onion:8080/1603973049"),
     ]
     df = spark.createDataFrame(
         [(u, GOLDEN_TS) for u, _ in rows], "url string, time timestamp"

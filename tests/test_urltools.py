@@ -129,8 +129,21 @@ def test_fast_path_is_normalization_fixed_point():
         "https://a.onion:443/x",
         "https://a.onion/x#f",
         "https://a.onion/x?",
+        # ADVICE r1: dir-index / dot-segment tails followed by a query used
+        # to slip through the whole-URL-anchored lookaheads
+        "http://x.onion/index.html?a=b",
+        "http://x.onion/default.asp?x=1",
+        "http://x.onion/a/..?q=1",
+        "http://x.onion/a/.?q=1",
     ]:
         assert not R.match(u), u
+    # non-dir-index names containing 'index' stay on the fast path
+    for u in [
+        "http://x.onion/myindex.html?a=b",
+        "http://x.onion/index.html/foo",
+    ]:
+        assert R.match(u), u
+        assert normalize_url_py(u) == u
 
 
 def test_url_parts():
