@@ -34,10 +34,7 @@ from ..operators.indexer import build_resources
 from ..operators.politeness import rank_frontier
 from ..operators.scheduler import (
     apply_hostname_blacklist,
-    extension_filter,
-    extract_candidates_fused,
-    onion_filter,
-    protocol_filter,
+    extract_filtered_candidates,
 )
 from ..state.tables import TableCatalog
 from .synth import BASE_TS
@@ -76,17 +73,25 @@ def discover_new_urls(
     disallowed URL never enters the frontier.
     Output: (url, url_hash, host, depth).
     """
-    cand = extract_candidates_fused(
-        fetched_ok, body_col="html", carry_cols=("depth",)
+    # X1-X3 + F1-F4 in ONE narrow python stage: bodies in, only
+    # (depth, url, url_hash, host) out — rejected candidates and all
+    # derived strings stay inside the kernel (r2 scaling fix; the r1
+    # path's Arrow traffic was the N→4N bandwidth ceiling)
+    bad = tuple(blacklist) if isinstance(blacklist, (list, tuple)) else ()
+    cand = extract_filtered_candidates(
+        fetched_ok, config, forbidden=bad, body_col="html",
+        carry_cols=("depth",),
     )
-    cand = cand.where(onion_filter(F.col("host")))
-    cand = cand.where(protocol_filter(F.col("scheme")))
-    cand = cand.where(extension_filter(F.col("path"), config.allowed_extensions))
-    cand = apply_hostname_blacklist(cand, blacklist)
+    if blacklist is not None and not isinstance(blacklist, (list, tuple)):
+        cand = apply_hostname_blacklist(cand, blacklist)  # large-DF form
     if robots is not None:
         from ..operators.robots import apply_robots
 
-        cand = apply_robots(cand, robots)
+        cand = cand.withColumn(
+            "path",
+            F.regexp_extract(F.col("url"), r"^[a-z0-9+.-]+://[^/?#]*([^?#]*)", 1),
+        )
+        cand = apply_robots(cand, robots).drop("path")
 
     # D2 with deterministic attributes: url/host are functions of the
     # hash; depth aggregates with min() (parent depth rode through the

@@ -21,10 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .config import CrawlConfig
+from .config import CrawlConfig, parse_duration_s
 from .functions.fnv import duckdb_fnv_signed_sql, duckdb_fnv_str_sql, fnv1_64, fnv1_64_str
 from .functions.html import parse_doc
-from .functions.textfmt import resource_text, with_sink_path
+from .functions.textfmt import lowercase_header_keys, resource_text, with_sink_path
 from .functions.urltools import URL_RE, normalize_url
 from .operators.politeness import rank_frontier
 from .operators.scheduler import schedule_candidates
@@ -1031,11 +1031,456 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# crawler/blacklister-branch contract queries (r2: pytest-only → oracle)
+# --------------------------------------------------------------------------
+
+def q_f5_content_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 content-type contains-filter; empty allowlist ⇒ allow all
+    (crawler.go:116-135, crawler_test.go:93-97)."""
+    from .operators.crawler import content_type_allowed
+
+    d = _docs(spark, sf_dir)
+    ct = F.expr(
+        "CASE CAST(doc_id % 5 AS INT)"
+        " WHEN 0 THEN 'text/html; charset=utf-8'"
+        " WHEN 1 THEN 'text/plain'"
+        " WHEN 2 THEN 'application/pdf'"
+        " WHEN 3 THEN 'image/png'"
+        " ELSE NULL END"
+    )
+    df = d.select(F.col("doc_id"), ct.alias("content_type"))
+    return df.select(
+        "doc_id",
+        "content_type",
+        content_type_allowed(
+            F.col("content_type"), CFG.allowed_content_types
+        ).alias("allowed"),
+        content_type_allowed(F.col("content_type"), ()).alias("allowed_empty"),
+    )
+
+
+ORACLE_F5 = """
+SELECT doc_id, content_type,
+       contains(coalesce(content_type, ''), 'text/') AS allowed,
+       TRUE AS allowed_empty
+FROM (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'text/html; charset=utf-8'
+           WHEN 1 THEN 'text/plain'
+           WHEN 2 THEN 'application/pdf'
+           WHEN 3 THEN 'image/png'
+           ELSE NULL END AS content_type
+  FROM documents
+)
+"""
+
+
+def q_f6_redirect_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 redirect policy ≤302 followed, >302 dropped (http/client.go:48-56)
+    + O4 timeout marker (crawler.go:106-114)."""
+    from .operators.crawler import STATUS_TIMEOUT
+
+    d = _docs(spark, sf_dir)
+    status = F.expr(
+        "CASE CAST(doc_id % 7 AS INT)"
+        " WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 302"
+        " WHEN 3 THEN 303 WHEN 4 THEN 404 WHEN 5 THEN 500 ELSE -1 END"
+    )
+    df = d.select(F.col("doc_id"), status.cast("long").alias("status"))
+    return df.select(
+        "doc_id",
+        "status",
+        ((F.col("status") >= 200) & (F.col("status") <= 302)).alias("followed"),
+        (F.col("status") == STATUS_TIMEOUT).alias("timed_out"),
+    )
+
+
+ORACLE_F6 = """
+SELECT doc_id, status,
+       status BETWEEN 200 AND 302 AS followed,
+       status = -1 AS timed_out
+FROM (
+  SELECT doc_id,
+         CAST(CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 302
+           WHEN 3 THEN 303 WHEN 4 THEN 404 WHEN 5 THEN 500 ELSE -1 END
+         AS BIGINT) AS status
+  FROM documents
+)
+"""
+
+
+def q_x7_header_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 header-key lowercasing (elastic.go:171-175), exploded to rows
+    so the driver can hash-compare map content deterministically."""
+    d = _docs(spark, sf_dir)
+    headers = F.create_map(
+        F.lit("Content-Type"), F.lit("text/html"),
+        F.lit("X-Powered-By"), F.concat(F.lit("php-"), F.col("doc_id").cast("string")),
+        F.lit("SERVER"), F.lit("nginx"),
+    )
+    return d.select(
+        F.col("doc_id"),
+        F.explode(lowercase_header_keys(headers)).alias("hkey", "hval"),
+    )
+
+
+ORACLE_X7 = """
+SELECT doc_id, 'content-type' AS hkey, 'text/html' AS hval FROM documents
+UNION ALL
+SELECT doc_id, 'x-powered-by', 'php-' || CAST(doc_id AS STRING) FROM documents
+UNION ALL
+SELECT doc_id, 'server', 'nginx' FROM documents
+"""
+
+
+def q_x11_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 str2duration-style parsing incl. compound forms and the
+    -1-on-invalid contract (duration/duration.go:10-21), run through the
+    REAL engine parser; output in integer milliseconds."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _dur_ms(s):
+        return s.map(lambda v: int(round(parse_duration_s(v) * 1000)))
+
+    d = _docs(spark, sf_dir)
+    dur = F.expr(
+        "CASE CAST(doc_id % 8 AS INT)"
+        " WHEN 0 THEN '50s' WHEN 1 THEN '5m' WHEN 2 THEN '1h'"
+        " WHEN 3 THEN '1h30m' WHEN 4 THEN '500ms' WHEN 5 THEN '2d'"
+        " WHEN 6 THEN '' ELSE 'not-a-duration' END"
+    )
+    df = d.select(F.col("doc_id"), dur.alias("duration"))
+    return df.select("doc_id", "duration", _dur_ms(F.col("duration")).alias("millis"))
+
+
+ORACLE_X11 = """
+SELECT doc_id, duration,
+       CAST(CASE duration
+         WHEN '50s' THEN 50000 WHEN '5m' THEN 300000 WHEN '1h' THEN 3600000
+         WHEN '1h30m' THEN 5400000 WHEN '500ms' THEN 500 WHEN '2d' THEN 172800000
+         ELSE -1000 END AS BIGINT) AS millis
+FROM (
+  SELECT doc_id,
+         CASE CAST(doc_id % 8 AS INT)
+           WHEN 0 THEN '50s' WHEN 1 THEN '5m' WHEN 2 THEN '1h'
+           WHEN 3 THEN '1h30m' WHEN 4 THEN '500ms' WHEN 5 THEN '2d'
+           WHEN 6 THEN '' ELSE 'not-a-duration' END AS duration
+  FROM documents
+)
+"""
+
+
+def q_d3_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 TTL-aware seen filtering (cache/cache.go:9-12): a hash is seen
+    iff expires_ts IS NULL (forever) or > round_ts; expired entries are
+    re-schedulable.  round_ts = 2020-10-29 12:04:09."""
+    c = _corpus(spark, sf_dir)
+    cand = c.selectExpr("link1 AS url").distinct().select(
+        "url", fnv1_64(F.col("url")).alias("url_hash")
+    )
+    seen = (
+        c.where("doc_id % 3 = 0")
+        .selectExpr(
+            "link1 AS url",
+            "CASE CAST(doc_id % 9 AS INT)"
+            " WHEN 0 THEN TIMESTAMP '2020-10-29 12:00:00'"   # expired
+            " WHEN 3 THEN TIMESTAMP '2020-10-29 13:00:00'"   # live
+            " ELSE NULL END AS expires_ts",                  # forever
+        )
+        .select(fnv1_64(F.col("url")).alias("url_hash"), "expires_ts")
+    )
+    rts = F.expr("TIMESTAMP '2020-10-29 12:04:09'")
+    live = seen.where(
+        F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
+    ).select("url_hash")
+    return cand.join(live, "url_hash", "left_anti").select("url", "url_hash")
+
+
+ORACLE_D3 = f"""
+WITH c AS ({CORPUS_SQL}),
+ cand AS (
+   SELECT url, {duckdb_fnv_signed_sql('url')} AS url_hash
+   FROM (SELECT DISTINCT link1 AS url FROM c)
+ ),
+ live AS (
+   SELECT {duckdb_fnv_signed_sql('link1')} AS url_hash
+   FROM c
+   WHERE doc_id % 3 = 0
+     AND (CASE CAST(doc_id % 9 AS INT)
+            WHEN 0 THEN TIMESTAMP '2020-10-29 12:00:00'
+            WHEN 3 THEN TIMESTAMP '2020-10-29 13:00:00'
+            ELSE NULL END IS NULL
+          OR CASE CAST(doc_id % 9 AS INT)
+            WHEN 0 THEN TIMESTAMP '2020-10-29 12:00:00'
+            WHEN 3 THEN TIMESTAMP '2020-10-29 13:00:00'
+            ELSE NULL END > TIMESTAMP '2020-10-29 12:04:09')
+ )
+SELECT url, url_hash FROM cand WHERE url_hash NOT IN (SELECT url_hash FROM live)
+"""
+
+
+def q_blacklister_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full blacklister round — F7 already-blacklisted guard, F8 liveness
+    counter removal, A1 stateful counter merge with TTL, D4 dedup-on-append
+    (blacklister.go:88-190; scenario shape of blacklister_test.go:80-157)."""
+    from .operators.blacklister import process_timeouts
+
+    d = _docs(spark, sf_dir)
+    timeouts = d.where("doc_id % 2 = 0").selectExpr(
+        "'http://host' || CAST(doc_id % 40 AS STRING) || '.onion/p' AS url",
+        "'host' || CAST(doc_id % 40 AS STRING) || '.onion' AS host",
+    )
+    prev = d.where("doc_id < 20").selectExpr(
+        "'host' || CAST(doc_id AS STRING) || '.onion' AS host",
+        "CAST(doc_id % 6 AS BIGINT) AS count",
+        "CASE CAST(doc_id % 4 AS INT)"
+        " WHEN 0 THEN TIMESTAMP '2020-10-29 12:00:00'"   # expired counter
+        " WHEN 1 THEN TIMESTAMP '2020-10-29 13:00:00'"   # live counter
+        " ELSE NULL END AS expires_ts",
+    )
+    bl0 = spark.createDataFrame(
+        [("host2.onion",), ("host7.onion",)], "hostname string"
+    )
+    status = d.selectExpr(
+        "'host' || CAST(doc_id % 40 AS STRING) || '.onion' AS host",
+        "CAST(doc_id % 40 AS INT) % 5 = 1 AS up",
+    ).distinct()
+    rts = F.expr("TIMESTAMP '2020-10-29 12:04:09'")
+    cfgb = CrawlConfig(blacklist_threshold=5, blacklist_ttl_s=1200)
+    nhf, nbl = process_timeouts(timeouts, prev, bl0, status, cfgb, rts)
+    flags = nbl.select(
+        F.col("hostname").alias("host"), F.lit(True).alias("_bl")
+    )
+    return (
+        nhf.select(
+            "host", "count", F.unix_timestamp("expires_ts").alias("expires_unix")
+        )
+        .join(flags, "host", "full_outer")
+        .select(
+            "host",
+            "count",
+            "expires_unix",
+            F.coalesce(F.col("_bl"), F.lit(False)).alias("blacklisted"),
+        )
+    )
+
+
+ORACLE_BLACKLISTER = """
+WITH tcounts AS (
+  SELECT CAST(doc_id % 40 AS BIGINT) AS h, COUNT(*) AS n
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+ t1 AS (SELECT h, n FROM tcounts WHERE h NOT IN (2, 7)),          -- F7
+ up AS (SELECT h FROM t1 WHERE h % 5 = 1),                        -- F8
+ confirmed AS (SELECT h, n FROM t1 WHERE h % 5 <> 1),
+ prev AS (
+   SELECT CAST(doc_id AS BIGINT) AS h, CAST(doc_id % 6 AS BIGINT) AS cnt,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN TIMESTAMP '2020-10-29 12:00:00'
+            WHEN 1 THEN TIMESTAMP '2020-10-29 13:00:00'
+            ELSE NULL END AS expires_ts
+   FROM documents WHERE doc_id < 20
+ ),
+ prev_live AS (
+   SELECT h, cnt FROM prev
+   WHERE (expires_ts IS NULL OR expires_ts > TIMESTAMP '2020-10-29 12:04:09')
+     AND h NOT IN (SELECT h FROM up)
+ ),
+ merged AS (
+   SELECT COALESCE(c.h, p.h) AS h,
+          COALESCE(p.cnt, 0) + COALESCE(c.n, 0) AS count,
+          CASE WHEN c.n IS NOT NULL
+               THEN CAST(epoch(TIMESTAMP '2020-10-29 12:04:09') AS BIGINT) + 1200
+               ELSE NULL END AS new_exp
+   FROM confirmed c FULL OUTER JOIN prev_live p ON c.h = p.h
+ ),
+ withexp AS (
+   SELECT m.h, m.count,
+          COALESCE(m.new_exp, CAST(epoch(pv.expires_ts) AS BIGINT)) AS expires_unix
+   FROM merged m LEFT JOIN prev pv ON m.h = pv.h
+ ),
+ crossed AS (SELECT h FROM withexp WHERE count >= 5 AND h NOT IN (2, 7)),  -- D4
+ final_bl AS (
+   SELECT CAST(2 AS BIGINT) AS h UNION ALL SELECT 7 UNION ALL SELECT h FROM crossed
+ )
+SELECT 'host' || CAST(w.h AS STRING) || '.onion' AS host,
+       w.count, w.expires_unix,
+       w.h IN (SELECT h FROM final_bl) AS blacklisted
+FROM withexp w
+UNION ALL
+SELECT 'host' || CAST(b.h AS STRING) || '.onion', NULL, NULL, TRUE
+FROM final_bl b WHERE b.h NOT IN (SELECT h FROM withexp)
+"""
+
+
+def q_crawl_2rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-ROUND FLAGSHIP — two chained scheduler rounds over a
+    deterministic in-query universe, pinning seen accumulation, D3 TTL
+    expiry ACROSS rounds, and blacklist promotion feeding the next
+    round's F4 (scheduler_test.go:201-251 chained with
+    blacklister_test.go:113-157).
+
+    Universe: page i (0 ≤ i < N docs) lives on host i%23; its body links
+    to pages (i*7+3)%N, (i*13+11)%N, (i*31+17)%N plus F1/F2/F3 noise.
+    Seeds = i%10==0.  Hosts with h%7==3 time out in round 0 and are
+    promoted to the blacklist before round 1.  Seen0 = pages i%4==0;
+    the i%8==0 half expires between the two round timestamps.
+    """
+    from .operators import blacklister as bl
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+
+    def purl(col):
+        return F.concat(
+            F.lit("http://chost"),
+            (col % 23).cast("string"),
+            F.lit(".onion/p"),
+            col.cast("string"),
+            F.lit(".html"),
+        )
+
+    i = F.col("doc_id")
+    links = [(i * 7 + 3) % n, (i * 13 + 11) % n, (i * 31 + 17) % n]
+    body = F.concat(
+        F.lit('<html><body><a href="'), purl(links[0]),
+        F.lit('">a</a> <a href="'), purl(links[1]),
+        F.lit('">b</a> see '), purl(links[2]),
+        F.lit(' <img src="http://chost'), (i % 23).cast("string"),
+        F.lit(".onion/img"), i.cast("string"),
+        F.lit('.png"> also https://mirror.example.com/x.html'
+              " and ftp://f.onion/dump</body></html>"),
+    )
+    univ = d.select(
+        i.alias("i"), purl(i).alias("url"),
+        F.concat(F.lit("chost"), (i % 23).cast("string"), F.lit(".onion")).alias("host"),
+        body.alias("html"),
+    )
+    ts0 = F.expr("TIMESTAMP '2020-10-29 12:04:09'")
+    ts1 = F.expr("TIMESTAMP '2020-10-29 13:04:09'")
+    seen0 = univ.where("i % 4 = 0").select(
+        fnv1_64(F.col("url")).alias("url_hash"),
+        F.expr(
+            "CASE WHEN i % 8 = 0 THEN TIMESTAMP '2020-10-29 12:30:00' "
+            "ELSE NULL END"
+        ).alias("expires_ts"),
+    )
+
+    # round 0: fetch seeds; hosts h%7==3 time out (no body to extract)
+    seeds = univ.where("i % 10 = 0")
+    fetched0 = seeds.where("(i % 23) % 7 <> 3")
+    new0 = schedule_candidates(
+        fetched0, CFG, seen=seen0, blacklist=[], round_ts=ts0
+    ).persist()
+
+    # blacklister between rounds: seed timeouts promote their hosts
+    timeouts0 = seeds.where("(i % 23) % 7 = 3").select("url", "host")
+    _, bl1 = bl.process_timeouts(
+        timeouts0,
+        bl.empty_host_failures(spark),
+        bl.empty_blacklist(spark),
+        spark.createDataFrame([], "host string, up boolean"),
+        CrawlConfig(blacklist_threshold=1),
+        ts0,
+    )
+
+    # round 1: fetch new0 (timeout hosts still down ⇒ not fetched),
+    # extract, F4 with the PROMOTED blacklist, D1 vs accumulated seen
+    pages1 = univ.join(new0.select("url"), "url")
+    from .operators.scheduler import apply_hostname_blacklist
+
+    fetched1 = apply_hostname_blacklist(
+        pages1.where("(i % 23) % 7 <> 3"), bl1
+    )
+    seen1 = seen0.unionByName(
+        new0.select(
+            "url_hash", F.lit(None).cast("timestamp").alias("expires_ts")
+        )
+    )
+    new1 = schedule_candidates(
+        fetched1, CFG, seen=seen1, blacklist=bl1, round_ts=ts1
+    )
+    out0 = new0.select(F.lit(0).alias("round"), "url", "url_hash", "host")
+    out1 = new1.select(F.lit(1).alias("round"), "url", "url_hash", "host")
+    return out0.unionByName(out1)
+
+
+def _crawl2_oracle_sql() -> str:
+    """DuckDB ground truth for crawl_2rounds: the link graph is computed
+    ARITHMETICALLY (no regex) — the Spark side must reproduce it through
+    real extraction/normalization/filtering of the html bodies."""
+    purl = (
+        "'http://chost' || CAST(({x}) % 23 AS STRING) || '.onion/p' || "
+        "CAST({x} AS STRING) || '.html'"
+    )
+    url_j = purl.format(x="j")
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+ ids AS (SELECT doc_id AS i FROM documents),
+ seeds AS (SELECT i FROM ids WHERE i % 10 = 0),
+ fetched0 AS (SELECT i FROM seeds WHERE (i % 23) % 7 <> 3),
+ cand0 AS (
+   SELECT DISTINCT j FROM (
+     SELECT (i*7+3) % (SELECT n FROM n) AS j FROM fetched0
+     UNION ALL SELECT (i*13+11) % (SELECT n FROM n) FROM fetched0
+     UNION ALL SELECT (i*31+17) % (SELECT n FROM n) FROM fetched0
+   )
+ ),
+ seen0 AS (
+   SELECT i AS j,
+          CASE WHEN i % 8 = 0 THEN TIMESTAMP '2020-10-29 12:30:00'
+               ELSE NULL END AS exp
+   FROM ids WHERE i % 4 = 0
+ ),
+ new0 AS (
+   SELECT j FROM cand0 WHERE j NOT IN (
+     SELECT j FROM seen0
+     WHERE exp IS NULL OR exp > TIMESTAMP '2020-10-29 12:04:09'
+   )
+ ),
+ fetched1 AS (SELECT j AS i FROM new0 WHERE (j % 23) % 7 <> 3),
+ cand1 AS (
+   SELECT DISTINCT j FROM (
+     SELECT (i*7+3) % (SELECT n FROM n) AS j FROM fetched1
+     UNION ALL SELECT (i*13+11) % (SELECT n FROM n) FROM fetched1
+     UNION ALL SELECT (i*31+17) % (SELECT n FROM n) FROM fetched1
+   )
+ ),
+ cand1f AS (SELECT j FROM cand1 WHERE (j % 23) % 7 <> 3),
+ seen1_live AS (
+   SELECT j FROM seen0
+   WHERE exp IS NULL OR exp > TIMESTAMP '2020-10-29 13:04:09'
+   UNION SELECT j FROM new0
+ ),
+ new1 AS (SELECT j FROM cand1f WHERE j NOT IN (SELECT j FROM seen1_live))
+SELECT CAST(0 AS INT) AS round, {url_j} AS url,
+       {duckdb_fnv_signed_sql(url_j)} AS url_hash,
+       'chost' || CAST(j % 23 AS STRING) || '.onion' AS host
+FROM new0
+UNION ALL
+SELECT CAST(1 AS INT), {url_j}, {duckdb_fnv_signed_sql(url_j)},
+       'chost' || CAST(j % 23 AS STRING) || '.onion'
+FROM new1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scheduler_round": q_scheduler_round,
+    "crawl_2rounds": q_crawl_2rounds,
+    "f5_content_type": q_f5_content_type,
+    "f6_redirect_policy": q_f6_redirect_policy,
+    "x7_header_lower": q_x7_header_lower,
+    "x11_duration": q_x11_duration,
+    "d3_ttl_expiry": q_d3_ttl_expiry,
+    "blacklister_round": q_blacklister_round,
     "x2_normalize": q_x2_normalize,
     "x3_fnv_hash": q_x3_fnv,
     "f3_extension_filter": q_f3_extension,
@@ -1073,6 +1518,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "scheduler_round": ORACLE_SCHEDULER_ROUND,
+    "crawl_2rounds": _crawl2_oracle_sql(),
+    "f5_content_type": ORACLE_F5,
+    "f6_redirect_policy": ORACLE_F6,
+    "x7_header_lower": ORACLE_X7,
+    "x11_duration": ORACLE_X11,
+    "d3_ttl_expiry": ORACLE_D3,
+    "blacklister_round": ORACLE_BLACKLISTER,
     "x2_normalize": ORACLE_X2,
     "x3_fnv_hash": ORACLE_X3,
     "f3_extension_filter": ORACLE_F3,
