@@ -1,11 +1,14 @@
 """Multimodal payload plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container ships no image/audio libraries, so the DECODE step is a
-clearly-marked stub (``NotImplementedError`` unless ``fake=True``); the
-Spark-side plumbing — schema, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning — is real and tested.  In production the fake
-kernels swap for Pillow/torchaudio/pyav calls with identical frames.
+DECODE support (r2): codec-FREE formats are decoded for real in pure
+numpy — PPM P6 images (netpbm spec: ASCII header + raw RGB bytes) and
+PCM16 RIFF/WAVE audio (chunk walk → int16 samples).  Only formats that
+genuinely need external codecs (video, jpeg…) remain a clearly-marked
+``NotImplementedError`` stub; the ``fake=True`` path keeps the original
+deterministic stand-in for them.  The Spark-side plumbing — schema,
+Arrow batch shapes, ``mapInPandas`` signatures, partitioning — is real
+and tested either way.
 
 Schema: (item_id long, modality string, payload binary,
          meta map<string,string>).
@@ -14,6 +17,7 @@ Schema: (item_id long, modality string, payload binary,
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -23,6 +27,69 @@ from pyspark.sql import functions as F
 MODALITIES = ("image", "audio", "video")
 
 FEATURE_DIM = 16
+
+
+# --- codec-free encoders/decoders (pure numpy, public formats) -------------
+
+def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal P6 writer (solid color) for fixtures/tests."""
+    px = np.empty((height, width, 3), dtype=np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = rgb
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """P6 PPM → uint8 array (h, w, 3).  Handles comments and arbitrary
+    whitespace per the netpbm spec; maxval must be ≤ 255."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    n = w * h * 3
+    return np.frombuffer(b[pos : pos + n], dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav_pcm16(rate: int, samples: np.ndarray) -> bytes:
+    """Minimal mono PCM16 RIFF/WAVE writer for fixtures/tests."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE chunk walk → (sample_rate, int16 samples).  PCM16 only
+    (format tag 1); multi-channel data is returned interleaved."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, bits, fmt, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, _ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt != 1 or bits != 16 or data is None:
+        raise ValueError("only PCM16 WAV supported")
+    return int(rate), np.frombuffer(data, dtype="<i2")
 
 
 def synth_payloads(spark: SparkSession, n: int, parallelism: int | None = None) -> DataFrame:
@@ -60,37 +127,142 @@ def _fake_features(payloads: pd.Series) -> np.ndarray:
     return out
 
 
+def _real_features(modality: str, b: bytes) -> np.ndarray:
+    """Codec-free real features: PPM images → (w, h, mean/std per RGB
+    channel); PCM16 WAV → (rate, n, mean, rms, min, max).  Zero-padded
+    to FEATURE_DIM.  Video (and any codec'd format) raises — the
+    documented production integration point."""
+    f = np.zeros(FEATURE_DIM, dtype=np.float32)
+    if modality == "image":
+        px = decode_ppm(bytes(b))
+        f[0], f[1] = px.shape[1], px.shape[0]
+        f[2:5] = px.reshape(-1, 3).mean(axis=0)
+        f[5:8] = px.reshape(-1, 3).std(axis=0)
+    elif modality == "audio":
+        rate, s = decode_wav(bytes(b))
+        sf = s.astype(np.float64)
+        f[0], f[1] = rate, len(s)
+        if len(s):
+            f[2] = sf.mean()
+            f[3] = np.sqrt((sf**2).mean())
+            f[4], f[5] = sf.min(), sf.max()
+    else:
+        raise NotImplementedError(
+            f"real decode of modality '{modality}' requires codecs not "
+            "present in this environment (PPM images and PCM16 WAV decode "
+            "for real; pass fake=True for the deterministic stub)"
+        )
+    return f
+
+
 def extract_features(
     df: DataFrame, fake: bool = True, batch_note: str = "decode"
 ) -> DataFrame:
     """(item_id, modality, payload, meta) → (item_id, modality,
     features array<float>, n_bytes).
 
-    ``fake=False`` requires real codecs and raises NotImplementedError —
-    the production integration point.  The mapInPandas batch shape
-    (iterator of pdf in, pdf out, arrow-typed array column) is exactly
-    what a real decoder would use.
+    ``fake=False`` decodes codec-free payloads FOR REAL (PPM via
+    decode_ppm, PCM16 WAV via decode_wav) and raises
+    NotImplementedError for video/codec'd formats — the production
+    integration point.  The mapInPandas batch shape (iterator of pdf
+    in, pdf out, arrow-typed array column) is identical either way.
     """
     schema = "item_id long, modality string, features array<float>, n_bytes long"
 
     def _run(batches):
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    f"real {batch_note} requires image/audio codecs not present "
-                    "in this environment; pass fake=True for the deterministic stub"
-                )
-            feats = _fake_features(pdf["payload"])
+            if fake:
+                feats = list(_fake_features(pdf["payload"]))
+            else:
+                feats = [
+                    _real_features(m, b)
+                    for m, b in zip(pdf["modality"], pdf["payload"])
+                ]
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
                     "modality": pdf["modality"],
-                    "features": list(feats),
+                    "features": feats,
                     "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
                 }
             )
 
     return df.mapInPandas(_run, schema=schema)
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Real-decode stats with driver-checkable integer outputs:
+    (item_id, modality, width, height, mean_r, mean_g, mean_b,
+    sample_rate, n_samples, mean_amp) — image/audio columns NULL for
+    the other modality.  All decoding is the real numpy PPM/WAV path."""
+    schema = (
+        "item_id long, modality string, width long, height long, "
+        "mean_r long, mean_g long, mean_b long, "
+        "sample_rate long, n_samples long, mean_amp long"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for iid, m, b in zip(pdf["item_id"], pdf["modality"], pdf["payload"]):
+                r = {"item_id": int(iid), "modality": m, "width": None,
+                     "height": None, "mean_r": None, "mean_g": None,
+                     "mean_b": None, "sample_rate": None, "n_samples": None,
+                     "mean_amp": None}
+                if m == "image":
+                    px = decode_ppm(bytes(b))
+                    ch = px.reshape(-1, 3).mean(axis=0)
+                    r.update(width=px.shape[1], height=px.shape[0],
+                             mean_r=int(round(ch[0])), mean_g=int(round(ch[1])),
+                             mean_b=int(round(ch[2])))
+                elif m == "audio":
+                    rate, s = decode_wav(bytes(b))
+                    r.update(sample_rate=rate, n_samples=len(s),
+                             mean_amp=int(round(float(s.astype(np.float64).mean()))))
+                rows.append(r)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_run, schema=schema)
+
+
+def synth_codec_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL payloads from an id column — even ids become a
+    solid-color P6 PPM, odd ids a constant-amplitude PCM16 WAV.  The
+    pixel/sample arithmetic is mirrored in the DuckDB oracle of the
+    ``multimodal_decode`` contract query, so the decode path is pinned
+    end-to-end (header parse, byte layout, channel stats)."""
+
+    def _run(batches):
+        for pdf in batches:
+            ids, modality, payload = [], [], []
+            for iid in pdf[id_col]:
+                i = int(iid)
+                ids.append(i)
+                if i % 2 == 0:
+                    modality.append("image")
+                    payload.append(
+                        encode_ppm(
+                            4 + i % 5, 3 + i % 4,
+                            (i % 256, (i * 7) % 256, (i * 13) % 256),
+                        )
+                    )
+                else:
+                    modality.append("audio")
+                    n = 16 + i % 17
+                    amp = (i % 2001) - 1000
+                    payload.append(
+                        encode_wav_pcm16(
+                            8000 + (i % 4) * 2000,
+                            np.full(n, amp, dtype=np.int16),
+                        )
+                    )
+            yield pd.DataFrame(
+                {"item_id": ids, "modality": modality, "payload": payload}
+            )
+
+    return df.select(id_col).mapInPandas(
+        _run, schema="item_id long, modality string, payload binary"
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:

@@ -4,8 +4,19 @@ The batch engine dedupes per round (D1/D2); a live deployment that
 consumes a continuous URL stream needs the same semantics online.  This
 is the ``applyInPandasWithState`` pattern from the north-star guidance:
 state is keyed by a hash shard (bounded key cardinality, each shard's
-state is a compact uint64 hash set), every micro-batch emits only the
-URLs whose hash was never seen in any earlier batch.
+state is a compact packed-binary hash set), every micro-batch emits only
+the URLs whose hash was never seen in any earlier batch.
+
+State layout (r2 — the r1 CSV-string state re-parsed and re-serialized
+every hash every batch, VERDICT r1 #8): ``array<binary>`` of SORTED
+int64 chunks.  A micro-batch appends ONE new chunk (its own novel
+hashes) and probes existing chunks zero-copy via ``np.frombuffer`` +
+``searchsorted`` — per-batch python work is O(batch · log state) +
+one chunk append, not O(state) string formatting.  Chunks are
+merge-compacted when their count exceeds ``compact_chunks`` (amortized,
+like an LSM level-0 roll-up), and ``max_state_hashes`` bounds each
+shard's state by evicting the OLDEST chunks (approximate-LRU TTL hook —
+the reference's refresh-delay expiry analogue for the online path).
 
 Exactness matches the batch engine: first occurrence wins, duplicates
 within and across micro-batches are dropped.  State survives process
@@ -15,11 +26,14 @@ parquet); the memory sink cannot recover from a checkpoint.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -27,46 +41,95 @@ from pyspark.sql.types import (
 )
 
 N_SHARDS_DEFAULT = 64
+COMPACT_CHUNKS_DEFAULT = 8
 
 OUTPUT_SCHEMA = StructType(
     [StructField("url", StringType()), StructField("url_hash", LongType())]
 )
-STATE_SCHEMA = StructType([StructField("seen", StringType())])  # csv of hashes
+STATE_SCHEMA = StructType(
+    [
+        StructField("chunks", ArrayType(BinaryType())),  # sorted int64 runs
+        StructField("n", LongType()),
+    ]
+)
 
 
-def _dedup_shard(key, pdfs, state: GroupState):
-    seen: set[int] = set()
-    if state.exists:
-        (csv,) = state.get
-        if csv:
-            seen = {int(x) for x in csv.split(",")}
-    out_urls: list[str] = []
-    out_hashes: list[int] = []
-    for pdf in pdfs:
-        for url, h in zip(pdf["url"], pdf["url_hash"]):
-            h = int(h)
-            if h not in seen:
-                seen.add(h)
-                out_urls.append(url)
-                out_hashes.append(h)
-    state.update((",".join(str(x) for x in sorted(seen)),))
-    yield pd.DataFrame({"url": out_urls, "url_hash": out_hashes})
+def _probe_chunks(chunks: list[np.ndarray], h: np.ndarray) -> np.ndarray:
+    """True where h is present in any sorted chunk (vectorized)."""
+    seen = np.zeros(len(h), dtype=bool)
+    for c in chunks:
+        if c.size == 0:
+            continue
+        idx = np.searchsorted(c, h)
+        in_range = idx < c.size
+        hit = np.zeros(len(h), dtype=bool)
+        hit[in_range] = c[idx[in_range]] == h[in_range]
+        seen |= hit
+    return seen
+
+
+def make_dedup_shard(
+    compact_chunks: int = COMPACT_CHUNKS_DEFAULT,
+    max_state_hashes: int | None = None,
+):
+    """Build the per-shard stateful kernel (parameterized, picklable)."""
+
+    def _dedup_shard(key, pdfs, state: GroupState):
+        chunks: list[np.ndarray] = []
+        if state.exists:
+            raw, _n = state.get
+            chunks = [np.frombuffer(c, dtype="<i8") for c in (raw or [])]
+        out = []
+        fresh: list[np.ndarray] = []
+        for pdf in pdfs:
+            h = pdf["url_hash"].to_numpy(dtype=np.int64)
+            # in-batch first-occurrence + cross-batch/cross-chunk probe
+            first = ~pd.Index(h).duplicated(keep="first")
+            novel = first & ~_probe_chunks(chunks + fresh, h)
+            if novel.any():
+                nh = np.sort(h[novel])
+                fresh.append(nh)
+                out.append(pdf.loc[novel, ["url", "url_hash"]])
+        if fresh:
+            chunks.append(np.sort(np.concatenate(fresh)) if len(fresh) > 1 else fresh[0])
+        if len(chunks) > compact_chunks:  # LSM-style roll-up, amortized
+            chunks = [np.sort(np.concatenate(chunks))]
+        if max_state_hashes is not None:  # eviction hook: oldest chunks out
+            while len(chunks) > 1 and sum(c.size for c in chunks) > max_state_hashes:
+                chunks.pop(0)
+        state.update(
+            ([c.astype("<i8").tobytes() for c in chunks],
+             int(sum(c.size for c in chunks)))
+        )
+        yield (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame({"url": pd.Series([], dtype=object),
+                               "url_hash": pd.Series([], dtype=np.int64)})
+        )
+
+    return _dedup_shard
 
 
 def streaming_seen_dedup(
-    url_stream: DataFrame, n_shards: int = N_SHARDS_DEFAULT
+    url_stream: DataFrame,
+    n_shards: int = N_SHARDS_DEFAULT,
+    compact_chunks: int = COMPACT_CHUNKS_DEFAULT,
+    max_state_hashes: int | None = None,
 ) -> DataFrame:
     """url_stream(url, url_hash) → first-occurrence stream.
 
     Keyed by ``url_hash % n_shards`` so state is hash-partitioned across
-    executors exactly like the batch seen table; at real scale the state
-    store backend (RocksDB) holds each shard.
+    executors exactly like the batch seen table; size ``n_shards`` to a
+    small multiple of the executor-core count (it caps the operator's
+    parallelism); at real scale the state store backend (RocksDB) holds
+    each shard.
     """
     keyed = url_stream.withColumn(
         "_shard", F.pmod(F.col("url_hash"), F.lit(n_shards))
     )
     return keyed.groupBy("_shard").applyInPandasWithState(
-        _dedup_shard,
+        make_dedup_shard(compact_chunks, max_state_hashes),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -119,3 +119,31 @@ def test_embedding_near_dup(spark):
     pairs = {(r["id_a"], r["id_b"]): r["cos3"] for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.9).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert len(pairs) == 1
+
+
+def test_embedding_near_dup_tiled_matches_single_tile(spark):
+    """r2 tiling (driver holds ≤ tile_rows vectors at once): forcing
+    many tiles must reproduce the single-tile pair set exactly —
+    including cross-tile pairs — with no duplicates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant near-dups across the id range (so pairs straddle tiles)
+    for i in (0, 13, 29):
+        rows.append((100 + i, (base[i] + rng.standard_normal(16) * 0.01).tolist()))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+    one = {(r["id_a"], r["id_b"], r["cos3"])
+           for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.95).collect()}
+    many_df = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", 0.95, tile_rows=8
+    )
+    many_rows = many_df.collect()
+    many = {(r["id_a"], r["id_b"], r["cos3"]) for r in many_rows}
+    assert len(many_rows) == len(many), "tiling must not duplicate pairs"
+    assert one == many and len(one) >= 3

@@ -72,6 +72,81 @@ def test_crawl_after_compaction(spark, tmp_path):
     pages.unpersist()
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level tests."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _run_batch(kernel, state, urls, hashes):
+    import pandas as pd
+
+    (out,) = list(
+        kernel((0,), [pd.DataFrame({"url": urls, "url_hash": hashes})], state)
+    )
+    return sorted(out["url_hash"].tolist())
+
+
+def test_dedup_shard_binary_state_chunks():
+    """r2 state layout: one sorted binary chunk appended per batch,
+    LSM-compacted past the chunk cap — never a CSV re-serialization."""
+    import numpy as np
+
+    from bathyscaphe_spark.streaming.stateful import make_dedup_shard
+
+    kernel = make_dedup_shard(compact_chunks=3)
+    st = _FakeState()
+    # batch 1: 0..99 novel; internal dup of 5 dropped
+    got = _run_batch(kernel, st, [f"u{i}" for i in range(100)] + ["u5"],
+                     list(range(100)) + [5])
+    assert got == list(range(100))
+    chunks, n = st.get
+    assert n == 100 and len(chunks) == 1
+    assert np.frombuffer(chunks[0], dtype="<i8").tolist() == list(range(100))
+    # batch 2: half replays, half novel → one MORE chunk, replays dropped
+    got = _run_batch(kernel, st, [f"u{i}" for i in range(50, 150)],
+                     list(range(50, 150)))
+    assert got == list(range(100, 150))
+    chunks, n = st.get
+    assert n == 150 and len(chunks) == 2
+    # two more batches exceed compact_chunks=3 → rolled into one run
+    _run_batch(kernel, st, ["a"], [1000])
+    _run_batch(kernel, st, ["b"], [2000])
+    chunks, n = st.get
+    assert n == 152 and len(chunks) == 1
+    run = np.frombuffer(chunks[0], dtype="<i8")
+    assert run.size == 152 and (np.diff(run) > 0).all()
+
+
+def test_dedup_shard_eviction_hook():
+    """max_state_hashes drops the OLDEST chunks: evicted hashes become
+    re-emittable (the online analogue of D3 refresh-delay expiry)."""
+    from bathyscaphe_spark.streaming.stateful import make_dedup_shard
+
+    kernel = make_dedup_shard(compact_chunks=100, max_state_hashes=150)
+    st = _FakeState()
+    _run_batch(kernel, st, [f"a{i}" for i in range(100)], list(range(100)))
+    _run_batch(kernel, st, [f"b{i}" for i in range(100)],
+               list(range(100, 200)))
+    chunks, n = st.get
+    assert n == 100  # oldest chunk evicted to respect the bound
+    # evicted hash 5 is seen again → re-emitted (expired, like D3)
+    got = _run_batch(kernel, st, ["a5", "b5"], [5, 105])
+    assert got == [5]
+
+
 def test_streaming_seen_dedup(spark, tmp_path):
     """applyInPandasWithState dedup: duplicates across micro-batches are
     dropped; first occurrence survives."""
