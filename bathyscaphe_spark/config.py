@@ -81,38 +81,55 @@ class CrawlConfig:
             mt.content_type for mt in self.allowed_mime_types if mt.content_type
         )
 
+    def with_updates(self, raw: dict) -> "CrawlConfig":
+        """Overlay reference-ConfigAPI-shaped keys (client.go:17-50) on
+        this config — the S11 runtime-mutation path: values come from
+        the catalog's committed ``config`` state table and take effect
+        at the next round boundary (see state/configstore.py)."""
+        import dataclasses
+
+        kwargs = _configapi_kwargs(raw)
+        return dataclasses.replace(self, **kwargs) if kwargs else self
+
     @staticmethod
     def from_json(path: str) -> "CrawlConfig":
         with open(path) as f:
             raw = json.load(f)
-        mimes = tuple(
-            MimeType(m.get("content-type", ""), tuple(m.get("extensions", ())))
-            for m in raw.get("allowed-mime-types", ())
-        )
-        kwargs = {}
-        if mimes:
-            kwargs["allowed_mime_types"] = mimes
-        if "forbidden-hostnames" in raw:
-            kwargs["forbidden_hostnames"] = tuple(
-                h["hostname"] if isinstance(h, dict) else h
-                for h in raw["forbidden-hostnames"]
-            )
-        def _secs(v, default: int) -> int:
-            """Accept integer seconds or a '50d'-style duration string
-            (X11); invalid strings fall back to the default, matching
-            the reference's -1-means-unset contract."""
-            if isinstance(v, str):
-                parsed = parse_duration_s(v)
-                return int(parsed) if parsed >= 0 else default
-            return int(v)
+        return CrawlConfig(**_configapi_kwargs(raw))
 
-        if "refresh-delay" in raw:
-            kwargs["refresh_delay_s"] = _secs(raw["refresh-delay"].get("delay", 0), 0)
-        if "blacklist-config" in raw:
-            bc = raw["blacklist-config"]
-            kwargs["blacklist_threshold"] = int(bc.get("threshold", 5))
-            kwargs["blacklist_ttl_s"] = _secs(bc.get("ttl", 1200), 1200)
-        return CrawlConfig(**kwargs)
+
+def _secs(v, default: int) -> int:
+    """Accept integer seconds or a '50d'-style duration string (X11);
+    invalid strings fall back to the default, matching the reference's
+    -1-means-unset contract."""
+    if isinstance(v, str):
+        parsed = parse_duration_s(v)
+        return int(parsed) if parsed >= 0 else default
+    return int(v)
+
+
+def _configapi_kwargs(raw: dict) -> dict:
+    """ConfigAPI JSON keys → CrawlConfig kwargs (shared by from_json and
+    the runtime with_updates overlay)."""
+    mimes = tuple(
+        MimeType(m.get("content-type", ""), tuple(m.get("extensions", ())))
+        for m in raw.get("allowed-mime-types", ())
+    )
+    kwargs: dict = {}
+    if mimes:
+        kwargs["allowed_mime_types"] = mimes
+    if "forbidden-hostnames" in raw:
+        kwargs["forbidden_hostnames"] = tuple(
+            h["hostname"] if isinstance(h, dict) else h
+            for h in raw["forbidden-hostnames"]
+        )
+    if "refresh-delay" in raw:
+        kwargs["refresh_delay_s"] = _secs(raw["refresh-delay"].get("delay", 0), 0)
+    if "blacklist-config" in raw:
+        bc = raw["blacklist-config"]
+        kwargs["blacklist_threshold"] = int(bc.get("threshold", 5))
+        kwargs["blacklist_ttl_s"] = _secs(bc.get("ttl", 1200), 1200)
+    return kwargs
 
 
 DEFAULT_CONFIG = CrawlConfig()

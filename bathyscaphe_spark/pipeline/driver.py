@@ -88,6 +88,8 @@ def crawl(
         ) + 1
         seen_count = None
 
+    from ..state.configstore import load_config
+
     stats: list[RoundStats] = []
     for round_n in range(start, max_rounds):
         frontier = catalog.read_round("frontier", round_n)
@@ -96,11 +98,15 @@ def crawl(
         if config.bloom_enabled and seen_count is None:
             seen_df = catalog.read_deltas("seen")
             seen_count = seen_df.count() if seen_df is not None else 0
+        # S11: overlay any runtime config mutation (set_config) published
+        # since the last boundary — the reference's ConfigAPI pub/sub
+        # reload, at round granularity
+        round_config = load_config(catalog, config)
         s = run_round(
             catalog,
             pages,
             host_status,
-            config,
+            round_config,
             round_n,
             seen_count_hint=seen_count,
         )

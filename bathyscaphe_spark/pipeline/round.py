@@ -169,10 +169,20 @@ def run_round(
     # (falls back to the broadcast anti-join DataFrame form when large)
     from ..operators.scheduler import _F4_EXPR_MAX
 
+    # F4 source = the blacklister's promoted state UNION the config's
+    # forbidden-hostnames (S11: mutable at round boundaries via
+    # state/configstore.set_config — mirrors the reference where both
+    # the blacklister and operators PUT into the same ConfigAPI key)
     _bl_head = [r[0] for r in blacklist_df.limit(_F4_EXPR_MAX + 1).collect()]
-    blacklist_pred = (
-        tuple(_bl_head) if len(_bl_head) <= _F4_EXPR_MAX else blacklist_df
-    )
+    _conf_bl = list(config.forbidden_hostnames)
+    if len(_bl_head) <= _F4_EXPR_MAX:
+        blacklist_pred = tuple(sorted(set(_bl_head) | set(_conf_bl)))
+    elif _conf_bl:
+        blacklist_pred = blacklist_df.unionByName(
+            spark.createDataFrame([(h,) for h in _conf_bl], "hostname string")
+        )
+    else:
+        blacklist_pred = blacklist_df
     host_failures = catalog.read_state("host_failures")
     if host_failures is None:
         host_failures = bl.empty_host_failures(spark)

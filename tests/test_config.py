@@ -64,3 +64,53 @@ def test_local_sink_partitioned_write(spark, tmp_path):
     assert rows["http://b.onion"]["scheme"] == "http"
     assert rows["http://b.onion"]["sink_path"] == "http/b.onion/1603973049"
     assert rows["https://a.onion/x.html"]["sink_path"].count("/") == 3
+
+
+def test_with_updates_overlay():
+    """S11: ConfigAPI-shaped overlay on a frozen base config."""
+    from bathyscaphe_spark.config import CrawlConfig
+
+    cfg = CrawlConfig()
+    cfg2 = cfg.with_updates(
+        {
+            "refresh-delay": {"delay": "1h"},
+            "allowed-mime-types": [
+                {"content-type": "text/plain", "extensions": ["txt"]}
+            ],
+        }
+    )
+    assert cfg2.refresh_delay_s == 3600
+    assert cfg2.allowed_extensions == ("txt",)
+    assert cfg.refresh_delay_s == 0 and cfg.allowed_extensions != ("txt",)
+    assert cfg.with_updates({}) is cfg
+
+
+def test_runtime_config_mutation_mid_crawl(spark, tmp_path):
+    """S11 end-to-end: set_config() between rounds of a RUNNING crawl
+    forbids a hostname; the very next round stops fetching and stops
+    discovering URLs on it — no restart, no JSON editing."""
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.pipeline.synth import build_pages, build_seeds
+    from bathyscaphe_spark.state.configstore import load_config, set_config
+    from bathyscaphe_spark.state.tables import TableCatalog
+
+    pages = build_pages(spark, 800, n_hosts=20, links_per_page=4).persist()
+    seeds = build_seeds(spark, pages, 6)
+    cfg = CrawlConfig(bloom_enabled=False)
+    root = str(tmp_path / "s")
+    crawl(spark, pages, seeds, root, cfg, max_rounds=2)
+    cat = TableCatalog(spark, root)
+    upcoming = cat.read_round("frontier", 2)
+    target = sorted(
+        r["host"] for r in upcoming.select("host").distinct().collect()
+    )[0]
+    set_config(cat, {"forbidden-hostnames": [target]})
+    assert load_config(cat, cfg).forbidden_hostnames == (target,)
+
+    crawl(spark, pages, None, root, cfg, max_rounds=4)
+    for rn in (3, 4):
+        f = cat.read_round("frontier", rn)
+        if f is not None:
+            assert f.where(f.host == target).count() == 0, rn
+    pages.unpersist()
