@@ -19,19 +19,29 @@ HERE = Path(__file__).resolve().parent
 REPO = HERE.parent
 
 
-def run_once(cores: int, n_pages: int) -> dict:
-    state = tempfile.mkdtemp(prefix=f"scal{cores}_")
-    try:
-        out = subprocess.run(
-            [sys.executable, str(HERE / "scaling_worker.py"), str(cores), state, str(n_pages)],
-            capture_output=True, text=True, cwd=str(REPO), timeout=3600,
-        )
-        for line in out.stdout.replace("\r", "\n").splitlines():
-            if line.startswith("{"):
-                return json.loads(line)
-        raise RuntimeError(f"no JSON from worker ({cores} cores): {out.stderr[-2000:]}")
-    finally:
-        shutil.rmtree(state, ignore_errors=True)
+def run_once(cores: int, n_pages: int, attempts: int = 2) -> dict:
+    import os
+
+    env = dict(os.environ)
+    # dedicated workers get a roomy heap: the 9.6M-page cached universe
+    # plus 8-16 concurrent build tasks overflow the 8g default
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
+    last_err = ""
+    for _ in range(attempts):
+        state = tempfile.mkdtemp(prefix=f"scal{cores}_")
+        try:
+            out = subprocess.run(
+                [sys.executable, str(HERE / "scaling_worker.py"), str(cores), state, str(n_pages)],
+                capture_output=True, text=True, cwd=str(REPO), timeout=3600,
+                env=env,
+            )
+            for line in out.stdout.replace("\r", "\n").splitlines():
+                if line.startswith("{"):
+                    return json.loads(line)
+            last_err = out.stderr[-2000:]
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+    raise RuntimeError(f"no JSON from worker ({cores} cores): {last_err}")
 
 
 def main() -> None:

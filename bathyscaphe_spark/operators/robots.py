@@ -1,18 +1,77 @@
-"""robots.txt-style path filtering (north-rule addition — the reference
-has no robots handling; blacklisting is its only crawl-policy filter).
+"""robots.txt parsing + path filtering (north-rule addition — the
+reference has no robots handling; blacklisting is its only crawl-policy
+filter).
 
-Model: a ``robots`` table (host, disallow: array<string> of path
-prefixes), expanded to (host, prefix) rows.  A candidate URL is excluded
-when its host has a disallow prefix that prefixes the candidate's path —
-a broadcast theta anti-join exactly like F4, equality on host plus
-``startswith`` on path.  The robots table is per-host tiny (even at
-10^10 URLs it is bounded by host count) — always the broadcast side.
+Model: fetched ``/robots.txt`` bodies parse into a ``robots`` table
+(host, disallow: array<string> of path prefixes) via the standard
+robots exclusion grammar (public spec: user-agent groups, Disallow
+lines, '#' comments, empty-Disallow-means-unrestricted); candidates are
+excluded when their host has a disallow prefix that prefixes the
+candidate's path — a broadcast theta anti-join exactly like F4,
+equality on host plus ``startswith`` on path.  The robots table is
+per-host tiny (even at 10^10 URLs it is bounded by host count) —
+always the broadcast side.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+
+def parse_robots_py(text: str, agent: str = "*") -> list[str]:
+    """Disallow prefixes applying to ``agent`` per the robots exclusion
+    standard: consecutive User-agent lines open a group; a group applies
+    when any of its agents is '*' or matches; empty Disallow values are
+    unrestricted (skipped); '#' starts a comment; Allow lines only
+    terminate the agent run (prefix semantics keep this engine
+    deny-only, like most minimal crawlers)."""
+    groups: list[tuple[list[str], list[str]]] = []
+    agents: list[str] = []
+    dis: list[str] = []
+    in_body = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_body:
+                groups.append((agents, dis))
+                agents, dis, in_body = [], [], False
+            agents.append(val)
+        elif key in ("disallow", "allow"):
+            in_body = True
+            if key == "disallow" and val:
+                dis.append(val)
+    if agents or dis:
+        groups.append((agents, dis))
+    agent = agent.lower()
+    out: list[str] = []
+    for grp_agents, grp_dis in groups:
+        if any(a == "*" or a.lower() == agent for a in grp_agents):
+            out.extend(grp_dis)
+    return out
+
+
+@pandas_udf(ArrayType(StringType()))
+def parse_robots(text: pd.Series) -> pd.Series:
+    """robots.txt body → array of '*'-group Disallow prefixes."""
+    return text.map(parse_robots_py)
+
+
+def robots_table_from_fetch(fetched: DataFrame, body_col: str = "html") -> DataFrame:
+    """(host, <body>) rows of fetched /robots.txt files → the ``robots``
+    full-state table shape (host, disallow array<string>)."""
+    body = F.col(body_col)
+    body = F.when(body.isNotNull(), body.cast("string")).otherwise(F.lit(""))
+    return fetched.select(
+        "host", parse_robots(body).alias("disallow")
+    ).where(F.size("disallow") > 0)
 
 
 def expand_robots(robots: DataFrame) -> DataFrame:

@@ -1531,6 +1531,37 @@ FROM new1
 """
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt PARSER (operators/robots.py parse_robots): user-agent
+    group selection ('*' group only), comment stripping, empty-Disallow
+    skipping, Allow lines not terminating the group.  The oracle knows
+    the synthesized file's structure arithmetically."""
+    from .operators.robots import parse_robots
+
+    d = _docs(spark, sf_dir)
+    text = F.expr(
+        "'User-agent: googlebot\nDisallow: /gb' || CAST(doc_id AS STRING) || "
+        "'\n\nUser-agent: *\n# crawl policy\nDisallow: /private' || "
+        "CAST(doc_id % 7 AS STRING) || '\nDisallow: /tmp' || "
+        "CAST(doc_id % 3 AS STRING) || '\nAllow: /public\n' || "
+        "CASE WHEN doc_id % 5 = 0 THEN 'Disallow:\n' "
+        "ELSE 'Disallow: /extra\n' END"
+    )
+    return d.select(
+        F.col("doc_id"),
+        F.explode(parse_robots(text)).alias("prefix"),
+    )
+
+
+ORACLE_ROBOTS_PARSE = """
+SELECT doc_id, '/private' || CAST(doc_id % 7 AS STRING) AS prefix FROM documents
+UNION ALL
+SELECT doc_id, '/tmp' || CAST(doc_id % 3 AS STRING) FROM documents
+UNION ALL
+SELECT doc_id, '/extra' FROM documents WHERE doc_id % 5 <> 0
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec-free multimodal decode: deterministic P6 PPM / PCM16
     WAV payloads are synthesized from doc_id, then parsed back by the
@@ -1589,6 +1620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "robots_filter": q_robots_filter,
+    "robots_parse": q_robots_parse,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "token_count": q_token_count,
@@ -1637,6 +1669,7 @@ ORACLES: dict[str, str] = {
     # exact top-k in-plan and the oracle pins recall_ok = TRUE per query
     "ann_lsh_topk": ORACLE_ANN_RECALL,
     "robots_filter": ORACLE_ROBOTS,
+    "robots_parse": ORACLE_ROBOTS_PARSE,
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "token_count": ORACLE_TOKEN_COUNT,
