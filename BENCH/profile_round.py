@@ -28,22 +28,23 @@ def main() -> None:
     from bathyscaphe_spark.state import tables as state_tables
     from bathyscaphe_spark.state.tables import TableCatalog
 
+    buckets = max(cores * 2, n_pages // 150_000)
     spark = build_session(
         app_name=f"prof-round-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=cores * 2,
+        shuffle_partitions=buckets,
     )
     n_hosts = n_pages // 200
     pages = build_pages(
         spark, n_pages=n_pages, n_hosts=n_hosts, links_per_page=8,
-        parallelism=cores * 2,
-    ).repartition(cores * 2, "url").persist()
+        parallelism=buckets,
+    ).drop("text").repartition(buckets, "url").persist()
     pages.count()
     host_status = build_host_status(pages).persist()
     host_status.count()
 
     from bathyscaphe_spark.functions.fnv import fnv1_64
 
-    rng = spark.range(0, n_pages, 2, cores * 2)
+    rng = spark.range(0, n_pages, 2, buckets)
     frontier = rng.select(url_for(F.col("id"), n_hosts).alias("url")).select(
         "url",
         fnv1_64(F.col("url")).alias("url_hash"),
@@ -54,7 +55,7 @@ def main() -> None:
         F.lit(0).alias("round"),
     )
     seen = (
-        spark.range(0, n_pages, 3, cores * 2)
+        spark.range(0, n_pages, 3, buckets)
         .select(url_for(F.col("id"), n_hosts).alias("url"))
         .select(
             fnv1_64(F.col("url")).alias("url_hash"),

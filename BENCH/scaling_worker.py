@@ -35,20 +35,29 @@ def main() -> None:
     from bathyscaphe_spark.session import build_session
     from bathyscaphe_spark.state.tables import TableCatalog
 
+    # Bucket count is a property of the DATA, not the cluster (Iceberg
+    # bucket(url) picks it by table size): with cores*2 buckets a 9.6M-page
+    # universe put 0.8-3 GB of html in every cached partition and the fetch
+    # join ran SLOWER at 8 cores than 2 (memory thrash).  ~150k pages/bucket
+    # keeps partitions sane at every parallelism level; AQE coalesces the
+    # small side as needed.
+    buckets = max(cores * 2, n_pages // 150_000)
     spark = build_session(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores * 2,
+        shuffle_partitions=buckets,
     )
     n_hosts = n_pages // 200
 
     t0 = time.perf_counter()
     # bucketed by url: the fetch join reuses this partitioning and only
-    # shuffles the frontier side (Iceberg bucket(url) at real scale)
+    # shuffles the frontier side (Iceberg bucket(url) at real scale);
+    # the precomputed text column is dropped before caching — the crawl
+    # never reads it and it doubled the cached bytes (r2 finding)
     pages = build_pages(
         spark, n_pages=n_pages, n_hosts=n_hosts, links_per_page=8,
-        parallelism=cores * 2,
-    ).repartition(cores * 2, "url").persist()
+        parallelism=buckets,
+    ).drop("text").repartition(buckets, "url").persist()
     pages.count()
     host_status = build_host_status(pages).persist()
     host_status.count()
@@ -58,7 +67,7 @@ def main() -> None:
     frontier_sz = n_pages // 2
     from bathyscaphe_spark.functions.fnv import fnv1_64
 
-    rng = spark.range(0, n_pages, 2, cores * 2)
+    rng = spark.range(0, n_pages, 2, buckets)
     frontier = rng.select(
         url_for(F.col("id"), n_hosts).alias("url")
     ).select(
@@ -73,7 +82,7 @@ def main() -> None:
 
     # seen set: hashes of every 3rd page's URL (overlaps link targets)
     seen = (
-        spark.range(0, n_pages, 3, cores * 2)
+        spark.range(0, n_pages, 3, buckets)
         .select(url_for(F.col("id"), n_hosts).alias("url"))
         .select(
             fnv1_64(F.col("url")).alias("url_hash"),
