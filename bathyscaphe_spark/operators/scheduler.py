@@ -116,11 +116,32 @@ def _extract_batch(pdf: pd.DataFrame, body_col: str, carry: list[str]) -> pd.Dat
     return out[["src_url", *carry, "url", "url_hash", "host", "scheme", "path"]]
 
 
+def _allowed_candidate_re(allowed_exts: tuple[str, ...]):
+    """ONE compiled regex encoding F1 (.onion host, port-tolerant) + F2
+    (http* scheme) + F3 (allowed extension OR dot-free last segment) over
+    a NORMALIZED url, capturing the port-less host as group 1.
+
+    A single ``str.extract`` pass replaces ~10 per-filter pandas passes —
+    the r2.0 in-kernel filter chain was bandwidth-optimal but CPU-heavy
+    (it lost at high core counts where CPU, not the Arrow pipe, is the
+    scarce resource).  Match failure ⇒ filtered; group 1 ⇒ host.
+    """
+    ext_alt = "|".join(_re.escape(e) for e in allowed_exts) or "(?!)"
+    return _re.compile(
+        r"^http[a-z0-9+.-]*://"          # F2: scheme has prefix 'http'
+        r"(?:[^/?#]*@)?"                 # userinfo stripped from host
+        r"([^/?#]*\.onion)(?::\d*)?"     # F1: host ends '.onion'; port ok
+        r"(?:/(?:[^?#]*/)?"              # F3 on the last path segment:
+        rf"(?:[^/.?#]*|[^/?#]*\.(?i:{ext_alt})))?"  # no dot | allowed ext
+        r"(?:\?[^#]*)?$"
+    )
+
+
 def _extract_filter_batch(
     pdf: pd.DataFrame,
     body_col: str,
     carry: list[str],
-    allowed_exts: tuple[str, ...],
+    cand_re,
     forbidden: tuple[str, ...],
 ) -> pd.DataFrame:
     """One Arrow batch: bodies → filtered candidate rows with the MINIMAL
@@ -129,9 +150,9 @@ def _extract_filter_batch(
     The r1 kernel replicated the parent's url string per candidate and
     shipped scheme/path strings back just to be filtered JVM-side — at
     9.6M-page scale that Arrow traffic was the bandwidth ceiling behind
-    the 0.423 N→4N efficiency.  F1-F4 now run in-kernel (vectorized
-    pandas, C loops), so rejected candidates never cross the pipe and
-    survivors carry ~half the bytes."""
+    the 0.423 N→4N efficiency.  F1-F3 + host parsing are ONE combined
+    regex pass (``cand_re``), F4 a contains loop — rejected candidates
+    never cross the pipe and survivors carry ~half the bytes."""
     bodies = pdf[body_col].fillna("")
     found = bodies.str.findall(URL_RE)
     counts = found.str.len().to_numpy(dtype=np.int64)
@@ -152,27 +173,13 @@ def _extract_filter_batch(
         slow = urls[~normal].map(normalize_url_py)
         urls = urls.copy()
         urls[~normal] = slow
-    keep = urls.notna().to_numpy(dtype=bool)
-
-    parts = urls.str.extract(_PARTS_RE)
-    netloc = parts[1].str.rpartition("@")[2]
-    host = netloc.str.replace(r":\d*$", "", regex=True)
-    path = parts[2].fillna("")
-    # F1 .onion / F2 http* (scheduler.go:150-158)
-    keep &= host.str.endswith(".onion").fillna(False).to_numpy(dtype=bool)
-    keep &= parts[0].str.startswith("http").fillna(False).to_numpy(dtype=bool)
-    # F3 extension allowlist + no-extension fallback (scheduler.go:160-189)
-    lowered = path.str.lower()
-    by_ext = np.zeros(len(urls), dtype=bool)
-    for ext in allowed_exts:
-        by_ext |= lowered.str.endswith("." + ext).to_numpy(dtype=bool)
-    no_ext = ~path.str.rpartition("/")[2].str.contains(".", regex=False).to_numpy(
-        dtype=bool
-    )
-    keep &= by_ext | no_ext
+    # F1+F2+F3 + host extraction in one C pass; null url (unparseable
+    # normalize) and non-matching candidates both yield NaN host
+    host = urls.str.extract(cand_re, expand=False)
+    keep = host.notna().to_numpy(dtype=bool)
     # F4 substring-contains blacklist (constraint/hostname.go:21-25)
     for h in forbidden:
-        keep &= ~host.str.contains(h, regex=False).fillna(False).to_numpy(dtype=bool)
+        keep &= ~host.str.contains(h, regex=False, na=False).to_numpy(dtype=bool)
 
     rep = np.repeat(np.arange(len(pdf)), counts)[keep]
     out = pd.DataFrame({c: pdf[c].to_numpy()[rep] for c in carry})
@@ -212,12 +219,12 @@ def extract_filtered_candidates(
         if f.name in carry
     )
     out_schema = carry_schema + "url string, url_hash long, host string"
-    exts = tuple(config.allowed_extensions)
+    cand_re = _allowed_candidate_re(tuple(config.allowed_extensions))
     bad = tuple(forbidden)
 
     def _run(batches):
         for pdf in batches:
-            yield _extract_filter_batch(pdf, "_body", carry, exts, bad)
+            yield _extract_filter_batch(pdf, "_body", carry, cand_re, bad)
 
     return src.mapInPandas(_run, schema=out_schema)
 
