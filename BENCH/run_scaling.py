@@ -126,7 +126,8 @@ bus AND its own heap, so in-guest pairs under the saturation knee are
 the meaningful N→4N proxy.  In-guest efficiency also degrades with
 universe size by construction (fixed bus/heap at every "cluster
 size"); r2 improvements that lifted absolute throughput at every level
-— narrow python-stage output (filters in-kernel, no parent-url strings),
+— narrow python-stage output (F1-F4 + host capture fused into one
+combined-regex pass in the extract kernel, no parent-url strings),
 data-sized universe buckets, unused columns dropped from the cache —
 are documented in the repo history.
 
