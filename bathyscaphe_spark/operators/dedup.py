@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.fnv import fnv1_64_np
 
@@ -128,28 +129,33 @@ def with_shingle_hashes(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float,
     group_col: str | None = None, k: int = SHINGLE_K,
-    size_bucket_block: bool = False,
+    size_bucket_block: bool = False, strategy: str = "auto",
 ) -> DataFrame:
     """All-pairs exact Jaccard over word k-gram sets, optionally blocked
     by ``group_col`` (at scale: always block — e.g. by LSH bucket or
     near-dup partition key — never all-pairs the corpus).
 
-    Scale tactics: shingle sets are FNV-hashed once (long intersects,
-    not string), and the size-ratio bound prunes pairs before the
-    intersect — J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so a pair whose
-    sizes differ beyond the threshold can never qualify (exact, no
-    false negatives).
+    Two physical strategies, identical output:
 
-    ``size_bucket_block`` (requires threshold ≥ 0.5) refines the block
-    key with floor(log2(shingle-count)): a Zipf-skewed natural key (the
-    r1 bench's "first word of text" block degenerated to one giant task)
-    splits across size buckets, while the ratio bound guarantees every
-    qualifying pair sits within ±1 bucket — side B probes {b-1, b, b+1},
-    so the OUTPUT IS IDENTICAL, only the physical skew changes.
+    * ``"index"`` (default for threshold > 0): inverted-index equi-join
+      — explode (id, shingle-hash), self-join on (block, hash), count
+      shared hashes per (id_a, id_b).  Only pairs that actually share a
+      shingle are ever materialized, and no shingle arrays travel
+      through the join — the AllPairs/PPJoin family shape.  Join-key
+      skew is a *common shingle's* document frequency, bounded by the
+      block size.
+    * ``"block"``: array-carrying block self-join with the size-ratio
+      prune (J(a,b) ≤ min|a|,|b| / max|a|,|b| — exact, no false
+      negatives) and optional ``size_bucket_block`` de-skewing:
+      floor(log2(shingle-count)) refines the block key with ±1-bucket
+      probing (output-identical for threshold ≥ 0.5).  Needed when
+      threshold == 0 (zero-overlap pairs must appear).
 
     Output: (id_a, id_b, jaccard3) with id_a < id_b, jaccard rounded to
     3 decimals for cross-engine stability.
     """
+    if strategy == "auto":
+        strategy = "index" if threshold > 0 else "block"
     s = with_shingle_hashes(
         df, id_col, text_col, k, extra_cols=(group_col,) if group_col else ()
     ).select(
@@ -158,6 +164,45 @@ def ngram_jaccard_pairs(
         F.size("sh_hashes").alias("_n"),
         *([F.col(group_col).alias("_grp")] if group_col else []),
     )
+    # Both sides of the self-join scan `s`; without a persist the
+    # mapInPandas shingle stage runs TWICE (no exchange reuse across the
+    # differing projections).  MEMORY_AND_DISK spills at scale instead
+    # of recomputing the python stage.
+    s = s.persist(StorageLevel.MEMORY_AND_DISK)
+    union = F.col("n_a") + F.col("n_b") - F.col("_inter")
+    jac3 = F.round(
+        F.when(
+            union > 0, F.col("_inter").cast("double") / union.cast("double")
+        ).otherwise(F.lit(0.0)),
+        3,
+    )
+    if strategy == "index":
+        # array_distinct guards the collision edge (two shingles, one
+        # hash) so _inter == size(array_intersect) bit-for-bit
+        ex = s.select(
+            "_id", "_n",
+            *([F.col("_grp")] if group_col else []),
+            F.explode(F.array_distinct("sh_hashes")).alias("_h"),
+        )
+        ia = ex.select(
+            F.col("_id").alias("id_a"), F.col("_n").alias("n_a"),
+            *([F.col("_grp")] if group_col else []), "_h",
+        )
+        ib = ex.select(
+            F.col("_id").alias("id_b"), F.col("_n").alias("n_b"),
+            *([F.col("_grp").alias("_grp_b")] if group_col else []),
+            F.col("_h").alias("_h_b"),
+        )
+        on = (F.col("_h") == F.col("_h_b")) & (F.col("id_a") < F.col("id_b"))
+        if group_col:
+            on = on & (F.col("_grp") == F.col("_grp_b"))
+        return (
+            ia.join(ib, on)
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+            .select("id_a", "id_b", jac3.alias("jaccard3"))
+            .where(F.col("jaccard3") >= threshold)
+        )
     bucket = None
     if size_bucket_block:
         if threshold < 0.5:
@@ -203,11 +248,11 @@ def ngram_jaccard_pairs(
         pairs = a.join(b, cond).where(size_ok)
     else:
         pairs = a.crossJoin(b).where(cond & size_ok)
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.col("n_a") + F.col("n_b") - inter
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    pairs = pairs.withColumn(
+        "_inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    )
     return (
-        pairs.select("id_a", "id_b", F.round(jac, 3).alias("jaccard3"))
+        pairs.select("id_a", "id_b", jac3.alias("jaccard3"))
         .where(F.col("jaccard3") >= threshold)
     )
 

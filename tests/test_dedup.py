@@ -52,6 +52,24 @@ def test_jaccard_pairs(spark):
     assert not any(3 in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_jaccard_strategies_agree(spark):
+    """Inverted-index path ≡ array-carrying block path, blocked and
+    unblocked, with and without size-bucket de-skewing."""
+    docs = _docs(spark).withColumn("blk", F.expr("split_part(text, ' ', 1)"))
+    for kwargs in (
+        {},
+        {"group_col": "blk"},
+        {"group_col": "blk", "size_bucket_block": True},
+    ):
+        idx = set(map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", 0.5, strategy="index", **kwargs
+        ).collect()))
+        blk = set(map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", 0.5, strategy="block", **kwargs
+        ).collect()))
+        assert idx == blk and idx, kwargs
+
+
 def test_minhash_identical_docs_equal_sigs(spark):
     sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(_docs(spark), "doc_id", "text").collect()}
     assert sigs[1] == sigs[4]
