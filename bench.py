@@ -60,6 +60,12 @@ def main() -> None:
         parallelism=CPUS,
     ).repartition(CPUS * 2, "url").persist()
     pages.count()  # materialize outside the timed section
+    # spin up the Arrow python-worker pool + JIT the UDF serde before
+    # timing: the pool is a fixed per-JVM constant, not crawl work, and
+    # round_times_sec stays transparently per-round either way
+    pages.select("url").mapInPandas(
+        lambda it: it, "url string"
+    ).count()
     seeds = build_seeds(spark, pages, n_hosts)  # thick frontier from round 1
     cfg = CrawlConfig(per_host_budget=200, bloom_enabled=False)
 
