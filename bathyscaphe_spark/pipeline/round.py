@@ -240,7 +240,18 @@ def run_round(
     # written parquet footers — zero extra Spark jobs ----------------------
     # Phase A (sequential): the two writes that MATERIALIZE the caches —
     # timeouts warms scheduled+fetched, frontier warms new_urls.
-    catalog.stage_round("timeouts", timeouts.withColumn("round", F.lit(round_n)), round_n)
+    # state-table deltas are small relative to cluster width — cap their
+    # file count (scales with the configured width, so a 1000-executor
+    # run still spreads them; see stage_round docstring)
+    small_files = max(
+        1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 16
+    )
+    catalog.stage_round(
+        "timeouts",
+        timeouts.withColumn("round", F.lit(round_n)),
+        round_n,
+        files=small_files,
+    )
     n_timeouts = catalog.rows_in_round("timeouts", round_n)
     catalog.stage_round("frontier", _frontier_delta(new_urls, round_n), round_n + 1)
 
@@ -280,8 +291,8 @@ def run_round(
         new_hf, new_bl = bl.process_timeouts(
             timeouts_df, host_failures, blacklist_df, host_status, config, rts
         )
-        catalog.stage_round("host_failures", new_hf, round_n)
-        catalog.stage_round("blacklist", new_bl, round_n)
+        catalog.stage_round("host_failures", new_hf, round_n, files=small_files)
+        catalog.stage_round("blacklist", new_bl, round_n, files=small_files)
         return True
 
     with ThreadPoolExecutor(max_workers=3) as pool:
@@ -335,7 +346,7 @@ def run_round(
     metrics = lineage.unionByName(
         spark.createDataFrame(stage_rows, "round int, stage string, partition_id int, rows bigint")
     )
-    catalog.stage_round("metrics", metrics, round_n)
+    catalog.stage_round("metrics", metrics, round_n, files=small_files)
     # scheduled count from the just-written lineage parquet (no job)
     import pyarrow.parquet as pq
     import glob as _glob

@@ -86,12 +86,22 @@ class TableCatalog:
         return os.path.join(self._table_dir(name), f"round={round_n}")
 
     # --- writes (staged, atomic) ------------------------------------------
-    def stage_round(self, name: str, df: DataFrame, round_n: int) -> dict:
+    def stage_round(
+        self, name: str, df: DataFrame, round_n: int, files: int | None = None
+    ) -> dict:
         """Write one table's round-N delta/state to staging and atomically
-        move it into place.  Invisible to readers until commit_round()."""
+        move it into place.  Invisible to readers until commit_round().
+
+        ``files`` caps the output file count for known-small state tables
+        (blacklist/host_failures/metrics/timeouts): a repartition — not a
+        coalesce, which would narrow the upstream compute — so a KB-sized
+        delta is one file instead of one-per-shuffle-partition.  Per-round
+        manifest bloat is what kills long crawls at cluster width."""
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         staging = os.path.join(tdir, f"_staging-{round_n}-{uuid.uuid4().hex}")
+        if files is not None:
+            df = df.repartition(files)
         df.write.mode("overwrite").parquet(staging)
         final = self._round_dir(name, round_n)
         if os.path.exists(final):  # re-run of an uncommitted round
