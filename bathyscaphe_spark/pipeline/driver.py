@@ -67,9 +67,9 @@ def crawl(
     catalog = TableCatalog(spark, state_root)
     catalog.cleanup_uncommitted()
 
-    if host_status is None:
-        host_status = build_host_status(pages)
-    host_status = host_status.persist()
+    own_host_status = host_status is None
+    if own_host_status:
+        host_status = build_host_status(pages).persist()
 
     last = catalog.last_committed_round()
     if last < 0:
@@ -113,5 +113,6 @@ def crawl(
         stats.append(s)
         if seen_count is not None:
             seen_count += s.discovered
-    host_status.unpersist()
+    if own_host_status:
+        host_status.unpersist()
     return stats

