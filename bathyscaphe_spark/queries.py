@@ -641,13 +641,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir).selectExpr(
         "doc_id", "text", "split_part(text, ' ', 1) AS blk"
     )
-    # size_bucket_block splits the Zipf-skewed first-word block by
-    # floor(log2(shingle count)) with ±1-bucket probing — physically
-    # de-skewed, OUTPUT-identical (ratio bound), so the oracle is
-    # unchanged (VERDICT r1 #6: this was the slowest bench query)
+    # default "index" strategy: inverted-index equi-join on (block,
+    # shingle-hash) — immune to the Zipf-skewed first-word block (the
+    # r1 bench tail) because only pairs sharing a shingle materialize;
+    # OUTPUT-identical to the array-carrying block join, oracle unchanged
     return ngram_jaccard_pairs(
         corpus, "doc_id", "text", threshold=0.6, group_col="blk",
-        size_bucket_block=True,
     )
 
 
