@@ -77,6 +77,20 @@ def main() -> None:
     host_status.count()
     cfg = CrawlConfig(per_host_budget=200, bloom_enabled=False)
 
+    # warm the crawl code paths end-to-end (codegen, parquet committer,
+    # python workers) with a throwaway mini-crawl — the timed section
+    # then measures steady-state rounds, which is what scales
+    warm_root = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        warm_pages = build_pages(spark, n_pages=2000, n_hosts=40).persist()
+        crawl(
+            spark, warm_pages, build_seeds(spark, warm_pages, 10), warm_root,
+            cfg, max_rounds=2,
+        )
+        warm_pages.unpersist()
+    finally:
+        shutil.rmtree(warm_root, ignore_errors=True)
+
     state_root = tempfile.mkdtemp(prefix="bench_state_")
     round_times: list[float] = []
     try:
