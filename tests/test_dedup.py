@@ -165,3 +165,46 @@ def test_embedding_near_dup_tiled_matches_single_tile(spark):
     many = {(r["id_a"], r["id_b"], r["cos3"]) for r in many_rows}
     assert len(many_rows) == len(many), "tiling must not duplicate pairs"
     assert one == many and len(one) >= 3
+
+
+def test_embedding_near_dup_50k_scale(spark):
+    """VERDICT r1 #5 done-bar: ≥50k x 64-dim with the driver holding
+    only one tile at a time (tile_rows=16384 → 4 tiles).  Random 64-dim
+    gaussian vectors essentially never reach cosine 0.95 by chance, so
+    the planted near-dup pairs ARE the ground truth — no brute force."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n, dim = 50_000, 64
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda j: F.pmod(
+                    F.xxhash64(F.col("id") * dim + j), F.lit(10_000)
+                ).cast("double") / 5_000.0 - 1.0,
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    planted = [7, 1234, 25_000, 49_999]
+    rng = np.random.RandomState(3)
+    rows = base.where(F.col("vec_id").isin(planted)).collect()
+    dup_rows = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v + rng.standard_normal(dim) * 0.005
+        dup_rows.append((int(r["vec_id"]) + n, [float(x) for x in v]))
+    emb = base.unionByName(
+        spark.createDataFrame(dup_rows, "vec_id long, embedding array<float>")
+    ).repartition(16).persist()
+    try:
+        got = embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", 0.95, tile_rows=16_384
+        ).collect()
+    finally:
+        emb.unpersist()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(p, p + n) for p in planted}, pairs
+    assert all(r["cos3"] >= 0.99 for r in got)
