@@ -1,0 +1,241 @@
+"""WARC source — ingest Common-Crawl-style archives into the pages table.
+
+The north-star input is "an Iceberg table of Common-Crawl-style web
+pages (url, warc_ts, html:binary, ...)"; Common Crawl's native wire
+format is WARC (ISO 28500): a sequence of records, each a CRLF-header
+block, a ``Content-Length``-delimited payload, and a blank-line
+separator, usually with ONE GZIP MEMBER PER RECORD concatenated into a
+``.warc.gz``.  This module turns a directory of WARC files into the
+engine's pages-universe shape with stdlib-only parsing.
+
+Scale design
+------------
+* **One task per WARC file, streamed** — the driver lists paths via the
+  ``binaryFile`` datasource but selects ONLY ``(path, length)`` (column
+  pruning keeps the file bytes out of the scan); the kernel then opens
+  each file and walks it incrementally with ``gzip``/raw buffered IO,
+  so peak memory is O(one record), never O(file).  A 1 GiB archive
+  costs a task ~record-sized buffers.
+* **No per-row Python** — one ``mapInPandas`` stage emits Arrow batches
+  of parsed records; downstream (extraction, filters, dedup) is the
+  existing vectorized pipeline.
+* HTTP response payloads are split head/body once; header keys are
+  lowercased to match the engine-wide X7 convention
+  (reference: internal/indexer/index/elastic.go:171-175).
+
+``write_warc`` (bytes builder) is the mirror image, used for fixtures
+and for exporting a resources table back to WARC.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from datetime import datetime, timezone
+from typing import IO, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+WARC_SCHEMA = (
+    "url string, warc_ts timestamp, record_type string, status int, "
+    "headers map<string,string>, html binary"
+)
+
+
+# --- record-level parsing (pure functions, unit-testable) -----------------
+
+def _read_headers(stream: IO[bytes]) -> dict[str, str] | None:
+    """Read a CRLF header block (terminated by a blank line) into a dict
+    with lowercased keys.  Returns None at clean EOF."""
+    lines: list[bytes] = []
+    while True:
+        line = stream.readline()
+        if not line:
+            return None if not lines else {}
+        if line in (_CRLF, b"\n"):
+            break
+        lines.append(line)
+    if not lines:
+        return None
+    headers: dict[str, str] = {}
+    for raw in lines:
+        if b":" not in raw:
+            continue  # tolerate the WARC/1.x version line and junk
+        k, v = raw.split(b":", 1)
+        headers[k.strip().lower().decode("latin-1")] = (
+            v.strip().decode("latin-1")
+        )
+    return headers
+
+
+def _split_http_payload(payload: bytes) -> tuple[int | None, dict[str, str], bytes]:
+    """HTTP response payload → (status, lowercased headers, body)."""
+    sep = payload.find(_SEP)
+    if sep < 0:
+        return None, {}, payload
+    head, body = payload[:sep], payload[sep + len(_SEP):]
+    lines = head.split(_CRLF)
+    status: int | None = None
+    parts = lines[0].split()
+    if len(parts) >= 2 and parts[0].startswith(b"HTTP/"):
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    headers: dict[str, str] = {}
+    for raw in lines[1:]:
+        if b":" not in raw:
+            continue
+        k, v = raw.split(b":", 1)
+        headers[k.strip().lower().decode("latin-1")] = (
+            v.strip().decode("latin-1")
+        )
+    return status, headers, body
+
+
+def iter_warc_records(stream: IO[bytes]) -> Iterator[dict]:
+    """Walk one (decompressed) WARC stream record by record.
+
+    Yields dicts with keys (url, warc_ts, record_type, status, headers,
+    html).  Request/metadata/info records pass through with html=None so
+    callers can filter; malformed trailing garbage ends the iteration
+    rather than raising (archives in the wild are truncated).
+    """
+    while True:
+        warc_headers = _read_headers(stream)
+        if warc_headers is None:
+            return
+        try:
+            length = int(warc_headers.get("content-length", ""))
+        except ValueError:
+            return  # not a record boundary — stop at garbage
+        payload = stream.read(length)
+        if len(payload) < length:
+            return  # truncated archive: drop the partial record
+        # consume the record separator (two CRLFs)
+        stream.readline()
+        stream.readline()
+        rtype = warc_headers.get("warc-type", "")
+        ts = None
+        raw_ts = warc_headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(
+                    tzinfo=timezone.utc
+                )
+            except ValueError:
+                ts = None
+        url = warc_headers.get("warc-target-uri")
+        status: int | None = None
+        http_headers: dict[str, str] = {}
+        body: bytes | None = None
+        if rtype == "response" and warc_headers.get(
+            "content-type", ""
+        ).startswith("application/http"):
+            status, http_headers, body = _split_http_payload(payload)
+        elif rtype == "resource":
+            body = payload
+        yield {
+            "url": url,
+            "warc_ts": ts,
+            "record_type": rtype,
+            "status": status,
+            "headers": http_headers,
+            "html": body,
+        }
+
+
+def _open_maybe_gzip(path: str) -> IO[bytes]:
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        # gzip transparently concatenates members (CC: one per record)
+        return io.BufferedReader(gzip.GzipFile(fileobj=f))  # type: ignore[arg-type]
+    return io.BufferedReader(f)  # type: ignore[arg-type]
+
+
+# --- the Spark source ------------------------------------------------------
+
+def read_warc(
+    spark: SparkSession, path: str, responses_only: bool = True,
+    batch_rows: int = 512,
+) -> DataFrame:
+    """Read WARC/WARC.gz file(s) (glob ok) into
+    ``(url, warc_ts, record_type, status, headers, html)``.
+
+    Paths are listed by the ``binaryFile`` datasource with the content
+    column PRUNED (only path+length reach the driver plan); each task
+    streams its files record-by-record — memory stays O(record).
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "length")
+    )
+    n_files = files.count()
+    files = files.repartition(max(1, n_files))
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for uri in pdf["path"]:
+                local = uri[5:] if uri.startswith("file:") else uri
+                out: list[dict] = []
+                with _open_maybe_gzip(local) as stream:
+                    for rec in iter_warc_records(stream):
+                        if responses_only and rec["record_type"] != "response":
+                            continue
+                        out.append(rec)
+                        if len(out) >= batch_rows:
+                            yield pd.DataFrame(out)
+                            out = []
+                if out:
+                    yield pd.DataFrame(out)
+
+    return files.mapInPandas(_run, schema=WARC_SCHEMA)
+
+
+def warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive(s) → the pages-universe shape the crawl consumes:
+    ``(url, warc_ts, html, headers, status)`` for HTTP-200 responses
+    with a target URI — ready for ``pipeline.driver.crawl``'s fetch
+    join or for the extraction/dedup operators."""
+    recs = read_warc(spark, path)
+    return (
+        recs.where(F.col("url").isNotNull() & (F.col("status") == 200))
+        .select("url", "warc_ts", "html", "headers", "status")
+    )
+
+
+# --- fixture / export writer ----------------------------------------------
+
+def build_warc_bytes(
+    records: list[tuple[str, str, int, dict[str, str], bytes]],
+    compress: bool = True,
+) -> bytes:
+    """Serialize (url, iso_ts, status, http_headers, body) tuples into a
+    WARC byte string — one gzip member per record when ``compress``
+    (the Common Crawl layout).  Fixture/test helper and export path."""
+    out = io.BytesIO()
+    for i, (url, iso_ts, status, headers, body) in enumerate(records):
+        http_head = (f"HTTP/1.1 {status} OK\r\n".encode() + b"".join(
+            f"{k}: {v}\r\n".encode("latin-1") for k, v in headers.items()
+        ) + _CRLF)
+        payload = http_head + body
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n".encode()
+            + f"WARC-Date: {iso_ts}\r\n".encode()
+            + f"WARC-Target-URI: {url}\r\n".encode("latin-1")
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + _CRLF + payload + _SEP
+        )
+        out.write(gzip.compress(rec) if compress else rec)
+    return out.getvalue()

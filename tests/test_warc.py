@@ -1,0 +1,100 @@
+"""WARC source tests: round-trip, gzip members, truncation, pipeline feed."""
+
+import gzip
+import io
+
+from bathyscaphe_spark.sources.warc import (
+    build_warc_bytes,
+    iter_warc_records,
+    read_warc,
+    warc_pages,
+)
+
+RECORDS = [
+    (
+        "http://example.onion/",
+        "2024-05-01T12:00:00Z",
+        200,
+        {"Content-Type": "text/html", "X-Tor": "yes"},
+        b"<html><title>home</title><a href='http://a.onion/x.php'>x</a></html>",
+    ),
+    (
+        "http://example.onion/404",
+        "2024-05-01T12:00:01Z",
+        404,
+        {"Content-Type": "text/html"},
+        b"gone",
+    ),
+    (
+        "http://other.onion/page",
+        "2024-05-01T12:00:02Z",
+        200,
+        {"Content-Type": "text/plain"},
+        b"plain body \xe2\x82\xac bytes",
+    ),
+]
+
+
+def _request_record() -> bytes:
+    payload = b"GET / HTTP/1.1\r\nHost: example.onion\r\n\r\n"
+    return (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: http://example.onion/\r\n"
+        b"WARC-Date: 2024-05-01T12:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=request\r\n"
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        + payload + b"\r\n\r\n"
+    )
+
+
+def test_iter_records_roundtrip_plain():
+    raw = _request_record() + build_warc_bytes(RECORDS, compress=False)
+    recs = list(iter_warc_records(io.BytesIO(raw)))
+    assert [r["record_type"] for r in recs] == ["request"] + ["response"] * 3
+    resp = recs[1]
+    assert resp["url"] == "http://example.onion/"
+    assert resp["status"] == 200
+    assert resp["headers"] == {"content-type": "text/html", "x-tor": "yes"}
+    assert resp["html"] == RECORDS[0][4]
+    assert resp["warc_ts"].isoformat() == "2024-05-01T12:00:00+00:00"
+    assert recs[3]["html"] == RECORDS[2][4]  # bytes survive exactly
+
+
+def test_iter_records_truncated_tail():
+    raw = build_warc_bytes(RECORDS[:1], compress=False)
+    cut = raw + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    recs = list(iter_warc_records(io.BytesIO(cut)))
+    assert len(recs) == 1  # partial trailing record dropped, no raise
+
+
+def test_read_warc_gzip_members(spark, tmp_path):
+    gz = tmp_path / "crawl-00000.warc.gz"
+    gz.write_bytes(build_warc_bytes(RECORDS, compress=True))
+    # sanity: the fixture really is multi-member gzip (CC layout)
+    assert gz.read_bytes().count(b"\x1f\x8b\x08") >= 3
+    got = {r["url"]: r for r in read_warc(spark, str(gz)).collect()}
+    assert set(got) == {u for u, *_ in RECORDS}
+    assert got["http://example.onion/404"]["status"] == 404
+    assert bytes(got["http://other.onion/page"]["html"]) == RECORDS[2][4]
+    assert got["http://example.onion/"]["headers"]["x-tor"] == "yes"
+
+
+def test_warc_pages_feeds_extraction(spark, tmp_path):
+    """WARC → pages shape → the scheduler's candidate extraction."""
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.operators.scheduler import extract_filtered_candidates
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(build_warc_bytes(RECORDS[:2]))
+    (d / "b.warc").write_bytes(build_warc_bytes(RECORDS[2:], compress=False))
+    pages = warc_pages(spark, str(d) + "/*.warc*")
+    rows = pages.collect()
+    assert {r["url"] for r in rows} == {
+        "http://example.onion/", "http://other.onion/page"
+    }  # 404 filtered
+    cand = extract_filtered_candidates(
+        pages.withColumn("html", pages["html"].cast("string")),
+        CrawlConfig(), forbidden=(),
+    ).collect()
+    assert {c["url"] for c in cand} == {"http://a.onion/x.php"}
