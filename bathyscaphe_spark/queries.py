@@ -1588,6 +1588,82 @@ FROM documents
 """
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip through the REAL serializer and parser:
+    deterministic response records (url/status/headers/timestamp derived
+    from doc_id, body = the document text) are built with
+    ``build_warc_bytes`` — per-record gzip members for every third doc,
+    plain otherwise — and parsed back by ``iter_warc_records``.  The
+    oracle recomputes every field arithmetically, pinning header
+    parsing, Content-Length byte math, gzip member handling, and
+    WARC-Date round-tripping."""
+    import gzip as _gzip
+    import io as _io
+    from datetime import datetime as _dt, timezone as _tz
+
+    from .sources.warc import build_warc_bytes, iter_warc_records
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out_schema = (
+        "doc_id long, url string, status long, n_headers long, "
+        "body_len long, ts_unix long, ctype string"
+    )
+    _EPOCH = 1714564800  # 2024-05-01T12:00:00Z
+
+    def _run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                body = (text or "").encode("utf-8")
+                url = f"http://h{doc_id % 7}.onion/d{doc_id}.html"
+                iso = _dt.fromtimestamp(_EPOCH + doc_id, tz=_tz.utc).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                )
+                status = 200 if doc_id % 2 == 0 else 404
+                raw = build_warc_bytes(
+                    [(url, iso, status,
+                      {"Content-Type": "text/html", "X-Doc": str(doc_id)},
+                      body)],
+                    compress=doc_id % 3 == 0,
+                )
+                stream = (
+                    _io.BufferedReader(_gzip.GzipFile(fileobj=_io.BytesIO(raw)))
+                    if doc_id % 3 == 0
+                    else _io.BytesIO(raw)
+                )
+                (rec,) = list(iter_warc_records(stream))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "url": rec["url"],
+                        "status": rec["status"],
+                        "n_headers": len(rec["headers"]),
+                        "body_len": len(rec["html"]),
+                        "ts_unix": int(rec["warc_ts"].timestamp()),
+                        "ctype": rec["headers"]["content-type"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(_run, schema=out_schema)
+
+
+ORACLE_WARC_INGEST = """
+SELECT doc_id,
+       'http://h' || CAST(doc_id % 7 AS STRING) || '.onion/d'
+           || CAST(doc_id AS STRING) || '.html' AS url,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS BIGINT) AS status,
+       CAST(2 AS BIGINT) AS n_headers,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS body_len,
+       CAST(1714564800 + doc_id AS BIGINT) AS ts_unix,
+       'text/html' AS ctype
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1622,6 +1698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_parse": q_robots_parse,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "warc_ingest": q_warc_ingest,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "lang_guess": q_lang_guess,
@@ -1671,6 +1748,7 @@ ORACLES: dict[str, str] = {
     "robots_parse": ORACLE_ROBOTS_PARSE,
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "warc_ingest": ORACLE_WARC_INGEST,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "lang_guess": ORACLE_LANG,
