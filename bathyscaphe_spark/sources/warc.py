@@ -212,6 +212,59 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_warc(
+    df: DataFrame, out_dir: str, url_col: str = "url", ts_col: str = "warc_ts",
+    status_col: str = "status", headers_col: str = "headers",
+    body_col: str = "html", compress: bool = True,
+) -> int:
+    """Export a resources-shaped DataFrame back to WARC: one
+    ``part-<partition>.warc[.gz]`` per input partition, written
+    executor-side (the driver never sees record bytes).  Returns the
+    number of records written.
+
+    Rows with a null url or body are skipped (WARC response records
+    require both).  Repartition the input to choose the archive count —
+    at cluster scale aim for ~1 GiB per output file.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+    cols = [url_col, ts_col, status_col, headers_col, body_col]
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        recs: list[tuple[str, str, int, dict[str, str], bytes]] = []
+        for pdf in batches:
+            for url, ts, status, headers, body in zip(
+                *(pdf[c] for c in cols)
+            ):
+                if url is None or body is None:
+                    continue
+                iso = (
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if ts is not None
+                    else "1970-01-01T00:00:00Z"
+                )
+                recs.append(
+                    (url, iso, int(status) if status is not None else 200,
+                     dict(headers or {}), bytes(body))
+                )
+        if recs:
+            tmp = os.path.join(out_dir, f".part-{pid:05d}{ext}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(build_warc_bytes(recs, compress=compress))
+            os.replace(tmp, os.path.join(out_dir, f"part-{pid:05d}{ext}"))
+            n = len(recs)
+        yield pd.DataFrame({"n": [n]})
+
+    counts = df.select(*cols).mapInPandas(_write, schema="n long").collect()
+    return int(sum(r["n"] for r in counts))
+
+
 # --- fixture / export writer ----------------------------------------------
 
 def build_warc_bytes(

@@ -98,3 +98,28 @@ def test_warc_pages_feeds_extraction(spark, tmp_path):
         CrawlConfig(), forbidden=(),
     ).collect()
     assert {c["url"] for c in cand} == {"http://a.onion/x.php"}
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """Export → re-ingest is lossless for (url, ts, status, headers, body)."""
+    from bathyscaphe_spark.sources.warc import write_warc
+
+    gz = tmp_path / "in.warc.gz"
+    gz.write_bytes(build_warc_bytes(RECORDS, compress=True))
+    df = read_warc(spark, str(gz)).repartition(2)
+    out_dir = tmp_path / "export"
+    n = write_warc(df, str(out_dir))
+    assert n == 3
+    back = read_warc(spark, str(out_dir) + "/part-*.warc.gz")
+    got = {
+        (r["url"], r["status"], r["warc_ts"].isoformat(),
+         tuple(sorted(r["headers"].items())), bytes(r["html"]))
+        for r in back.collect()
+    }
+    # Spark collects session-UTC timestamps as naive datetimes
+    want = {
+        (u, s, ts[:-1],
+         tuple(sorted((k.lower(), v) for k, v in h.items())), b)
+        for u, ts, s, h, b in RECORDS
+    }
+    assert got == want
