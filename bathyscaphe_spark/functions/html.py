@@ -78,3 +78,54 @@ def parse_doc_py(body: str | bytes | None) -> tuple[str, dict[str, str], str]:
 def parse_doc(body: pd.Series) -> pd.DataFrame:
     rows = [parse_doc_py(b) for b in body]
     return pd.DataFrame(rows, columns=["title", "meta", "description"])
+
+
+# --- visible-text extraction ----------------------------------------------
+
+_SKIP_CONTENT_TAGS = frozenset({"script", "style", "noscript", "template"})
+
+
+class _TextParser(HTMLParser):
+    """Visible text: character data outside script/style/noscript/
+    template, whitespace-collapsed and space-joined."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_CONTENT_TAGS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_CONTENT_TAGS and self._skip_depth:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip_depth:
+            w = data.split()
+            if w:
+                self.parts.append(" ".join(w))
+
+
+def extract_text_py(body: str | bytes | None) -> str:
+    """html → visible text (tags stripped, script/style dropped,
+    whitespace collapsed) — the `text` column of the Common-Crawl-style
+    pages shape."""
+    if body is None:
+        return ""
+    if isinstance(body, (bytes, bytearray)):
+        body = body.decode("utf-8", errors="replace")
+    p = _TextParser()
+    try:
+        p.feed(body)
+        p.close()
+    except Exception:
+        pass
+    return " ".join(p.parts)
+
+
+@pandas_udf(StringType())
+def extract_text(body: pd.Series) -> pd.Series:
+    return pd.Series([extract_text_py(b) for b in body])

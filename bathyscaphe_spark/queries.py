@@ -506,17 +506,10 @@ FROM documents
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID: stopword votes with a fixed
     tie-break (en > fr > de)."""
+    from .functions.textstats import lang_guess_col
+
     d = _docs(spark, sf_dir)
-    t = F.lower(F.col("text"))
-    en = F.regexp_count(t, F.lit(" the ")) + F.regexp_count(t, F.lit(" and "))
-    fr = F.regexp_count(t, F.lit(" le ")) + F.regexp_count(t, F.lit(" et "))
-    de = F.regexp_count(t, F.lit(" der ")) + F.regexp_count(t, F.lit(" und "))
-    guess = (
-        F.when((en >= fr) & (en >= de), F.lit("en"))
-        .when(fr >= de, F.lit("fr"))
-        .otherwise(F.lit("de"))
-    )
-    return d.select("doc_id", guess.alias("lang_guess"))
+    return d.select("doc_id", lang_guess_col(F.col("text")).alias("lang_guess"))
 
 
 ORACLE_LANG = """

@@ -200,16 +200,30 @@ def read_warc(
     return files.mapInPandas(_run, schema=WARC_SCHEMA)
 
 
-def warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def warc_pages(
+    spark: SparkSession, path: str, enrich: bool = False
+) -> DataFrame:
     """WARC archive(s) → the pages-universe shape the crawl consumes:
     ``(url, warc_ts, html, headers, status)`` for HTTP-200 responses
     with a target URI — ready for ``pipeline.driver.crawl``'s fetch
-    join or for the extraction/dedup operators."""
+    join or for the extraction/dedup operators.
+
+    ``enrich=True`` adds the remaining Common-Crawl-style columns of
+    the input-table shape: ``text`` (visible text, tags stripped,
+    script/style dropped — one Arrow-batched UDF) and ``lang``
+    (codegen'd stopword-vote heuristic, same expression as the
+    ``lang_guess`` contract query)."""
     recs = read_warc(spark, path)
-    return (
-        recs.where(F.col("url").isNotNull() & (F.col("status") == 200))
-        .select("url", "warc_ts", "html", "headers", "status")
-    )
+    out = recs.where(
+        F.col("url").isNotNull() & (F.col("status") == 200)
+    ).select("url", "warc_ts", "html", "headers", "status")
+    if enrich:
+        from ..functions.html import extract_text
+        from ..functions.textstats import lang_guess_col
+
+        out = out.withColumn("text", extract_text(F.col("html")))
+        out = out.withColumn("lang", lang_guess_col(F.col("text")))
+    return out
 
 
 def write_warc(

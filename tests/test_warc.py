@@ -123,3 +123,32 @@ def test_write_warc_roundtrip(spark, tmp_path):
         for u, ts, s, h, b in RECORDS
     }
     assert got == want
+
+
+def test_extract_text_py():
+    from bathyscaphe_spark.functions.html import extract_text_py
+
+    html = (b"<html><head><title>T</title><style>p{color:red}</style>"
+            b"<script>var x=1;</script></head>"
+            b"<body><p>Hello   <b>world</b></p>\n<div>again &amp; again"
+            b"</div><noscript>js off</noscript></body></html>")
+    assert extract_text_py(html) == "T Hello world again & again"
+    assert extract_text_py(None) == ""
+    assert extract_text_py(b"no tags at all") == "no tags at all"
+
+
+def test_warc_pages_enriched_shape(spark, tmp_path):
+    """enrich=True lands the full input-hint shape (url, warc_ts, html,
+    text, lang)."""
+    body = (b"<html><title>The page</title><script>skip()</script>"
+            b"<p>the cat and the dog and the bird</p></html>")
+    gz = tmp_path / "e.warc.gz"
+    gz.write_bytes(build_warc_bytes(
+        [("http://e.onion/", "2024-05-01T12:00:00Z", 200,
+          {"Content-Type": "text/html"}, body)]))
+    rows = warc_pages(spark, str(gz), enrich=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert set(rows[0].asDict()) >= {"url", "warc_ts", "html", "text", "lang"}
+    assert r["text"] == "The page the cat and the dog and the bird"
+    assert r["lang"] == "en"
