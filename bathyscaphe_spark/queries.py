@@ -1581,6 +1581,39 @@ FROM documents
 """
 
 
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visible-text extraction pinned end-to-end: deterministic HTML is
+    built around each document's (markup-sanitized) text — including a
+    script block and nested tags that must NOT leak — then stripped
+    back by the real ``extract_text`` kernel.  The oracle recomputes
+    the expected text arithmetically (whitespace collapse + the fixed
+    title prefix)."""
+    from .functions.html import extract_text
+
+    d = _docs(spark, sf_dir)
+    safe = F.regexp_replace(F.col("text"), "[<>&]", "")
+    html = F.concat(
+        F.lit("<html><head><title>D"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var skip=1;</script></head><body><p>"),
+        safe,
+        F.lit("</p><div>tail</div></body></html>"),
+    )
+    return d.select(
+        "doc_id", extract_text(html).alias("text_out")
+    )
+
+
+ORACLE_HTML_TEXT = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+           'D' || CAST(doc_id AS STRING) || ' '
+               || regexp_replace(text, '[<>&]', '', 'g') || ' tail',
+           '\s+', ' ', 'g')) AS text_out
+FROM documents
+"""
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source round-trip through the REAL serializer and parser:
     deterministic response records (url/status/headers/timestamp derived
@@ -1692,6 +1725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
     "warc_ingest": q_warc_ingest,
+    "html_text": q_html_text,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "lang_guess": q_lang_guess,
@@ -1742,6 +1776,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "warc_ingest": ORACLE_WARC_INGEST,
+    "html_text": ORACLE_HTML_TEXT,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "lang_guess": ORACLE_LANG,
