@@ -75,9 +75,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     orig = TableCatalog.stage_round
 
-    def timed(self, name, df, round_n):
+    def timed(self, name, df, round_n, **kw):
         t0 = time.perf_counter()
-        out = orig(self, name, df, round_n)
+        out = orig(self, name, df, round_n, **kw)
         timings[f"write:{name}"] = round(time.perf_counter() - t0, 2)
         return out
 
