@@ -413,6 +413,71 @@ def minhash_dedup_pairs(
     )
 
 
+# --- winnowing fingerprints ----------------------------------------------
+
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = SHINGLE_K, window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    fingerprint): ORDERED word-k-gram FNV hashes (duplicates kept, unlike
+    the shingle set); every sliding window of ``window`` consecutive
+    hashes contributes its minimum; the distinct selected minima are the
+    document's fingerprint set.  Guarantee: two documents sharing any
+    run of ``window + k - 1`` words share at least one fingerprint —
+    local plagiarism/quotation detection that whole-doc hashes miss.
+
+    One vectorized mapInPandas stage (batch-wide FNV + numpy
+    sliding-window min); output exploded as (id, fp) rows so cross-doc
+    matches are a plain self-join on fp — at corpus scale the
+    fingerprint table is the inverted index.
+    """
+    out_schema = f"{id_col} long, fp long"
+
+    def _run(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids_out: list[int] = []
+            fps_out: list[int] = []
+            gram_lists = []
+            for t in pdf[text_col]:
+                words = (t or "").split()
+                if not words:
+                    gram_lists.append([])
+                elif len(words) < k:
+                    gram_lists.append([" ".join(words)])
+                else:
+                    gram_lists.append(
+                        [" ".join(words[i:i + k])
+                         for i in range(len(words) - k + 1)]
+                    )
+            flat = [g for lst in gram_lists for g in lst]
+            if flat:
+                h_all = fnv1_64_np(pd.Series(flat, dtype=object)).view(np.int64)
+            i = 0
+            for doc_id, lst in zip(pdf[id_col], gram_lists):
+                n = len(lst)
+                if n == 0:
+                    continue
+                h = h_all[i:i + n]
+                i += n
+                if n <= window:
+                    sel = np.array([h.min()])
+                else:
+                    sel = np.unique(
+                        sliding_window_view(h, window).min(axis=1)
+                    )
+                ids_out.extend([int(doc_id)] * len(sel))
+                fps_out.extend(int(x) for x in sel)
+            yield pd.DataFrame({id_col: ids_out, "fp": fps_out})
+
+    return df.select(id_col, text_col).mapInPandas(_run, schema=out_schema)
+
+
 # --- SimHash --------------------------------------------------------------
 
 SIMHASH_BITS = 48

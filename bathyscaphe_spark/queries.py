@@ -1614,6 +1614,43 @@ FROM documents
 """
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints over the documents table: ordered
+    word-3-gram FNV hashes, window-4 sliding minima, distinct selected
+    per doc, exploded as (doc_id, fp) — the local-match fingerprint
+    index whole-doc hashing can't provide."""
+    from .operators.dedup import winnow_fingerprints
+
+    d = _docs(spark, sf_dir)
+    return winnow_fingerprints(d, "doc_id", "text")
+
+
+def _winnow_oracle_sql() -> str:
+    fnv = _DUCK_FNV.format(v="s2")
+    signed = (
+        f"(CASE WHEN ({fnv}) >= 9223372036854775808::HUGEINT "
+        f"THEN ({fnv}) - 18446744073709551616::HUGEINT "
+        f"ELSE ({fnv}) END)::BIGINT"
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+ g AS (SELECT doc_id,
+        CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+             WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                  i -> array_to_string(list_slice(words, i, i + 2), ' '))
+        END AS grams FROM w),
+ h AS (SELECT doc_id, list_transform(grams, s2 -> {signed}) AS hs FROM g),
+ sel AS (SELECT doc_id,
+        CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+             WHEN len(hs) <= 4 THEN [list_min(hs)]
+             ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+                  i -> list_min(list_slice(hs, i, i + 3))))
+        END AS fps FROM h)
+SELECT doc_id, unnest(fps) AS fp FROM sel
+"""
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source round-trip through the REAL serializer and parser:
     deterministic response records (url/status/headers/timestamp derived
@@ -1726,6 +1763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "warc_ingest": q_warc_ingest,
     "html_text": q_html_text,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "lang_guess": q_lang_guess,
@@ -1777,6 +1815,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "warc_ingest": ORACLE_WARC_INGEST,
     "html_text": ORACLE_HTML_TEXT,
+    "winnow_fingerprint": _winnow_oracle_sql(),
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "lang_guess": ORACLE_LANG,

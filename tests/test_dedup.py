@@ -208,3 +208,31 @@ def test_embedding_near_dup_50k_scale(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert pairs == {(p, p + n) for p in planted}, pairs
     assert all(r["cos3"] >= 0.99 for r in got)
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing invariant: docs sharing a run of window+k-1 (=6) words
+    share ≥1 fingerprint; disjoint docs share none; duplicates collapse."""
+    from bathyscaphe_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} closing remarks follow now"),
+            (2, f"{shared} completely different ending text goes here"),
+            (3, "nothing in common with the others at all whatsoever"),
+            (4, "tiny"),          # < k words: single joined gram
+            (5, ""),              # no words: no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, "doc_id", "text").collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 6-word run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert len(fps[4]) == 1
+    assert 5 not in fps
+    # per-doc fingerprints are distinct rows (selected set, not windows)
+    assert len(rows) == sum(len(v) for v in fps.values())
