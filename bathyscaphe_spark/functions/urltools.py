@@ -220,3 +220,31 @@ def url_request_uri(s: pd.Series) -> pd.Series:
         return uri
 
     return s.map(lambda v: _req(v) if v is not None else None)
+
+
+def surt_col(url):
+    """SURT key (Sort-friendly URI Reordering Transform — the canonical
+    key of web-archive CDX indexes, heritrix/pywb style, simplified and
+    documented): host split on '.' REVERSED and comma-joined, then ')',
+    then the path (or '/'), then '?' + the '&'-sorted query when one is
+    present; the whole key lowercased.  Scheme, userinfo, and fragment
+    are dropped — apply to X2-normalized urls.
+
+    Pure column expressions (parse_url/split/reverse/array_sort —
+    whole-stage codegen, no UDF): ``com,example,www)/path?a=1&b=2``
+    sorts all of a registrable domain contiguously, which makes SURT
+    the natural range-partitioning / bucketing key for a 100 TB URL
+    table (one domain = one contiguous key range).
+    """
+    from pyspark.sql import functions as F
+
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    rev_host = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    path = F.parse_url(url, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    q = F.parse_url(url, F.lit("QUERY"))
+    qpart = F.when(
+        q.isNotNull() & (q != ""),
+        F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(F.split(q, "&")))),
+    ).otherwise(F.lit(""))
+    return F.lower(F.concat(rev_host, F.lit(")"), path, qpart))

@@ -1614,6 +1614,43 @@ FROM documents
 """
 
 
+_SURT_URL_SQL = (
+    "'http://sub' || CAST(doc_id % 5 AS STRING) || '.host' || "
+    "CAST(doc_id % 23 AS STRING) || '.onion/Path' || "
+    "CAST(doc_id % 7 AS STRING) || '/x.php' || "
+    "(CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '?b=2&a=1' "
+    "ELSE '?z=9&m=4&a=0' END)"
+)
+
+
+def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical keys (web-archive CDX key form) for deterministic
+    multi-host urls with unsorted multi-param queries — the
+    range-partitioning key that keeps a domain contiguous at scale."""
+    from .functions.urltools import surt_col
+
+    d = _docs(spark, sf_dir)
+    u = d.selectExpr("doc_id", f"{_SURT_URL_SQL} AS url")
+    return u.select("doc_id", "url", surt_col(F.col("url")).alias("surt"))
+
+
+ORACLE_SURT = f"""
+WITH u AS (SELECT doc_id, {_SURT_URL_SQL} AS url FROM documents)
+SELECT doc_id, url,
+  lower(
+    array_to_string(list_reverse(string_split(
+        regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1), '.')), ',')
+    || ')'
+    || coalesce(nullif(regexp_extract(url,
+        '^[a-z]+://[^/?#]*(/[^?#]*)', 1), ''), '/')
+    || CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN ''
+       ELSE '?' || array_to_string(list_sort(string_split(
+            regexp_extract(url, '\\?([^#]*)', 1), '&')), '&') END
+  ) AS surt
+FROM u
+"""
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints over the documents table: ordered
     word-3-gram FNV hashes, window-4 sliding minima, distinct selected
@@ -1764,6 +1801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_ingest": q_warc_ingest,
     "html_text": q_html_text,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "surt_key": q_surt_key,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "lang_guess": q_lang_guess,
@@ -1816,6 +1854,7 @@ ORACLES: dict[str, str] = {
     "warc_ingest": ORACLE_WARC_INGEST,
     "html_text": ORACLE_HTML_TEXT,
     "winnow_fingerprint": _winnow_oracle_sql(),
+    "surt_key": ORACLE_SURT,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "lang_guess": ORACLE_LANG,

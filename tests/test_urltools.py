@@ -159,3 +159,20 @@ def test_url_parts():
         "/image.PNG",
         "id=12&test=2",
     )
+
+
+def test_surt_col_goldens(spark):
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.functions.urltools import surt_col
+
+    cases = [
+        ("http://www.Example.onion/Path/x.php?b=2&a=1",
+         "onion,example,www)/path/x.php?a=1&b=2"),
+        ("https://host.onion", "onion,host)/"),
+        ("http://a.b.c.onion/", "onion,c,b,a)/"),
+        ("http://x.onion/p?single=1", "onion,x)/p?single=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["surt"] for r in df.select(surt_col(F.col("url")).alias("surt")).collect()]
+    assert got == [want for _, want in cases]
