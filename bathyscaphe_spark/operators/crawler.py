@@ -71,7 +71,12 @@ def split_fetched(
         "url", "host"
     )
     ok = fetched.where((F.col("status") >= 200) & (F.col("status") <= 302))
-    ct = F.element_at(F.col("headers"), "Content-Type")
+    # Go's http.Header canonicalizes to Content-Type; WARC-ingested
+    # headers arrive lowercased (X7) — accept either casing
+    ct = F.coalesce(
+        F.element_at(F.col("headers"), "Content-Type"),
+        F.element_at(F.col("headers"), "content-type"),
+    )
     ok = ok.where(content_type_allowed(ct, config.allowed_content_types))
     return ok, timeouts
 

@@ -226,6 +226,37 @@ def warc_pages(
     return out
 
 
+def warc_universe(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive(s) → a CRAWLABLE fetch universe (the
+    ``pipeline.synth.build_pages`` column contract): all response
+    records keep their status (so timeout/redirect semantics apply),
+    ``host`` is derived, ``html`` cast to string for the extraction
+    kernel, and text/lang enrichment included — drop-in for
+    ``pipeline.driver.crawl(spark, pages=..., ...)``."""
+    from ..functions.html import extract_text
+    from ..functions.textstats import lang_guess_col
+    from ..functions.urltools import normalize_url
+
+    recs = read_warc(spark, path).where(F.col("url").isNotNull())
+    # the universe's join key must be the engine-canonical (X2) url —
+    # raw WARC target URIs ('http://h.onion/') would never match the
+    # normalized frontier ('http://h.onion')
+    recs = recs.withColumn("url", normalize_url(F.col("url"))).where(
+        F.col("url").isNotNull()
+    )
+    html_str = F.col("html").cast("string")
+    out = recs.select(
+        "url",
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+        "warc_ts",
+        html_str.alias("html"),
+        "headers",
+        "status",
+    )
+    out = out.withColumn("text", extract_text(F.col("html")))
+    return out.withColumn("lang", lang_guess_col(F.col("text")))
+
+
 def write_warc(
     df: DataFrame, out_dir: str, url_col: str = "url", ts_col: str = "warc_ts",
     status_col: str = "status", headers_col: str = "headers",

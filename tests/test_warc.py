@@ -152,3 +152,35 @@ def test_warc_pages_enriched_shape(spark, tmp_path):
     assert set(rows[0].asDict()) >= {"url", "warc_ts", "html", "text", "lang"}
     assert r["text"] == "The page the cat and the dog and the bird"
     assert r["lang"] == "en"
+
+
+def test_crawl_over_warc_universe(spark, tmp_path):
+    """The full loop: WARC archive → crawlable universe → crawl rounds
+    (fetch join, extraction, dedup, state commits) — resources and a
+    next frontier come out."""
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.sources.warc import warc_universe
+
+    hosts = [f"h{i}.onion" for i in range(4)]
+    recs = []
+    for i, h in enumerate(hosts):
+        nxt = hosts[(i + 1) % len(hosts)]
+        body = (f"<html><a href='http://{nxt}/'>n</a> "
+                f"and http://{nxt}/deep{i}.html</html>").encode()
+        recs.append((f"http://{h}/", f"2024-05-01T12:00:0{i}Z", 200,
+                     {"Content-Type": "text/html"}, body))
+    gz = tmp_path / "u.warc.gz"
+    gz.write_bytes(build_warc_bytes(recs))
+
+    uni = warc_universe(spark, str(gz))
+    # seeds are published in engine-canonical (X2) form, like the
+    # reference operator's hand-normalized seed event
+    seeds = spark.createDataFrame(
+        [(f"http://{hosts[0]}", hosts[0])], "url string, host string"
+    )
+    stats = crawl(spark, uni, seeds, str(tmp_path / "state"),
+                  CrawlConfig(), max_rounds=3)
+    assert stats[0].fetched == 1
+    assert sum(s.discovered for s in stats) >= len(hosts)
+    assert sum(s.fetched for s in stats) >= 3  # crawl walks the ring
