@@ -1651,6 +1651,48 @@ FROM u
 """
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index rows (surt, ts14, json) over a deterministic pages
+    shape — the seekable web-archive key layout, all codegen column
+    expressions (surt + date_format + hand-concatenated fixed-key-order
+    JSON with the engine's FNV digest)."""
+    from .sources.warc import cdx_index
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        f"{_SURT_URL_SQL} AS url",
+        "to_timestamp(1714564800 + doc_id) AS warc_ts",
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS INT) AS status",
+        "regexp_replace(text, '[^ -~]', '') AS html",
+    )
+    return cdx_index(pages)
+
+
+ORACLE_CDX = f"""
+WITH u AS (
+  SELECT doc_id, {_SURT_URL_SQL} AS url,
+         to_timestamp(1714564800 + doc_id) AS warc_ts,
+         CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS status,
+         regexp_replace(text, '[^ -~]', '', 'g') AS html
+  FROM documents)
+SELECT
+  lower(
+    array_to_string(list_reverse(string_split(
+        regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1), '.')), ',')
+    || ')'
+    || coalesce(nullif(regexp_extract(url,
+        '^[a-z]+://[^/?#]*(/[^?#]*)', 1), ''), '/')
+    || CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN ''
+       ELSE '?' || array_to_string(list_sort(string_split(
+            regexp_extract(url, '\\?([^#]*)', 1), '&')), '&') END
+  ) AS surt,
+  strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+  '{{"url": "' || url || '", "status": "' || CAST(status AS STRING)
+    || '", "digest": "' || CAST({{fnv}} AS STRING) || '"}}' AS cdxj
+FROM u
+""".replace("{fnv}", duckdb_fnv_signed_sql("html"))
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints over the documents table: ordered
     word-3-gram FNV hashes, window-4 sliding minima, distinct selected
@@ -1802,6 +1844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_text": q_html_text,
     "winnow_fingerprint": q_winnow_fingerprint,
     "surt_key": q_surt_key,
+    "cdx_index": q_cdx_index,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "lang_guess": q_lang_guess,
@@ -1855,6 +1898,7 @@ ORACLES: dict[str, str] = {
     "html_text": ORACLE_HTML_TEXT,
     "winnow_fingerprint": _winnow_oracle_sql(),
     "surt_key": ORACLE_SURT,
+    "cdx_index": ORACLE_CDX,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "lang_guess": ORACLE_LANG,

@@ -257,6 +257,33 @@ def warc_universe(spark: SparkSession, path: str) -> DataFrame:
     return out.withColumn("lang", lang_guess_col(F.col("text")))
 
 
+def cdx_index(pages: DataFrame) -> DataFrame:
+    """CDXJ-style index rows for a pages/resources table: the web-archive
+    lookup format ``(surt_key, ts14, json)`` — SURT key + 14-digit
+    timestamp give the sorted seekable key (pywb/OpenWayback layout);
+    the JSON carries url/status/digest.  Sorting/bucketing the output by
+    (surt, ts14) makes any domain a contiguous range at 100 TB.
+
+    Pure column expressions; the JSON is hand-concatenated (fixed key
+    order) so the line is byte-deterministic across engines.
+    """
+    from ..functions.fnv import fnv1_64
+    from ..functions.urltools import surt_col
+
+    surt = surt_col(F.col("url"))
+    ts14 = F.date_format(F.col("warc_ts"), "yyyyMMddHHmmss")
+    digest = fnv1_64(F.col("html").cast("string"))
+    js = F.concat(
+        F.lit('{"url": "'), F.col("url"),
+        F.lit('", "status": "'), F.col("status").cast("string"),
+        F.lit('", "digest": "'), digest.cast("string"),
+        F.lit('"}'),
+    )
+    return pages.select(
+        surt.alias("surt"), ts14.alias("ts14"), js.alias("cdxj")
+    )
+
+
 def write_warc(
     df: DataFrame, out_dir: str, url_col: str = "url", ts_col: str = "warc_ts",
     status_col: str = "status", headers_col: str = "headers",
