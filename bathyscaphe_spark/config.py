@@ -56,6 +56,9 @@ class CrawlConfig:
     blacklist_ttl_s: int = 1200
     # engine additions (north-star scheduler): politeness + priority
     per_host_budget: int = 20  # max fetches per host per round
+    # nominal wall seconds of one round — converts a robots Crawl-delay
+    # of d seconds into a per-host budget of floor(round_period_s / d)
+    round_period_s: int = 60
     max_depth: int = 50
     # skew handling: hosts with more frontier URLs than this get salted
     # across this many sub-partitions during the fetch stage

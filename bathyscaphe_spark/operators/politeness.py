@@ -38,7 +38,11 @@ _ORDER = lambda: [  # noqa: E731 — shared deterministic priority order
 ]
 
 
-def rank_frontier(frontier: DataFrame, config: CrawlConfig) -> DataFrame:
+def rank_frontier(
+    frontier: DataFrame,
+    config: CrawlConfig,
+    host_budgets: DataFrame | None = None,
+) -> DataFrame:
     """O1: per-host priority rank + budget truncation, skew-proof.
 
     Two-phase salted rank: phase 1 ranks within (host, url_hash % B) and
@@ -48,23 +52,36 @@ def rank_frontier(frontier: DataFrame, config: CrawlConfig) -> DataFrame:
     a single global per-host rank (any row in the true top-K is in its
     bucket's top-K), deterministic at any parallelism.
 
+    ``host_budgets`` (host, budget) — e.g. derived from robots
+    Crawl-delay via ``robots.budgets_from_robots`` — LOWERS the budget
+    for listed hosts (never raises above the config cap); broadcast
+    joined, per-host tiny.
+
     Input columns: url, url_hash, host, depth, priority, discovered_ts.
     Output: the scheduled subset, with ``fetch_rank`` retained for
     lineage/metrics.
     """
+    cap = F.lit(config.per_host_budget)
+    if host_budgets is not None:
+        bdg = F.broadcast(
+            host_budgets.select("host", F.col("budget").alias("_host_budget"))
+        )
+        frontier = frontier.join(bdg, "host", "left")
+        cap = F.least(cap, F.coalesce(F.col("_host_budget"), cap))
     b = max(1, config.skew_salt_buckets)
     salt = F.pmod(F.col("url_hash"), F.lit(b))
     w1 = Window.partitionBy("host", salt).orderBy(*_ORDER())
     pre = (
         frontier.withColumn("_pre_rank", F.row_number().over(w1))
-        .where(F.col("_pre_rank") <= config.per_host_budget)
+        .where(F.col("_pre_rank") <= cap)
         .drop("_pre_rank")
     )
     w2 = Window.partitionBy("host").orderBy(*_ORDER())
-    return (
+    out = (
         pre.withColumn("fetch_rank", F.row_number().over(w2))
-        .where(F.col("fetch_rank") <= config.per_host_budget)
+        .where(F.col("fetch_rank") <= cap)
     )
+    return out.drop("_host_budget") if host_budgets is not None else out
 
 
 def salted_repartition(

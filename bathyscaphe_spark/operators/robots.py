@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, DoubleType, StringType
 
 
 def parse_robots_py(text: str, agent: str = "*") -> list[str]:
@@ -58,20 +58,89 @@ def parse_robots_py(text: str, agent: str = "*") -> list[str]:
     return out
 
 
+def parse_crawl_delay_py(text: str, agent: str = "*") -> float | None:
+    """Crawl-delay seconds applying to ``agent`` (strictest — the MAX —
+    across applicable groups; de-facto extension honored by most
+    crawlers).  Invalid / negative values are ignored."""
+    delays: list[float] = []
+    agents: list[str] = []
+    grp_delay: float | None = None
+    in_body = False
+    agent = agent.lower()
+
+    def _flush() -> None:
+        if grp_delay is not None and any(
+            a == "*" or a.lower() == agent for a in agents
+        ):
+            delays.append(grp_delay)
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_body:
+                _flush()
+                agents, grp_delay, in_body = [], None, False
+            agents.append(val)
+        elif key in ("disallow", "allow", "crawl-delay"):
+            in_body = True
+            if key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if d > 0:
+                    grp_delay = max(grp_delay or 0.0, d)
+    _flush()
+    return max(delays) if delays else None
+
+
 @pandas_udf(ArrayType(StringType()))
 def parse_robots(text: pd.Series) -> pd.Series:
     """robots.txt body → array of '*'-group Disallow prefixes."""
     return text.map(parse_robots_py)
 
 
+@pandas_udf(DoubleType())
+def parse_crawl_delay(text: pd.Series) -> pd.Series:
+    """robots.txt body → '*'-group Crawl-delay seconds (null if none)."""
+    return text.map(parse_crawl_delay_py)
+
+
 def robots_table_from_fetch(fetched: DataFrame, body_col: str = "html") -> DataFrame:
     """(host, <body>) rows of fetched /robots.txt files → the ``robots``
-    full-state table shape (host, disallow array<string>)."""
+    full-state table shape (host, disallow array<string>,
+    crawl_delay_s double nullable)."""
     body = F.col(body_col)
     body = F.when(body.isNotNull(), body.cast("string")).otherwise(F.lit(""))
     return fetched.select(
-        "host", parse_robots(body).alias("disallow")
-    ).where(F.size("disallow") > 0)
+        "host",
+        parse_robots(body).alias("disallow"),
+        parse_crawl_delay(body).alias("crawl_delay_s"),
+    ).where((F.size("disallow") > 0) | F.col("crawl_delay_s").isNotNull())
+
+
+def budgets_from_robots(robots: DataFrame, config) -> DataFrame | None:
+    """(host, budget) derived from Crawl-delay: a host advertising a
+    delay of d seconds gets at most floor(round_period_s / d) fetches
+    per round (≥ 1) — the batch-round translation of the per-request
+    delay.  Returns None when the table has no crawl_delay_s column
+    (pre-delay state dirs) or no delayed hosts."""
+    if "crawl_delay_s" not in robots.columns:
+        return None
+    budgets = robots.where(
+        F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0)
+    ).select(
+        "host",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(float(config.round_period_s)) / F.col("crawl_delay_s")),
+        ).cast("int").alias("budget"),
+    )
+    return budgets
 
 
 def expand_robots(robots: DataFrame) -> DataFrame:

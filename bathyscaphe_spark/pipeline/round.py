@@ -193,7 +193,15 @@ def run_round(
     # join reuses the pages table's bucketing, so only this (small)
     # frontier side shuffles — salting the fetch itself is unnecessary
     # because url-hash partitioning is inherently uniform.
-    scheduled = rank_frontier(frontier, config).persist()
+    # robots state feeds two consumers: Crawl-delay → per-host budgets
+    # for the politeness rank, and disallow prefixes → the scheduler
+    robots_df = catalog.read_state("robots")
+    host_budgets = None
+    if robots_df is not None:
+        from ..operators.robots import budgets_from_robots
+
+        host_budgets = budgets_from_robots(robots_df, config)
+    scheduled = rank_frontier(frontier, config, host_budgets).persist()
 
     # S4/F5/O4 — crawl.  The raw join is persisted ONCE; both the ok and
     # timeout branches filter the cache (the join never runs twice).
@@ -224,7 +232,6 @@ def run_round(
 
     # scheduler — discover next frontier (robots state is optional: a
     # committed `robots` table gates candidates by disallow prefix)
-    robots_df = catalog.read_state("robots")
     new_urls = discover_new_urls(
         fetched_ok, config, seen, blacklist_pred, round_n, bloom=bloom,
         robots=robots_df,

@@ -301,6 +301,60 @@ FROM ranked WHERE fetch_rank <= 5
 """
 
 
+def q_o1_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Crawl-delay → per-host politeness budgets through the REAL
+    parser and rank: hosts ≡ 0 (mod 3) advertise Crawl-delay 30
+    (→ budget 2 at round_period 60), hosts ≡ 1 advertise 15 (→ 4),
+    others none (config cap 5).  The whole chain — robots parse, budget
+    derivation, budget-capped two-phase rank — runs for real; the
+    oracle recomputes it as a windowed rank with arithmetic caps."""
+    from .operators.robots import budgets_from_robots, robots_table_from_fetch
+
+    f = _docs(spark, sf_dir).selectExpr(
+        f"{LINK1} AS url",
+        "'host' || CAST(doc_id % 23 AS STRING) || '.onion' AS host",
+        "CAST(doc_id % 8 AS INT) AS depth",
+        "CAST(1000 - (doc_id % 8) * 10 AS INT) AS priority",
+        "CAST('2020-10-29 12:04:09' AS TIMESTAMP) AS discovered_ts",
+    )
+    f = f.withColumn("url_hash", fnv1_64(F.col("url")))
+    hosts = spark.range(23).selectExpr(
+        "'host' || CAST(id AS STRING) || '.onion' AS host",
+        "CASE CAST(id % 3 AS INT) "
+        " WHEN 0 THEN 'User-agent: *\\nCrawl-delay: 30\\nDisallow: /x\\n' "
+        " WHEN 1 THEN 'User-agent: *\\nCrawl-delay: 15\\n' "
+        " ELSE 'User-agent: *\\nDisallow: /y\\n' END AS html",
+    )
+    robots = robots_table_from_fetch(hosts)
+    cfg = CrawlConfig(per_host_budget=5, round_period_s=60)
+    out = rank_frontier(f, cfg, budgets_from_robots(robots, cfg))
+    return out.select(
+        "url", "host", F.col("fetch_rank").cast("long").alias("fetch_rank")
+    )
+
+
+ORACLE_O1_DELAY = f"""
+WITH f AS (
+  SELECT {LINK1} AS url,
+         'host' || CAST(doc_id % 23 AS STRING) || '.onion' AS host,
+         doc_id % 8 AS depth,
+         1000 - (doc_id % 8) * 10 AS priority,
+         doc_id % 23 AS hid
+  FROM documents
+),
+ ranked AS (
+  SELECT url, host,
+         CASE hid % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 5 END AS cap,
+         ROW_NUMBER() OVER (
+           PARTITION BY host ORDER BY priority DESC, depth ASC, url ASC
+         ) AS fetch_rank
+  FROM f
+ )
+SELECT url, host, CAST(fetch_rank AS BIGINT) AS fetch_rank
+FROM ranked WHERE fetch_rank <= cap
+"""
+
+
 def q_a1_host_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 per-host timeout counting + threshold promotion
     (blacklister.go:143-186; threshold=5) over timeouts synthesized from
@@ -1845,6 +1899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "surt_key": q_surt_key,
     "cdx_index": q_cdx_index,
+    "o1_delay_budget": q_o1_delay_budget,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "lang_guess": q_lang_guess,
@@ -1899,6 +1954,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprint": _winnow_oracle_sql(),
     "surt_key": ORACLE_SURT,
     "cdx_index": ORACLE_CDX,
+    "o1_delay_budget": ORACLE_O1_DELAY,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "lang_guess": ORACLE_LANG,

@@ -33,3 +33,68 @@ def test_robots_table_from_fetch(spark):
     )
     rows = {r["host"]: r["disallow"] for r in robots_table_from_fetch(fetched).collect()}
     assert rows == {"a.onion": ["/x"]}
+
+
+def test_parse_crawl_delay():
+    from bathyscaphe_spark.operators.robots import parse_crawl_delay_py
+
+    txt = (
+        "User-agent: googlebot\nCrawl-delay: 1\n\n"
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 10  # strict\n"
+    )
+    assert parse_crawl_delay_py(txt) == 10.0
+    assert parse_crawl_delay_py(txt, agent="GoogleBot") == 10.0  # max of both
+    assert parse_crawl_delay_py("User-agent: *\nDisallow: /a\n") is None
+    assert parse_crawl_delay_py("User-agent: *\nCrawl-delay: nope\n") is None
+    assert parse_crawl_delay_py("User-agent: *\nCrawl-delay: -3\n") is None
+    assert parse_crawl_delay_py("") is None
+    # delay-only file (no Disallow) still parses
+    assert parse_crawl_delay_py("User-agent: *\nCrawl-delay: 2.5\n") == 2.5
+
+
+def test_crawl_delay_budget_rank(spark):
+    """Crawl-delay lowers a host's politeness budget; other hosts keep
+    the config cap; budgets never exceed the cap."""
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.operators.politeness import rank_frontier
+    from bathyscaphe_spark.operators.robots import (
+        budgets_from_robots,
+        robots_table_from_fetch,
+    )
+
+    cfg = CrawlConfig(per_host_budget=5, round_period_s=60)
+    fetched = spark.createDataFrame(
+        [
+            ("slow.onion", b"User-agent: *\nCrawl-delay: 30\n"),   # budget 2
+            ("open.onion", b"User-agent: *\nDisallow: /x\n"),      # no delay
+            ("huge.onion", b"User-agent: *\nCrawl-delay: 0.001\n"),  # cap wins
+        ],
+        "host string, html binary",
+    )
+    robots = robots_table_from_fetch(fetched)
+    budgets = budgets_from_robots(robots, cfg)
+    got = {r["host"]: r["budget"] for r in budgets.collect()}
+    assert got == {"slow.onion": 2, "huge.onion": 60000}
+    rows = []
+    for h in ("slow.onion", "open.onion", "huge.onion", "plain.onion"):
+        for i in range(8):
+            rows.append((f"http://{h}/p{i}", i * 7 + hash(h) % 100, h, 1,
+                         100 - i, None))
+    frontier = spark.createDataFrame(
+        rows,
+        "url string, url_hash long, host string, depth int, "
+        "priority int, discovered_ts timestamp",
+    )
+    out = rank_frontier(frontier, cfg, budgets).groupBy("host").count()
+    counts = {r["host"]: r["count"] for r in out.collect()}
+    assert counts == {
+        "slow.onion": 2,     # delay-derived budget
+        "open.onion": 5,     # config cap
+        "huge.onion": 5,     # min(cap, delay budget)
+        "plain.onion": 5,    # no robots entry at all
+    }
+    # without budgets: identical to the config cap everywhere
+    base = rank_frontier(frontier, cfg).groupBy("host").count()
+    assert all(r["count"] == 5 for r in base.collect())
