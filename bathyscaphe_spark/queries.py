@@ -355,6 +355,61 @@ FROM ranked WHERE fetch_rank <= cap
 """
 
 
+_SITEMAP_BODY_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'junk <<<' "
+    "WHEN doc_id % 4 = 0 THEN "
+    "'<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+    "<sitemap><loc>http://s' || CAST(doc_id % 23 AS STRING) || "
+    "'.onion/sm' || CAST(doc_id AS STRING) || '.xml</loc></sitemap>"
+    "</sitemapindex>' "
+    "ELSE "
+    "'<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+    "<url><loc>http://h' || CAST(doc_id % 23 AS STRING) || '.onion/p' || "
+    "CAST(doc_id AS STRING) || '.html</loc><lastmod>2024-01-0' || "
+    "CAST(1 + doc_id % 9 AS STRING) || '</lastmod></url>"
+    "<url><loc>http://h' || CAST(doc_id % 23 AS STRING) || '.onion/q' || "
+    "CAST(doc_id AS STRING) || '</loc></url></urlset>' END"
+)
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion through the REAL XML parser: per-doc urlset /
+    sitemapindex / junk bodies synthesized from doc_id, parsed by
+    ``read_sitemaps`` (namespace-wildcard ElementTree + X2
+    normalization); the oracle recomputes every row arithmetically."""
+    from .sources.sitemap import read_sitemaps
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "'h' || CAST(doc_id % 23 AS STRING) || '.onion' AS host",
+        f"{_SITEMAP_BODY_SQL} AS body",
+    )
+    return read_sitemaps(d)
+
+
+ORACLE_SITEMAP = """
+WITH d AS (SELECT doc_id, 'h' || CAST(doc_id % 23 AS STRING) || '.onion' AS host
+           FROM documents WHERE doc_id % 7 != 0)
+SELECT host,
+       'http://s' || CAST(doc_id % 23 AS STRING) || '.onion/sm'
+           || CAST(doc_id AS STRING) || '.xml' AS url,
+       CAST(NULL AS VARCHAR) AS lastmod, TRUE AS is_index
+FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT host,
+       'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/p'
+           || CAST(doc_id AS STRING) || '.html' AS url,
+       '2024-01-0' || CAST(1 + doc_id % 9 AS STRING) AS lastmod,
+       FALSE AS is_index
+FROM d WHERE doc_id % 4 != 0
+UNION ALL
+SELECT host,
+       'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/q'
+           || CAST(doc_id AS STRING) AS url,
+       CAST(NULL AS VARCHAR) AS lastmod, FALSE AS is_index
+FROM d WHERE doc_id % 4 != 0
+"""
+
+
 def q_a1_host_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 per-host timeout counting + threshold promotion
     (blacklister.go:143-186; threshold=5) over timeouts synthesized from
@@ -1900,6 +1955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surt_key": q_surt_key,
     "cdx_index": q_cdx_index,
     "o1_delay_budget": q_o1_delay_budget,
+    "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "lang_guess": q_lang_guess,
@@ -1955,6 +2011,7 @@ ORACLES: dict[str, str] = {
     "surt_key": ORACLE_SURT,
     "cdx_index": ORACLE_CDX,
     "o1_delay_budget": ORACLE_O1_DELAY,
+    "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "lang_guess": ORACLE_LANG,

@@ -1,0 +1,110 @@
+"""Sitemap ingestion — sitemap.xml / sitemap-index bodies into seeds.
+
+The sitemaps protocol (sitemaps.org, public spec) is the crawl-world's
+push channel: hosts advertise their own URL inventory with optional
+``lastmod``.  The reference has no sitemap handling (seeds are
+hand-published events, README.md:22-33); at Common-Crawl scale sitemaps
+are the cheapest frontier bootstrap there is, so the engine ingests
+them as a first-class source.
+
+Parsing is stdlib ``xml.etree`` with namespace-wildcard matching (the
+spec's namespace varies in the wild), tolerant of junk bodies (returns
+empty).  Both document kinds are handled: ``<urlset>`` (leaf pages) and
+``<sitemapindex>`` (pointers to more sitemaps — emitted with
+``is_index=true`` so the driver can fetch-and-recurse a level per
+round).  URLs are canonicalized with the engine's X2 normalizer so they
+join/dedup exactly like every other frontier URL.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SITEMAP_SCHEMA = "host string, url string, lastmod string, is_index boolean"
+
+
+def parse_sitemap_py(body: str | bytes | None) -> list[tuple[str, str | None, bool]]:
+    """One sitemap body → [(loc, lastmod, is_index)].  Malformed XML or
+    a non-sitemap root yields []."""
+    if body is None:
+        return []
+    if isinstance(body, (bytes, bytearray)):
+        body = body.decode("utf-8", errors="replace")
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        return []
+    tag = root.tag.rsplit("}", 1)[-1].lower()
+    if tag not in ("urlset", "sitemapindex"):
+        return []
+    is_index = tag == "sitemapindex"
+    out: list[tuple[str, str | None, bool]] = []
+    for entry in root:
+        loc = entry.find("{*}loc")
+        if loc is None or not (loc.text or "").strip():
+            continue
+        lastmod = entry.find("{*}lastmod")
+        out.append(
+            (
+                loc.text.strip(),
+                (lastmod.text or "").strip() if lastmod is not None else None,
+                is_index,
+            )
+        )
+    return out
+
+
+def read_sitemaps(bodies: DataFrame, host_col: str = "host",
+                  body_col: str = "body") -> DataFrame:
+    """(host, body) rows of fetched sitemap files →
+    (host, url, lastmod, is_index) — one vectorized mapInPandas stage,
+    urls X2-normalized (null/unparseable dropped)."""
+    from ..functions.urltools import normalize_url
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts: list[str] = []
+            locs: list[str] = []
+            mods: list[str | None] = []
+            idxs: list[bool] = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                for loc, mod, is_idx in parse_sitemap_py(body):
+                    hosts.append(host)
+                    locs.append(loc)
+                    mods.append(mod)
+                    idxs.append(is_idx)
+            yield pd.DataFrame(
+                {"host": hosts, "url": locs, "lastmod": mods, "is_index": idxs}
+            )
+
+    out = bodies.select(
+        F.col(host_col).alias(host_col), F.col(body_col).alias(body_col)
+    ).mapInPandas(_run, schema=SITEMAP_SCHEMA)
+    return out.withColumn("url", normalize_url(F.col("url"))).where(
+        F.col("url").isNotNull()
+    )
+
+
+def seeds_from_sitemaps(bodies: DataFrame, host_col: str = "host",
+                        body_col: str = "body") -> DataFrame:
+    """Leaf sitemap entries as a seeds frame for
+    ``pipeline.driver.bootstrap``: (url, host) — deduplicated, index
+    pointers excluded (recurse those with another fetch round)."""
+    from ..functions.urltools import url_host_py
+
+    entries = read_sitemaps(bodies, host_col, body_col)
+
+    @F.pandas_udf("string")
+    def _host_of(u: pd.Series) -> pd.Series:
+        return u.map(lambda v: url_host_py(v) if v is not None else None)
+
+    return (
+        entries.where(~F.col("is_index"))
+        .select("url", _host_of(F.col("url")).alias("host"))
+        .dropDuplicates(["url"])
+    )

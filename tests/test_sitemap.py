@@ -1,0 +1,69 @@
+"""Sitemap source tests: parse goldens, normalization, seeds, crawl feed."""
+
+from bathyscaphe_spark.sources.sitemap import (
+    parse_sitemap_py,
+    read_sitemaps,
+    seeds_from_sitemaps,
+)
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>HTTP://A.onion/Page.html#frag</loc><lastmod>2024-05-01</lastmod></url>
+  <url><loc> http://a.onion/two </loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+
+INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://a.onion/sitemap2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_golden():
+    got = parse_sitemap_py(URLSET)
+    assert got == [
+        ("HTTP://A.onion/Page.html#frag", "2024-05-01", False),
+        ("http://a.onion/two", None, False),
+    ]
+    assert parse_sitemap_py(INDEX) == [
+        ("http://a.onion/sitemap2.xml", None, True)
+    ]
+    assert parse_sitemap_py("<html>not a sitemap</html>") == []
+    assert parse_sitemap_py("junk <<<") == []
+    assert parse_sitemap_py(None) == []
+    assert parse_sitemap_py(URLSET.encode()) == parse_sitemap_py(URLSET)
+
+
+def test_read_sitemaps_normalized(spark):
+    bodies = spark.createDataFrame(
+        [("a.onion", URLSET), ("b.onion", INDEX), ("c.onion", "junk")],
+        "host string, body string",
+    )
+    rows = {(r["url"], r["is_index"]) for r in read_sitemaps(bodies).collect()}
+    # X2: scheme/host lowercased, fragment stripped
+    assert rows == {
+        ("http://a.onion/Page.html", False),
+        ("http://a.onion/two", False),
+        ("http://a.onion/sitemap2.xml", True),
+    }
+
+
+def test_sitemap_seeds_bootstrap_crawl(spark, tmp_path):
+    """Sitemap → seeds → crawl bootstrap: the advertised pages get
+    fetched in round 0."""
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.pipeline.synth import build_pages
+
+    uni = build_pages(spark, n_pages=500, n_hosts=10)
+    some = [r["url"] for r in uni.limit(3).collect()]
+    body = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(f"<url><loc>{u}</loc></url>" for u in some)
+        + "</urlset>"
+    )
+    bodies = spark.createDataFrame([("h.onion", body)], "host string, body string")
+    seeds = seeds_from_sitemaps(bodies)
+    assert {r["url"] for r in seeds.collect()} == set(some)
+    stats = crawl(spark, uni, seeds, str(tmp_path / "s"), CrawlConfig(),
+                  max_rounds=1)
+    assert stats[0].scheduled == 3
