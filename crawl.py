@@ -31,7 +31,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--state", required=True, help="state root directory")
     ap.add_argument("--pages", required=True,
-                    help="'synth:<n_pages>' or parquet path")
+                    help="'synth:<n_pages>', 'warc:<glob>' or parquet path")
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--seeds", type=int, default=0,
                     help="number of seed hosts (synth mode; 0 = one per host)")
@@ -63,6 +63,24 @@ def main() -> None:
             int(spark.conf.get("spark.sql.shuffle.partitions")), "url"
         ).persist()
         seeds = build_seeds(spark, pages, args.seeds or n_hosts)
+    elif args.pages.startswith("warc:"):
+        # WARC archives as the fetch universe (Common Crawl layout)
+        from bathyscaphe_spark.sources.warc import warc_universe
+
+        pages = warc_universe(spark, args.pages.split(":", 1)[1]).repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "url"
+        ).persist()
+        seeds = None
+        if TableCatalog(spark, args.state).last_committed_round() < 0:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy("host").orderBy("url")
+            seeds = (
+                pages.withColumn("_rn", F.row_number().over(w))
+                .where("_rn = 1")
+                .select("url", "host")
+            )
     else:
         pages = spark.read.parquet(args.pages).persist()
         seeds = None  # resume, or bootstrap below from host roots

@@ -184,3 +184,51 @@ def test_crawl_over_warc_universe(spark, tmp_path):
     assert stats[0].fetched == 1
     assert sum(s.discovered for s in stats) >= len(hosts)
     assert sum(s.fetched for s in stats) >= 3  # crawl walks the ring
+
+
+def test_warc_roundtrip_property():
+    """Property: build_warc_bytes → iter_warc_records is lossless for
+    any printable-ASCII url/headers and ARBITRARY body bytes, compressed
+    or not, for any record count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ascii_token = st.text(
+        st.characters(min_codepoint=0x21, max_codepoint=0x7E), min_size=1, max_size=30
+    )
+    header_val = st.text(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=40
+    ).map(str.strip)
+    record = st.tuples(
+        ascii_token.map(lambda s: "http://" + s),
+        st.integers(0, 2**31 - 1).map(
+            lambda t: __import__("datetime").datetime.fromtimestamp(
+                t, __import__("datetime").timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        ),
+        st.sampled_from([200, 204, 301, 404, 500]),
+        st.dictionaries(ascii_token.filter(lambda k: ":" not in k), header_val,
+                        max_size=4),
+        st.binary(max_size=300),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(record, max_size=5), st.booleans())
+    def _check(records, compress):
+        raw = build_warc_bytes(records, compress=compress)
+        if compress:
+            stream = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(raw)))
+        else:
+            stream = io.BytesIO(raw)
+        got = list(iter_warc_records(stream))
+        assert len(got) == len(records)
+        for rec, (url, iso, status, headers, body) in zip(got, records):
+            assert rec["url"] == url
+            assert rec["status"] == status
+            assert rec["html"] == body
+            assert rec["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ") == iso
+            want_h = {k.lower(): v for k, v in headers.items()}
+            # later duplicate keys (case-insensitive) overwrite, like dict
+            assert rec["headers"] == want_h
+
+    _check()
