@@ -512,13 +512,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
                 continue
             flat = [w for lst in word_lists for w in lst]
             h = fnv1_64_np(pd.Series(flat, dtype=object))
-            # (n_words × bits) ±1 votes, folded per doc segment
+            # (n_words × bits) ±1 votes, folded per doc segment.  int16
+            # keeps the matrix 4× smaller than int64 (the guest is
+            # bandwidth-bound); per-doc vote sums are bounded by the
+            # doc's word count, far under 2^15 — reduceat accumulates
+            # into int32 below to be safe for multi-thousand-word docs.
             votes_w = (
                 ((h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1)
-                .astype(np.int64) * 2 - 1
+                .astype(np.int16) * 2 - 1
             )
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nonempty]
-            votes = np.add.reduceat(votes_w, starts, axis=0)
+            votes = np.add.reduceat(votes_w, starts, axis=0, dtype=np.int32)
             fp = ((votes > 0).astype(np.int64) * weights).sum(axis=1)
             yield pd.DataFrame({id_col: ids, "simhash": fp})
 
