@@ -59,6 +59,12 @@ class CrawlConfig:
     # nominal wall seconds of one round — converts a robots Crawl-delay
     # of d seconds into a per-host budget of floor(round_period_s / d)
     round_period_s: int = 60
+    # proactive robots handling: newly discovered hosts get their
+    # /robots.txt scheduled (top priority), fetched bodies are harvested
+    # into the robots state (disallow prefixes + Crawl-delay budgets).
+    # Off by default: the reference has no robots fetching, and the
+    # parity oracles replay reference semantics exactly.
+    fetch_robots: bool = False
     max_depth: int = 50
     # skew handling: hosts with more frontier URLs than this get salted
     # across this many sub-partitions during the fetch stage

@@ -123,6 +123,44 @@ def robots_table_from_fetch(fetched: DataFrame, body_col: str = "html") -> DataF
     ).where((F.size("disallow") > 0) | F.col("crawl_delay_s").isNotNull())
 
 
+def empty_robots(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "host string, disallow array<string>, crawl_delay_s double"
+    )
+
+
+def robots_seed_urls(
+    new_urls: DataFrame, robots_state: DataFrame | None,
+    seen: DataFrame | None, round_ts,
+) -> DataFrame:
+    """Proactive robots scheduling: for each host appearing in this
+    round's discoveries that has no robots state yet, emit its
+    ``http://<host>/robots.txt`` as a depth-0 (top-priority) frontier
+    row.  Live-seen hosts are skipped, so a host whose robots fetch
+    found nothing (404) is tried exactly once — its hash lands in the
+    seen set with the rest of the round's schedule."""
+    from ..functions.fnv import fnv1_64
+
+    hosts = new_urls.select("host").distinct()
+    if robots_state is not None:
+        hosts = hosts.join(
+            F.broadcast(robots_state.select("host")), "host", "left_anti"
+        )
+    url = F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
+    rows = hosts.select(
+        url.alias("url"),
+        fnv1_64(url).alias("url_hash"),
+        "host",
+        F.lit(0).alias("depth"),
+    )
+    if seen is not None:
+        live = seen.where(
+            F.col("expires_ts").isNull() | (F.col("expires_ts") > round_ts)
+        ).select("url_hash")
+        rows = rows.join(live, "url_hash", "left_anti")
+    return rows.select("url", "url_hash", "host", "depth")
+
+
 def budgets_from_robots(robots: DataFrame, config) -> DataFrame | None:
     """(host, budget) derived from Crawl-delay: a host advertising a
     delay of d seconds gets at most floor(round_period_s / d) fetches

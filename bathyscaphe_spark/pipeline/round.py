@@ -235,7 +235,16 @@ def run_round(
     new_urls = discover_new_urls(
         fetched_ok, config, seen, blacklist_pred, round_n, bloom=bloom,
         robots=robots_df,
-    ).persist()
+    )
+    if config.fetch_robots:
+        # proactive robots: schedule /robots.txt (depth 0 ⇒ top priority)
+        # for hosts discovered this round that have no robots state yet
+        from ..operators.robots import robots_seed_urls
+
+        new_urls = new_urls.unionByName(
+            robots_seed_urls(new_urls, robots_df, seen, rts)
+        )
+    new_urls = new_urls.persist()
 
     # indexer — resources output
     resources = build_resources(
@@ -260,7 +269,22 @@ def run_round(
         files=small_files,
     )
     n_timeouts = catalog.rows_in_round("timeouts", round_n)
-    catalog.stage_round("frontier", _frontier_delta(new_urls, round_n), round_n + 1)
+    # politeness DEFERS, it must not DROP: frontier rows the budget rank
+    # left unscheduled this round requeue into the next delta with their
+    # original bookkeeping (the reference, which has no budget, fetches
+    # every published URL eventually — completeness parity requires the
+    # carry-over).  A leftover can collide with a re-discovery only when
+    # its seen TTL expired mid-flight; the anti-join keeps the leftover
+    # (older discovered_ts) and drops the duplicate discovery.
+    leftover = frontier.join(
+        scheduled.select("url_hash"), "url_hash", "left_anti"
+    ).withColumn("round", F.lit(round_n + 1))
+    next_delta = leftover.unionByName(
+        _frontier_delta(new_urls, round_n).join(
+            leftover.select("url_hash"), "url_hash", "left_anti"
+        )
+    )
+    catalog.stage_round("frontier", next_delta, round_n + 1)
 
     committed_tables = ["seen", "resources", "timeouts", "metrics"]
 
@@ -285,6 +309,32 @@ def run_round(
     def _write_resources():
         catalog.stage_round("resources", resources, round_n)
 
+    def _write_robots():
+        """Harvest fetched robots.txt bodies into the robots state
+        (disallow prefixes + Crawl-delay); hosts re-advertising replace
+        their previous entry."""
+        if not config.fetch_robots:
+            return False
+        from ..operators.robots import empty_robots, robots_table_from_fetch
+
+        new_rob = robots_table_from_fetch(
+            fetched_ok.where(F.col("url").endswith("/robots.txt")).select(
+                "host", "html"
+            )
+        )
+        if not new_rob.limit(1).count():
+            return False
+        old = robots_df if robots_df is not None else empty_robots(spark)
+        if "crawl_delay_s" not in old.columns:  # pre-delay state dirs
+            old = old.withColumn(
+                "crawl_delay_s", F.lit(None).cast("double")
+            )
+        merged = old.join(
+            F.broadcast(new_rob.select("host")), "host", "left_anti"
+        ).unionByName(new_rob)
+        catalog.stage_round("robots", merged, round_n, files=small_files)
+        return True
+
     def _write_blacklister():
         if not (n_timeouts or prev_hf_rows):
             return False
@@ -302,14 +352,17 @@ def run_round(
         catalog.stage_round("blacklist", new_bl, round_n, files=small_files)
         return True
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_seen = pool.submit(_write_seen)
         f_res = pool.submit(_write_resources)
         f_bl = pool.submit(_write_blacklister)
+        f_rob = pool.submit(_write_robots)
         f_seen.result()
         f_res.result()
         if f_bl.result():
             committed_tables += ["host_failures", "blacklist"]
+        if f_rob.result():
+            committed_tables += ["robots"]
 
     stats = RoundStats(
         round=round_n,
@@ -366,6 +419,11 @@ def run_round(
             if s == "scheduled":
                 sched += r
     stats.scheduled = sched
+    # discovered = NEW urls only: next-delta rows minus the requeued
+    # leftovers (frontier_rows - scheduled), all from footers/lineage —
+    # no extra jobs
+    n_frontier = catalog.rows_in_round("frontier", round_n)
+    stats.discovered = max(0, stats.discovered - (n_frontier - sched))
 
     # ---- atomic publish: the round's tables AND the produced frontier Δ
     # (keyed under round_n+1 so read_round finds it) go out in ONE manifest

@@ -98,3 +98,52 @@ def test_crawl_delay_budget_rank(spark):
     # without budgets: identical to the config cap everywhere
     base = rank_frontier(frontier, cfg).groupBy("host").count()
     assert all(r["count"] == 5 for r in base.collect())
+
+
+def test_fetch_robots_end_to_end(spark, tmp_path):
+    """config.fetch_robots: a newly discovered host gets /robots.txt
+    scheduled (top priority), the fetched body is harvested into robots
+    state, and the host's Crawl-delay caps its budget next round."""
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.state.tables import TableCatalog
+
+    n_pages = 30
+    links = " ".join(f"<a href='http://a.onion/p{i}.html'>x</a>"
+                     for i in range(n_pages))
+    rows = [
+        ("http://root.onion", "root.onion", links),
+        ("http://a.onion/robots.txt", "a.onion",
+         "User-agent: *\nCrawl-delay: 30\nDisallow: /secret\n"),
+    ] + [
+        (f"http://a.onion/p{i}.html", "a.onion", f"page {i}")
+        for i in range(n_pages)
+    ]
+    uni = spark.createDataFrame(
+        rows, "url string, host string, html string"
+    ).select(
+        "url", "host", "html",
+        F.create_map(F.lit("Content-Type"), F.lit("text/html")).alias("headers"),
+        F.lit(200).alias("status"),
+        F.to_timestamp(F.lit("2024-05-01 12:00:00")).alias("warc_ts"),
+    )
+    seeds = spark.createDataFrame(
+        [("http://root.onion", "root.onion")], "url string, host string"
+    )
+    cfg = CrawlConfig(per_host_budget=10, round_period_s=60,
+                      fetch_robots=True, bloom_enabled=False)
+    state = str(tmp_path / "st")
+    stats = crawl(spark, uni, seeds, state, cfg, max_rounds=3)
+    # r0: seed fetched, 30 pages discovered + a.onion robots injected
+    assert stats[0].discovered == n_pages + 1
+    # r1: budget 10 ⇒ 10 of a.onion scheduled (robots.txt is top rank)
+    assert stats[1].scheduled == 10
+    cat = TableCatalog(spark, state)
+    rob = cat.read_state("robots").collect()
+    assert [(r["host"], r["disallow"], r["crawl_delay_s"]) for r in rob] == [
+        ("a.onion", ["/secret"], 30.0)
+    ]
+    # r2: Crawl-delay 30 @ round 60s ⇒ budget floor(60/30)=2
+    assert stats[2].scheduled == 2
