@@ -1916,6 +1916,228 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# link-graph priority: fixed-point PageRank (operators/graph.py)
+# --------------------------------------------------------------------------
+
+# host-level link graph synthesized from the same corpus the scheduler
+# queries use: doc's own host (LINK1's host id) links to LINK2's host and
+# to the mirror host family — valid in both dialects
+_EDGES_SQL = """
+SELECT DISTINCT src, dst FROM (
+  SELECT (doc_id * 7 + 1) % 97 AS src, (doc_id * 3 + 2) % 97 AS dst
+  FROM documents
+  UNION ALL
+  SELECT (doc_id * 7 + 1) % 97 AS src, 97 + (doc_id % 31) AS dst
+  FROM documents
+) e WHERE src != dst
+"""
+
+_PR_SCALE = 10**12
+
+
+def q_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph crawl priority: 3-iteration fixed-point PageRank over
+    the host graph (operators/graph.py pagerank_fp).  Integer micro-unit
+    ranks are bit-identical across engines, reduction orders, and
+    cluster sizes — the property the oracle hash-check pins."""
+    from .operators.graph import pagerank_fp
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL)
+    return pagerank_fp(edges, iters=3).select(
+        "node", F.col("rank_fp").cast("long").alias("rank_fp")
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """DuckDB reimplementation: the same fixed-point recurrence unrolled
+    into one CTE per iteration (// is BIGINT floor division)."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "params AS (SELECT COUNT(*) AS n FROM nodes),",
+        f"r0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM params) AS rank_fp FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", r{i + 1} AS (
+  SELECT n2.node,
+         (15 * {_PR_SCALE}) // (100 * (SELECT n FROM params))
+         + COALESCE(SUM((r{i}.rank_fp * 85) // (100 * deg.outdeg)), 0) AS rank_fp
+  FROM nodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN r{i} ON r{i}.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n2.node
+)"""
+        )
+    parts.append(
+        f"SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# corpus build: the composed training-data pipeline in one plan
+# --------------------------------------------------------------------------
+
+# documents plus exact-duplicate replicas (every 5th doc re-labeled) so
+# the dedup stage has real work — same fragment in both dialects
+_CORPUS_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build in ONE declarative plan:
+    token/quality/language features → quality gate (≥8 tokens, punct
+    ≤25% of chars) → exact dedup keeping the lowest doc_id → content
+    fingerprint.  Every stage is a column expression or a window — the
+    whole pipeline is one Catalyst plan with a single exchange for the
+    dedup window, so filters fold into the scan at 100 TB."""
+    from pyspark.sql import Window
+
+    from .functions.textstats import lang_guess_col
+
+    _docs(spark, sf_dir)
+    d = spark.sql(_CORPUS_DOCS_SQL)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    feat = d.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        lang_guess_col(F.col("text")).alias("lang"),
+        F.regexp_count(F.col("text"), F.lit(r"\p{Punct}")).cast("long").alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    kept = feat.where(
+        (F.col("n_tokens") >= 8) & (F.col("n_punct") * 4 <= F.col("n_chars"))
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            fnv1_64(F.regexp_replace(F.col("text"), "[^ -~]", "")).alias(
+                "fingerprint"
+            ),
+        )
+    )
+
+
+ORACLE_CORPUS_BUILD = rf"""
+WITH docs2 AS ({_CORPUS_DOCS_SQL}),
+feat AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+         len(regexp_extract_all(lower(text), ' the ')) + len(regexp_extract_all(lower(text), ' and ')) AS en,
+         len(regexp_extract_all(lower(text), ' le ')) + len(regexp_extract_all(lower(text), ' et ')) AS fr,
+         len(regexp_extract_all(lower(text), ' der ')) + len(regexp_extract_all(lower(text), ' und ')) AS de,
+         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM docs2
+),
+kept AS (
+  SELECT * FROM feat WHERE n_tokens >= 8 AND n_punct * 4 <= n_chars
+),
+dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT doc_id,
+       CASE WHEN en >= fr AND en >= de THEN 'en'
+            WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang,
+       n_tokens,
+       {duckdb_fnv_signed_sql("regexp_replace(text, '[^ -~]', '', 'g')")} AS fingerprint
+FROM dedup WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# streaming dedup: the stateful streaming operator driven to completion
+# --------------------------------------------------------------------------
+
+# duplicate groups are keyed by doc_id % 301 so each url_hash maps to
+# exactly ONE distinct url (output is order-insensitive by construction)
+# while duplicates land in DIFFERENT micro-batches (301 % 4 != 0), so the
+# cross-batch state path is genuinely exercised
+_STREAM_URLS_SQL = """
+SELECT doc_id,
+       'http://h' || CAST((doc_id % 301) % 37 AS STRING) || '.onion/p'
+           || CAST(doc_id % 301 AS STRING) AS url
+FROM documents
+"""
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming first-occurrence URL dedup
+    (streaming/stateful.py streaming_seen_dedup) run to completion:
+    4 parquet micro-batches (maxFilesPerTrigger=1, availableNow) through
+    the applyInPandasWithState kernel into a memory sink.  The emitted
+    set equals DISTINCT(url, hash) no matter how the engine slices
+    batches — that set, not an ordering, is the oracle contract."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .streaming.stateful import streaming_seen_dedup
+
+    _docs(spark, sf_dir)
+    inp = spark.sql(_STREAM_URLS_SQL).withColumn(
+        "url_hash", fnv1_64(F.col("url"))
+    )
+    root = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    try:
+        t0 = int(_time.time())
+        for b in range(4):
+            stage = os.path.join(root, f"stage{b}")
+            (
+                inp.where(F.col("doc_id") % 4 == b)
+                .select("url", "url_hash")
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"batch-{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + b, t0 + b))  # file order == batch order
+        stream = (
+            spark.readStream.schema("url string, url_hash long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_seen_dedup(stream, n_shards=8)
+            .writeStream.format("memory")
+            .queryName("q_streaming_dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table("q_streaming_dedup_out").select("url", "url_hash")
+
+
+ORACLE_STREAMING_DEDUP = f"""
+SELECT DISTINCT url, {duckdb_fnv_signed_sql("url")} AS url_hash
+FROM ({_STREAM_URLS_SQL}) u
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1970,6 +2192,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "events_topk": q_events_topk,
     "rollup_customers": q_rollup_customers,
+    "pagerank_priority": q_pagerank_priority,
+    "corpus_build": q_corpus_build,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2028,4 +2253,7 @@ ORACLES: dict[str, str] = {
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "events_topk": ORACLE_EVENTS_TOPK,
     "rollup_customers": ORACLE_ROLLUP,
+    "pagerank_priority": _pagerank_oracle_sql(),
+    "corpus_build": ORACLE_CORPUS_BUILD,
+    "streaming_dedup": ORACLE_STREAMING_DEDUP,
 }
