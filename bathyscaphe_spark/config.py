@@ -77,6 +77,22 @@ class CrawlConfig:
     seen_filter: str = "bloom"
     bloom_fpp: float = 0.01
     bloom_shards: int = 8
+    # link-graph priority (operators/graph.py): when on, each round
+    # harvests distinct (src_host → dst_host) edges from extraction into
+    # the link_edges state table, and later rounds boost frontier
+    # priority by the host's fixed-point PageRank (per-mille of total
+    # mass).  Off by default: an engine addition — the reference's AMQP
+    # queue has no importance ordering.
+    link_rank_enabled: bool = False
+    link_rank_iters: int = 3
+    # global per-round fetch cap: after the per-host politeness rank,
+    # keep only the top-K rows in the deterministic cross-host priority
+    # order (TakeOrdered — no full sort materializes).  This is the
+    # consumer of cross-host priority (and of the link-rank boost): a
+    # 10^10-URL frontier cannot fetch everything each round, and the cut
+    # rows requeue via the defer-never-drop leftover path.  None ⇒ only
+    # per-host budgets apply (reference-parity behavior).
+    round_fetch_budget: int | None = None
 
     @property
     def allowed_extensions(self) -> tuple[str, ...]:

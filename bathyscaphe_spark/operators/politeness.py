@@ -84,6 +84,17 @@ def rank_frontier(
     return out.drop("_host_budget") if host_budgets is not None else out
 
 
+def global_fetch_cap(ranked: DataFrame, budget: int) -> DataFrame:
+    """Cross-host top-K over the shared deterministic priority order.
+
+    Applied AFTER the per-host budget rank, so politeness is never
+    loosened — the cap only shrinks the scheduled set.  ``orderBy +
+    limit`` compiles to TakeOrderedAndProject (per-partition top-K,
+    merged at the driver): no global sort is materialized, and the
+    total order makes the cut bit-identical at any parallelism."""
+    return ranked.orderBy(*_ORDER()).limit(budget)
+
+
 def salted_repartition(
     scheduled: DataFrame, config: CrawlConfig, num_partitions: int | None = None
 ) -> DataFrame:

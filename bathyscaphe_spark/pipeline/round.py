@@ -63,7 +63,8 @@ def discover_new_urls(
     round_n: int,
     bloom: ShardedBloom | None = None,
     robots: DataFrame | None = None,
-) -> DataFrame:
+    emit_edges: bool = False,
+):
     """Scheduler stage with depth propagation.
 
     Unlike ``operators.scheduler.schedule_candidates`` (the parity-exact
@@ -71,16 +72,28 @@ def discover_new_urls(
     deterministic min() aggregation: depth = min(parent depth) + 1, and
     applies robots disallow-prefix filtering (north-rule addition) so a
     disallowed URL never enters the frontier.
-    Output: (url, url_hash, host, depth).
+    Output: (url, url_hash, host, depth) — or, with ``emit_edges``,
+    the tuple (new_urls, edges(src,dst), cand_cache): the host-level
+    link-graph delta for PageRank priority, sharing ONE persisted
+    extraction pass (the caller unpersists ``cand_cache`` after its
+    writes).
     """
     # X1-X3 + F1-F4 in ONE narrow python stage: bodies in, only
     # (depth, url, url_hash, host) out — rejected candidates and all
     # derived strings stay inside the kernel (r2 scaling fix; the r1
-    # path's Arrow traffic was the N→4N bandwidth ceiling)
+    # path's Arrow traffic was the N→4N bandwidth ceiling).  The
+    # link-graph edge harvest widens the carry by one short host string
+    # ONLY when enabled — the default hot path stays narrow.
     bad = tuple(blacklist) if isinstance(blacklist, (list, tuple)) else ()
+    carry = ("depth", "src_host") if emit_edges else ("depth",)
+    src_df = (
+        fetched_ok.withColumn("src_host", F.col("host"))
+        if emit_edges
+        else fetched_ok
+    )
     cand = extract_filtered_candidates(
-        fetched_ok, config, forbidden=bad, body_col="html",
-        carry_cols=("depth",),
+        src_df, config, forbidden=bad, body_col="html",
+        carry_cols=carry,
     )
     if blacklist is not None and not isinstance(blacklist, (list, tuple)):
         cand = apply_hostname_blacklist(cand, blacklist)  # large-DF form
@@ -92,6 +105,18 @@ def discover_new_urls(
             F.regexp_extract(F.col("url"), r"^[a-z0-9+.-]+://[^/?#]*([^?#]*)", 1),
         )
         cand = apply_robots(cand, robots).drop("path")
+
+    edges = cand_cache = None
+    if emit_edges:
+        cand_cache = cand.persist()
+        edges = (
+            cand_cache.select(
+                F.col("src_host").alias("src"), F.col("host").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        cand = cand_cache.drop("src_host")
 
     # D2 with deterministic attributes: url/host are functions of the
     # hash; depth aggregates with min() (parent depth rode through the
@@ -112,7 +137,8 @@ def discover_new_urls(
             cand = bloom_anti_join(cand, live_seen, "url_hash", bloom)
         else:
             cand = cand.join(live_seen, "url_hash", "left_anti")
-    return cand.select("url", "url_hash", "host", "depth")
+    out = cand.select("url", "url_hash", "host", "depth")
+    return (out, edges, cand_cache) if emit_edges else out
 
 
 def _frontier_delta(new_urls: DataFrame, round_n: int) -> DataFrame:
@@ -201,7 +227,43 @@ def run_round(
         from ..operators.robots import budgets_from_robots
 
         host_budgets = budgets_from_robots(robots_df, config)
-    scheduled = rank_frontier(frontier, config, host_budgets).persist()
+    # link-graph priority: boost each frontier row by its host's
+    # fixed-point PageRank (per-mille of total mass — integer, so the
+    # ordering stays bit-identical at any parallelism).  The rank table
+    # is one row per host; AQE picks the join strategy (broadcast while
+    # hosts are small, shuffled hash at web scale).
+    if config.link_rank_enabled:
+        edges_state = catalog.read_deltas("link_edges")
+        if edges_state is not None:
+            from ..operators.graph import SCALE, pagerank_fp
+
+            ranks = pagerank_fp(
+                edges_state.select("src", "dst").distinct(),
+                iters=config.link_rank_iters,
+            )
+            boost = ranks.select(
+                F.col("node").alias("host"),
+                F.expr(f"rank_fp div {SCALE // 1000}")
+                .cast("int")
+                .alias("_lr_boost"),
+            )
+            frontier = (
+                frontier.join(boost, "host", "left")
+                .withColumn(
+                    "priority",
+                    (
+                        F.col("priority")
+                        + F.coalesce(F.col("_lr_boost"), F.lit(0))
+                    ).cast("int"),
+                )
+                .drop("_lr_boost")
+            )
+    ranked = rank_frontier(frontier, config, host_budgets)
+    if config.round_fetch_budget:
+        from ..operators.politeness import global_fetch_cap
+
+        ranked = global_fetch_cap(ranked, config.round_fetch_budget)
+    scheduled = ranked.persist()
 
     # S4/F5/O4 — crawl.  The raw join is persisted ONCE; both the ok and
     # timeout branches filter the cache (the join never runs twice).
@@ -232,10 +294,17 @@ def run_round(
 
     # scheduler — discover next frontier (robots state is optional: a
     # committed `robots` table gates candidates by disallow prefix)
-    new_urls = discover_new_urls(
-        fetched_ok, config, seen, blacklist_pred, round_n, bloom=bloom,
-        robots=robots_df,
-    )
+    link_edges = cand_cache = None
+    if config.link_rank_enabled:
+        new_urls, link_edges, cand_cache = discover_new_urls(
+            fetched_ok, config, seen, blacklist_pred, round_n, bloom=bloom,
+            robots=robots_df, emit_edges=True,
+        )
+    else:
+        new_urls = discover_new_urls(
+            fetched_ok, config, seen, blacklist_pred, round_n, bloom=bloom,
+            robots=robots_df,
+        )
     if config.fetch_robots:
         # proactive robots: schedule /robots.txt (depth 0 ⇒ top priority)
         # for hosts discovered this round that have no robots state yet
@@ -352,17 +421,31 @@ def run_round(
         catalog.stage_round("blacklist", new_bl, round_n, files=small_files)
         return True
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    def _write_edges():
+        if link_edges is None:
+            return False
+        catalog.stage_round(
+            "link_edges",
+            link_edges.withColumn("round", F.lit(round_n)),
+            round_n,
+            files=small_files,
+        )
+        return True
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_seen = pool.submit(_write_seen)
         f_res = pool.submit(_write_resources)
         f_bl = pool.submit(_write_blacklister)
         f_rob = pool.submit(_write_robots)
+        f_edges = pool.submit(_write_edges)
         f_seen.result()
         f_res.result()
         if f_bl.result():
             committed_tables += ["host_failures", "blacklist"]
         if f_rob.result():
             committed_tables += ["robots"]
+        if f_edges.result():
+            committed_tables += ["link_edges"]
 
     stats = RoundStats(
         round=round_n,
@@ -438,4 +521,6 @@ def run_round(
     scheduled.unpersist()
     fetched.unpersist()
     new_urls.unpersist()
+    if cand_cache is not None:
+        cand_cache.unpersist()
     return stats
