@@ -629,3 +629,65 @@ def embedding_near_dup_pairs(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def line_dedup_clean(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate dedup (the C4/RefinedWeb line-dedup pass):
+    any exact line occurring in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate (footers, nav bars, cookie banners) and is stripped from
+    EVERY document; surviving lines are reassembled in original order.
+
+    Output: (id, clean_text, n_removed).
+
+    Scale design: one ``posexplode`` (no data replication beyond the
+    text itself), one line-keyed aggregation with map-side partial
+    ``count(distinct doc)`` via a two-level groupBy, one broadcast-or-
+    shuffled semi-join back, one per-doc reassembly aggregation.  Every
+    step is a built-in operator — no UDFs, full codegen — and the line
+    key is near-uniform (hash shuffle, no skew pathology: the most
+    frequent line still groups to ONE row before the join).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    # distinct (doc, line) first so the per-line count is a cheap COUNT(*)
+    # with map-side combine, not a COUNT(DISTINCT) carrying doc ids
+    boiler = (
+        lines.select("_id", "_line")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .where(F.col("_ndocs") >= min_docs)
+        .select("_line")
+    )
+    kept = lines.join(boiler, "_line", "left_anti")
+    total = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_nlines"))
+    out = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_nkept"),
+        )
+        .join(total, "_id", "right")  # docs whose every line was removed
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (F.col("_nlines") - F.coalesce(F.col("_nkept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

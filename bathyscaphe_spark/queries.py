@@ -2060,6 +2060,57 @@ FROM dedup WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# line-level boilerplate dedup (C4/RefinedWeb line-dedup pass)
+# --------------------------------------------------------------------------
+
+# documents with injected boilerplate: a footer on every doc and a
+# banner on even docs — chr(10) is the newline in BOTH dialects
+_LINE_DOCS_SQL = """
+SELECT doc_id,
+       text || chr(10) || 'FOOTER: all rights reserved'
+            || CASE WHEN doc_id % 2 = 0
+                    THEN chr(10) || 'Even banner ads here' ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal: lines present in ≥2 distinct
+    documents are stripped corpus-wide, survivors reassembled in order
+    (operators/dedup.py line_dedup_clean — pure built-ins, no UDF)."""
+    from .operators.dedup import line_dedup_clean
+
+    _docs(spark, sf_dir)
+    return line_dedup_clean(spark.sql(_LINE_DOCS_SQL), min_docs=2)
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH docs2 AS ({_LINE_DOCS_SQL}),
+split_docs AS (
+  SELECT doc_id, regexp_split_to_array(text, chr(10)) AS l FROM docs2
+),
+lines AS (
+  SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+  FROM split_docs
+),
+boiler AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+  GROUP BY line HAVING COUNT(*) >= 2
+),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
+total AS (SELECT doc_id, COUNT(*) AS nlines FROM lines GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS nkept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.nlines - COALESCE(a.nkept, 0) AS BIGINT) AS n_removed
+FROM total t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # streaming dedup: the stateful streaming operator driven to completion
 # --------------------------------------------------------------------------
 
@@ -2195,6 +2246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_priority": q_pagerank_priority,
     "corpus_build": q_corpus_build,
     "streaming_dedup": q_streaming_dedup,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2256,4 +2308,5 @@ ORACLES: dict[str, str] = {
     "pagerank_priority": _pagerank_oracle_sql(),
     "corpus_build": ORACLE_CORPUS_BUILD,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "line_dedup": ORACLE_LINE_DEDUP,
 }

@@ -236,3 +236,28 @@ def test_winnow_fingerprints_guarantee(spark):
     assert 5 not in fps
     # per-doc fingerprints are distinct rows (selected set, not windows)
     assert len(rows) == sum(len(v) for v in fps.values())
+
+
+class TestLineDedup:
+    def test_boilerplate_stripped_order_kept(self, spark):
+        from bathyscaphe_spark.operators.dedup import line_dedup_clean
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha\nSHARED\nbeta"),
+                (2, "gamma\nSHARED\ndelta"),
+                # line repeated WITHIN one doc only — not boilerplate
+                (3, "solo\nsolo\nepsilon"),
+                # doc that is ONLY boilerplate
+                (4, "SHARED"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in line_dedup_clean(docs, min_docs=2).collect()
+        }
+        assert got[1] == ("alpha\nbeta", 1)
+        assert got[2] == ("gamma\ndelta", 1)
+        assert got[3] == ("solo\nsolo\nepsilon", 0)
+        assert got[4] == ("", 1)
