@@ -691,3 +691,51 @@ def line_dedup_clean(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test decontamination: count, per corpus document, the
+    distinct word ``k``-grams it shares with a benchmark/eval set (the
+    n-gram-overlap contamination check used on large LM training sets).
+    Output: (id, n_shared) for EVERY corpus doc — 0 means clean;
+    filter ``n_shared > 0`` to quarantine.
+
+    Scale design: benchmark suites are tiny next to a training corpus —
+    the distinct benchmark gram set broadcasts, so the corpus side is
+    one explode + one broadcast hash join + one per-doc aggregation
+    (map-side combined), never an all-pairs comparison.  For an
+    unusually large benchmark remove the hint and AQE shuffles both
+    sides on the gram key.  Grams stay strings for oracle parity; at
+    100 TB hash them first (xxhash64) to shrink the probe key.
+    """
+    cg = with_shingles(
+        corpus.select(F.col(id_col).alias("_id"), F.col(text_col).alias("text")),
+        "text",
+        k,
+    ).select("_id", F.explode("shingles").alias("gram"))
+    bg = (
+        with_shingles(
+            benchmark.select(F.col(text_col).alias("text")), "text", k
+        )
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("_id"))
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+    )

@@ -2111,6 +2111,48 @@ FROM total t LEFT JOIN agg a ON a.doc_id = t.doc_id
 
 
 # --------------------------------------------------------------------------
+# train/test decontamination: n-gram overlap vs a benchmark set
+# --------------------------------------------------------------------------
+
+_DECON_K = 8
+# benchmark/eval subset: every 17th doc (the benchmark docs are also in
+# the corpus, so contamination is guaranteed and mirrored in the oracle)
+_BENCH_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 17 = 3"
+
+_DUCK_SHINGLES_K = (
+    "CASE WHEN len(words) = 0 THEN []::VARCHAR[] "
+    f"WHEN len(words) < {_DECON_K} THEN [array_to_string(words, ' ')] "
+    f"ELSE list_distinct(list_transform(range(1, len(words) - {_DECON_K} + 2), "
+    f"i -> array_to_string(list_slice(words, i, i + {_DECON_K} - 1), ' '))) END"
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-corpus decontamination: per document, the number of distinct
+    word 8-grams shared with the benchmark subset (operators/dedup.py
+    decontaminate — explode + broadcast join + per-doc agg)."""
+    from .operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = spark.sql(_BENCH_SQL)
+    return decontaminate(d, bench, k=_DECON_K)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH cw AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM documents),
+cg AS (SELECT doc_id, unnest({_DUCK_SHINGLES_K}) AS gram FROM cw),
+bw AS (SELECT {_DUCK_WORDS} AS words FROM ({_BENCH_SQL})),
+bg AS (SELECT DISTINCT unnest({_DUCK_SHINGLES_K}) AS gram FROM bw),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared FROM cg JOIN bg USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # streaming dedup: the stateful streaming operator driven to completion
 # --------------------------------------------------------------------------
 
@@ -2247,6 +2289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build": q_corpus_build,
     "streaming_dedup": q_streaming_dedup,
     "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -2309,4 +2352,5 @@ ORACLES: dict[str, str] = {
     "corpus_build": ORACLE_CORPUS_BUILD,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "line_dedup": ORACLE_LINE_DEDUP,
+    "decontaminate": ORACLE_DECONTAMINATE,
 }

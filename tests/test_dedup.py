@@ -261,3 +261,37 @@ class TestLineDedup:
         assert got[2] == ("gamma\ndelta", 1)
         assert got[3] == ("solo\nsolo\nepsilon", 0)
         assert got[4] == ("", 1)
+
+
+class TestDecontaminate:
+    def test_overlap_counts(self, spark):
+        from bathyscaphe_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),       # shares grams with bench
+                (2, "one two three four five six seven eight"),  # exact bench doc
+                (3, "totally different words here nothing shared at all ok"),
+                (4, "short text"),                 # < k words → whole-text gram
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [
+                (100, "a b c d e f g h"),          # one 8-gram, prefix of doc 1
+                (101, "one two three four five six seven eight"),
+                (102, "short text"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_shared"]
+            for r in decontaminate(corpus, bench, k=8).collect()
+        }
+        # doc 1: grams abcdefgh..., bench has only 'a b c d e f g h' → 1
+        assert got[1] == 1
+        # doc 2: identical text → its single 8-gram run: 8 words → 1 gram
+        assert got[2] == 1
+        assert got[3] == 0
+        # doc 4: whole-text gram 'short text' matches bench 102's
+        assert got[4] == 1
