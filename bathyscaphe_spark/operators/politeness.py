@@ -84,6 +84,49 @@ def rank_frontier(
     return out.drop("_host_budget") if host_budgets is not None else out
 
 
+def rank_frontier_split(
+    frontier: DataFrame,
+    config: CrawlConfig,
+    host_budgets: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """``rank_frontier`` that ALSO returns the budget-cut rows (the
+    defer-never-drop politeness leftovers) without any anti-join: both
+    sets are filters over the same two window passes, so the leftover
+    costs zero extra shuffles (the r1-recorded scaling path paid a
+    frontier-sized ``left_anti`` join per round for it).
+
+    Returns (scheduled, leftover, caches).  ``caches`` are the persisted
+    intermediates both branches share — the caller unpersists them after
+    its writes.  Leftover rows carry the original frontier columns.
+    """
+    cols = frontier.columns
+    cap = F.lit(config.per_host_budget)
+    if host_budgets is not None:
+        bdg = F.broadcast(
+            host_budgets.select("host", F.col("budget").alias("_host_budget"))
+        )
+        frontier = frontier.join(bdg, "host", "left")
+        cap = F.least(cap, F.coalesce(F.col("_host_budget"), cap))
+    b = max(1, config.skew_salt_buckets)
+    salt = F.pmod(F.col("url_hash"), F.lit(b))
+    w1 = Window.partitionBy("host", salt).orderBy(*_ORDER())
+    pre = frontier.withColumn("_pre_rank", F.row_number().over(w1)).persist()
+    w2 = Window.partitionBy("host").orderBy(*_ORDER())
+    ranked = (
+        pre.where(F.col("_pre_rank") <= cap)
+        .drop("_pre_rank")
+        .withColumn("fetch_rank", F.row_number().over(w2))
+        .persist()
+    )
+    scheduled = ranked.where(F.col("fetch_rank") <= cap)
+    if host_budgets is not None:
+        scheduled = scheduled.drop("_host_budget")
+    leftover = pre.where(F.col("_pre_rank") > cap).select(*cols).unionByName(
+        ranked.where(F.col("fetch_rank") > cap).select(*cols)
+    )
+    return scheduled, leftover, [pre, ranked]
+
+
 def global_fetch_cap(ranked: DataFrame, budget: int) -> DataFrame:
     """Cross-host top-K over the shared deterministic priority order.
 
@@ -91,7 +134,11 @@ def global_fetch_cap(ranked: DataFrame, budget: int) -> DataFrame:
     loosened — the cap only shrinks the scheduled set.  ``orderBy +
     limit`` compiles to TakeOrderedAndProject (per-partition top-K,
     merged at the driver): no global sort is materialized, and the
-    total order makes the cut bit-identical at any parallelism."""
+    total order makes the cut bit-identical at any parallelism.
+    Budgets above ``spark.sql.execution.topKSortFallbackThreshold``
+    (engine default 1e6, session.py) use a spillable global sort
+    instead — TakeOrdered's per-task k-entry heap must not scale with
+    a 10^9-row budget."""
     return ranked.orderBy(*_ORDER()).limit(budget)
 
 

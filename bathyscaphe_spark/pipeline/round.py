@@ -247,8 +247,12 @@ def run_round(
                 .cast("int")
                 .alias("_lr_boost"),
             )
+            # rank-time-only boost: the base priority is restored on any
+            # deferred leftover so a waiting row never compounds its
+            # boost across rounds
             frontier = (
-                frontier.join(boost, "host", "left")
+                frontier.withColumn("_base_priority", F.col("priority"))
+                .join(boost, "host", "left")
                 .withColumn(
                     "priority",
                     (
@@ -258,12 +262,26 @@ def run_round(
                 )
                 .drop("_lr_boost")
             )
-    ranked = rank_frontier(frontier, config, host_budgets)
     if config.round_fetch_budget:
+        # global cross-host cap: the TakeOrdered cut is not a per-row
+        # predicate, so the leftover falls back to the anti-join below
         from ..operators.politeness import global_fetch_cap
 
-        ranked = global_fetch_cap(ranked, config.round_fetch_budget)
-    scheduled = ranked.persist()
+        scheduled = global_fetch_cap(
+            rank_frontier(frontier, config, host_budgets),
+            config.round_fetch_budget,
+        ).persist()
+        leftover_df, rank_caches = None, [scheduled]
+    else:
+        # split rank: scheduled AND the politeness leftovers come from
+        # the same two window passes — no frontier-sized anti-join
+        from ..operators.politeness import rank_frontier_split
+
+        scheduled, leftover_df, rank_caches = rank_frontier_split(
+            frontier, config, host_budgets
+        )
+    if "_base_priority" in scheduled.columns:  # rank-time-only column
+        scheduled = scheduled.drop("_base_priority")
 
     # S4/F5/O4 — crawl.  The raw join is persisted ONCE; both the ok and
     # timeout branches filter the cache (the join never runs twice).
@@ -345,14 +363,28 @@ def run_round(
     # carry-over).  A leftover can collide with a re-discovery only when
     # its seen TTL expired mid-flight; the anti-join keeps the leftover
     # (older discovered_ts) and drops the duplicate discovery.
-    leftover = frontier.join(
-        scheduled.select("url_hash"), "url_hash", "left_anti"
-    ).withColumn("round", F.lit(round_n + 1))
-    next_delta = leftover.unionByName(
-        _frontier_delta(new_urls, round_n).join(
+    if leftover_df is None:
+        leftover = frontier.join(
+            scheduled.select("url_hash"), "url_hash", "left_anti"
+        ).withColumn("round", F.lit(round_n + 1))
+    else:
+        leftover = leftover_df.withColumn("round", F.lit(round_n + 1))
+    if "_base_priority" in leftover.columns:  # undo the rank-time boost
+        leftover = leftover.withColumn(
+            "priority", F.col("_base_priority").cast("int")
+        ).drop("_base_priority")
+    new_delta = _frontier_delta(new_urls, round_n)
+    if config.refresh_delay_s or config.round_fetch_budget:
+        # a leftover can collide with a re-discovery only when its seen
+        # TTL expired mid-flight (without expiry every frontier row has
+        # a live seen entry, so the seen anti-join already dropped the
+        # duplicate discovery) — keep the guard exactly when TTLs are
+        # live, or when the global-cap fallback computed leftovers by
+        # anti-join (conservative)
+        new_delta = new_delta.join(
             leftover.select("url_hash"), "url_hash", "left_anti"
         )
-    )
+    next_delta = leftover.unionByName(new_delta)
     catalog.stage_round("frontier", next_delta, round_n + 1)
 
     committed_tables = ["seen", "resources", "timeouts", "metrics"]
@@ -518,7 +550,8 @@ def run_round(
         ]
     )
 
-    scheduled.unpersist()
+    for c in rank_caches:
+        c.unpersist()
     fetched.unpersist()
     new_urls.unpersist()
     if cand_cache is not None:

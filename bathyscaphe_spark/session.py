@@ -30,6 +30,11 @@ def build_session(
         # the small (frontier/seen-delta) side and stream the bucketed
         # pages side — no per-round sort of the heavy html data
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # orderBy+limit above this k falls back to a spillable global
+        # sort instead of TakeOrdered's in-memory per-partition priority
+        # queue (a 10^9-row global fetch budget must not allocate a
+        # 10^9-entry heap per task)
+        .config("spark.sql.execution.topKSortFallbackThreshold", "1000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.default.parallelism", str(cores))

@@ -224,3 +224,35 @@ def test_blacklist_applies_over_rounds(spark, tmp_path, universe):
     )
     late = t.join(first_bl_round, "host").where(F.col("round") > F.col("bl_round") + 1)
     assert late.count() == 0
+
+
+def test_leftover_split_equals_antijoin(spark, tmp_path):
+    """The window-split politeness leftover (no anti-join) must produce
+    the exact same next-round frontier as the anti-join fallback (forced
+    here via a no-op global fetch cap bigger than the frontier)."""
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.pipeline.synth import build_pages, build_seeds
+    from bathyscaphe_spark.state.tables import TableCatalog
+
+    pages = build_pages(spark, n_pages=2500, n_hosts=25).persist()
+    seeds = build_seeds(spark, pages, 8)
+    base = dict(bloom_enabled=False, per_host_budget=4)
+    out = {}
+    for tag, cfg in (
+        ("split", CrawlConfig(**base)),
+        ("anti", CrawlConfig(round_fetch_budget=50_000, **base)),
+    ):
+        root = str(tmp_path / tag)
+        crawl(spark, pages, seeds, root, cfg, max_rounds=3)
+        cat = TableCatalog(spark, root)
+        out[tag] = {
+            rnd: sorted(
+                (r["url_hash"], r["depth"], r["priority"], r["round"])
+                for r in cat.read_round("frontier", rnd).collect()
+            )
+            for rnd in (1, 2, 3)
+            if cat.read_round("frontier", rnd) is not None
+        }
+    pages.unpersist()
+    assert out["split"] == out["anti"]
