@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the state dir before starting")
+    ap.add_argument("--link-rank", action="store_true",
+                    help="harvest the host link graph and boost frontier "
+                         "priority by fixed-point PageRank")
+    ap.add_argument("--fetch-budget", type=int, default=None,
+                    help="global per-round fetch cap (cross-host top-K "
+                         "after the per-host politeness rank)")
     args = ap.parse_args()
 
     from bathyscaphe_spark.config import DEFAULT_CONFIG, CrawlConfig
@@ -55,6 +61,14 @@ def main() -> None:
         TableCatalog(spark, args.state).destroy()
 
     cfg = CrawlConfig.from_json(args.config) if args.config else DEFAULT_CONFIG
+    if args.link_rank or args.fetch_budget:
+        from dataclasses import replace
+
+        cfg = replace(
+            cfg,
+            link_rank_enabled=args.link_rank or cfg.link_rank_enabled,
+            round_fetch_budget=args.fetch_budget or cfg.round_fetch_budget,
+        )
 
     if args.pages.startswith("synth:"):
         n = int(args.pages.split(":", 1)[1])
