@@ -93,6 +93,12 @@ class CrawlConfig:
     # rows requeue via the defer-never-drop leftover path.  None ⇒ only
     # per-host budgets apply (reference-parity behavior).
     round_fetch_budget: int | None = None
+    # frontier-delta row count (known from parquet footers — no job) at
+    # which the politeness leftover switches from a plain anti-join
+    # (cheapest when AQE broadcasts the scheduled side) to the shared
+    # window-split (cheapest when the frontier shuffle dominates);
+    # outputs are identical either way (equivalence-tested)
+    leftover_split_threshold: int = 500_000
 
     @property
     def allowed_extensions(self) -> tuple[str, ...]:

@@ -262,6 +262,7 @@ def run_round(
                 )
                 .drop("_lr_boost")
             )
+    n_frontier_rows = catalog.rows_in_round("frontier", round_n)
     if config.round_fetch_budget:
         # global cross-host cap: the TakeOrdered cut is not a per-row
         # predicate, so the leftover falls back to the anti-join below
@@ -272,14 +273,20 @@ def run_round(
             config.round_fetch_budget,
         ).persist()
         leftover_df, rank_caches = None, [scheduled]
-    else:
-        # split rank: scheduled AND the politeness leftovers come from
+    elif n_frontier_rows >= config.leftover_split_threshold:
+        # big frontier: scheduled AND the politeness leftovers come from
         # the same two window passes — no frontier-sized anti-join
+        # (measured best ≥ ~0.5M delta rows; identical output either way)
         from ..operators.politeness import rank_frontier_split
 
         scheduled, leftover_df, rank_caches = rank_frontier_split(
             frontier, config, host_budgets
         )
+    else:
+        # small frontier: plain anti-join leftover (AQE broadcasts the
+        # scheduled side; avoids materializing the two window caches)
+        scheduled = rank_frontier(frontier, config, host_budgets).persist()
+        leftover_df, rank_caches = None, [scheduled]
     if "_base_priority" in scheduled.columns:  # rank-time-only column
         scheduled = scheduled.drop("_base_priority")
 
