@@ -232,6 +232,57 @@ class TableCatalog:
             shutil.rmtree(self._round_dir(name, r), ignore_errors=True)
         return len(rounds)
 
+    # tables rewritten whole every round — only the latest matters
+    FULL_STATE_TABLES = ("blacklist", "host_failures", "robots", "config")
+
+    def expire_rounds(self, keep_last: int = 2) -> dict[str, int]:
+        """Iceberg expire-snapshots equivalent: reclaim space held by
+        rounds older than the last ``keep_last`` completed rounds.
+
+        Dropped (manifest entry first — atomic — then files):
+        * consumed ``frontier`` deltas below the horizon (each round's
+          delta is input to that round only; resume never re-reads it),
+        * superseded FULL_STATE_TABLES rewrites below the horizon
+          (``read_state`` reads only the latest).
+
+        Append-only history tables (seen, resources, timeouts, metrics,
+        link_edges) are untouched — ``compact_deltas`` is their
+        maintenance.  Resume stays exact at any boundary ≥ the horizon;
+        time travel below it is given up (that is the point).  Returns
+        {table: rounds_dropped}.
+        """
+        manifest = self._load_manifest()
+        rounds = manifest["rounds"]
+        done = [int(r) for r, e in rounds.items() if "seen" in e["tables"]]
+        if not done:
+            return {}
+        horizon = max(done) - keep_last + 1
+        victims: list[tuple[str, int]] = []
+        for name in self.FULL_STATE_TABLES:
+            committed = self._committed_rounds(name, None)
+            victims += [
+                (name, r) for r in committed[:-1] if r < horizon
+            ]
+        victims += [
+            (("frontier"), int(r))
+            for r, e in rounds.items()
+            if "frontier" in e["tables"] and int(r) < horizon and int(r) in done
+        ]
+        if not victims:
+            return {}
+        removed: dict[str, int] = {}
+        for name, r in victims:
+            entry = rounds[str(r)]
+            entry["tables"] = [t for t in entry["tables"] if t != name]
+            removed[name] = removed.get(name, 0) + 1
+        manifest["expired_below"] = max(
+            horizon, manifest.get("expired_below", -(10**9))
+        )
+        self._store_manifest(manifest)  # atomic publish, then reclaim
+        for name, r in victims:
+            shutil.rmtree(self._round_dir(name, r), ignore_errors=True)
+        return removed
+
     def rows_in_round(self, name: str, round_n: int) -> int:
         """Exact row count of a staged/committed round directory from the
         parquet footers — no Spark job."""
