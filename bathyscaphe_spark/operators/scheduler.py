@@ -417,3 +417,34 @@ def schedule_candidates(
             cand = cand.join(live_seen, "url_hash", "left_anti")
 
     return cand.select("url", "url_hash", "host", "src_url")
+
+
+def trap_filter_col(
+    path: Column,
+    query: Column,
+    max_path_depth: int = 16,
+    max_segment_repeat: int = 2,
+    max_query_params: int = 8,
+) -> Column:
+    """Crawler-trap guard (engine addition — the reference crawls traps
+    forever): TRUE for candidates that look like an infinite URL space.
+
+    * path depth over ``max_path_depth`` segments (calendar traps,
+      unbounded breadcrumb nesting),
+    * ``max_segment_repeat`` or more excess (duplicate) segment
+      occurrences in the path (link cycles: /a/b/a/b/a/...),
+    * more than ``max_query_params`` query parameters (faceted-search /
+      session-id explosions).
+
+    Pure column expressions, fully JVM-side (higher-order array
+    functions — no Python UDF): at 10^10 candidates per round this
+    evaluates inline in the same stage as F1-F4.
+    """
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth_trap = F.size(segs) > max_path_depth
+    repeat_trap = (
+        F.size(segs) - F.size(F.array_distinct(segs)) >= max_segment_repeat
+    )
+    params = F.filter(F.split(query, "&"), lambda s: s != "")
+    param_trap = F.size(params) > max_query_params
+    return depth_trap | repeat_trap | param_trap

@@ -2111,6 +2111,51 @@ FROM total t LEFT JOIN agg a ON a.doc_id = t.doc_id
 
 
 # --------------------------------------------------------------------------
+# crawler-trap guard: path/query shape heuristics
+# --------------------------------------------------------------------------
+
+_TRAP_CORPUS_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 13 = 0 THEN '/' || repeat('loop/', 5)
+       WHEN doc_id % 13 = 1 THEN '/' || repeat('x/', 20)
+       ELSE '/s' || CAST(doc_id % 7 AS STRING) || '/page'
+            || CAST(doc_id AS STRING) END AS path,
+  CASE WHEN doc_id % 13 = 2 THEN repeat('a=1&', 12) ELSE '' END AS qs
+FROM documents
+"""
+
+
+def q_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap guard over synthesized trap shapes: segment cycles,
+    20-deep paths, 12-parameter query strings
+    (operators/scheduler.py trap_filter_col — pure codegen)."""
+    from .operators.scheduler import trap_filter_col
+
+    _docs(spark, sf_dir)
+    c = spark.sql(_TRAP_CORPUS_SQL)
+    return c.select(
+        "doc_id",
+        trap_filter_col(F.col("path"), F.col("qs")).alias("trapped"),
+    )
+
+
+ORACLE_TRAP = f"""
+WITH c AS ({_TRAP_CORPUS_SQL}),
+shapes AS (
+  SELECT doc_id,
+         list_filter(string_split(path, '/'), x -> x != '') AS segs,
+         list_filter(string_split(qs, '&'), x -> x != '') AS params
+  FROM c
+)
+SELECT doc_id,
+       (len(segs) > 16
+        OR len(segs) - len(list_distinct(segs)) >= 2
+        OR len(params) > 8) AS trapped
+FROM shapes
+"""
+
+
+# --------------------------------------------------------------------------
 # train/test decontamination: n-gram overlap vs a benchmark set
 # --------------------------------------------------------------------------
 
@@ -2290,6 +2335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
+    "trap_filter": q_trap_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -2353,4 +2399,5 @@ ORACLES: dict[str, str] = {
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "line_dedup": ORACLE_LINE_DEDUP,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "trap_filter": ORACLE_TRAP,
 }

@@ -155,3 +155,31 @@ def test_parse_url_matches_go_hostname(spark):
     assert row["host"] == "google.onion"
     assert row["scheme"] == "https"
     assert row["path"] == "/a"
+
+
+class TestTrapFilter:
+    def test_trap_shapes(self, spark):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.operators.scheduler import trap_filter_col
+
+        rows = [
+            (1, "/a/b/c", "", False),                       # normal
+            (2, "/" + "x/" * 20, "", True),                 # deep
+            (3, "/a/b/a/b/a", "", True),                    # cycle
+            (4, "/a/b/a", "", False),                       # single repeat ok
+            (5, "/p", "a=1&" * 12, True),                   # param explosion
+            (6, "/p", "a=1&b=2", False),
+            (7, "/" + "/".join(f"s{i}" for i in range(17)), "", True),  # depth only
+        ]
+        df = spark.createDataFrame(
+            [(i, p, q) for i, p, q, _ in rows], "id long, path string, qs string"
+        )
+        got = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", trap_filter_col(F.col("path"), F.col("qs")).alias("t")
+            ).collect()
+        }
+        for i, _, _, want in rows:
+            assert got[i] == want, i
