@@ -99,6 +99,11 @@ class CrawlConfig:
     # window-split (cheapest when the frontier shuffle dominates);
     # outputs are identical either way (equivalence-tested)
     leftover_split_threshold: int = 500_000
+    # crawler-trap guard (operators/scheduler.py trap_filter_col): drop
+    # discovered candidates whose URL shape indicates an infinite crawl
+    # space.  Off by default — the reference schedules trap URLs, and
+    # the parity oracles replay reference semantics exactly.
+    trap_guard_enabled: bool = False
 
     @property
     def allowed_extensions(self) -> tuple[str, ...]:

@@ -106,6 +106,17 @@ def discover_new_urls(
         )
         cand = apply_robots(cand, robots).drop("path")
 
+    if config.trap_guard_enabled:
+        from ..operators.scheduler import trap_filter_col
+
+        u = F.col("url")
+        cand = cand.where(
+            ~trap_filter_col(
+                F.regexp_extract(u, r"^[a-z0-9+.-]+://[^/?#]*([^?#]*)", 1),
+                F.regexp_extract(u, r"\?([^#]*)", 1),
+            )
+        )
+
     edges = cand_cache = None
     if emit_edges:
         cand_cache = cand.persist()

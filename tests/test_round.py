@@ -256,3 +256,35 @@ def test_leftover_split_equals_antijoin(spark, tmp_path):
         }
     pages.unpersist()
     assert out["split"] == out["anti"]
+
+
+def test_trap_guard_in_crawl(spark, tmp_path):
+    """With trap_guard_enabled, a page linking to a segment-cycle URL
+    never schedules it; the clean sibling link still flows."""
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.state.tables import TableCatalog
+
+    body = (
+        b'<a href="http://t.onion/a/b/a/b/a/page.html">cycle</a> '
+        b'<a href="http://t.onion/ok/page.html">fine</a>'
+    )
+    pages = spark.createDataFrame(
+        [("http://t.onion/", "t.onion", 200, body, None,
+          {"content-type": "text/html"})],
+        "url string, host string, status int, html binary, "
+        "warc_ts timestamp, headers map<string,string>",
+    )
+    seeds = spark.createDataFrame([("http://t.onion/", "t.onion")], "url string, host string")
+    root = str(tmp_path / "trap")
+    crawl(
+        spark, pages, seeds, root,
+        CrawlConfig(bloom_enabled=False, trap_guard_enabled=True),
+        max_rounds=1,
+    )
+    f1 = TableCatalog(spark, root).read_round("frontier", 1)
+    urls = {r["url"] for r in f1.collect()} if f1 is not None else set()
+    assert "http://t.onion/ok/page.html" in urls
+    assert all("/a/b/a" not in u for u in urls)
