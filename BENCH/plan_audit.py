@@ -1,0 +1,81 @@
+"""Mechanical physical-plan audit of every driver-contract query.
+
+For each entry in queries(): build the DataFrame against
+$SPARK_GRAFT_SF_DIR (default sf0.01), inspect the EXECUTED plan string,
+and count the things the 100 TB design rules forbid or require:
+
+* cartesian products (must be 0 everywhere except the explicitly
+  bounded brute-force baselines),
+* row-at-a-time Python UDFs (BatchEvalPython — must be 0; Arrow
+  stages are fine and counted separately),
+* broadcast joins (small sides must broadcast),
+* parquet scans whose ReadSchema carries every column (column pruning).
+
+Writes BENCH/PLAN_AUDIT.md.  Usage: python BENCH/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# bounded all-pairs baselines where a cross join is the documented point
+CARTESIAN_OK = {"knn_cosine_topk"}
+
+
+def main() -> None:
+    from bathyscaphe_spark.queries import QUERIES
+    from bathyscaphe_spark.session import build_session
+
+    spark = build_session(app_name="plan-audit", master="local[8]",
+                          shuffle_partitions=8)
+    rows = []
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — audit must cover all
+            rows.append((name, "ERROR", str(e)[:80], "", ""))
+            bad.append(name)
+            continue
+        cartesian = plan.count("CartesianProduct") + plan.count(
+            "BroadcastNestedLoopJoin"
+        )
+        row_python = plan.count("BatchEvalPython")
+        arrow = plan.count("ArrowEvalPython") + plan.count("MapInPandas") + plan.count(
+            "FlatMapGroupsInPandas"
+        )
+        bcast = plan.count("BroadcastHashJoin")
+        scans = len(re.findall(r"FileScan parquet", plan))
+        ok = row_python == 0 and (cartesian == 0 or name in CARTESIAN_OK)
+        if not ok:
+            bad.append(name)
+        rows.append(
+            (name, "ok" if ok else "FLAG",
+             f"cartesian={cartesian}" + ("*" if name in CARTESIAN_OK else ""),
+             f"rowPy={row_python} arrow={arrow}",
+             f"bcast={bcast} scans={scans}")
+        )
+    out = Path(__file__).parent / "PLAN_AUDIT.md"
+    with out.open("w") as f:
+        f.write("# PLAN_AUDIT — physical plans of all contract queries\n\n")
+        f.write(f"sf_dir: `{SF_DIR}` — {len(rows)} queries; ")
+        f.write(f"{len(bad)} flagged ({', '.join(bad) or 'none'}).\n\n")
+        f.write("Rules: 0 row-at-a-time Python stages everywhere; 0 cartesian\n")
+        f.write("products except the documented bounded baselines (marked *).\n\n")
+        f.write("| query | verdict | joins | python | misc |\n|---|---|---|---|---|\n")
+        for r in rows:
+            f.write("| " + " | ".join(r) + " |\n")
+    print(f"wrote {out}; flagged: {bad or 'none'}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
