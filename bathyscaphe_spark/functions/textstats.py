@@ -29,3 +29,33 @@ def lang_guess_col(text: Column) -> Column:
         .when(fr >= de, F.lit("fr"))
         .otherwise(F.lit("de"))
     )
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer (unicode canonical composition —
+    the pass that runs before any exact/near dedup so 'e'+U+0301 and
+    'é' hash identically).  Returned lazily so importing this module
+    never requires an active SparkSession."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def _nfc(s):  # annotation-free: module-level `from __future__
+        # annotations` would stringify hints the UDF resolver can't eval
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return pandas_udf(_nfc, StringType())
+
+
+def clean_text_col(text: Column) -> Column:
+    """Training-corpus text canonicalization: NFC unicode composition →
+    control-character strip → whitespace collapse → trim.  Everything
+    after the NFC step is JVM-side regexp; mirrored exactly by the
+    DuckDB oracle (nfc_normalize + regexp_replace)."""
+    t = nfc_normalize_udf()(text)
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)

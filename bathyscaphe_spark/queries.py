@@ -2111,6 +2111,52 @@ FROM total t LEFT JOIN agg a ON a.doc_id = t.doc_id
 
 
 # --------------------------------------------------------------------------
+# text normalization: NFC + control strip + whitespace collapse
+# --------------------------------------------------------------------------
+
+# inject a decomposed codepoint (e + COMBINING ACUTE U+0301, as a
+# LITERAL — Spark's chr() wraps at 256 while DuckDB's is a codepoint,
+# so chr(769) would diverge), a control char (chr(7) is ASCII in both)
+# and ragged whitespace
+_NORM_DOCS_SQL = """
+SELECT doc_id,
+       text || ' caf' || 'é' || chr(7) || '  x' || chr(9) || 'y ' AS text
+FROM documents
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-canonical text cleaning (functions/textstats.py
+    clean_text_col): NFC composition so decomposed accents hash like
+    their composed forms, control chars stripped, whitespace collapsed.
+    The pre-dedup pass of the corpus pipeline; fingerprint emitted so
+    the oracle pins byte equality, not just visual equality."""
+    from .functions.textstats import clean_text_col
+
+    _docs(spark, sf_dir)
+    d = spark.sql(_NORM_DOCS_SQL)
+    clean = clean_text_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = rf"""
+WITH d AS ({_NORM_DOCS_SQL})
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(nfc_normalize(text),
+            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+            '\s+', ' ', 'g')) AS clean_text,
+       CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+            '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
 # crawler-trap guard: path/query shape heuristics
 # --------------------------------------------------------------------------
 
@@ -2336,6 +2382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
     "trap_filter": q_trap_filter,
+    "text_normalize": q_text_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2400,4 +2447,5 @@ ORACLES: dict[str, str] = {
     "line_dedup": ORACLE_LINE_DEDUP,
     "decontaminate": ORACLE_DECONTAMINATE,
     "trap_filter": ORACLE_TRAP,
+    "text_normalize": ORACLE_TEXT_NORMALIZE,
 }
