@@ -43,9 +43,12 @@ def nfc_normalize_udf():
 
     def _nfc(s):  # annotation-free: module-level `from __future__
         # annotations` would stringify hints the UDF resolver can't eval
-        return s.map(
-            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
-        )
+        try:
+            return s.str.normalize("NFC")  # vectorized pandas path
+        except (AttributeError, TypeError):
+            return s.map(
+                lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+            )
 
     return pandas_udf(_nfc, StringType())
 

@@ -512,18 +512,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
                 continue
             flat = [w for lst in word_lists for w in lst]
             h = fnv1_64_np(pd.Series(flat, dtype=object))
-            # (n_words × bits) ±1 votes, folded per doc segment.  int16
-            # keeps the matrix 4× smaller than int64 (the guest is
-            # bandwidth-bound); per-doc vote sums are bounded by the
-            # doc's word count, far under 2^15 — reduceat accumulates
-            # into int32 below to be safe for multi-thousand-word docs.
-            votes_w = (
-                ((h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1)
-                .astype(np.int16) * 2 - 1
-            )
+            # Per-bit 0/1 columns written into a preallocated uint8
+            # matrix (one n_words temp per bit, never an (n_words × bits)
+            # uint64 intermediate — the guest is bandwidth-bound and the
+            # big broadcasted shift was the dominant cost).  Per-doc
+            # one-counts fold with reduceat; bit b of the fingerprint is
+            # set iff ones > n/2, i.e. 2·ones > word-count — identical to
+            # the ±1 vote-sum sign.
+            bitmat = np.empty((len(h), bits), dtype=np.uint8)
+            for i in range(bits):
+                np.bitwise_and(
+                    h >> np.uint64(i), np.uint64(1),
+                    out=bitmat[:, i], casting="unsafe",
+                )
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nonempty]
-            votes = np.add.reduceat(votes_w, starts, axis=0, dtype=np.int32)
-            fp = ((votes > 0).astype(np.int64) * weights).sum(axis=1)
+            ones = np.add.reduceat(bitmat, starts, axis=0, dtype=np.int32)
+            n_doc = counts[nonempty].astype(np.int64)[:, None]
+            fp = (((2 * ones) > n_doc).astype(np.int64) * weights).sum(axis=1)
             yield pd.DataFrame({id_col: ids, "simhash": fp})
 
     return df.select(id_col, text_col).mapInPandas(_run, schema=out_schema)

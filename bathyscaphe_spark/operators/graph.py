@@ -26,7 +26,10 @@ Edges are the big side (up to ~1e11 rows at 100 TB) and are touched once
 per iteration by a single shuffle: ``edges ⋈ ranks`` hash-partitioned on
 ``src``, then ``groupBy(dst)`` with map-side partial sums.  The
 out-degree join is computed once and reused across iterations
-(persisted), so each iteration adds exactly one join + one aggregation.
+(persisted), and the node set is likewise persisted (without it each
+iteration's left join and the N count would re-scan edges twice to
+rebuild it), so each iteration adds one edge-side join + one
+aggregation + one node-side left join against cached node rows.
 Ranks are one row per node — orders of magnitude smaller than edges —
 and AQE's skew handling splits mega-host in-degree hubs.  Pre-bucketing
 edges by ``src`` (Iceberg ``bucket(src)``) makes the per-iteration join
@@ -58,10 +61,14 @@ def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()  # re-read every iteration's left join — never
+        # re-derive from a double edge scan at 10^11-edge scale
     )
-    n = nodes.count()  # one scalar — table stats at real scale
+    n = nodes.count()  # one scalar; also materializes the cache
     if n == 0:
-        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+        df = nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+        nodes.unpersist()
+        return df
     base = (15 * SCALE) // (100 * n)
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -90,4 +97,5 @@ def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         ed.unpersist()
+        nodes.unpersist()
     return ranks
