@@ -1364,6 +1364,61 @@ def q_d3_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(live, "url_hash", "left_anti").select("url", "url_hash")
 
 
+def q_d1_cuckoo_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1×D3 through the deletable cuckoo router: the seen set contains
+    TTL'd entries (same fixture as d3_ttl_expiry); the cuckoo filter is
+    built DISTRIBUTED from the full seen set, then PATCHED with the
+    round's expiries via delete_many — the reason cuckoo exists over
+    Bloom (cache.go:9-12 TTL semantics + north rule "bloom/cuckoo
+    URL-seen"; a Bloom filter would need a full rebuild).  The routed
+    anti-join must produce the exact d3 output: bit-miss candidates skip
+    the shuffle, maybe-seen go through the anti-join vs live entries.
+
+    Driver-side data is bounded: only the finished shard tables (a few
+    MB) and the round's expiry delta (hashes no longer live) ever leave
+    the executors."""
+    import numpy as np
+
+    from .operators.cuckoo import CuckooFilter, cuckoo_anti_join
+
+    c = _corpus(spark, sf_dir)
+    cand = c.selectExpr("link1 AS url").distinct().select(
+        "url", fnv1_64(F.col("url")).alias("url_hash")
+    )
+    seen = (
+        c.where("doc_id % 3 = 0")
+        .selectExpr(
+            "link1 AS url",
+            "CASE CAST(doc_id % 9 AS INT)"
+            " WHEN 0 THEN TIMESTAMP '2020-10-29 12:00:00'"   # expired
+            " WHEN 3 THEN TIMESTAMP '2020-10-29 13:00:00'"   # live
+            " ELSE NULL END AS expires_ts",                  # forever
+        )
+        .select(fnv1_64(F.col("url")).alias("url_hash"), "expires_ts")
+    )
+    rts = F.expr("TIMESTAMP '2020-10-29 12:04:09'")
+    live = seen.where(
+        F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
+    ).select("url_hash").distinct()
+    # previous-round state: every seen hash is in the filter
+    cf = CuckooFilter.build(
+        seen.select("url_hash").distinct(), "url_hash", capacity=200_000
+    )
+    # the patch: hashes with no remaining live entry (a hash can be both
+    # expired and live under two TTLs — deleting those would plant a
+    # false negative, so the delta is expired MINUS live)
+    gone = (
+        seen.where(F.col("expires_ts") <= rts)
+        .select("url_hash").distinct()
+        .join(live, "url_hash", "left_anti")
+        .toPandas()["url_hash"].to_numpy(dtype=np.int64)
+    )
+    cf.delete_many(gone)
+    return cuckoo_anti_join(cand, live, "url_hash", cf).select(
+        "url", "url_hash"
+    )
+
+
 ORACLE_D3 = f"""
 WITH c AS ({CORPUS_SQL}),
  cand AS (
@@ -2322,6 +2377,68 @@ FROM ({_STREAM_URLS_SQL}) u
 
 
 # --------------------------------------------------------------------------
+# resources full-text search (the reference's ES retrieval surface)
+# --------------------------------------------------------------------------
+
+# resources-shaped view over documents: deterministic url, analyzed
+# title (first 5 words) + body — matches the indexer's persisted schema
+# (elastic.go:13-56 maps body/description/title text, url text+keyword)
+_RESOURCES_SQL = """
+SELECT 'https://site-' || CAST(doc_id % 50 AS VARCHAR)
+           || '.onion/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS title,
+       text AS body
+FROM documents
+"""
+
+_SEARCH_TERMS = ["merge", "batch"]
+_SEARCH_PHRASE = "merge batch"
+_SEARCH_K = 10
+
+
+def q_resources_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the resources index — what users of the
+    reference's ES `resources` index do daily
+    (indexer/index/elastic.go:13-56: analyzed body/title text fields).
+    TF score with title boost ×3 and exact-phrase bonus ×10, top-10 by
+    (score DESC, url ASC).  Pure codegen filter/score + TakeOrdered —
+    no UDF, no global sort (operators/search.py)."""
+    from .operators.search import keyword_search
+
+    _docs(spark, sf_dir)
+    resources = spark.sql(
+        """
+        SELECT concat('https://site-', CAST(doc_id % 50 AS STRING),
+                      '.onion/doc/', CAST(doc_id AS STRING)) AS url,
+               array_join(slice(split(text, ' '), 1, 5), ' ') AS title,
+               text AS body
+        FROM documents
+        """
+    )
+    return keyword_search(
+        resources, _SEARCH_TERMS, phrase=_SEARCH_PHRASE, k=_SEARCH_K
+    )
+
+
+def _search_oracle_sql() -> str:
+    def tf(col: str, term: str) -> str:
+        return rf"CAST(len(regexp_extract_all(lower({col}), '\b{term}\b')) AS BIGINT)"
+
+    score = " + ".join(
+        f"3 * {tf('title', t)} + {tf('body', t)}" for t in _SEARCH_TERMS
+    )
+    score += f" + 10 * {tf('body', _SEARCH_PHRASE)}"
+    return f"""
+WITH resources AS ({_RESOURCES_SQL}),
+scored AS (
+  SELECT url, title, {score} AS score FROM resources
+)
+SELECT url, title, score FROM scored WHERE score > 0
+ORDER BY score DESC, url ASC LIMIT {_SEARCH_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2333,6 +2450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x7_header_lower": q_x7_header_lower,
     "x11_duration": q_x11_duration,
     "d3_ttl_expiry": q_d3_ttl_expiry,
+    "d1_cuckoo_expiry": q_d1_cuckoo_expiry,
     "blacklister_round": q_blacklister_round,
     "x2_normalize": q_x2_normalize,
     "x3_fnv_hash": q_x3_fnv,
@@ -2383,6 +2501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "trap_filter": q_trap_filter,
     "text_normalize": q_text_normalize,
+    "resources_search": q_resources_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -2393,6 +2512,8 @@ ORACLES: dict[str, str] = {
     "x7_header_lower": ORACLE_X7,
     "x11_duration": ORACLE_X11,
     "d3_ttl_expiry": ORACLE_D3,
+    # same contract as d3 — the cuckoo route must be output-invisible
+    "d1_cuckoo_expiry": ORACLE_D3,
     "blacklister_round": ORACLE_BLACKLISTER,
     "x2_normalize": ORACLE_X2,
     "x3_fnv_hash": ORACLE_X3,
@@ -2448,4 +2569,5 @@ ORACLES: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "trap_filter": ORACLE_TRAP,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
+    "resources_search": _search_oracle_sql(),
 }

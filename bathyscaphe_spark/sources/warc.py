@@ -308,8 +308,12 @@ def write_warc(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        # Stream record-at-a-time: O(record) memory in the export path
+        # (matching ingest), never an O(partition) buffer — a 1 GiB
+        # archive per task must not also exist as a list + one blob.
         n = 0
-        recs: list[tuple[str, str, int, dict[str, str], bytes]] = []
+        tmp = os.path.join(out_dir, f".part-{pid:05d}{ext}.tmp")
+        f = None
         for pdf in batches:
             for url, ts, status, headers, body in zip(
                 *(pdf[c] for c in cols)
@@ -321,16 +325,17 @@ def write_warc(
                     if ts is not None
                     else "1970-01-01T00:00:00Z"
                 )
-                recs.append(
-                    (url, iso, int(status) if status is not None else 200,
-                     dict(headers or {}), bytes(body))
-                )
-        if recs:
-            tmp = os.path.join(out_dir, f".part-{pid:05d}{ext}.tmp")
-            with open(tmp, "wb") as f:
-                f.write(build_warc_bytes(recs, compress=compress))
+                if f is None:
+                    f = open(tmp, "wb")
+                f.write(build_warc_record(
+                    n, url, iso,
+                    int(status) if status is not None else 200,
+                    dict(headers or {}), bytes(body), compress=compress,
+                ))
+                n += 1
+        if f is not None:
+            f.close()
             os.replace(tmp, os.path.join(out_dir, f"part-{pid:05d}{ext}"))
-            n = len(recs)
         yield pd.DataFrame({"n": [n]})
 
     counts = df.select(*cols).mapInPandas(_write, schema="n long").collect()
@@ -345,22 +350,32 @@ def build_warc_bytes(
 ) -> bytes:
     """Serialize (url, iso_ts, status, http_headers, body) tuples into a
     WARC byte string — one gzip member per record when ``compress``
-    (the Common Crawl layout).  Fixture/test helper and export path."""
+    (the Common Crawl layout).  Fixture/test helper; the export path
+    streams per-record via :func:`build_warc_record`."""
     out = io.BytesIO()
     for i, (url, iso_ts, status, headers, body) in enumerate(records):
-        http_head = (f"HTTP/1.1 {status} OK\r\n".encode() + b"".join(
-            f"{k}: {v}\r\n".encode("latin-1") for k, v in headers.items()
-        ) + _CRLF)
-        payload = http_head + body
-        rec = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
-            + f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n".encode()
-            + f"WARC-Date: {iso_ts}\r\n".encode()
-            + f"WARC-Target-URI: {url}\r\n".encode("latin-1")
-            + b"Content-Type: application/http; msgtype=response\r\n"
-            + f"Content-Length: {len(payload)}\r\n".encode()
-            + _CRLF + payload + _SEP
-        )
-        out.write(gzip.compress(rec) if compress else rec)
+        out.write(build_warc_record(i, url, iso_ts, status, headers, body,
+                                    compress=compress))
     return out.getvalue()
+
+
+def build_warc_record(
+    i: int, url: str, iso_ts: str, status: int,
+    headers: dict[str, str], body: bytes, compress: bool = True,
+) -> bytes:
+    """One WARC response record (its own gzip member when ``compress``)."""
+    http_head = (f"HTTP/1.1 {status} OK\r\n".encode() + b"".join(
+        f"{k}: {v}\r\n".encode("latin-1") for k, v in headers.items()
+    ) + _CRLF)
+    payload = http_head + body
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n".encode()
+        + f"WARC-Date: {iso_ts}\r\n".encode()
+        + f"WARC-Target-URI: {url}\r\n".encode("latin-1")
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(payload)}\r\n".encode()
+        + _CRLF + payload + _SEP
+    )
+    return gzip.compress(rec) if compress else rec
