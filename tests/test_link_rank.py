@@ -79,23 +79,50 @@ def test_global_fetch_cap_consumes_link_rank(spark, universe):
     # cap respected every round (after round 0's thin seed frontier)
     assert all(s.scheduled <= 25 for s in st_on + st_off)
 
-    def sched_hashes(root, rnd):
+    def sched_hashes(root, rnd, boosted):
+        """Capped schedule set for a committed frontier, with/without the
+        host PageRank boost — the direct assertion that the cap CONSUMES
+        the boost: same rows in, different cut out."""
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.operators.graph import SCALE, pagerank_fp
+        from bathyscaphe_spark.operators.politeness import (
+            global_fetch_cap,
+            rank_frontier,
+        )
+
         cat = TableCatalog(spark, root)
         f = cat.read_round("frontier", rnd)
-        got = set()
-        if f is not None:
-            from bathyscaphe_spark.operators.politeness import (
-                global_fetch_cap,
-                rank_frontier,
+        assert f is not None
+        if boosted:
+            edges = cat.read_deltas("link_edges").select("src", "dst").distinct()
+            boost = pagerank_fp(edges, iters=CrawlConfig().link_rank_iters).select(
+                F.col("node").alias("host"),
+                F.expr(f"rank_fp div {SCALE // 1000}").cast("int").alias("_b"),
             )
+            f = (
+                f.join(boost, "host", "left")
+                .withColumn(
+                    "priority",
+                    (F.col("priority") + F.coalesce(F.col("_b"), F.lit(0)))
+                    .cast("int"),
+                )
+                .drop("_b")
+            )
+        return {
+            r["url_hash"]
+            for r in global_fetch_cap(
+                rank_frontier(f, CrawlConfig(**base)), 25
+            ).collect()
+        }
 
-            got = {
-                r["url_hash"]
-                for r in global_fetch_cap(
-                    rank_frontier(f, CrawlConfig(**base)), 25
-                ).collect()
-            }
-        return got
+    # direct: on the SAME committed frontier, the boost changes which
+    # URLs make the 25-row cut (at least one of rounds 1-2 must differ —
+    # both identical would mean the boost is rank-invisible)
+    assert any(
+        sched_hashes(root_on, rnd, True) != sched_hashes(root_on, rnd, False)
+        for rnd in (1, 2)
+    )
 
     # round 2+ frontiers differ between runs because earlier cuts
     # differed; the cheap strong signal: the committed frontier deltas

@@ -226,10 +226,17 @@ def test_blacklist_applies_over_rounds(spark, tmp_path, universe):
     assert late.count() == 0
 
 
-def test_leftover_split_equals_antijoin(spark, tmp_path):
+@pytest.mark.parametrize("link_rank", [False, True])
+def test_leftover_split_equals_antijoin(spark, tmp_path, link_rank):
     """The window-split politeness leftover (no anti-join) must produce
-    the exact same next-round frontier as the anti-join fallback (forced
-    here via a no-op global fetch cap bigger than the frontier)."""
+    the exact same next-round frontier as the anti-join fallback.
+    ``leftover_split_threshold=0`` forces the split run through
+    ``rank_frontier_split`` (the default 500k threshold would silently
+    take the small-frontier anti-join branch and compare it to itself);
+    the fallback is forced via a no-op global fetch cap bigger than the
+    frontier.  The link-rank variant additionally pins the
+    ``_base_priority`` restore on split leftovers — a deferred row must
+    not compound its host boost across rounds."""
     from bathyscaphe_spark.config import CrawlConfig
     from bathyscaphe_spark.pipeline.driver import crawl
     from bathyscaphe_spark.pipeline.synth import build_pages, build_seeds
@@ -237,10 +244,12 @@ def test_leftover_split_equals_antijoin(spark, tmp_path):
 
     pages = build_pages(spark, n_pages=2500, n_hosts=25).persist()
     seeds = build_seeds(spark, pages, 8)
-    base = dict(bloom_enabled=False, per_host_budget=4)
+    base = dict(
+        bloom_enabled=False, per_host_budget=4, link_rank_enabled=link_rank
+    )
     out = {}
     for tag, cfg in (
-        ("split", CrawlConfig(**base)),
+        ("split", CrawlConfig(leftover_split_threshold=0, **base)),
         ("anti", CrawlConfig(round_fetch_budget=50_000, **base)),
     ):
         root = str(tmp_path / tag)
