@@ -8,7 +8,15 @@ URLs scheduled+deduped per second.  Contract queries are timed
 individually against $SPARK_GRAFT_SF_DIR.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_CPUS (default 32 — the number of cores AVAILABLE),
+     SPARK_GRAFT_BENCH_CPUS (default min(CPUS, 8) — the session size the
+       bench actually uses.  This guest's single memory bus saturates
+       near 8 concurrent scan streams (BENCH/BASELINE.md calibration):
+       measured 21.2s at local[8] vs 32.8s at local[32] for the same 3
+       crawl rounds, and 41s vs 55s for the warm query suite.  On a real
+       cluster each executor brings its own memory bus, so right-sizing
+       is a guest-ceiling workaround, not an engine property; the
+       recorded number should reflect the engine),
      BENCH_ROUNDS (default 3), BENCH_QUERIES=0 to skip per-query timing.
 """
 
@@ -26,6 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_CPUS", str(min(CPUS, 8))))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 RUN_QUERIES = os.environ.get("BENCH_QUERIES", "1") != "0"
 
@@ -47,10 +56,12 @@ def main() -> None:
     from bathyscaphe_spark.session import build_session
 
     sf = sf_of(SF_DIR)
+    # one right-sized session for crawl AND queries (see docstring) —
+    # reusing it keeps the query timings warm (codegen, python workers)
     spark = build_session(
-        app_name=f"bathyscaphe-bench-{CPUS}",
-        master=f"local[{CPUS}]",
-        shuffle_partitions=max(CPUS, 8),
+        app_name=f"bathyscaphe-bench-{BENCH_CPUS}",
+        master=f"local[{BENCH_CPUS}]",
+        shuffle_partitions=max(BENCH_CPUS, 8),
     )
 
     # --- headline: crawl throughput --------------------------------------
@@ -61,8 +72,8 @@ def main() -> None:
     # the heavy html side
     pages = build_pages(
         spark, n_pages=n_pages, n_hosts=n_hosts, links_per_page=8,
-        parallelism=CPUS,
-    ).repartition(CPUS * 2, "url").persist()
+        parallelism=BENCH_CPUS,
+    ).repartition(BENCH_CPUS * 2, "url").persist()
     pages.count()  # materialize outside the timed section
     # spin up the Arrow python-worker pool + JIT the UDF serde before
     # timing: the pool is a fixed per-JVM constant, not crawl work, and
@@ -116,6 +127,8 @@ def main() -> None:
     # --- per-query timings -------------------------------------------------
     qtimes: dict[str, float] = {"crawl_rounds": round(crawl_sec, 3)}
     if RUN_QUERIES:
+        pages.unpersist()
+        host_status.unpersist()
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
@@ -128,6 +141,7 @@ def main() -> None:
         "queries": qtimes,
         "sf": sf,
         "cpus": CPUS,
+        "bench_cpus": BENCH_CPUS,
         "rounds": len(stats),
         "round_times_sec": round_times,
         "pages_universe": n_pages,
@@ -135,7 +149,7 @@ def main() -> None:
         "urls_scheduled_deduped": urls_deduped,
         "urls_per_sec": round(urls_deduped / crawl_sec, 1) if crawl_sec else None,
         "urls_per_sec_per_core": (
-            round(urls_deduped / crawl_sec / CPUS, 2) if crawl_sec else None
+            round(urls_deduped / crawl_sec / BENCH_CPUS, 2) if crawl_sec else None
         ),
     }
     print(json.dumps(out))

@@ -44,3 +44,95 @@ def test_missing_description():
 def test_bytes_input():
     title, _, _ = parse_doc_py(b"<title>Bin</title>")
     assert title == "Bin"
+
+
+# --- fast-path equivalence (guarded regex path vs full stdlib parse) -----
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bathyscaphe_spark.functions import html as H
+
+
+def _slow_doc(s):
+    p = H._DocParser()
+    p.feed(s if isinstance(s, str) else s.decode("utf-8", "replace"))
+    p.close()
+    return ("".join(p.title_parts), p.meta, p.meta.get("description", ""))
+
+
+def _slow_text(s):
+    p = H._TextParser()
+    p.feed(s if isinstance(s, str) else s.decode("utf-8", "replace"))
+    p.close()
+    return " ".join(p.parts)
+
+
+FAST_CASES = [
+    ELASTIC_BODY,
+    "<title>First</title><title>Second</title>",
+    '<meta name="A" content="1"><meta property="B" content="2">'
+    '<meta content="orphan"><meta name="A" content="3">',
+    "<p>no meta here</p>",
+    "<title>Bin</title>",
+    "<title/>after a self-closing title <b>bold</b>",
+    "<title>unclosed to eof <meta name=\"k\" content=\"v\">tail",
+    '<TITLE >Upper &amp; spaced</TITLE ><META NAME="X" CONTENT="Y">',
+    '<img alt="<title>not a title</title>"><title>real</title>',
+    "a &lt;tag&gt; &amp; entity &#65; &nbsp; soup",
+    "text<b>adjacent</b>runs and <i>nested <u>tags</u></i>",
+    '<meta name="dup" content="1"><title>t<meta name="in-title" content="x"></title><meta name="dup" content="2">',
+    "<!DOCTYPE html><html><head><title>d</title></head><body>b</body></html>",
+    "&amp<b>;split entity</b>",
+]
+
+SLOW_CASES = [  # guard must refuse these (stdlib semantics differ)
+    "<script>var a = '<title>no</title>';</script>visible",
+    "<style>p { color: red }</style>x",
+    "<!-- <title>comment</title> -->y",
+    "stray < bracket",
+    "<![CDATA[ x > y ]]>z",
+    "<p unbalanced='quote>text",
+]
+
+
+@pytest.mark.parametrize("body", FAST_CASES)
+def test_fast_path_triggers_and_matches(body):
+    assert H._is_simple_html(body)
+    assert H.parse_doc_py(body) == _slow_doc(body)
+    assert H.extract_text_py(body) == _slow_text(body)
+
+
+@pytest.mark.parametrize("body", SLOW_CASES)
+def test_guard_refuses_unsafe(body):
+    assert not H._is_simple_html(body)
+    # fallback path still runs and equals the stdlib parse trivially
+    assert H.parse_doc_py(body) == _slow_doc(body)
+    assert H.extract_text_py(body) == _slow_text(body)
+
+
+_frag = st.one_of(
+    st.sampled_from(
+        [
+            "<title>", "</title>", "<title/>", "<meta name='k' content='v'>",
+            '<meta property="p" content="c&amp;c">', "<b>", "</b>", "<br/>",
+            "&amp;", "&lt;", "&#65;", "&nbsp;", "&bogus;", "&amp", " ", "\n",
+            "plain text", "a>b", '<img alt="x>y">', "<!DOCTYPE html>",
+            "<p class=unquoted>", "<script>bad()</script>", "<!-- c -->",
+            "< stray", "tail",
+        ]
+    ),
+    st.text(
+        alphabet="abc &;#<>\"'/=\n\tA1", min_size=0, max_size=12
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_frag, min_size=0, max_size=12).map("".join))
+def test_fast_matches_slow_property(body):
+    # whatever the guard accepts must match the full stdlib parse
+    if H._is_simple_html(body):
+        assert H.parse_doc_py(body) == _slow_doc(body)
+        assert H.extract_text_py(body) == _slow_text(body)
