@@ -136,3 +136,27 @@ def test_fast_matches_slow_property(body):
     if H._is_simple_html(body):
         assert H.parse_doc_py(body) == _slow_doc(body)
         assert H.extract_text_py(body) == _slow_text(body)
+
+
+ADVERSARIAL = [  # equivalence must hold whichever path runs
+    "<title>a\rb\r\nc</title>body \r text",
+    "<title>x</b title='y'>z</title>",
+    "<title>a&am<b>p;</title>",
+    "<title>&#x41;&Aacute;&notreal;&amp</title>",
+    "<meta name='k' content='a&quot;b'>",
+    "<meta name=K content=V><meta NAME='k' CONTENT='w'>",
+    "<meta name='k'>",
+    "<meta/>",
+    "<em title='<meta name=\"fake\" content=\"x\">'>real text</em>",
+    "<title></title><meta name='a' content='1'>",
+    "<title>t1</title>mid<title>t2</title><meta name='z' content='9'>",
+    "<br/><hr/><input value='a>b'/>text",
+    "<!doctype html><p>x</p>",
+    "<title>no close ever <meta name='m' content='c'> tail text",
+]
+
+
+@pytest.mark.parametrize("body", ADVERSARIAL)
+def test_adversarial_equivalence(body):
+    assert H.parse_doc_py(body) == _slow_doc(body)
+    assert H.extract_text_py(body) == _slow_text(body)
