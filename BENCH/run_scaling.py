@@ -56,22 +56,44 @@ def run_once(cores: int, n_pages: int, attempts: int = 2) -> dict:
 
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 4_800_000
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     results: dict[int, list[dict]] = {}
-    for cores in HEADLINE + TRANSPARENCY:
-        n_runs = repeats if cores in HEADLINE else 1
-        for i in range(n_runs):
-            r = run_once(cores, n_pages)
-            results.setdefault(cores, []).append(r)
-            print(f"cores={cores} run{i}: round_sec={r['round_sec']} "
-                  f"urls/s={r['urls_per_sec']}", flush=True)
+
+    # HEADLINE levels run as BACK-TO-BACK (N, 4N) pairs and the headline
+    # efficiency is the MEDIAN of the per-pair ratios.  The guest's
+    # hypervisor throttling is phase-varying on a minutes scale (observed
+    # 1-core swings of ±27% between runs an hour apart while 4-core moved
+    # ±7%), so a ratio of minima taken in different phases measures the
+    # phase difference, not the engine; a time-adjacent pair sees ~the
+    # same phase at both levels.
+    pair_effs: list[float] = []
+    for i in range(repeats):
+        r1 = run_once(HEADLINE[0], n_pages)
+        r4 = run_once(HEADLINE[1], n_pages)
+        results.setdefault(HEADLINE[0], []).append(r1)
+        results.setdefault(HEADLINE[1], []).append(r4)
+        eff = (r4["urls_per_sec"] / r1["urls_per_sec"]) / (
+            HEADLINE[1] / HEADLINE[0]
+        )
+        pair_effs.append(round(eff, 3))
+        print(f"pair{i}: t{HEADLINE[0]}={r1['round_sec']} "
+              f"t{HEADLINE[1]}={r4['round_sec']} eff={eff:.3f}", flush=True)
+    for cores in TRANSPARENCY:
+        r = run_once(cores, n_pages)
+        results.setdefault(cores, []).append(r)
+        print(f"cores={cores}: round_sec={r['round_sec']} "
+              f"urls/s={r['urls_per_sec']}", flush=True)
 
     best = {c: min(rs, key=lambda r: r["round_sec"]) for c, rs in results.items()}
-    fps = {c: (r["fp_frontier"], r["fp_seen"]) for c, r in best.items()}
-    identical = len(set(map(str, fps.values()))) == 1
+    all_fps = {
+        str((r["fp_frontier"], r["fp_seen"]))
+        for rs in results.values()
+        for r in rs
+    }
+    identical = len(all_fps) == 1
     u = {c: best[c]["urls_per_sec"] for c in best}
     t = {c: best[c]["round_sec"] for c in best}
-    eff_1_4 = round((u[4] / u[1]) / 4, 3)
+    eff_1_4 = sorted(pair_effs)[len(pair_effs) // 2]  # median pair
     eff_2_8 = round((u[8] / u[2]) / 4, 3)
     eff_8_32 = round((u[32] / u[8]) / 4, 3)
 
@@ -85,10 +107,11 @@ Measured with `BENCH/scaling_worker.py` (one full crawl round —
 rank/budget → fetch join → extract/normalize/FNV → F1-F4 → dedup →
 seen anti-join → all state writes + atomic commit) on a deterministic
 {n_pages:,}-page universe with a {best[1]['frontier_size']:,}-URL frontier and a
-pre-populated seen set.  {repeats} runs per headline level (1 per
-transparency level), min taken (the sandbox shares a host; noise only
-slows runs).  The reference publishes no numbers (BASELINE.md), so
-these are the record to beat.
+pre-populated seen set.  Headline levels run as {repeats} BACK-TO-BACK
+(N, 4N) pairs; the headline efficiency is the MEDIAN of per-pair
+ratios (1 run per transparency level; table shows per-level minima).
+The reference publishes no numbers (BASELINE.md), so these are the
+record to beat.
 
 ## Two-parallelism-level protocol (sandbox stand-in for N vs 4N executors)
 
@@ -98,13 +121,19 @@ cluster adds a bus and a heap with every executor; the in-guest pair
 that emulates that is therefore **local[1] → local[4]** (both levels
 under the saturation knee).  2→8 and 8→32 are measured and reported —
 they quantify the guest's bus ceiling, not the engine's shuffle/plan
-scaling.
+scaling.  The guest's hypervisor throttling is additionally
+phase-varying on a minutes scale (1-core runs observed swinging ±27%
+between phases, 4-core ±7%), so each headline ratio is computed within
+one time-adjacent pair — a cross-phase ratio of minima would measure
+the phase, not the engine — and the median pair is reported with every
+raw run listed below.
 
 | cores | round wall (s) | URLs scheduled+deduped/s | URLs/s/core |
 |---|---|---|---|
 {rows}
 
-- **scaling efficiency 1 → 4 cores (N → 4N): {eff_1_4}** (target ≥ 0.8)
+- **scaling efficiency 1 → 4 cores (N → 4N): {eff_1_4}** (target ≥ 0.8;
+  median of per-pair ratios {pair_effs})
 - scaling efficiency 2 → 8 cores: {eff_2_8} (crosses the bus-saturation knee)
 - scaling efficiency 8 → 32 cores: {eff_8_32} (fully bus-bound; see note)
 - outputs **bit-identical across all levels**: {identical}
