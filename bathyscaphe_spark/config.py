@@ -77,6 +77,16 @@ class CrawlConfig:
     seen_filter: str = "bloom"
     bloom_fpp: float = 0.01
     bloom_shards: int = 8
+    # incremental seen filter: the driver folds each round's seen Δ into
+    # the running bloom (O(Δ)/round) instead of rebuilding from the full
+    # seen table (O(|seen|)/round).  The filter is pre-sized with
+    # ``bloom_capacity_slack`` headroom; when inserts outgrow capacity it
+    # is rebuilt once at double size (amortized O(1) rebuilds).  Routing
+    # results are identical either way — stale bits only add exact-join
+    # verification work, never drops.  Ignored for seen_filter="cuckoo"
+    # (the deletable variant is rebuilt per round).
+    bloom_incremental: bool = True
+    bloom_capacity_slack: float = 4.0
     # link-graph priority (operators/graph.py): when on, each round
     # harvests distinct (src_host → dst_host) edges from extraction into
     # the link_edges state table, and later rounds boost frontier

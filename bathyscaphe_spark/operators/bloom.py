@@ -3,8 +3,10 @@
 The reference bounds seen-set memory by storing 64-bit FNV hashes instead
 of URLs (scheduler.go:106-107, issue #130).  At 10^10-URL scale even the
 hash set is ~80 GB — too big to broadcast whole.  The north-star design
-rebuilds a **sharded Bloom filter** from the ``seen`` table each round and
-broadcasts it as executor-side state:
+maintains a **sharded Bloom filter** over the ``seen`` table as broadcast
+executor-side state — built distributed once, then *incrementally folded*
+each round with ``or_delta`` (O(Δ) per round; a full-table rebuild only
+when the capacity doubles — amortized O(1) rescans):
 
 * shard = ``url_hash % num_shards`` — at real scale only the shards a
   partition can touch need to be resident (here all shards broadcast,
@@ -58,17 +60,25 @@ class ShardedBloom:
             pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(bits_per_shard)
         return (shard[:, None] * np.uint64(bits_per_shard) + pos).astype(np.int64)
 
-    @classmethod
-    def build(cls, df: DataFrame, col: str, expected_items: int,
-              fpp: float = 0.01, num_shards: int = 8) -> "ShardedBloom":
-        """Distributed build from a hash column (long)."""
+    @staticmethod
+    def sized_params(expected_items: int, fpp: float = 0.01,
+                     num_shards: int = 8) -> tuple[int, int, int]:
+        """(bits_per_shard, num_shards, num_hashes) for a target capacity.
+        Deterministic — two filters sized for the same capacity are
+        bit-compatible and can be OR-combined."""
         n = max(expected_items, 1)
         m_total = int(-n * math.log(fpp) / (math.log(2) ** 2))
         bits_per_shard = max(64, (m_total // num_shards + 63) // 64 * 64)
         k = max(1, round(bits_per_shard * num_shards / n * math.log(2)))
-        k = min(k, 8)
+        return bits_per_shard, num_shards, min(k, 8)
+
+    @classmethod
+    def _packed_from(cls, df: DataFrame, col: str, bits_per_shard: int,
+                     num_shards: int, num_hashes: int) -> np.ndarray:
+        """Distributed bit-array build: each partition ORs its keys into a
+        local array; ``treeReduce(bitwise_or)`` combines logarithmically."""
         nbytes = num_shards * bits_per_shard // 8
-        bps, ns = bits_per_shard, num_shards
+        bps, ns, k = bits_per_shard, num_shards, num_hashes
 
         def _build_partition(rows):
             arr = np.zeros(nbytes, dtype=np.uint8)
@@ -79,12 +89,32 @@ class ShardedBloom:
                 np.bitwise_or.at(arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
             yield arr
 
-        packed = (
+        return (
             df.select(col).rdd
             .mapPartitions(_build_partition)
             .treeReduce(np.bitwise_or)
         )
-        return cls(bits_per_shard, num_shards, k, packed)
+
+    @classmethod
+    def build(cls, df: DataFrame, col: str, expected_items: int,
+              fpp: float = 0.01, num_shards: int = 8) -> "ShardedBloom":
+        """Distributed build from a hash column (long)."""
+        bps, ns, k = cls.sized_params(expected_items, fpp, num_shards)
+        return cls(bps, ns, k, cls._packed_from(df, col, bps, ns, k))
+
+    def or_delta(self, df: DataFrame, col: str) -> "ShardedBloom":
+        """Return a NEW filter = self ∪ the delta's keys (bloom insertion
+        is a commutative OR, so incrementally folding each round's seen Δ
+        is bit-identical to a from-scratch rebuild at the same capacity).
+        The input array is copied, never mutated — a broadcast of the old
+        filter stays valid."""
+        delta = self._packed_from(
+            df, col, self.bits_per_shard, self.num_shards, self.num_hashes
+        )
+        return ShardedBloom(
+            self.bits_per_shard, self.num_shards, self.num_hashes,
+            np.bitwise_or(self.packed, delta),
+        )
 
     def might_contain_np(self, h_signed: np.ndarray) -> np.ndarray:
         if h_signed.size == 0:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.fnv import fnv1_64
+from ..operators.bloom import ShardedBloom
 from ..state.tables import TableCatalog
 from .round import RoundStats, round_ts_col, run_round
 from .synth import build_host_status
@@ -91,6 +92,8 @@ def crawl(
     from ..state.configstore import load_config
 
     stats: list[RoundStats] = []
+    seen_bloom = None  # incrementally folded across rounds (O(Δ)/round)
+    bloom_capacity = 0
     for round_n in range(start, max_rounds):
         frontier = catalog.read_round("frontier", round_n)
         if frontier is None or catalog.rows_in_round("frontier", round_n) == 0:
@@ -102,6 +105,30 @@ def crawl(
         # since the last boundary — the reference's ConfigAPI pub/sub
         # reload, at round granularity
         round_config = load_config(catalog, config)
+        use_inc = (
+            round_config.bloom_enabled
+            and round_config.bloom_incremental
+            and round_config.seen_filter != "cuckoo"
+            and bool(seen_count)
+        )
+        if use_inc and (seen_bloom is None or seen_count > bloom_capacity):
+            # (re)build from the full seen set with headroom; each rebuild
+            # at least doubles capacity, so full-table scans are amortized
+            # O(1) per round even as the seen set grows without bound
+            seen_df = catalog.read_deltas("seen")
+            if seen_df is not None:
+                bloom_capacity = max(
+                    int(seen_count * round_config.bloom_capacity_slack),
+                    2 * bloom_capacity,
+                    64,
+                )
+                seen_bloom = ShardedBloom.build(
+                    seen_df.select("url_hash"),
+                    "url_hash",
+                    expected_items=bloom_capacity,
+                    fpp=round_config.bloom_fpp,
+                    num_shards=round_config.bloom_shards,
+                )
         s = run_round(
             catalog,
             pages,
@@ -109,10 +136,19 @@ def crawl(
             round_config,
             round_n,
             seen_count_hint=seen_count,
+            seen_bloom=seen_bloom if use_inc else None,
         )
         stats.append(s)
         if seen_count is not None:
             seen_count += s.discovered
+        if seen_bloom is not None and s.discovered:
+            # fold this round's committed seen Δ — bit-identical to a
+            # from-scratch rebuild of the same keys at the same capacity
+            delta = catalog.read_round("seen", round_n)
+            if delta is not None:
+                seen_bloom = seen_bloom.or_delta(
+                    delta.select("url_hash"), "url_hash"
+                )
     if own_host_status:
         host_status.unpersist()
     return stats

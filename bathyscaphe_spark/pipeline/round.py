@@ -189,9 +189,18 @@ def run_round(
     config: CrawlConfig,
     round_n: int,
     seen_count_hint: int | None = None,
+    seen_bloom: "ShardedBloom | None" = None,
 ) -> RoundStats:
     """Execute round ``round_n``: read frontier Δ, produce all round outputs,
-    commit atomically."""
+    commit atomically.
+
+    ``seen_bloom`` — an optional caller-maintained ``ShardedBloom`` over the
+    current seen set (the driver folds each round's seen Δ into it with
+    ``or_delta`` instead of rebuilding from the full table — O(Δ) per round
+    instead of O(|seen|), the difference that matters at a 10^10-URL seen
+    set).  Stale bits from TTL-expired entries are harmless: the filter is
+    only a router and every hit is re-verified by the exact anti-join.
+    """
     spark = catalog.spark
     rts = round_ts_col(round_n)
 
@@ -311,7 +320,14 @@ def run_round(
     # optional membership router over the current seen set (bloom or
     # the deletable cuckoo variant — identical exactness contract)
     bloom = None
-    if config.bloom_enabled and seen is not None and seen_count_hint:
+    if (
+        seen_bloom is not None
+        and config.bloom_enabled
+        and seen is not None
+        and config.seen_filter != "cuckoo"
+    ):
+        bloom = seen_bloom  # driver-maintained incremental filter
+    elif config.bloom_enabled and seen is not None and seen_count_hint:
         if config.seen_filter == "cuckoo":
             from ..operators.cuckoo import CuckooFilter
 

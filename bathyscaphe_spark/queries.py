@@ -263,6 +263,36 @@ SELECT url, url_hash FROM cand WHERE url_hash NOT IN ({_SEEN_ORACLE})
 """
 
 
+def q_d1_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 through the INCREMENTALLY-FOLDED Bloom router: the seen set
+    arrives as two round deltas; the filter is built distributed from Δ0
+    and then Δ1 is OR-folded in with ``or_delta`` — never rescanning Δ0
+    (scheduler.go:106-107 seen-hash set + north rule "bloom/cuckoo
+    URL-seen").  This is the driver's steady-state path at 10^10-URL
+    scale: O(Δ) filter maintenance per round instead of O(|seen|)
+    rebuilds.  Exactness contract: the routed anti-join output equals
+    the plain D1 anti-join bit-for-bit (bloom hits are re-verified by
+    the exact join; misses are provably unseen)."""
+    from .operators.bloom import ShardedBloom, bloom_anti_join
+
+    cand = (
+        _corpus(spark, sf_dir)
+        .selectExpr("link1 AS url")
+        .distinct()
+        .select("url", fnv1_64(F.col("url")).alias("url_hash"))
+    )
+    seen = _seen_df(spark, sf_dir).select("url_hash")
+    # two "round deltas" — an even/odd hash split is deterministic and
+    # both sides are non-empty at every sf
+    delta0 = seen.where(F.col("url_hash") % 2 == 0)
+    delta1 = seen.where(F.col("url_hash") % 2 != 0)
+    bloom = ShardedBloom.build(delta0, "url_hash", expected_items=200_000)
+    bloom = bloom.or_delta(delta1, "url_hash")
+    return bloom_anti_join(cand, seen, "url_hash", bloom).select(
+        "url", "url_hash"
+    )
+
+
 def q_o1_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 per-host priority rank + politeness budget as a Window
     (SURVEY.md §2.6; budget=5)."""
@@ -2457,6 +2487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f3_extension_filter": q_f3_extension,
     "f4_hostname_blacklist": q_f4_blacklist,
     "d1_seen_antijoin": q_d1_seen_antijoin,
+    "d1_bloom_incremental": q_d1_bloom_incremental,
     "o1_priority_rank": q_o1_priority_rank,
     "a1_host_timeouts": q_a1_host_timeouts,
     "s4_fetch_join": q_s4_fetch_join,
@@ -2520,6 +2551,7 @@ ORACLES: dict[str, str] = {
     "f3_extension_filter": ORACLE_F3,
     "f4_hostname_blacklist": ORACLE_F4,
     "d1_seen_antijoin": ORACLE_D1,
+    "d1_bloom_incremental": ORACLE_D1,
     "o1_priority_rank": ORACLE_O1,
     "a1_host_timeouts": ORACLE_A1,
     "s4_fetch_join": ORACLE_S4,

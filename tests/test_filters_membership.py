@@ -125,3 +125,32 @@ def test_bloom_router_exactness(spark):
     plain = sorted(r["payload"] for r in cand.join(seen, "url_hash", "left_anti").collect())
     routed = sorted(r["payload"] for r in bloom_anti_join(cand, seen, "url_hash", bloom).collect())
     assert plain == routed
+
+
+def test_bloom_or_delta_bit_identical_to_rebuild(spark):
+    """Incremental fold contract: build(A) ∪Δ B must be bit-identical to
+    a from-scratch build(A ∪ B) at the same (capacity-derived) params —
+    this is what lets the driver fold each round's seen Δ instead of
+    rescanning the whole seen table."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 4000).select((F.col("id") * 40503 % 999999937).alias("h"))
+    b = spark.range(4000, 5500).select((F.col("id") * 40503 % 999999937).alias("h"))
+    cap = 20_000
+    full = ShardedBloom.build(a.unionByName(b), "h", expected_items=cap)
+    inc = ShardedBloom.build(a, "h", expected_items=cap).or_delta(b, "h")
+    assert (full.bits_per_shard, full.num_shards, full.num_hashes) == (
+        inc.bits_per_shard, inc.num_shards, inc.num_hashes
+    )
+    assert np.array_equal(full.packed, inc.packed)
+
+
+def test_bloom_or_delta_does_not_mutate_original(spark):
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 1000).select(F.col("id").alias("h"))
+    b = spark.range(1000, 2000).select(F.col("id").alias("h"))
+    base = ShardedBloom.build(a, "h", expected_items=8000)
+    before = base.packed.copy()
+    _ = base.or_delta(b, "h")
+    assert np.array_equal(base.packed, before)

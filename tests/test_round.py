@@ -297,3 +297,23 @@ def test_trap_guard_in_crawl(spark, tmp_path):
     urls = {r["url"] for r in f1.collect()} if f1 is not None else set()
     assert "http://t.onion/ok/page.html" in urls
     assert all("/a/b/a" not in u for u in urls)
+
+
+def test_incremental_bloom_parity_and_rebuild(spark, tmp_path, universe):
+    """The driver-maintained incremental bloom (fold seen Δ per round)
+    must produce the same crawl as per-round rebuilds — including when a
+    tiny capacity slack forces the mid-crawl doubling rebuild branch."""
+    pages, seeds = universe
+    a = str(tmp_path / "rebuild")
+    b = str(tmp_path / "inc")
+    c = str(tmp_path / "inc_tiny")
+    crawl(spark, pages, seeds, a,
+          CrawlConfig(bloom_incremental=False), max_rounds=3)
+    crawl(spark, pages, seeds, b,
+          CrawlConfig(bloom_incremental=True), max_rounds=3)
+    # slack < 1 ⇒ seen outgrows capacity after round 0 ⇒ rebuild path
+    crawl(spark, pages, seeds, c,
+          CrawlConfig(bloom_incremental=True, bloom_capacity_slack=0.5),
+          max_rounds=3)
+    fa = _frontier_sets(spark, a)
+    assert fa == _frontier_sets(spark, b) == _frontier_sets(spark, c)
