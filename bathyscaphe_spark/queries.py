@@ -293,6 +293,33 @@ def q_d1_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_d1_bloom_shardfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 through the FILE-RESIDENT sharded router — the broadcast-won't-
+    fit path (scheduler.go:106-107; at 10^10 URLs the filter is ~12 GB):
+    the filter is persisted one file per shard, candidates are colocated
+    by ``pmod(url_hash, num_shards)``, and each probe task loads ONLY its
+    shard through the executor-side LRU — per-task filter residency is
+    O(|filter| / num_shards) instead of the whole array.  Exactness
+    contract identical to D1: hits re-verified by the exact anti-join."""
+    import tempfile
+
+    from .operators.bloom import ShardedBloom, bloom_anti_join_files, save_shards
+
+    cand = (
+        _corpus(spark, sf_dir)
+        .selectExpr("link1 AS url")
+        .distinct()
+        .select("url", fnv1_64(F.col("url")).alias("url_hash"))
+    )
+    seen = _seen_df(spark, sf_dir).select("url_hash")
+    bloom = ShardedBloom.build(seen, "url_hash", expected_items=200_000)
+    shard_dir = tempfile.mkdtemp(prefix="bloom_shards_")
+    save_shards(bloom, shard_dir)
+    return bloom_anti_join_files(cand, seen, "url_hash", shard_dir).select(
+        "url", "url_hash"
+    )
+
+
 def q_o1_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 per-host priority rank + politeness budget as a Window
     (SURVEY.md §2.6; budget=5)."""
@@ -2488,6 +2515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f4_hostname_blacklist": q_f4_blacklist,
     "d1_seen_antijoin": q_d1_seen_antijoin,
     "d1_bloom_incremental": q_d1_bloom_incremental,
+    "d1_bloom_shardfiles": q_d1_bloom_shardfiles,
     "o1_priority_rank": q_o1_priority_rank,
     "a1_host_timeouts": q_a1_host_timeouts,
     "s4_fetch_join": q_s4_fetch_join,
@@ -2552,6 +2580,7 @@ ORACLES: dict[str, str] = {
     "f4_hostname_blacklist": ORACLE_F4,
     "d1_seen_antijoin": ORACLE_D1,
     "d1_bloom_incremental": ORACLE_D1,
+    "d1_bloom_shardfiles": ORACLE_D1,
     "o1_priority_rank": ORACLE_O1,
     "a1_host_timeouts": ORACLE_A1,
     "s4_fetch_join": ORACLE_S4,

@@ -154,3 +154,64 @@ def test_bloom_or_delta_does_not_mutate_original(spark):
     before = base.packed.copy()
     _ = base.or_delta(b, "h")
     assert np.array_equal(base.packed, before)
+
+
+def test_bloom_shard_files_roundtrip_and_probe(spark, tmp_path):
+    from bathyscaphe_spark.operators.bloom import (
+        bloom_anti_join_files, load_shards, save_shards,
+    )
+    from pyspark.sql import functions as F
+
+    seen = spark.range(0, 3000, 2).select(
+        (F.col("id") * 40503 % 999999937).alias("url_hash")
+    )
+    bloom = ShardedBloom.build(seen, "url_hash", expected_items=1500)
+    d = str(tmp_path / "shards")
+    save_shards(bloom, d)
+    back = load_shards(d)
+    assert np.array_equal(back.packed, bloom.packed)
+    assert (back.bits_per_shard, back.num_shards, back.num_hashes) == (
+        bloom.bits_per_shard, bloom.num_shards, bloom.num_hashes
+    )
+    h = _hashes(5000)
+    assert np.array_equal(back.might_contain_np(h), bloom.might_contain_np(h))
+
+    cand = spark.range(0, 3000).select(
+        (F.col("id") * 40503 % 999999937).alias("url_hash"),
+        F.col("id").alias("payload"),
+    )
+    plain = sorted(r["payload"] for r in
+                   cand.join(seen, "url_hash", "left_anti").collect())
+    for colocate in (True, False):
+        routed = sorted(
+            r["payload"]
+            for r in bloom_anti_join_files(
+                cand, seen, "url_hash", d, colocate=colocate
+            ).collect()
+        )
+        assert plain == routed, f"colocate={colocate}"
+
+
+def test_bloom_shard_files_negative_hashes(spark, tmp_path):
+    """Signed url_hash values (the FNV column is signed int64) must land
+    in the same shard/bit positions through SQL pmod colocation and the
+    numpy kernel."""
+    from bathyscaphe_spark.operators.bloom import (
+        bloom_anti_join_files, save_shards,
+    )
+    from pyspark.sql import functions as F
+
+    import pandas as pd
+
+    vals = np.concatenate([_hashes(2000), np.array([-1, -(2**63), 2**63 - 1, 0])])
+    pdf = pd.DataFrame({"url_hash": vals, "payload": np.arange(vals.size)})
+    cand = spark.createDataFrame(pdf)
+    seen = cand.where("payload % 2 = 0").select("url_hash")
+    bloom = ShardedBloom.build(seen, "url_hash", expected_items=2000)
+    d = str(tmp_path / "shards")
+    save_shards(bloom, d)
+    plain = sorted(r["payload"] for r in
+                   cand.join(seen, "url_hash", "left_anti").collect())
+    routed = sorted(r["payload"] for r in
+                    bloom_anti_join_files(cand, seen, "url_hash", d).collect())
+    assert plain == routed
