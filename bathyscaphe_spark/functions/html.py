@@ -27,6 +27,17 @@ the meta tags and feeds ONLY those few hundred bytes to the same
 structure the guard can't vouch for falls back to the full stdlib parse
 — outputs are pinned identical by fixture goldens and a property test.
 Disable with ``BATHYSCAPHE_HTML_FAST=0``.
+
+Optional C-library backend (``BATHYSCAPHE_HTML_LIB=1``): when
+``selectolax`` (preferred) or ``lxml`` is importable, documents that the
+regex guard rejects are parsed by the C HTML5/libxml2 parser instead of
+the per-character stdlib state machine — the remaining Python hot spot
+once the fast path has taken the well-formed majority.  The flag ships
+OFF because neither library is installed in this build environment, so
+backend parity cannot be pinned here; ``tests/test_html_lib_backend.py``
+pins backend outputs identical to ``parse_doc_py``/``extract_text_py``
+on the golden + property corpus and runs wherever a library is present
+(skipped otherwise).  Enable only on clusters where that test passes.
 """
 
 from __future__ import annotations
@@ -41,6 +52,22 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import MapType, StringType, StructField, StructType
 
 HTML_FAST = os.environ.get("BATHYSCAPHE_HTML_FAST", "1") != "0"
+
+# --- optional C-library backend (opt-in; see module docstring) ------------
+HTML_LIB = os.environ.get("BATHYSCAPHE_HTML_LIB", "0") == "1"
+_LIB_BACKEND: str | None = None
+if HTML_LIB:
+    try:
+        from selectolax.parser import HTMLParser as _SelectolaxParser  # noqa: F401
+
+        _LIB_BACKEND = "selectolax"
+    except ImportError:
+        try:
+            import lxml.html as _lxml_html  # noqa: F401
+
+            _LIB_BACKEND = "lxml"
+        except ImportError:
+            _LIB_BACKEND = None  # flag on but no library: stdlib fallback
 
 # one well-formed tag: name/end/decl start, attrs with balanced quotes
 # (quoted values may contain <, >, entities — HTMLParser skips them too).
@@ -142,6 +169,60 @@ def _doc_feed_fast(s: str) -> str | None:
     return "".join(p for _, p in pieces)
 
 
+def _parse_doc_lib(body: str) -> tuple[str, dict[str, str], str] | None:
+    """Library-backed (title, meta, description) with the reference
+    semantics (first-title text, name-falling-back-to-property keys
+    lowercased, later duplicates overwrite).  None ⇒ no backend / parse
+    error ⇒ caller falls through to the stdlib state machine."""
+    if _LIB_BACKEND is None:
+        return None
+    try:
+        if _LIB_BACKEND == "selectolax":
+            tree = _SelectolaxParser(body)
+            t = tree.css_first("title")
+            title = t.text() if t is not None else ""
+            meta: dict[str, str] = {}
+            for n in tree.css("meta"):
+                a = n.attributes
+                name = a.get("name") or a.get("property") or ""
+                if name:
+                    meta[name.lower()] = a.get("content") or ""
+        else:  # lxml
+            doc = _lxml_html.fromstring(body)
+            t = doc.find(".//title")
+            title = (t.text_content() if t is not None else "") or ""
+            meta = {}
+            for el in doc.iter("meta"):
+                name = el.get("name") or el.get("property") or ""
+                if name:
+                    meta[name.lower()] = el.get("content") or ""
+        return (title, meta, meta.get("description", ""))
+    except Exception:
+        return None
+
+
+def _extract_text_lib(body: str) -> str | None:
+    """Library-backed visible text (script/style/noscript/template
+    dropped, whitespace collapsed).  None ⇒ stdlib fallback."""
+    if _LIB_BACKEND is None:
+        return None
+    try:
+        if _LIB_BACKEND == "selectolax":
+            tree = _SelectolaxParser(body)
+            for n in tree.css("script,style,noscript,template"):
+                n.decompose()
+            raw = tree.root.text(separator=" ") if tree.root is not None else ""
+        else:  # lxml
+            doc = _lxml_html.fromstring(body)
+            for tag in _SKIP_CONTENT_TAGS:
+                for el in doc.iter(tag):
+                    el.drop_tree()
+            raw = doc.text_content()
+        return " ".join(raw.split())
+    except Exception:
+        return None
+
+
 def parse_doc_py(body: str | bytes | None) -> tuple[str, dict[str, str], str]:
     if body is None:
         return ("", {}, "")
@@ -156,6 +237,12 @@ def parse_doc_py(body: str | bytes | None) -> tuple[str, dict[str, str], str]:
             fast = _doc_feed_fast(body)
             if fast is not None:
                 feed = fast
+    if feed is body and _LIB_BACKEND is not None:
+        # guard-rejected document: C-library parse instead of feeding
+        # the whole body through the per-character state machine
+        lib = _parse_doc_lib(body)
+        if lib is not None:
+            return lib
     p = _DocParser()
     try:
         p.feed(feed)
@@ -221,6 +308,10 @@ def extract_text_py(body: str | bytes | None) -> str:
                 if w:
                     parts.append(" ".join(w))
         return " ".join(parts)
+    if _LIB_BACKEND is not None:
+        lib = _extract_text_lib(body)
+        if lib is not None:
+            return lib
     p = _TextParser()
     try:
         p.feed(body)
