@@ -69,35 +69,88 @@ if HTML_LIB:
         except ImportError:
             _LIB_BACKEND = None  # flag on but no library: stdlib fallback
 
-# one well-formed tag: name/end/decl start, attrs with balanced quotes
-# (quoted values may contain <, >, entities — HTMLParser skips them too).
-# Possessive quantifiers (*+/++, py3.11) keep matching linear: the
-# non-possessive nested-star form is exponential on near-miss inputs.
-_TAG_RE = re.compile(r"<[a-zA-Z/!](?:[^<>\"']++|\"[^\"]*+\"|'[^']*+')*+>")
-# whole-document guard: nothing but data runs and well-formed tags
-_SIMPLE_RE = re.compile(
-    r"(?:[^<]++|<[a-zA-Z/!](?:[^<>\"']++|\"[^\"]*+\"|'[^']*+')*+>)*+\Z"
-)
+# Tag spans are located with the stdlib parser's OWN compiled regex
+# (``locatestarttagend_tolerant``) plus a transcription of
+# ``check_for_whole_start_tag``'s follow-char rules, so start-tag
+# boundaries cannot diverge from HTMLParser by construction.  A
+# hand-written "well-formed tag" grammar is a trap here: HTMLParser only
+# honors quotes in attribute VALUES (hypothesis counterexample
+# ``<A">">`` — stdlib ends the tag at the first ``>`` and emits ``">``
+# as data, a quotes-anywhere regex swallows it), requires an attribute
+# NAME before ``=``, and ends declarations/bogus comments at the first
+# ``>`` regardless of quotes.  End tags accept only the strict
+# ``endtagfind`` shape; every other construct bails to the full parse.
+from html import parser as _stdlib_parser
+
+_LOCATE_START = _stdlib_parser.locatestarttagend_tolerant
+_ENDTAG_RE = re.compile(r"</\s*[a-zA-Z][-.a-zA-Z0-9:_]*\s*>")
 # constructs whose CONTENT rules differ from plain markup: their bodies
-# swallow tags/data in ways the tag regex can't see
+# swallow tags/data in ways a tag scan can't see (script/style flip the
+# parser into CDATA mode; comments/marked sections nest `>` rules)
 _UNSAFE_SUBSTRINGS = ("<script", "<style", "<noscript", "<template", "<!--", "<![")
 _NAME_RE = re.compile(r"<([a-zA-Z][-.a-zA-Z0-9:_]*)")
 _TITLE_CLOSE_RE = re.compile(r"</\s*title\s*>\Z", re.IGNORECASE)
 _META_OPEN_RE = re.compile(r"<meta(?=[\s/>])", re.IGNORECASE)
 
 
-def _simple_lower(s: str) -> str | None:
-    """The lowercased body when the fast-path guard accepts it, else
-    None (one lower() pass shared by the guard and the callers'
-    substring pre-checks)."""
+def _scan_spans(s: str) -> list[tuple[int, int]] | None:
+    """(start, end) spans of every non-data construct, exactly as the
+    stdlib state machine would delimit them — or None when any ``<`` is
+    a construct the scan can't vouch for (then the caller must run the
+    real parser).  Callers pre-check ``_UNSAFE_SUBSTRINGS``."""
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    n = len(s)
+    while True:
+        lt = s.find("<", pos)
+        if lt < 0:
+            return spans
+        c = s[lt + 1 : lt + 2]
+        if c.isascii() and c.isalpha():
+            # start tag: stdlib's own locator + its follow-char check
+            j = _LOCATE_START.match(s, lt).end()
+            if s.startswith(">", j):
+                pos = j + 1
+            elif s.startswith("/>", j):
+                pos = j + 2
+            else:
+                return None  # stdlib would emit tag text as data / junk
+        elif c == "/":
+            m = _ENDTAG_RE.match(s, lt)
+            if m is None:
+                return None  # tolerant end-tag recovery: let stdlib do it
+            pos = m.end()
+        elif c == "!":
+            # comment/marked-section excluded by _UNSAFE_SUBSTRINGS;
+            # doctype AND bogus comments both end at the first '>'
+            gt = s.find(">", lt + 2)
+            if gt < 0:
+                return None
+            pos = gt + 1
+        else:
+            return None  # '<?', '< ', '<<', '<' at EOF, ...
+        if pos > n:
+            return None
+        spans.append((lt, pos))
+
+
+def _guard_scan(s: str) -> tuple[str, list[tuple[int, int]]] | None:
+    """(lowercased body, construct spans) when the fast-path guard
+    accepts the document, else None.  One lower() pass is shared by the
+    unsafe-substring pre-check and the callers' ``<title``/``<meta``
+    probes; the spans are reused by both fast kernels so the document is
+    scanned exactly once."""
     low = s.lower()
     if any(t in low for t in _UNSAFE_SUBSTRINGS):
         return None
-    return low if _SIMPLE_RE.match(s) is not None else None
+    spans = _scan_spans(s)
+    if spans is None:
+        return None
+    return low, spans
 
 
 def _is_simple_html(s: str) -> bool:
-    return _simple_lower(s) is not None
+    return _guard_scan(s) is not None
 
 DOC_META_SCHEMA = StructType(
     [
@@ -135,34 +188,35 @@ class _DocParser(HTMLParser):
             self.title_parts.append(data)
 
 
-def _doc_feed_fast(s: str) -> str | None:
+def _doc_feed_fast(s: str, spans: list[tuple[int, int]]) -> str | None:
     """For a guard-approved document, the minimal substring whose stdlib
     parse yields the same (title, meta, description): the first
     ``<title>…</title>`` region verbatim plus every ``<meta …>`` tag
-    outside it, in document order.  Returns None when an end tag looks
+    outside it, in document order.  ``spans`` are the guard's construct
+    spans (reused — no re-scan).  Returns None when an end tag looks
     title-ish but not strictly ``</title>`` — bail to the full parse
     rather than guess."""
     pieces: list[tuple[int, str]] = []
     t0: int | None = None
     t1: int | None = None
-    for m in _TAG_RE.finditer(s):
-        g = m.group(0)
+    for st, en in spans:
+        g = s[st:en]
         if t0 is not None and t1 is None:
             if g[1] == "/" and "title" in g.lower():
                 if not _TITLE_CLOSE_RE.match(g):
                     return None  # bogus end tag — let HTMLParser decide
-                t1 = m.end()
+                t1 = en
             continue  # tags inside the region travel with it verbatim
         nm = _NAME_RE.match(g)
         if nm is None:
             continue
         name = nm.group(1).lower()
         if name == "title" and t0 is None:
-            t0 = m.start()
+            t0 = st
             if g.endswith("/>"):  # self-closing: region is the tag itself
-                t1 = m.end()
+                t1 = en
         elif name == "meta" and _META_OPEN_RE.match(g):
-            pieces.append((m.start(), g))
+            pieces.append((st, g))
     if t0 is not None:
         pieces.append((t0, s[t0 : t1 if t1 is not None else len(s)]))
         pieces.sort()
@@ -230,11 +284,12 @@ def parse_doc_py(body: str | bytes | None) -> tuple[str, dict[str, str], str]:
         body = body.decode("utf-8", errors="replace")
     feed = body
     if HTML_FAST:
-        low = _simple_lower(body)
-        if low is not None:
+        g = _guard_scan(body)
+        if g is not None:
+            low, spans = g
             if "<title" not in low and "<meta" not in low:
                 return ("", {}, "")
-            fast = _doc_feed_fast(body)
+            fast = _doc_feed_fast(body, spans)
             if fast is not None:
                 feed = fast
     if feed is body and _LIB_BACKEND is not None:
@@ -296,18 +351,24 @@ def extract_text_py(body: str | bytes | None) -> str:
         return ""
     if isinstance(body, (bytes, bytearray)):
         body = body.decode("utf-8", errors="replace")
-    if HTML_FAST and _simple_lower(body) is not None:
-        # guard guarantees: no skip-content tags, every inter-tag run is
-        # exactly one HTMLParser data chunk (charrefs converted per
-        # chunk, so an entity split by a tag stays unconverted — same as
-        # the state machine)
-        parts = []
-        for seg in _TAG_RE.split(body):
-            if seg:
-                w = unescape(seg).split()
-                if w:
-                    parts.append(" ".join(w))
-        return " ".join(parts)
+    if HTML_FAST:
+        g = _guard_scan(body)
+        if g is not None:
+            # guard guarantees: no skip-content tags, every inter-tag run
+            # is exactly one HTMLParser data chunk (charrefs converted per
+            # chunk, so an entity split by a tag stays unconverted — same
+            # as the state machine)
+            _, spans = g
+            parts = []
+            prev = 0
+            for st, en in spans + [(len(body), len(body))]:
+                seg = body[prev:st]
+                prev = en
+                if seg:
+                    w = unescape(seg).split()
+                    if w:
+                        parts.append(" ".join(w))
+            return " ".join(parts)
     if _LIB_BACKEND is not None:
         lib = _extract_text_lib(body)
         if lib is not None:

@@ -31,6 +31,71 @@ def lang_guess_col(text: Column) -> Column:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signal_cols(text: Column) -> dict[str, Column]:
+    """Gopher-rules document-quality signals (Rae et al. 2021, §A1.1 —
+    public method), as INTEGER columns so the keep decision is exact
+    cross-multiplied arithmetic (no float thresholds to drift between
+    engines).  All pure codegen: split/filter/aggregate higher-order
+    functions, no UDF.
+
+    * ``n_words`` / ``sum_word_len`` — word count and total word chars
+      (mean-word-length bounds become ``3·n ≤ Σlen ≤ 10·n``),
+    * ``n_symbol`` — ``#`` and ``...`` occurrences (symbol-to-word
+      ratio < 0.1 ⇒ ``10·n_symbol < n_words``),
+    * ``n_alpha_words`` — words containing a letter (> 80% ⇒
+      ``5·n_alpha > 4·n_words``),
+    * ``n_stop`` — how many of the 8 required stopwords appear (≥ 2),
+    * ``n_lines`` / ``n_bullet_lines`` / ``n_ellipsis_lines`` — bullet
+      starts < 90%, ellipsis ends < 30% of lines.
+    """
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    lines = F.split(text, "\n")
+    lwords = F.transform(words, F.lower)
+    n_stop = sum(
+        (F.array_contains(lwords, s).cast("long") for s in GOPHER_STOPWORDS),
+        start=F.lit(0).cast("long"),
+    )
+    return {
+        "n_words": F.size(words).cast("long"),
+        "sum_word_len": F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ),
+        "n_symbol": (
+            F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+        ).cast("long"),
+        "n_alpha_words": F.size(
+            F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+        ).cast("long"),
+        "n_stop": n_stop,
+        "n_lines": F.size(lines).cast("long"),
+        "n_bullet_lines": F.size(
+            F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+        ).cast("long"),
+        "n_ellipsis_lines": F.size(
+            F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))
+        ).cast("long"),
+    }
+
+
+def gopher_keep_col(s: dict[str, Column]) -> Column:
+    """The Gopher keep decision from :func:`gopher_signal_cols` signals —
+    integer cross-multiplications only, mirrored verbatim by the DuckDB
+    oracle."""
+    return (
+        s["n_words"].between(50, 100_000)
+        & (3 * s["n_words"] <= s["sum_word_len"])
+        & (s["sum_word_len"] <= 10 * s["n_words"])
+        & (10 * s["n_symbol"] < s["n_words"])
+        & (5 * s["n_alpha_words"] > 4 * s["n_words"])
+        & (s["n_stop"] >= 2)
+        & (10 * s["n_bullet_lines"] < 9 * s["n_lines"])
+        & (10 * s["n_ellipsis_lines"] < 3 * s["n_lines"])
+    )
+
+
 def nfc_normalize_udf():
     """Arrow-batched NFC normalizer (unicode canonical composition —
     the pass that runs before any exact/near dedup so 'e'+U+0301 and

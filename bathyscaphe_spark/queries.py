@@ -707,6 +707,178 @@ FROM documents
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filter (Rae et al. 2021 §A1.1 — the standard
+    pre-training corpus gate): word-count bounds, mean-word-length
+    bounds, symbol ratio, alpha-word fraction, required stopwords,
+    bullet/ellipsis line fractions.  All signals integer, the keep
+    decision exact cross-multiplied arithmetic — pure codegen over one
+    scan (functions/textstats.py)."""
+    from .functions.textstats import gopher_keep_col, gopher_signal_cols
+
+    d = _docs(spark, sf_dir)
+    s = gopher_signal_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(k) for k, c in s.items()],
+        gopher_keep_col(s).alias("keep"),
+    )
+
+
+ORACLE_GOPHER = r"""
+WITH sig AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w != '')) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(
+        list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''),
+        w -> length(w))), 0) AS BIGINT) AS sum_word_len,
+    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbol,
+    CAST(len(list_filter(
+        list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''),
+        w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+    CAST((CASE WHEN list_contains(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''), w -> lower(w)), 'the') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''), w -> lower(w)), 'be') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''), w -> lower(w)), 'to') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''), w -> lower(w)), 'of') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''), w -> lower(w)), 'and') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''), w -> lower(w)), 'that') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''), w -> lower(w)), 'have') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(list_filter(regexp_split_to_array(text, '\s+'), w -> w != ''), w -> lower(w)), 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT) AS n_ellipsis_lines
+  FROM documents
+)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000
+   AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+   AND 10 * n_symbol < n_words
+   AND 5 * n_alpha_words > 4 * n_words
+   AND n_stop >= 2
+   AND 10 * n_bullet_lines < 9 * n_lines
+   AND 10 * n_ellipsis_lines < 3 * n_lines) AS keep
+FROM sig
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-removal signals (Rae et al. 2021 §A1.2): per-document
+    duplicate-line fraction and most-frequent-word-2-gram character
+    fraction, with the Gopher keep thresholds (dup-line ≤ 0.30, top
+    2-gram chars ≤ 0.20) as exact integer arithmetic.
+
+    Scale shape: lines and 2-grams explode out of the document and
+    aggregate by (doc_id, value) — one shuffle each, partial-aggregated
+    map-side; the winning 2-gram picks deterministically by
+    (count, chars, gram) descending so cross-engine ties are stable.
+    No UDFs anywhere."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    )
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "n_dup_lines"
+            ),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0)
+            ).alias("dup_line_chars"),
+        )
+    )
+    words = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda w: w != "").alias("words"),
+    )
+    # zip each word with its successor (slice length clamps at 0 so a
+    # 0/1-word doc yields an empty bigram list, not a descending range)
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(words, 1, greatest(size(words) - 1, 0)),"
+                "         slice(words, 2, greatest(size(words) - 1, 0)),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("gram"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.desc("chars"), F.desc("gram")
+    )
+    top = (
+        bigrams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("chars", F.col("cnt") * F.length("gram"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", F.col("cnt").alias("top2_cnt"),
+                F.col("chars").alias("top2_chars"))
+    )
+    base = d.select("doc_id", F.length("text").cast("long").alias("n_chars_text"))
+    out = (
+        base.join(line_stats, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars_text",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0)).cast("long").alias("n_dup_lines"),
+            F.coalesce("dup_line_chars", F.lit(0)).cast("long").alias("dup_line_chars"),
+            F.coalesce("top2_cnt", F.lit(0)).cast("long").alias("top2_cnt"),
+            F.coalesce("top2_chars", F.lit(0)).cast("long").alias("top2_chars"),
+        )
+    )
+    keep = (10 * F.col("n_dup_lines") <= 3 * F.col("n_lines")) & (
+        5 * F.col("top2_chars") <= F.col("n_chars_text")
+    )
+    return out.withColumn("keep", keep)
+
+
+ORACLE_REPETITION = r"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+), line_stats AS (
+  SELECT doc_id, sum(cnt) AS n_lines,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_lines,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS dup_line_chars
+  FROM (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line)
+  GROUP BY doc_id
+), words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w != '') AS ws
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, unnest(list_transform(range(2, len(ws) + 1),
+                                       i -> ws[i - 1] || ' ' || ws[i])) AS gram
+  FROM words
+), top AS (
+  SELECT doc_id, cnt AS top2_cnt, chars AS top2_chars FROM (
+    SELECT doc_id, cnt, cnt * length(gram) AS chars, gram,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, cnt * length(gram) DESC, gram DESC) AS rn
+    FROM (SELECT doc_id, gram, count(*) AS cnt FROM bigrams GROUP BY doc_id, gram)
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars_text,
+       CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(l.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+       CAST(coalesce(l.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+       CAST(coalesce(t.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+       CAST(coalesce(t.top2_chars, 0) AS BIGINT) AS top2_chars,
+       (10 * coalesce(l.n_dup_lines, 0) <= 3 * coalesce(l.n_lines, 0)
+        AND 5 * coalesce(t.top2_chars, 0) <= length(d.text)) AS keep
+FROM documents d
+LEFT JOIN line_stats l USING (doc_id)
+LEFT JOIN top t USING (doc_id)
+"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embeddings table (ANN baseline).
     Queries = vec_id < 5; k = 3; ordering on cosine rounded to 3 decimals
@@ -2541,6 +2713,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
+    "gopher_quality": q_gopher_quality,
+    "repetition_stats": q_repetition_stats,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -2609,6 +2783,8 @@ ORACLES: dict[str, str] = {
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
+    "gopher_quality": ORACLE_GOPHER,
+    "repetition_stats": ORACLE_REPETITION,
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,

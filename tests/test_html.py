@@ -153,6 +153,14 @@ ADVERSARIAL = [  # equivalence must hold whichever path runs
     "<br/><hr/><input value='a>b'/>text",
     "<!doctype html><p>x</p>",
     "<title>no close ever <meta name='m' content='c'> tail text",
+    # stdlib quote-tolerance traps: quotes only matter in attribute
+    # VALUES, a bare quote ends nothing, '=' needs a name before it
+    '<A">">x',
+    '<a b=">">x',
+    "<p =v>text",
+    "<a/b>c</a>d",
+    "<a b = 'c'>'d'</a>",
+    "<meta name='k' content='v'x>y",
 ]
 
 
