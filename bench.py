@@ -131,7 +131,12 @@ def main() -> None:
         host_status.unpersist()
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
-            n = fn(spark, SF_DIR).count()
+            # noop-format write, NOT .count(): count() lets the optimizer
+            # prune unreferenced computed columns, so narrow projection
+            # queries (text_normalize, x3_fnv_hash, …) would be timed
+            # without ever running their compute (measured 1.7s count vs
+            # 3.0s full execution for text_normalize at sf0.01)
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.perf_counter() - t0, 3)
 
     out = {
@@ -139,6 +144,7 @@ def main() -> None:
         "value": round(crawl_sec, 3),
         "unit": "sec",
         "queries": qtimes,
+        "query_exec": "noop-write (full execution; r1/r2 used count(), which under-measured narrow projections)",
         "sf": sf,
         "cpus": CPUS,
         "bench_cpus": BENCH_CPUS,
