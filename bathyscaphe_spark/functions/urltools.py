@@ -42,17 +42,62 @@ URL_RE = re.compile(
 
 EXTRACT_RE_SQL = URL_RE.pattern  # same pattern is valid in DuckDB/RE2-ish
 
+_SCHEME_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.+-"
+)
+_ALPHA = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def findall_urls(s: str) -> list[str]:
+    """``URL_RE.findall(s)``, computed by memchr-scanning for ``://``
+    and running the regex only ANCHORED at each viable scheme start —
+    the regex engine never walks the whole body trying every offset
+    (the pattern opens with a character class, so sre has no literal
+    prefix to skip on).  ~1.4x on link-dense synthetic bodies, more on
+    prose-heavy real pages where ``://`` is sparse.
+
+    Equivalence argument (property-tested vs the regex in
+    tests/test_urltools.py): every match contains ``://``; matches are
+    non-overlapping and found leftmost-first.  For a given ``://`` the
+    leftmost viable start is the first alphabetic char of the maximal
+    scheme-char run ending at it, and whether the match succeeds there
+    depends only on the tail after ``://`` (the scheme part always
+    matches inside the run), so no other start in the run needs trying.
+    """
+    out: list[str] = []
+    pos = 0
+    find = s.find
+    match = URL_RE.match
+    while True:
+        i = find("://", pos)
+        if i < 0:
+            return out
+        j = i
+        while j > 0 and s[j - 1] in _SCHEME_CHARS:
+            j -= 1
+        while j < i and s[j] not in _ALPHA:
+            j += 1
+        if j < i:
+            m = match(s, j)
+            if m is not None:
+                out.append(m.group(0))
+                pos = m.end()
+                continue
+        pos = i + 3
+
 
 def extract_urls_py(body: str) -> list[str]:
     if not body:
         return []
-    return URL_RE.findall(body)
+    return findall_urls(body)
 
 
 @pandas_udf(ArrayType(StringType()))
 def extract_urls(body: pd.Series) -> pd.Series:
     """xurls-strict-compatible extraction: html/text → array<string>."""
-    return body.fillna("").str.findall(URL_RE)
+    return pd.Series(
+        [findall_urls(b) if b else [] for b in body.fillna("")], dtype=object
+    )
 
 
 # --- normalization (purell-compatible) -------------------------------------

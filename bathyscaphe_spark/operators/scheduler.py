@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 
 from ..config import CrawlConfig
 from ..functions.fnv import fnv1_64, fnv1_64_np
-from ..functions.urltools import URL_RE, extract_urls, normalize_url, normalize_url_py, url_parts_py
+from ..functions.urltools import URL_RE, extract_urls, findall_urls, normalize_url, normalize_url_py, url_parts_py
 
 
 import re as _re
@@ -74,8 +74,8 @@ def _extract_batch(pdf: pd.DataFrame, body_col: str, carry: list[str]) -> pd.Dat
     pandas/numpy C-level; the exact python normalizer only runs for the
     rare URL that is not already in normal form."""
     bodies = pdf[body_col].fillna("")
-    found = bodies.str.findall(URL_RE)
-    counts = found.str.len().to_numpy(dtype=np.int64)
+    found = [findall_urls(b) if b else [] for b in bodies]
+    counts = np.fromiter((len(l) for l in found), dtype=np.int64, count=len(found))
     flat: list[str] = [u for lst in found for u in lst]
     if not flat:
         cols = {"src_url": [], **{c: [] for c in carry}}
@@ -152,41 +152,95 @@ def _extract_filter_batch(
     9.6M-page scale that Arrow traffic was the bandwidth ceiling behind
     the 0.423 N→4N efficiency.  F1-F3 + host parsing are ONE combined
     regex pass (``cand_re``), F4 a contains loop — rejected candidates
-    never cross the pipe and survivors carry ~half the bytes."""
-    bodies = pdf[body_col].fillna("")
-    found = bodies.str.findall(URL_RE)
-    counts = found.str.len().to_numpy(dtype=np.int64)
-    flat: list[str] = [u for lst in found for u in lst]
-    cols = {c: [] for c in carry}
+    never cross the pipe and survivors carry ~half the bytes.
+
+    r3 refinements, output-equivalent after the caller's
+    ``groupBy(url_hash)`` aggregation:
+
+    * candidates are **factorized** first, so normalize / host-extract /
+      F4 / FNV run once per DISTINCT raw url in the batch (~2.6× fewer
+      at the default 10k-row batch — nav links repeat across pages);
+    * when ``carry`` is the crawl hot path's ``(depth[, src_host])``,
+      the batch emits ONE row per distinct (normalized url[, src_host])
+      with the partial ``min(depth)`` — a map-side combine BEFORE the
+      Arrow pipe, so duplicate candidates never cross it and never
+      enter the shuffle.  min() is associative, so batch boundaries
+      cannot affect the final aggregate."""
+    bodies = pdf[body_col]
+    lists = [findall_urls(b) if b else [] for b in bodies]
+    counts = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
+    flat: list[str] = [u for lst in lists for u in lst]
+    cols = {c: pdf[c].iloc[:0] for c in carry}
+    empty = pd.DataFrame(
+        {
+            **cols,
+            "url": pd.Series([], dtype=object),
+            "url_hash": pd.Series([], dtype=np.int64),
+            "host": pd.Series([], dtype=object),
+        }
+    )
     if not flat:
-        return pd.DataFrame(
-            {
-                **cols,
-                "url": pd.Series([], dtype=object),
-                "url_hash": pd.Series([], dtype=np.int64),
-                "host": pd.Series([], dtype=object),
-            }
-        )
-    urls = pd.Series(flat, dtype=object)
-    normal = urls.str.match(_ALREADY_NORMAL_RE)
+        return empty
+    # per-distinct-raw-url work: normalize → host/F1-F3 → F4
+    codes, raw_u = pd.factorize(pd.Series(flat, dtype=object))
+    u = pd.Series(raw_u, dtype=object)
+    normal = u.str.match(_ALREADY_NORMAL_RE)
     if not normal.all():
-        slow = urls[~normal].map(normalize_url_py)
-        urls = urls.copy()
-        urls[~normal] = slow
-    # F1+F2+F3 + host extraction in one C pass; null url (unparseable
-    # normalize) and non-matching candidates both yield NaN host
-    host = urls.str.extract(cand_re, expand=False)
-    keep = host.notna().to_numpy(dtype=bool)
+        slow = u[~normal].map(normalize_url_py)
+        u = u.copy()
+        u[~normal] = slow
+    # null url (unparseable normalize) and non-matching candidates both
+    # yield NaN host
+    host_u = u.str.extract(cand_re, expand=False)
+    keep_u = host_u.notna().to_numpy(dtype=bool)
     # F4 substring-contains blacklist (constraint/hostname.go:21-25)
     for h in forbidden:
-        keep &= ~host.str.contains(h, regex=False, na=False).to_numpy(dtype=bool)
+        keep_u &= ~host_u.str.contains(h, regex=False, na=False).to_numpy(
+            dtype=bool
+        )
 
-    rep = np.repeat(np.arange(len(pdf)), counts)[keep]
-    out = pd.DataFrame({c: pdf[c].to_numpy()[rep] for c in carry})
-    survivors = urls[keep]
-    out["url"] = survivors.to_numpy()
-    out["url_hash"] = fnv1_64_np(survivors).view(np.int64)
-    out["host"] = host[keep].to_numpy()
+    rep = np.repeat(np.arange(len(pdf)), counts)
+    kept = keep_u[codes]
+    rc = codes[kept]  # raw-unique code per surviving candidate
+    rp = rep[kept]  # parent row per surviving candidate
+    if not rc.size:
+        return empty
+    if set(carry) <= {"depth", "src_host"}:
+        # partial-aggregate path: distinct raws can normalize to the SAME
+        # url, so group by the normalized string (factorize again)
+        nu_of_raw, nu_vals = pd.factorize(u)
+        nc = nu_of_raw[rc].astype(np.int64)
+        host_of_nu = np.empty(len(nu_vals), dtype=object)
+        host_of_nu[nu_of_raw[keep_u]] = host_u.to_numpy(dtype=object)[keep_u]
+        key = nc
+        sh_codes = sh_vals = None
+        if "src_host" in carry:
+            sh_codes, sh_vals = pd.factorize(pdf["src_host"])
+            key = nc * len(sh_vals) + sh_codes[rp]
+        uk, inv = np.unique(key, return_inverse=True)
+        out_nc = uk if sh_vals is None else uk // len(sh_vals)
+        out = {}
+        if "depth" in carry:
+            depth = pdf["depth"].to_numpy()[rp]
+            dmin = np.full(len(uk), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(dmin, inv, depth.astype(np.int64))
+            out["depth"] = dmin.astype(depth.dtype, copy=False)
+        if sh_vals is not None:
+            out["src_host"] = np.asarray(sh_vals, dtype=object)[
+                (uk % len(sh_vals)).astype(np.int64)
+            ]
+        surv = pd.Series(np.asarray(u, dtype=object)[out_nc], dtype=object)
+        out["url"] = surv.to_numpy()
+        out["url_hash"] = fnv1_64_np(surv).view(np.int64)
+        out["host"] = host_of_nu[out_nc]
+        return pd.DataFrame(out, columns=[*carry, "url", "url_hash", "host"])
+
+    # generic carry: one row per surviving candidate (original contract)
+    out = pd.DataFrame({c: pdf[c].to_numpy()[rep][kept] for c in carry})
+    surv = pd.Series(np.asarray(u, dtype=object)[rc], dtype=object)
+    out["url"] = surv.to_numpy()
+    out["url_hash"] = fnv1_64_np(surv).view(np.int64)
+    out["host"] = host_u.to_numpy(dtype=object)[rc]
     return out
 
 

@@ -176,3 +176,43 @@ def test_surt_col_goldens(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["surt"] for r in df.select(surt_col(F.col("url")).alias("surt")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_findall_urls_equals_regex_property():
+    """The ://-anchored scanner must equal URL_RE.findall on any input
+    (the scan is the hot-path extraction; the regex is the spec)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bathyscaphe_spark.functions.urltools import URL_RE, findall_urls
+
+    frag = st.one_of(
+        st.sampled_from(
+            [
+                "http://", "https://", "://", ":", "//", "h", "9",
+                "x.onion", ".php", "?id=1", "#f", " ", "\n", "\\", "`",
+                "'", '"', "<", ">", ".", ",", ")", "@", "+-.", "a9",
+                "https://host1.onion/p.php?id=2", "ftp://x", "tel://",
+            ]
+        ),
+        st.text(alphabet="ab:/ .<>\"'\\`htp92.,;!?)]}*@x-+\n", max_size=10),
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.lists(frag, max_size=12).map("".join))
+    def check(s):
+        assert findall_urls(s) == URL_RE.findall(s)
+
+    check()
+
+
+def test_findall_urls_goldens():
+    from bathyscaphe_spark.functions.urltools import findall_urls
+
+    assert findall_urls(" ://x://y") == ["x://y"]
+    assert findall_urls("9https://a.onion") == ["https://a.onion"]
+    assert findall_urls("http://.") == []
+    assert findall_urls("see https://a.onion/x.php?id=1, and more") == [
+        "https://a.onion/x.php?id=1"
+    ]
+    assert findall_urls("a://b://c d") == ["a://b://c"]
