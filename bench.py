@@ -10,13 +10,14 @@ individually against $SPARK_GRAFT_SF_DIR.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32 — the number of cores AVAILABLE),
      SPARK_GRAFT_BENCH_CPUS (default min(CPUS, 8) — the session size the
-       bench actually uses.  This guest's single memory bus saturates
-       near 8 concurrent scan streams (BENCH/BASELINE.md calibration):
-       measured 21.2s at local[8] vs 32.8s at local[32] for the same 3
-       crawl rounds, and 41s vs 55s for the warm query suite.  On a real
-       cluster each executor brings its own memory bus, so right-sizing
-       is a guest-ceiling workaround, not an engine property; the
-       recorded number should reflect the engine),
+       bench actually uses.  At the sf0.1 bench size (150k pages) the
+       3-round crawl is scheduling-overhead-dominated and local[8] beats
+       local[32] (measured 14.7s vs 18.0s after the r3 kernel rewrite);
+       at the 4.8M-page scaling workload the r3 partial-agg kernel cut
+       memory-bus traffic enough that 32 cores now BEATS 8 (74.4k vs
+       59.8k URLs/s — BENCH/BASELINE.md), so the old bus-knee ceiling no
+       longer binds at scale.  Right-sizing here reflects the small
+       bench universe, not an engine property),
      BENCH_ROUNDS (default 3), BENCH_QUERIES=0 to skip per-query timing.
 """
 
