@@ -293,3 +293,55 @@ def surt_col(url):
         F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(F.split(q, "&")))),
     ).otherwise(F.lit(""))
     return F.lower(F.concat(rev_host, F.lit(")"), path, qpart))
+
+
+# --- URL-level quality filtering (training-data pipeline) ------------------
+
+# tiny fixed list standing in for the category blocklists (UT1-style)
+# large-scale pipelines apply at the URL stage; the mechanism — substring
+# category match — is what matters, mirrored verbatim in the oracle
+URL_BLOCK_WORDS = ("casino", "poker", "porn", "xxx", "viagra")
+
+
+def url_quality_cols(url) -> dict:
+    """FineWeb/CCNet-style URL-quality signals as pure codegen columns
+    (public method: URL filtering stage of web-corpus pipelines — block
+    word match, digit-heavy host, subdomain depth, parameter explosion,
+    URL length).  All signals integer/boolean so the keep rule is exact
+    cross-engine arithmetic; host parsing is one regexp so the DuckDB
+    oracle can mirror it verbatim (no parse_url dialect drift)."""
+    from pyspark.sql import functions as F
+
+    host = F.regexp_extract(url, r"^[a-z0-9+.-]+://([^/?#]*)", 1)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    low = F.lower(url)
+    blocked = F.lit(False)
+    for w in URL_BLOCK_WORDS:
+        blocked = blocked | low.contains(w)
+    return {
+        "host": host,
+        "host_len": F.length(host).cast("long"),
+        "n_digits_host": (
+            F.length(host) - F.length(F.regexp_replace(host, r"[0-9]", ""))
+        ).cast("long"),
+        "n_subdomains": F.size(F.split(host, r"\.")).cast("long") - 1,
+        "n_params": F.size(
+            F.filter(F.split(qs, "&"), lambda x: x != "")
+        ).cast("long"),
+        "url_len": F.length(url).cast("long"),
+        "blocked_word": blocked,
+    }
+
+
+def url_quality_keep(s: dict):
+    """Keep rule over :func:`url_quality_cols` signals — integer
+    cross-multiplications only: digit-heavy hosts (>1/3 digits),
+    blocklisted words, deep subdomain chains, parameter explosions and
+    over-long URLs are dropped."""
+    return (
+        ~s["blocked_word"]
+        & (3 * s["n_digits_host"] <= s["host_len"])
+        & (s["n_subdomains"] <= 3)
+        & (s["n_params"] <= 8)
+        & (s["url_len"] <= 200)
+    )

@@ -2668,6 +2668,114 @@ ORDER BY score DESC, url ASC LIMIT {_SEARCH_K}
 
 
 # --------------------------------------------------------------------------
+# URL-level quality filtering (training-data pipeline, URL stage)
+# --------------------------------------------------------------------------
+
+# deterministic URL corpus exercising every signal: digit-heavy hosts,
+# blocklisted words, deep subdomains, parameter explosions, long URLs
+_URL_QUALITY_CORPUS_SQL = """
+SELECT doc_id,
+  'https://'
+  || CASE WHEN doc_id % 11 = 0 THEN 'x' || CAST(doc_id AS STRING) || '99123'
+          ELSE 'host' || CAST(doc_id % 97 AS STRING) END
+  || CASE WHEN doc_id % 7 = 0 THEN '.cdn.shard.pool.example' ELSE '' END
+  || '.onion/p' || CAST(doc_id AS STRING)
+  || CASE WHEN doc_id % 13 = 3 THEN '/casino-free-spins'
+          WHEN doc_id % 13 = 4 THEN '/wiki/article' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id AS STRING)
+          || '&ref=a&s=b&t=c&u=d&v=e&w=f&x=g&y=h'
+          WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id AS STRING)
+          ELSE '' END AS url
+FROM documents
+"""
+
+
+def q_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-stage quality filter of web-corpus pipelines (FineWeb/CCNet
+    style, public method): block-word match, digit-heavy host, subdomain
+    depth, parameter explosion, URL length — all pure codegen column
+    expressions (functions/urltools.py url_quality_cols), keep rule in
+    exact integer arithmetic."""
+    from .functions.urltools import url_quality_cols, url_quality_keep
+
+    _docs(spark, sf_dir)
+    c = spark.sql(_URL_QUALITY_CORPUS_SQL)
+    s = url_quality_cols(F.col("url"))
+    return c.select(
+        "doc_id",
+        *[col.alias(k) for k, col in s.items()],
+        url_quality_keep(s).alias("keep"),
+    )
+
+
+ORACLE_URL_QUALITY = rf"""
+WITH c AS ({_URL_QUALITY_CORPUS_SQL}),
+sig AS (
+  SELECT doc_id,
+    regexp_extract(url, '^[a-z0-9+.-]+://([^/?#]*)', 1) AS host,
+    regexp_extract(url, '\?([^#]*)', 1) AS qs,
+    url
+  FROM c
+)
+SELECT doc_id,
+  host,
+  CAST(length(host) AS BIGINT) AS host_len,
+  CAST(length(host) - length(regexp_replace(host, '[0-9]', '', 'g')) AS BIGINT) AS n_digits_host,
+  CAST(len(string_split(host, '.')) - 1 AS BIGINT) AS n_subdomains,
+  CAST(len(list_filter(string_split(qs, '&'), x -> x != '')) AS BIGINT) AS n_params,
+  CAST(length(url) AS BIGINT) AS url_len,
+  (lower(url) LIKE '%casino%' OR lower(url) LIKE '%poker%'
+   OR lower(url) LIKE '%porn%' OR lower(url) LIKE '%xxx%'
+   OR lower(url) LIKE '%viagra%') AS blocked_word,
+  (NOT (lower(url) LIKE '%casino%' OR lower(url) LIKE '%poker%'
+        OR lower(url) LIKE '%porn%' OR lower(url) LIKE '%xxx%'
+        OR lower(url) LIKE '%viagra%')
+   AND 3 * (length(host) - length(regexp_replace(host, '[0-9]', '', 'g'))) <= length(host)
+   AND len(string_split(host, '.')) - 1 <= 3
+   AND len(list_filter(string_split(qs, '&'), x -> x != '')) <= 8
+   AND length(url) <= 200) AS keep
+FROM sig
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus vocabulary build (tokenizer prep)
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 200
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: lowercase whitespace tokens → global counts →
+    deterministic top-200 by (count DESC, token ASC) — the frequency
+    pass of tokenizer/vocab construction over a training corpus.
+
+    Scale shape: explode + two-level aggregation (map-side partial
+    combine on (token) before the single shuffle), then
+    TakeOrderedAndProject for the cut — no global sort, no UDF."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(_VOCAB_K)
+
+
+ORACLE_VOCAB = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            w -> w != '')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY token
+ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2715,6 +2823,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_stats": q_quality_stats,
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
+    "url_quality": q_url_quality,
+    "vocab_topk": q_vocab_topk,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -2785,6 +2895,8 @@ ORACLES: dict[str, str] = {
     "quality_stats": ORACLE_QUALITY,
     "gopher_quality": ORACLE_GOPHER,
     "repetition_stats": ORACLE_REPETITION,
+    "url_quality": ORACLE_URL_QUALITY,
+    "vocab_topk": ORACLE_VOCAB,
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,
