@@ -229,7 +229,10 @@ def _extract_filter_batch(
             out["src_host"] = np.asarray(sh_vals, dtype=object)[
                 (uk % len(sh_vals)).astype(np.int64)
             ]
-        surv = pd.Series(np.asarray(u, dtype=object)[out_nc], dtype=object)
+        # index the NORMALIZED-unique values (nu space), NOT the raw-unique
+        # array u: the two spaces diverge as soon as normalization merges
+        # two raws or drops one (unparseable → None excluded from nu_vals)
+        surv = pd.Series(np.asarray(nu_vals, dtype=object)[out_nc], dtype=object)
         out["url"] = surv.to_numpy()
         out["url_hash"] = fnv1_64_np(surv).view(np.int64)
         out["host"] = host_of_nu[out_nc]

@@ -183,3 +183,103 @@ class TestTrapFilter:
         }
         for i, _, _, want in rows:
             assert got[i] == want, i
+
+
+class TestExtractFilterBatchPartialAgg:
+    """The r3 kernel emits partially-aggregated rows (min-depth per
+    distinct normalized url per batch).  Pin: (a) the final aggregate is
+    EXACTLY the unaggregated reference computation, (b) raws that
+    normalize to the same url merge in-batch, (c) the src_host carry
+    keys the groups, (d) the generic-carry path still emits one row per
+    candidate."""
+
+    def _batch(self, rows, carry):
+        import pandas as pd
+
+        from bathyscaphe_spark.config import CrawlConfig
+        from bathyscaphe_spark.operators.scheduler import (
+            _allowed_candidate_re,
+            _extract_filter_batch,
+        )
+
+        cand_re = _allowed_candidate_re(tuple(CrawlConfig().allowed_extensions))
+        pdf = pd.DataFrame(rows)
+        return _extract_filter_batch(
+            pdf, "_body", list(carry), cand_re, ("fbi.onion",)
+        )
+
+    def _reference(self, rows):
+        """Unfused reference: per-candidate extract→normalize→F1-F4."""
+        from bathyscaphe_spark.config import CrawlConfig
+        from bathyscaphe_spark.functions.fnv import fnv1_64_py
+        from bathyscaphe_spark.functions.urltools import (
+            findall_urls,
+            normalize_url_py,
+        )
+        from bathyscaphe_spark.operators.scheduler import _allowed_candidate_re
+
+        cand_re = _allowed_candidate_re(tuple(CrawlConfig().allowed_extensions))
+        out = []
+        for r in rows:
+            for raw in findall_urls(r["_body"]):
+                u = normalize_url_py(raw)
+                if u is None:
+                    continue
+                m = cand_re.match(u)
+                if m is None or "fbi.onion" in m.group(1):
+                    continue
+                out.append((u, m.group(1), r.get("depth"), r.get("src_host")))
+        return out
+
+    BODIES = [
+        # duplicate link, fragment variant (normalizes to the same url),
+        # uppercase-host variant (slow normalize path), a rejected .png,
+        # a blacklisted host, and a non-onion reject
+        {"_body": '<a href="https://a.onion/x.php?id=1">'
+                  '<a href="https://a.onion/x.php?id=1#frag">'
+                  '<a href="https://A.ONION/x.php?id=1">'
+                  '<a href="https://a.onion/pic.png">'
+                  '<a href="https://sub.fbi.onion/y.php">'
+                  '<a href="https://plain.example/z.php">',
+         "depth": 3, "src_host": "h1.onion"},
+        {"_body": '<a href="https://a.onion/x.php?id=1">'
+                  '<a href="https://b.onion/deep">',
+         "depth": 1, "src_host": "h2.onion"},
+        {"_body": "", "depth": 9, "src_host": "h3.onion"},
+    ]
+
+    def test_min_depth_merge(self):
+        out = self._batch(self.BODIES, ("depth",))
+        got = {r.url: (r.depth, r.host) for r in out.itertuples()}
+        # one row per distinct normalized url; min depth wins
+        assert got == {
+            "https://a.onion/x.php?id=1": (1, "a.onion"),
+            "https://b.onion/deep": (1, "b.onion"),
+        }
+        ref = self._reference(self.BODIES)
+        assert {u for u, *_ in ref} == set(got)
+        for u, h, d, _ in ref:
+            assert got[u][0] <= d and got[u][1] == h
+
+    def test_src_host_carry_keys_groups(self):
+        out = self._batch(self.BODIES, ("depth", "src_host"))
+        got = {(r.url, r.src_host): r.depth for r in out.itertuples()}
+        assert got == {
+            ("https://a.onion/x.php?id=1", "h1.onion"): 3,
+            ("https://a.onion/x.php?id=1", "h2.onion"): 1,
+            ("https://b.onion/deep", "h2.onion"): 1,
+        }
+
+    def test_hashes_match_reference_fnv(self):
+        from bathyscaphe_spark.functions.fnv import fnv1_64_py, unsigned_to_signed
+
+        out = self._batch(self.BODIES, ("depth",))
+        for r in out.itertuples():
+            assert r.url_hash == unsigned_to_signed(fnv1_64_py(r.url))
+
+    def test_generic_carry_keeps_multiplicity(self):
+        rows = [dict(r, other="x") for r in self.BODIES]
+        out = self._batch(rows, ("depth", "other"))
+        # 'other' is outside the partial-agg key set → per-candidate rows
+        urls = list(out["url"])
+        assert urls.count("https://a.onion/x.php?id=1") == 4  # 3 + 1 dups
