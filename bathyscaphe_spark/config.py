@@ -87,6 +87,12 @@ class CrawlConfig:
     # (the deletable variant is rebuilt per round).
     bloom_incremental: bool = True
     bloom_capacity_slack: float = 4.0
+    # persist the incremental filter's shards into the state dir at each
+    # (amortized-O(1)) capacity rebuild; a resumed crawl then loads the
+    # snapshot and folds only the seen Δs committed AFTER it — O(Δ since
+    # last rebuild) instead of an O(|seen|) full-table rescan per
+    # restart, the difference that matters at a 10^10-URL seen set
+    bloom_persist: bool = True
     # link-graph priority (operators/graph.py): when on, each round
     # harvests distinct (src_host → dst_host) edges from extraction into
     # the link_edges state table, and later rounds boost frontier

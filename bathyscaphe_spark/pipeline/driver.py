@@ -50,6 +50,97 @@ def bootstrap(
     catalog.commit_round(-1, ["seen"], extra={"bootstrap": True})
 
 
+def _bloom_dir(catalog: TableCatalog) -> str:
+    import os
+
+    return os.path.join(catalog.root, "filters", "seen_bloom")
+
+
+def _save_persisted_bloom(
+    catalog: TableCatalog,
+    bloom: ShardedBloom,
+    capacity: int,
+    config: CrawlConfig,
+    covers_through: int,
+) -> None:
+    """Persist the filter shards + a meta sidecar.  Written to a temp dir
+    then atomically renamed into place, so a crash mid-save leaves the
+    previous snapshot (or none) — the loader validates meta before use.
+    ``covers_through``: the highest round whose seen Δ is folded in."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.bloom import save_shards
+
+    final = _bloom_dir(catalog)
+    parent = os.path.dirname(final)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".seen_bloom_", dir=parent)
+    try:
+        save_shards(bloom, tmp)
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "covers_through": covers_through,
+                    "capacity": capacity,
+                    "fpp": config.bloom_fpp,
+                    "num_shards": config.bloom_shards,
+                },
+                fh,
+            )
+        old = final + ".old"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def _load_persisted_bloom(
+    catalog: TableCatalog, config: CrawlConfig, next_round: int
+) -> tuple[ShardedBloom | None, int]:
+    """(filter, capacity) from the saved snapshot + the seen Δs committed
+    after it, or (None, 0) when absent/incompatible.  Exactness: the
+    router must cover EVERY committed seen Δ < ``next_round`` — a missed
+    Δ would wave a seen URL through as definitely-new — so every round
+    in (covers_through, next_round) is folded before use."""
+    import json
+    import os
+
+    from ..operators.bloom import load_shards
+
+    d = _bloom_dir(catalog)
+    meta_path = os.path.join(d, "meta.json")
+    if not os.path.exists(meta_path):
+        return None, 0
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if (
+            meta.get("fpp") != config.bloom_fpp
+            or meta.get("num_shards") != config.bloom_shards
+        ):
+            return None, 0  # config changed since save: rebuild
+        bloom = load_shards(d)
+    except Exception:
+        return None, 0  # unreadable snapshot: rebuild from the table
+    deltas = [
+        df
+        for r in range(int(meta["covers_through"]) + 1, next_round)
+        if (df := catalog.read_round("seen", r)) is not None
+    ]
+    if deltas:
+        fold = deltas[0]
+        for df in deltas[1:]:
+            fold = fold.unionByName(df)
+        bloom = bloom.or_delta(fold.select("url_hash"), "url_hash")
+    return bloom, int(meta["capacity"])
+
+
 def crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -111,6 +202,13 @@ def crawl(
             and round_config.seen_filter != "cuckoo"
             and bool(seen_count)
         )
+        if use_inc and seen_bloom is None and round_config.bloom_persist:
+            # resume path: a snapshot saved at the last capacity rebuild
+            # plus the seen Δs committed after it reconstruct the exact
+            # running filter without rescanning the full seen table
+            seen_bloom, bloom_capacity = _load_persisted_bloom(
+                catalog, round_config, round_n
+            )
         if use_inc and (seen_bloom is None or seen_count > bloom_capacity):
             # (re)build from the full seen set with headroom; each rebuild
             # at least doubles capacity, so full-table scans are amortized
@@ -129,6 +227,11 @@ def crawl(
                     fpp=round_config.bloom_fpp,
                     num_shards=round_config.bloom_shards,
                 )
+                if round_config.bloom_persist:
+                    _save_persisted_bloom(
+                        catalog, seen_bloom, bloom_capacity,
+                        round_config, round_n - 1,
+                    )
         s = run_round(
             catalog,
             pages,

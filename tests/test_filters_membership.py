@@ -215,3 +215,72 @@ def test_bloom_shard_files_negative_hashes(spark, tmp_path):
     routed = sorted(r["payload"] for r in
                     bloom_anti_join_files(cand, seen, "url_hash", d).collect())
     assert plain == routed
+
+
+def test_persisted_bloom_resume_exact_and_skips_rescan(spark, tmp_path, monkeypatch):
+    """bloom_persist: a resumed crawl loads the snapshot saved at the
+    last capacity rebuild and folds only the later seen Δs — outputs
+    identical to an uninterrupted crawl, and ShardedBloom.build (the
+    O(|seen|) full-table rescan) is NOT called on resume while the
+    capacity still fits."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.operators.bloom import ShardedBloom
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.pipeline.synth import (
+        build_host_status,
+        build_pages,
+        build_seeds,
+    )
+
+    pages = build_pages(spark, n_pages=4000, n_hosts=40).persist()
+    hs = build_host_status(pages).persist()
+    # slack high enough that rounds 2-3 stay under the capacity built
+    # before round 0 (so the resume MUST come from the snapshot alone)
+    cfg = CrawlConfig(
+        per_host_budget=40, bloom_enabled=True, bloom_incremental=True,
+        bloom_persist=True, bloom_capacity_slack=1000.0,
+    )
+
+    def frontier_rows(root, rnd):
+        fs = sorted(glob.glob(f"{root}/tables/frontier/round={rnd}/*.parquet"))
+        t = [r for f in fs for r in pq.read_table(f).to_pylist()]
+        return sorted((r["url"], r["url_hash"], r["depth"]) for r in t)
+
+    # uninterrupted 3-round reference
+    ref_root = str(tmp_path / "ref")
+    crawl(spark, pages, build_seeds(spark, pages, 15), ref_root, cfg,
+          max_rounds=3, host_status=hs)
+
+    # interrupted: 1 round, then resume for 2 more with build() forbidden
+    res_root = str(tmp_path / "res")
+    crawl(spark, pages, build_seeds(spark, pages, 15), res_root, cfg,
+          max_rounds=1, host_status=hs)
+    assert os.path.exists(os.path.join(res_root, "filters", "seen_bloom", "meta.json"))
+
+    calls = {"n": 0}
+    orig_build = ShardedBloom.build.__func__
+
+    def counting_build(cls, *a, **kw):
+        calls["n"] += 1
+        return orig_build(cls, *a, **kw)
+
+    monkeypatch.setattr(ShardedBloom, "build", classmethod(counting_build))
+    crawl(spark, pages, None, res_root, cfg, max_rounds=3, host_status=hs)
+    assert calls["n"] == 0, "resume rescanned the full seen table"
+    for rnd in (1, 2, 3):
+        assert frontier_rows(res_root, rnd) == frontier_rows(ref_root, rnd)
+
+    # config drift (different fpp) invalidates the snapshot → rebuild
+    drift = CrawlConfig(
+        per_host_budget=40, bloom_enabled=True, bloom_incremental=True,
+        bloom_persist=True, bloom_capacity_slack=1000.0, bloom_fpp=0.001,
+    )
+    crawl(spark, pages, None, res_root, drift, max_rounds=4, host_status=hs)
+    assert calls["n"] == 1
+    pages.unpersist()
+    hs.unpersist()
