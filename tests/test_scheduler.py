@@ -283,3 +283,92 @@ class TestExtractFilterBatchPartialAgg:
         # 'other' is outside the partial-agg key set → per-candidate rows
         urls = list(out["url"])
         assert urls.count("https://a.onion/x.php?id=1") == 4  # 3 + 1 dups
+
+
+def test_extract_filter_batch_property_vs_reference():
+    """Randomized bodies (messy URLs: fragments, case, dot segments,
+    ports, unparseable, blacklisted, duplicates) through the partial-agg
+    kernel must — after the final min-aggregation the caller applies —
+    equal the unfused per-candidate reference pipeline."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.functions.urltools import (
+        findall_urls,
+        normalize_url_py,
+    )
+    from bathyscaphe_spark.operators.scheduler import (
+        _allowed_candidate_re,
+        _extract_filter_batch,
+    )
+
+    cand_re = _allowed_candidate_re(tuple(CrawlConfig().allowed_extensions))
+    FORBIDDEN = ("fbi.onion",)
+
+    url = st.sampled_from(
+        [
+            "https://a.onion/x.php?id=1",
+            "https://a.onion/x.php?id=1#frag",
+            "https://A.ONION/x.php?id=1",
+            "https://a.onion/./x.php?id=1",
+            "https://a.onion:443/x.php?id=1",
+            "https://b.onion/deep",
+            "https://b.onion/deep/",
+            "https://c.onion/index.html",
+            "https://c.onion",
+            "https://sub.fbi.onion/y.php",
+            "https://plain.example/z.php",
+            "https://d.onion/pic.png",
+            "http://%zz.onion/bad",
+            "ftp://e.onion/f",
+        ]
+    )
+    body = st.lists(url, max_size=6).map(
+        lambda us: " ".join(f'<a href="{u}">' for u in us)
+    )
+    rows = st.lists(
+        st.tuples(body, st.integers(0, 5), st.sampled_from(["h1", "h2"])),
+        min_size=1, max_size=5,
+    )
+
+    def reference(rs):
+        agg: dict[tuple[str, str], list] = {}
+        for b, depth, sh in rs:
+            for raw in findall_urls(b):
+                u = normalize_url_py(raw)
+                if u is None:
+                    continue
+                m = cand_re.match(u)
+                if m is None:
+                    continue
+                host = m.group(1)
+                if any(f in host for f in FORBIDDEN):
+                    continue
+                k = (u, sh)
+                if k not in agg or depth < agg[k][0]:
+                    agg[k] = [depth, host]
+        return {k: tuple(v) for k, v in agg.items()}
+
+    @settings(max_examples=120, deadline=None)
+    @given(rows)
+    def check(rs):
+        pdf = pd.DataFrame(
+            {
+                "_body": [b for b, _, _ in rs],
+                "depth": [d for _, d, _ in rs],
+                "src_host": [s for _, _, s in rs],
+            }
+        )
+        out = _extract_filter_batch(
+            pdf, "_body", ["depth", "src_host"], cand_re, FORBIDDEN
+        )
+        got: dict[tuple[str, str], list] = {}
+        for r in out.itertuples():  # re-aggregate (kernel may emit per batch)
+            k = (r.url, r.src_host)
+            if k not in got or r.depth < got[k][0]:
+                got[k] = [r.depth, r.host]
+        assert {k: tuple(v) for k, v in got.items()} == reference(rs)
+
+    check()
