@@ -2776,6 +2776,80 @@ ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_K}
 
 
 # --------------------------------------------------------------------------
+# linear quality classifier (hashing trick — model-scoring plumbing)
+# --------------------------------------------------------------------------
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/CCNet-style linear document scorer via the hashing
+    trick: token → FNV-1/64 → deterministic integer milli-weight in
+    [-1000, 1000], document score = Σ tf·w (exact BIGINT, so the sum is
+    order-insensitive and bit-equal across engines), label = score > 0.
+    The weights here are hash-derived stand-ins — the PLUMBING is the
+    operator: at scale a real weight table broadcast-joins exactly like
+    the distinct-token weight table below.
+
+    Scale shape: tokens explode once; weights are computed per DISTINCT
+    token (one Arrow FNV pass over the vocabulary, not the corpus) and
+    broadcast back onto the token stream; one shuffle for the per-doc
+    sum with map-side combine."""
+    from .functions.fnv import fnv1_64
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("token"),
+    )
+    vocab = toks.select("token").distinct()
+    weights = vocab.select(
+        "token",
+        (
+            F.pmod(fnv1_64(F.col("token")), F.lit(2001)) - F.lit(1000)
+        ).cast("long").alias("w_milli"),
+    )
+    return (
+        toks.join(F.broadcast(weights), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("score_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_milli",
+            (F.col("score_milli") > 0).alias("label"),
+        )
+    )
+
+
+def _classifier_oracle_sql() -> str:
+    from .functions.fnv import duckdb_fnv_signed_sql
+
+    fnv = duckdb_fnv_signed_sql("token")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            w -> w != '')) AS token
+  FROM documents
+), w AS (
+  SELECT token,
+         CAST((({fnv})::HUGEINT % 2001 + 2001) % 2001 - 1000 AS BIGINT) AS w_milli
+  FROM (SELECT DISTINCT token FROM toks)
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w.w_milli) AS BIGINT) AS score_milli,
+       sum(w.w_milli) > 0 AS label
+FROM toks t JOIN w USING (token)
+GROUP BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2825,6 +2899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "url_quality": q_url_quality,
     "vocab_topk": q_vocab_topk,
+    "quality_classifier": q_quality_classifier,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -2897,6 +2972,7 @@ ORACLES: dict[str, str] = {
     "repetition_stats": ORACLE_REPETITION,
     "url_quality": ORACLE_URL_QUALITY,
     "vocab_topk": ORACLE_VOCAB,
+    "quality_classifier": _classifier_oracle_sql(),
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,
