@@ -1046,6 +1046,57 @@ WHERE round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END, 3) >= 0.6
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level fuzzy-dedup CLUSTERS: MinHash-LSH verified pairs →
+    connected components (transitive closure) → one canonical document
+    per duplicate set (operators/graph.py connected_components).  The
+    step after pair generation that RefinedWeb/SlimPajama-style
+    pipelines need before dropping duplicates: a≈b, b≈c ⇒ {a,b,c} is
+    ONE cluster even if a,c never met in an LSH bucket.  Output one row
+    per corpus document: (doc_id, cluster_id = min doc_id of its
+    duplicate set, keep = is-canonical)."""
+    from .operators.dedup import minhash_dedup_pairs
+    from .operators.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.6
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return corpus.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("comp", F.col("doc_id")) == F.col("doc_id")).alias("keep"),
+    )
+
+
+def _clusters_oracle_sql() -> str:
+    # transitive closure of the (already oracle-pinned) MinHash pair
+    # set via a recursive reachability CTE, then min-id per component
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) mh),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+FROM ({NEARDUP_CORPUS_SQL}) d
+LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash fingerprints of every document
     (operators/dedup.py simhash — FNV word hashes + column-expr votes)."""
@@ -2879,6 +2930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2949,6 +3001,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_clusters": _clusters_oracle_sql(),
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
     # ann_lsh_topk: the approximate neighbor SET is not SQL-expressible,

@@ -53,3 +53,66 @@ def test_pagerank_partitioning_invariant(spark):
 def test_pagerank_empty(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank_fp(edges, iters=2).count() == 0
+
+
+# --- connected components ---------------------------------------------------
+
+from bathyscaphe_spark.operators.graph import connected_components
+
+
+def _uf_components(edges):
+    """Pure-python union-find reference: {node: min id in component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["comp"] for r in connected_components(df).collect()}
+
+
+def test_cc_two_triangles_bridged(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (3, 10), (20, 21)]
+    assert _cc_spark(spark, edges) == _uf_components(edges)
+
+
+def test_cc_long_chain_needs_iterations(spark):
+    # a 12-node chain has diameter 11: exercises the convergence loop
+    # well past one round of min-propagation
+    edges = [(i, i + 1) for i in range(100, 112)]
+    got = _cc_spark(spark, edges)
+    assert got == _uf_components(edges)
+    assert set(got.values()) == {100}
+
+
+def test_cc_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc_spark(spark, edges) == _uf_components(edges)
+
+
+def test_cc_partitioning_invariant(spark):
+    edges = [(i % 17, (i * 7) % 23 + 17) for i in range(60)]
+    df1 = spark.createDataFrame(edges, "src long, dst long")
+    df2 = df1.repartition(9)
+    a = sorted(map(tuple, connected_components(df1).collect()))
+    b = sorted(map(tuple, connected_components(df2).collect()))
+    assert a == b
