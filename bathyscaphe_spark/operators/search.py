@@ -69,3 +69,82 @@ def keyword_search(
         .orderBy(F.col("score").desc(), F.col("url"))
         .limit(k)
     )
+
+
+# --- BM25 ------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    resources: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    url_col: str = "url",
+    title_col: str = "title",
+    body_col: str = "body",
+) -> DataFrame:
+    """Corpus-statistics BM25 over ``body`` (Robertson/Sparck Jones with
+    the Lucene +1 idf floor — public formula):
+
+        score(D) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+                       · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Unlike ``keyword_search``'s raw TF, rare terms outrank stopwords —
+    the ranking users of an ES index actually get.
+
+    Scale design: TWO passes over the corpus, both codegen.  Pass 1 is
+    one aggregation producing a single stats row (N, Σdl, df per term —
+    map-side partial aggs, one scalar shuffle); it is cross-joined back
+    (a 1-row broadcast, Spark plans BroadcastNestedLoopJoin) so pass 2
+    scores every document with pure column expressions and finishes
+    with TakeOrderedAndProject — per-partition k-heaps, never a global
+    sort.  tf/df use the same Java∩RE2-safe word-boundary regex as
+    keyword_search; no UDF anywhere.
+
+    Determinism: every arithmetic step is written in one fixed order so
+    Spark and an external oracle execute identical IEEE-754 binary64
+    ops; ``ln`` may differ in the last ulp between libms, which is why
+    the contract query rounds scores to 6 decimals (a boundary hit
+    needs |Δ| ≈ 1e-16 to land within 5e-7 of a rounding edge).
+    """
+    dl = F.size(
+        F.filter(F.split(F.lower(F.col(body_col)), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    tfs = {t: _tf(F.col(body_col), t) for t in terms}
+    scored_input = resources.select(
+        F.col(url_col).alias("url"),
+        F.col(title_col).alias("title"),
+        dl.alias("dl"),
+        *[tfs[t].alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = scored_input.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    d = scored_input.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score: Column = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - df + F.lit(0.5))
+            / (df + F.lit(0.5))
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+        )
+        score = score + idf * (tf * F.lit(BM25_K1 + 1.0)) / denom
+    return (
+        d.select("url", "title", F.round(score, 6).alias("score6"))
+        .where(F.col("score6") > 0)
+        .orderBy(F.col("score6").desc(), F.col("url"))
+        .limit(k)
+    )

@@ -2700,6 +2700,62 @@ def q_resources_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval over the resources index — corpus-level
+    df/idf statistics, not raw TF (operators/search.py bm25_search).
+    One stats aggregation pass + one codegen scoring pass +
+    TakeOrderedAndProject; deterministic (score6 DESC, url ASC) top-10."""
+    from .operators.search import bm25_search
+
+    _docs(spark, sf_dir)
+    resources = spark.sql(
+        """
+        SELECT concat('https://site-', CAST(doc_id % 50 AS STRING),
+                      '.onion/doc/', CAST(doc_id AS STRING)) AS url,
+               array_join(slice(split(text, ' '), 1, 5), ' ') AS title,
+               text AS body
+        FROM documents
+        """
+    )
+    return bm25_search(resources, _SEARCH_TERMS, k=_SEARCH_K)
+
+
+def _bm25_oracle_sql() -> str:
+    from .operators.search import BM25_B, BM25_K1
+
+    tf = lambda t: (
+        rf"CAST(len(regexp_extract_all(lower(body), '\b{t}\b')) AS BIGINT)"
+    )
+    tf_cols = ", ".join(f"{tf(t)} AS tf_{i}" for i, t in enumerate(_SEARCH_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(_SEARCH_TERMS))
+    )
+    # identical op order to the Spark expression: idf * (tf*(k1+1)) / denom
+    score = " + ".join(
+        f"ln(1.0 + (n_docs::DOUBLE - df_{i}::DOUBLE + 0.5) / (df_{i}::DOUBLE + 0.5))"
+        f" * (tf_{i}::DOUBLE * {BM25_K1 + 1.0!r})"
+        f" / (tf_{i}::DOUBLE + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}"
+        f" * dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))"
+        for i in range(len(_SEARCH_TERMS))
+    )
+    return f"""
+WITH resources AS ({_RESOURCES_SQL}),
+prep AS (
+  SELECT url, title,
+         len(list_filter(string_split_regex(lower(body), '\\s+'), x -> x != ''))::BIGINT AS dl,
+         {tf_cols}
+  FROM resources
+),
+stats AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl, {df_cols} FROM prep),
+scored AS (
+  SELECT url, title, round(0.0 + {score}, 6) AS score6 FROM prep CROSS JOIN stats
+)
+SELECT url, title, score6 FROM scored WHERE score6 > 0
+ORDER BY score6 DESC, url ASC LIMIT {_SEARCH_K}
+"""
+
+
 def _search_oracle_sql() -> str:
     def tf(col: str, term: str) -> str:
         return rf"CAST(len(regexp_extract_all(lower({col}), '\b{term}\b')) AS BIGINT)"
@@ -2972,6 +3028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_filter": q_trap_filter,
     "text_normalize": q_text_normalize,
     "resources_search": q_resources_search,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -3048,4 +3105,5 @@ ORACLES: dict[str, str] = {
     "trap_filter": ORACLE_TRAP,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "resources_search": _search_oracle_sql(),
+    "bm25_search": _bm25_oracle_sql(),
 }

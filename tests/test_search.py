@@ -37,3 +37,74 @@ def test_topk_is_take_ordered(spark):
         _resources(spark), ["alpha"], k=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- BM25 --------------------------------------------------------------------
+
+import math
+
+from bathyscaphe_spark.operators.search import BM25_B, BM25_K1, bm25_search
+
+
+def _bm25_reference(docs, terms, k=10):
+    """Pure-python BM25 mirror (same formula, same op order)."""
+    toks = {u: [w for w in b.lower().split() if w] for u, _, b in docs}
+    dls = {u: len(ws) for u, ws in toks.items()}
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    import re as _re
+
+    def tf(body, t):
+        return len(_re.findall(r"\b" + _re.escape(t) + r"\b", body.lower()))
+
+    dfs = {t: sum(1 for _, _, b in docs if tf(b, t) > 0) for t in terms}
+    out = []
+    for u, title, b in docs:
+        s = 0.0
+        for t in terms:
+            f = float(tf(b, t))
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * (f * (BM25_K1 + 1.0)) / (
+                f + BM25_K1 * (1.0 - BM25_B + BM25_B * dls[u] / avgdl)
+            )
+        s = round(s, 6)
+        if s > 0:
+            out.append((u, title, s))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+def test_bm25_matches_reference_formula(spark):
+    docs = [
+        ("u1", "t1", "rare common common common words words"),
+        ("u2", "t2", "common common common filler filler filler filler"),
+        ("u3", "t3", "rare alone"),
+        ("u4", "t4", "nothing matching at all"),
+        ("u5", "t5", "common rare rare padding padding padding padding padding"),
+    ]
+    df = spark.createDataFrame(docs, "url string, title string, body string")
+    got = [(r.url, r.title, r.score6) for r in bm25_search(df, ["rare", "common"]).collect()]
+    assert got == _bm25_reference(docs, ["rare", "common"])
+
+
+def test_bm25_rare_term_outranks_stopword(spark):
+    # u_rare has ONE hit of a rare term; u_stop is stuffed with a term
+    # present in every document — idf must make the rare doc win,
+    # which raw-TF keyword_search gets wrong by construction
+    docs = [("u_rare", "t", "zebra the the the")] + [
+        (f"u_stop{i}", "t", "the the the the the the the the") for i in range(9)
+    ]
+    df = spark.createDataFrame(docs, "url string, title string, body string")
+    out = bm25_search(df, ["zebra", "the"], k=3).collect()
+    assert out[0].url == "u_rare"
+
+
+def test_bm25_partitioning_invariant(spark):
+    docs = [
+        (f"u{i}", "t", ("alpha " * (i % 4)) + ("beta " * (i % 7)) + "tail words")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "url string, title string, body string")
+    a = [tuple(r) for r in bm25_search(df, ["alpha", "beta"], k=15).collect()]
+    b = [tuple(r) for r in bm25_search(df.repartition(13), ["alpha", "beta"], k=15).collect()]
+    assert a == b
