@@ -2095,6 +2095,99 @@ FROM u
 """
 
 
+# DuckDB mirror of functions/urltools.py surt_col (shared by the SURT /
+# CDX / latest-capture oracles)
+_DUCK_SURT = """
+  lower(
+    array_to_string(list_reverse(string_split(
+        regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1), '.')), ',')
+    || ')'
+    || coalesce(nullif(regexp_extract(url,
+        '^[a-z]+://[^/?#]*(/[^?#]*)', 1), ''), '/')
+    || CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN ''
+       ELSE '?' || array_to_string(list_sort(string_split(
+            regexp_extract(url, '\\?([^#]*)', 1), '&')), '&') END
+  )
+"""
+
+# revisit-heavy captures corpus: ~4 captures per URL, unique timestamps
+_CAPTURES_SQL = """
+SELECT 'https://host' || CAST(doc_id % 30 AS VARCHAR)
+           || '.onion/page' || CAST(doc_id % 120 AS VARCHAR) AS url,
+       CAST(to_timestamp(1714564800 + doc_id * 1000) AS TIMESTAMP) AS warc_ts,
+       CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS status
+FROM documents
+"""
+
+
+def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest capture per SURT key (CDX collapse=urlkey): collapse a
+    revisit-heavy captures table to one newest snapshot per URL
+    (sources/warc.py latest_captures — one shuffle on surt,
+    deterministic (warc_ts DESC, url ASC) pick)."""
+    from .sources.warc import latest_captures
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        "concat('https://host', CAST(doc_id % 30 AS STRING),"
+        " '.onion/page', CAST(doc_id % 120 AS STRING)) AS url",
+        "to_timestamp(1714564800 + doc_id * 1000) AS warc_ts",
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS INT) AS status",
+    )
+    return latest_captures(pages)
+
+
+ORACLE_CDX_LATEST = f"""
+WITH pages AS ({_CAPTURES_SQL}),
+ s AS (SELECT url, warc_ts, status, {_DUCK_SURT} AS surt FROM pages),
+ r AS (
+  SELECT surt, url, warc_ts, status,
+         row_number() OVER (PARTITION BY surt
+                            ORDER BY warc_ts DESC, url ASC) AS rn,
+         count(*) OVER (PARTITION BY surt) AS n_captures
+  FROM s
+ )
+SELECT surt, url, warc_ts, CAST(status AS INT) AS status,
+       CAST(n_captures AS BIGINT) AS n_captures
+FROM r WHERE rn = 1
+"""
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus-mix sampling (CCNet/Pile-style
+    source weighting): per-source keep rates applied via an md5 hash
+    bucket of the document key — exact integer thresholds, pure codegen,
+    stable under re-runs/partitioning/incremental ingest
+    (operators/sampling.py weighted_sample)."""
+    from .operators.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir)
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    return weighted_sample(
+        d.select("doc_id", "source"), "doc_id", "source", rates,
+        default_rate=0.05,
+    )
+
+
+ORACLE_CORPUS_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, source,
+         list_reduce(list_prepend(0::HUGEINT, list_transform(
+             string_split_regex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+             c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+           (a, b2) -> a * 16 + b2
+         ) % 10000 AS bucket,
+         CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                     WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+                     ELSE 500 END AS threshold
+  FROM documents
+)
+SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(threshold AS BIGINT) AS threshold
+FROM b WHERE bucket < threshold
+"""
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDXJ index rows (surt, ts14, json) over a deterministic pages
     shape — the seekable web-archive key layout, all codegen column
@@ -2999,6 +3092,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "surt_key": q_surt_key,
     "cdx_index": q_cdx_index,
+    "cdx_latest": q_cdx_latest,
+    "corpus_sample": q_corpus_sample,
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
@@ -3074,6 +3169,8 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprint": _winnow_oracle_sql(),
     "surt_key": ORACLE_SURT,
     "cdx_index": ORACLE_CDX,
+    "cdx_latest": ORACLE_CDX_LATEST,
+    "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,

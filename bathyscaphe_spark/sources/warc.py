@@ -284,6 +284,35 @@ def cdx_index(pages: DataFrame) -> DataFrame:
     )
 
 
+def latest_captures(pages: DataFrame) -> DataFrame:
+    """Latest capture per SURT key — the web-archive "current snapshot"
+    view: Common-Crawl-style collections carry many captures (revisits)
+    of the same URL and a text pipeline wants exactly one, the newest
+    (the CDX collapse=urlkey convention).
+
+    One shuffle on ``surt`` + per-key ordering via ``row_number`` over
+    (warc_ts DESC, url ASC) — the tie-break makes the pick total-ordered
+    and engine-independent when two captures share a timestamp.  Keys
+    are single URLs, so partition skew is bounded by
+    captures-per-URL, not host size.  Returns
+    (surt, url, warc_ts, status, n_captures).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.urltools import surt_col
+
+    w = Window.partitionBy("surt").orderBy(
+        F.col("warc_ts").desc(), F.col("url").asc()
+    )
+    return (
+        pages.withColumn("surt", surt_col(F.col("url")))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_captures", F.count(F.lit(1)).over(Window.partitionBy("surt")))
+        .where(F.col("rn") == 1)
+        .select("surt", "url", "warc_ts", "status", "n_captures")
+    )
+
+
 def write_warc(
     df: DataFrame, out_dir: str, url_col: str = "url", ts_col: str = "warc_ts",
     status_col: str = "status", headers_col: str = "headers",

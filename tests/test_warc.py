@@ -232,3 +232,57 @@ def test_warc_roundtrip_property():
             assert rec["headers"] == want_h
 
     _check()
+
+
+# --- latest capture per SURT -------------------------------------------------
+
+from datetime import datetime
+
+from bathyscaphe_spark.sources.warc import latest_captures
+
+
+def _captures(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, status int"
+    )
+
+
+def test_latest_capture_picks_newest(spark):
+    t = lambda s: datetime(2024, 5, 1, 0, 0, s)
+    rows = [
+        ("https://a.onion/x", t(1), 200),
+        ("https://a.onion/x", t(9), 404),
+        ("https://a.onion/x", t(5), 200),
+        ("https://b.onion/y", t(2), 200),
+    ]
+    out = {r.surt: r for r in latest_captures(_captures(spark, rows)).collect()}
+    assert len(out) == 2
+    a = out["onion,a)/x"]
+    assert (a.warc_ts, a.status, a.n_captures) == (t(9), 404, 3)
+    assert out["onion,b)/y"].n_captures == 1
+
+
+def test_latest_capture_timestamp_tie_breaks_by_url(spark):
+    # http vs https collapse to the same SURT but differ as strings:
+    # the (warc_ts DESC, url ASC) order must pick the http variant
+    t = datetime(2024, 5, 1)
+    rows = [
+        ("https://a.onion/x", t, 200),
+        ("http://a.onion/x", t, 404),
+    ]
+    out = latest_captures(_captures(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].url == "http://a.onion/x"
+    assert out[0].n_captures == 2
+
+
+def test_latest_capture_partitioning_invariant(spark):
+    t = lambda s: datetime(2024, 5, 1, 0, 0, s % 60, s)
+    rows = [
+        (f"https://h{i % 7}.onion/p{i % 23}", t(i * 13 % 59), 200 + (i % 2))
+        for i in range(200)
+    ]
+    df = _captures(spark, rows)
+    a = sorted(map(tuple, latest_captures(df).collect()))
+    b = sorted(map(tuple, latest_captures(df.repartition(17)).collect()))
+    assert a == b
