@@ -2769,6 +2769,47 @@ _SEARCH_PHRASE = "merge batch"
 _SEARCH_K = 10
 
 
+_PACK_CAPACITY = 256
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of documents into ≤256-token training
+    chunks, one independent packing stream per source (operators/
+    packing.py pack_sequences — applyInPandas per group, O(n) integer
+    kernel, chunk ids deterministic in doc_id order)."""
+    from .operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    docs = d.select(
+        "source", "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "source", "doc_id", "n_tokens", _PACK_CAPACITY)
+
+
+ORACLE_SEQUENCE_PACK = rf"""
+WITH RECURSIVE
+docs AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack(source, rn, doc_id, n_tokens, chunk_id, fill) AS (
+  SELECT source, rn, doc_id, n_tokens, 0::BIGINT, n_tokens
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+              THEN p.chunk_id + 1 ELSE p.chunk_id END,
+         CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+              THEN d.n_tokens ELSE p.fill + d.n_tokens END
+  FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, chunk_id FROM pack
+"""
+
+
 def q_resources_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword retrieval over the resources index — what users of the
     reference's ES `resources` index do daily
@@ -3124,6 +3165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "resources_search": q_resources_search,
     "bm25_search": q_bm25_search,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLES: dict[str, str] = {
@@ -3203,4 +3245,5 @@ ORACLES: dict[str, str] = {
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "resources_search": _search_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),
+    "sequence_pack": ORACLE_SEQUENCE_PACK,
 }

@@ -1,0 +1,79 @@
+"""Greedy sequence packing (operators/packing.py)."""
+
+from bathyscaphe_spark.operators.packing import chunk_stats, pack_sequences
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+
+
+def _pack_reference(rows, capacity):
+    """Pure-python greedy first-fit mirror."""
+    out = {}
+    by_group = {}
+    for g, i, t in rows:
+        by_group.setdefault(g, []).append((i, max(t or 0, 0)))
+    for g, docs in by_group.items():
+        cid, fill = 0, 0
+        for j, (i, t) in enumerate(sorted(docs)):
+            if j > 0 and fill + t > capacity:
+                cid, fill = cid + 1, 0
+            fill += t
+            out[(g, i)] = cid
+    return out
+
+
+def test_greedy_first_fit_semantics(spark):
+    rows = [
+        ("a", 1, 100), ("a", 2, 100), ("a", 3, 100),  # 1+2 fit, 3 spills
+        ("a", 4, 300),                                 # oversized: alone
+        ("a", 5, 10),
+        ("b", 1, 256), ("b", 2, 1),                    # exact fit closes at 2
+    ]
+    got = {
+        (r.source, r.doc_id): r.chunk_id
+        for r in pack_sequences(_df(spark, rows), "source", "doc_id", "n_tokens", 256).collect()
+    }
+    assert got == _pack_reference(rows, 256)
+    assert got[("a", 1)] == got[("a", 2)] == 0
+    assert got[("a", 3)] == 1
+    assert got[("a", 4)] == 2          # 300 > 256: own chunk
+    assert got[("a", 5)] == 3          # fill after oversize doc is 300
+    assert got[("b", 1)] == 0 and got[("b", 2)] == 1
+
+
+def test_packing_random_vs_reference_and_partitioning(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 5}", i, rng.randrange(0, 120)) for i in range(400)
+    ]
+    df = _df(spark, rows)
+    a = {
+        (r.source, r.doc_id): r.chunk_id
+        for r in pack_sequences(df, "source", "doc_id", "n_tokens", 200).collect()
+    }
+    b = {
+        (r.source, r.doc_id): r.chunk_id
+        for r in pack_sequences(df.repartition(13), "source", "doc_id", "n_tokens", 200).collect()
+    }
+    assert a == b == _pack_reference(rows, 200)
+
+
+def test_chunk_stats_fill_never_exceeds_capacity(spark):
+    rows = [("a", i, 37 + (i * 13) % 90) for i in range(100)]
+    packed = pack_sequences(_df(spark, rows), "source", "doc_id", "n_tokens", 256)
+    stats = chunk_stats(packed, "source", "n_tokens").collect()[0]
+    assert stats.n_docs == 100
+    assert stats.max_fill <= 256
+    assert stats.total_tokens == sum(r[2] for r in rows)
+
+
+def test_null_tokens_pack_as_zero(spark):
+    rows = [("a", 1, None), ("a", 2, 256)]
+    got = {
+        r.doc_id: (r.chunk_id, r.n_tokens)
+        for r in pack_sequences(_df(spark, rows), "source", "doc_id", "n_tokens", 256).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 256)}
