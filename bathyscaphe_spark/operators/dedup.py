@@ -747,3 +747,84 @@ def decontaminate(
             F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
         )
     )
+
+
+# --- exact-substring duplicate spans ---------------------------------------
+
+EXACT_SUBSTR_K = 10  # tokens per gram (Lee et al. 2021 use 50 BPE tokens)
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = EXACT_SUBSTR_K
+) -> DataFrame:
+    """Verbatim cross-document duplicate SPANS: maximal token ranges
+    covered by word k-grams that appear in more than one document — the
+    exact-substring dedup pass of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499),
+    re-expressed relationally instead of via their suffix array.
+
+    Returns (id, span_start, span_end, n_grams): token offsets
+    [span_start, span_end) of each maximal duplicated region, built by
+    merging overlapping duplicated-gram intervals [pos, pos+k).
+
+    Plan (all JVM codegen, zero UDFs):
+      1. posexplode the k-gram array → (id, pos, gram);
+      2. one groupBy(gram) with map-side partial agg computing
+         (count, min(id), max(id)) — CROSS-document duplication is just
+         ``min(id) != max(id)``, no countDistinct shuffle needed;
+      3. left-semi join positions against duplicated grams;
+      4. per-document interval merge with two window passes over
+         (id, pos): a gram starts a new span iff its pos exceeds the
+         running max end of all earlier grams, span id = running sum of
+         those flags — then one groupBy((id, span)).
+
+    Scale: the gram explosion is ~n_tokens rows but collapses in step 2
+    by map-side partial aggregation; the interval-merge windows
+    partition by document (skew bounded by document length).  At
+    10^10-doc scale, substitute a 64-bit gram hash for the gram string
+    as the shuffle key; the contract keeps the raw string so the DuckDB
+    oracle is byte-identical.
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    grams_arr = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams_arr).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi")
+    w_order = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + k).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_span",
+        (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("long"),
+    ).withColumn(
+        "span",
+        F.sum("new_span").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy(F.col("id").alias(id_col), "span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )

@@ -1046,6 +1046,50 @@ WHERE round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END, 3) >= 0.6
 """
 
 
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021 arXiv:2107.06499
+    re-expressed relationally): maximal token ranges covered by word
+    10-grams appearing in >1 document (operators/dedup.py
+    duplicate_spans — gram groupBy with min≠max doc test, semi-join
+    back, two-window interval merge; zero UDFs)."""
+    from .operators.dedup import duplicate_spans
+
+    return duplicate_spans(_neardup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_EXACT_SUBSTR = rf"""
+WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+ w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM corpus),
+ g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(words, i, i + 9), ' ') AS gram
+  FROM w, unnest(range(1, len(words) - 8)) AS t(i)
+  WHERE len(words) >= 10
+ ),
+ dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING min(doc_id) != max(doc_id)
+ ),
+ hits AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN dup ON g.gram = dup.gram),
+ flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + 10) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_span
+  FROM hits
+ ),
+ spans AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM flagged
+ )
+SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end,
+       count(*) AS n_grams
+FROM spans GROUP BY doc_id, span
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level fuzzy-dedup CLUSTERS: MinHash-LSH verified pairs →
     connected components (transitive closure) → one canonical document
@@ -3121,6 +3165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -3196,6 +3241,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_clusters": _clusters_oracle_sql(),
+    "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
     # ann_lsh_topk: the approximate neighbor SET is not SQL-expressible,

@@ -295,3 +295,69 @@ class TestDecontaminate:
         assert got[3] == 0
         # doc 4: whole-text gram 'short text' matches bench 102's
         assert got[4] == 1
+
+
+# --- exact-substring duplicate spans -----------------------------------------
+
+from bathyscaphe_spark.operators.dedup import duplicate_spans
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_basic(spark):
+    shared = " ".join(f"w{i}" for i in range(12))  # 12 shared tokens
+    rows = [
+        (1, f"{shared} unique1 tail1"),
+        (2, f"lead2 {shared} unique2"),
+        (3, "totally different words " + " ".join(f"x{i}" for i in range(20))),
+    ]
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_spans(_span_docs(spark, rows), "doc_id", "text", k=10).collect()
+    }
+    # doc1: 12 shared tokens at pos 0 → grams at 0,1,2 → span [0, 12)
+    # doc2: shared starts at token 1 → span [1, 13)
+    assert out == {1: (0, 12, 3), 2: (1, 13, 3)}
+
+
+def test_duplicate_spans_merges_overlaps_and_ignores_within_doc(spark):
+    blockA = " ".join(f"a{i}" for i in range(10))
+    blockB = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        # doc1 repeats blockA twice WITHIN itself — self-repeat alone is
+        # not cross-document duplication
+        (1, f"{blockA} {blockA}"),
+        # doc2/doc3 share blockB → both get one span
+        (2, f"{blockB} filler2 more2 words2 here2"),
+        (3, f"pre3 {blockB} post3"),
+    ]
+    out = duplicate_spans(_span_docs(spark, rows), "doc_id", "text", k=10).collect()
+    got = {r.doc_id: (r.span_start, r.span_end) for r in out}
+    assert 1 not in got
+    assert got[2] == (0, 10)
+    assert got[3] == (1, 11)
+
+
+def test_duplicate_spans_two_disjoint_spans_per_doc(spark):
+    blockA = " ".join(f"a{i}" for i in range(10))
+    blockB = " ".join(f"b{i}" for i in range(10))
+    gap = " ".join(f"g{i}" for i in range(15))
+    rows = [
+        (1, f"{blockA} {gap} {blockB}"),
+        (2, blockA),
+        (3, blockB),
+    ]
+    out = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicate_spans(_span_docs(spark, rows), "doc_id", "text", k=10).collect()
+        if r.doc_id == 1
+    )
+    assert out == [(0, 10), (25, 35)]
+
+
+def test_duplicate_spans_short_docs_emit_nothing(spark):
+    rows = [(1, "only nine tokens here not ten in this doc"),
+            (2, "only nine tokens here not ten in this doc")]
+    assert duplicate_spans(_span_docs(spark, rows), "doc_id", "text", k=10).count() == 0
