@@ -788,16 +788,25 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    grams_arr = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(grams_arr).alias("pos", "gram"),
+    # Gram construction via lead() windows, NOT per-position
+    # slice/array_join lambdas: higher-order functions evaluate
+    # interpreted (outside whole-stage codegen), measured 3.7s vs 1.5s
+    # at sf0.1 for the same 273k grams.  One shuffle on id + one sort
+    # per document, then k lead()s feed a single codegen concat_ws; the
+    # _last guard keeps exactly positions 0..n_tokens-k (concat_ws
+    # would silently skip nulls otherwise).
+    toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(words).alias("pos", "w")
+    )
+    w_lead = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(" ", *[F.lead("w", j).over(w_lead) for j in range(k)])
+    grams = (
+        toks.select(
+            "id", "pos", gram.alias("gram"),
+            F.lead("w", k - 1).over(w_lead).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
     )
     dup = (
         grams.groupBy("gram")

@@ -2793,6 +2793,139 @@ FROM ({_STREAM_URLS_SQL}) u
 """
 
 
+# event-time stream corpus: deterministic hosts/timestamps/statuses.
+# Micro-batches are CONTIGUOUS 55-minute time slabs (slab = nominal ts
+# div 3300s; the (doc_id*2 % 997) offset spreads docs over all 4 slabs)
+# — the arrival order of a real capture stream; the watermark delay
+# (15 min) exceeds the window width (10 min), so no in-order event is
+# ever finalized away.  The doc_id==381 row keeps its slab-3 ARRIVAL
+# but its timestamp is rewritten into slab 0: by batch 3 those windows
+# were already finalized and evicted (watermark hours past), so the
+# engine MUST drop it — a window is emitted exactly once, and a
+# too-late row cannot reopen it.  The oracle pins that by excluding
+# exactly this row.  (A late row whose window was never materialized
+# does NOT drop — Spark aggregates and emits it in the same batch; the
+# drop contract needs an already-closed window, which is what a real
+# duplicate-late capture looks like.)
+_STREAM_EVENTS_EPOCH = 1714564800  # multiple of 300: window-aligned
+_STREAM_LATE_ID = 381  # nominal offset (381*2%997)*13 = 9906s → slab 3
+_STREAM_LATE_TS_OFF = 100  # rewritten event time: inside slab 0
+
+
+def q_streaming_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sliding-window per-host fetch/timeout rates with a
+    15-minute watermark (streaming/ingest.py windowed_host_rates), run
+    to completion over 4 time-ordered parquet micro-batches + one
+    far-future sentinel batch that pushes the watermark past every real
+    window so append mode flushes them all.  The contract pins BOTH the
+    windowed aggregation and the watermark semantics: the late row
+    (2 hours behind the watermark when its batch arrives) must be
+    dropped, exactly as the oracle excludes it."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .streaming.ingest import windowed_host_rates
+
+    _docs(spark, sf_dir)
+    base = _STREAM_EVENTS_EPOCH
+    inp = spark.sql(
+        f"""
+        SELECT doc_id,
+               concat('h', CAST(doc_id % 7 AS STRING), '.onion') AS host,
+               to_timestamp(CASE WHEN doc_id = {_STREAM_LATE_ID}
+                   THEN {base + _STREAM_LATE_TS_OFF}
+                   ELSE {base} + ((doc_id * 2) % 997) * 13 END) AS warc_ts,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 200 END AS INT) AS status
+        FROM documents
+        """
+    )
+    root = tempfile.mkdtemp(prefix="q_stream_win_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    try:
+        t0 = int(_time.time())
+        for b in range(4):
+            stage = os.path.join(root, f"stage{b}")
+            (
+                inp.where(
+                    F.expr("(((doc_id * 2) % 997) * 13) div 3300") == b
+                )
+                .select("host", "warc_ts", "status")
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"batch-{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + b, t0 + b))
+        # sentinel: one far-future row advances the watermark past all
+        # real windows, so append mode emits them before termination
+        sent = os.path.join(root, "stage_sent")
+        spark.sql(
+            f"SELECT 'zz.sentinel' AS host,"
+            f" to_timestamp({base + 10 * 86400}) AS warc_ts,"
+            f" CAST(200 AS INT) AS status"
+        ).coalesce(1).write.parquet(sent)
+        part = glob.glob(os.path.join(sent, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, "batch-4.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 4, t0 + 4))
+
+        stream = (
+            spark.readStream.schema("host string, warc_ts timestamp, status int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            windowed_host_rates(stream)
+            .writeStream.format("memory")
+            .queryName("q_streaming_window_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.table("q_streaming_window_out")
+        .where(F.col("host") != "zz.sentinel")
+        .select(
+            F.col("window.start").alias("win_start"),
+            "host",
+            "fetches",
+            "timeouts",
+        )
+    )
+
+
+# sliding 10-min windows every 5 min: each event lands in exactly two
+# windows, starts floor(ts/300)*300 and that minus 300 (epoch-aligned,
+# matching Spark's 1970-based window alignment)
+ORACLE_STREAMING_WINDOWS = f"""
+WITH ev AS (
+  SELECT concat('h', CAST(doc_id % 7 AS VARCHAR), '.onion') AS host,
+         {_STREAM_EVENTS_EPOCH} + ((doc_id * 2) % 997) * 13 AS ts,
+         CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 200 END AS status
+  FROM documents
+  WHERE doc_id != {_STREAM_LATE_ID}  -- dropped by the watermark
+),
+w AS (
+  SELECT CAST(to_timestamp((ts // 300) * 300 - k * 300) AS TIMESTAMP) AS win_start,
+         host, status
+  FROM ev, unnest([0, 1]) AS u(k)
+)
+SELECT win_start, host,
+       count(*) AS fetches,
+       CAST(sum(CASE WHEN status < 0 THEN 1 ELSE 0 END) AS BIGINT) AS timeouts
+FROM w GROUP BY win_start, host
+"""
+
+
 # --------------------------------------------------------------------------
 # resources full-text search (the reference's ES retrieval surface)
 # --------------------------------------------------------------------------
@@ -3204,6 +3337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_priority": q_pagerank_priority,
     "corpus_build": q_corpus_build,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_window_rates": q_streaming_window_rates,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
     "trap_filter": q_trap_filter,
@@ -3285,6 +3419,7 @@ ORACLES: dict[str, str] = {
     "pagerank_priority": _pagerank_oracle_sql(),
     "corpus_build": ORACLE_CORPUS_BUILD,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "streaming_window_rates": ORACLE_STREAMING_WINDOWS,
     "line_dedup": ORACLE_LINE_DEDUP,
     "decontaminate": ORACLE_DECONTAMINATE,
     "trap_filter": ORACLE_TRAP,
