@@ -27,6 +27,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # bounded all-pairs baselines where a cross join is the documented point
 CARTESIAN_OK = {"knn_cosine_topk"}
+# 1-row broadcast scalar attach (global corpus stats joined back as a
+# BroadcastNestedLoopJoin against a single aggregated row — the
+# collect()-free way to give every doc the corpus N/avgdl/df values)
+SCALAR_ATTACH_OK = {"bm25_search"}
+CARTESIAN_OK = CARTESIAN_OK | SCALAR_ATTACH_OK
 
 
 def main() -> None:
