@@ -68,3 +68,105 @@ def weighted_sample(
         .withColumn("threshold", thr)
         .where(F.col("bucket") < F.col("threshold"))
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Keep documents per stratum until a TOKEN budget is filled — the
+    mixing knob LLM corpus recipes actually specify ("200B tokens of
+    web, 30B of code"), where ``weighted_sample``'s doc-rate knob is
+    only a proxy.
+
+    Semantics (exact, engine-independent): order each stratum by
+    (bucket(key), key); the running token total over ALL docs in that
+    order admits a doc iff the total including it is ≤ the stratum
+    budget — a prefix cut that closes at the first overflowing doc
+    (expressible as one SQL window, which is what the oracle runs).
+    The hash-bucket prefix makes the kept set a uniform sample; the
+    key tie-break makes it total and deterministic.
+
+    Scale design: the naive form is one Window over each whole stratum
+    — a single sort task per stratum at 100 TB.  Instead:
+
+    1. aggregate token sums per (stratum, bucket) — one partial-agg
+       shuffle to ≤ strata × 10,000 rows;
+    2. prefix-sum that tiny table with a Window (driver never sees it);
+    3. broadcast-join the classification back: buckets wholly under
+       budget keep all docs, buckets wholly past it drop, and only the
+       ONE boundary bucket per stratum (~1/10,000 of the data) pays an
+       exact within-bucket Window.
+
+    Output: input columns + (bucket, tok_before) for kept rows, where
+    tok_before is the stratum's running total before the doc.
+    """
+    from pyspark.sql import Window
+
+    thr = {s: int(b) for s, b in budgets.items()}
+    default_thr = F.lit(int(default_budget))
+    if thr:
+        mapping = F.create_map(
+            *[F.lit(x) for s, b in sorted(thr.items()) for x in (s, b)]
+        )
+        budget = F.coalesce(mapping[F.col(strata_col)], default_thr).cast("long")
+    else:
+        budget = default_thr.cast("long")
+
+    d = df.withColumn("bucket", sample_bucket(F.col(key_col))).withColumn(
+        "_budget", budget
+    )
+
+    per_bucket = d.groupBy(strata_col, "bucket").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_bsum")
+    )
+    w_pre = (
+        Window.partitionBy(strata_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classes = per_bucket.select(
+        strata_col,
+        "bucket",
+        F.coalesce(F.sum("_bsum").over(w_pre), F.lit(0)).alias("_pre"),
+        F.col("_bsum"),
+    )
+
+    j = d.join(F.broadcast(classes), [strata_col, "bucket"])
+    whole = j.where(F.col("_pre") + F.col("_bsum") <= F.col("_budget")).withColumn(
+        "_intok", F.lit(None).cast("long")
+    )
+    boundary = j.where(
+        (F.col("_pre") < F.col("_budget"))
+        & (F.col("_pre") + F.col("_bsum") > F.col("_budget"))
+    )
+    w_in = (
+        Window.partitionBy(strata_col, "bucket")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = boundary.withColumn(
+        "_intok", F.sum(F.col(tokens_col).cast("long")).over(w_in)
+    ).where(F.col("_pre") + F.col("_intok") <= F.col("_budget"))
+
+    out_cols = df.columns + ["bucket"]
+    w_exact = (
+        Window.partitionBy(strata_col, "bucket")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        whole.unionByName(boundary)
+        .withColumn(
+            "tok_before",
+            F.col("_pre")
+            + F.coalesce(
+                F.sum(F.col(tokens_col).cast("long")).over(w_exact), F.lit(0)
+            ),
+        )
+        .select(*out_cols, "tok_before")
+    )

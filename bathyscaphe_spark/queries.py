@@ -2232,6 +2232,53 @@ FROM b WHERE bucket < threshold
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/sampling.py
+    token_budget_sample): per-stratum TOKEN budgets (the knob LLM
+    corpus recipes specify) filled by a deterministic (md5-bucket, key)
+    prefix cut.  The engine's plan is the scale form — per-bucket sums,
+    a tiny prefix-summed classification broadcast back, and an exact
+    Window over only the one boundary bucket per stratum — while the
+    oracle states the same semantics as a single window cumsum; parity
+    proves the two-phase split exact."""
+    from .operators.sampling import token_budget_sample
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    docs = d.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tokens")
+    )
+    budgets = {"src0": 1000, "src1": 400}
+    return token_budget_sample(
+        docs, "doc_id", "source", "n_tokens", budgets, default_budget=700
+    )
+
+
+ORACLE_TOKEN_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(0::HUGEINT, list_transform(
+             string_split_regex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+             c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+           (a, b2) -> a * 16 + b2
+         ) % 10000 AS bucket
+  FROM documents
+), o AS (
+  SELECT doc_id, source, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+         CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 400
+              ELSE 700 END AS b
+  FROM t
+)
+SELECT doc_id, source, n_tokens, bucket,
+       CAST(cum - n_tokens AS BIGINT) AS tok_before
+FROM o WHERE cum <= b
+"""
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDXJ index rows (surt, ts14, json) over a deterministic pages
     shape — the seekable web-archive key layout, all codegen column
@@ -3313,6 +3360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_index": q_cdx_index,
     "cdx_latest": q_cdx_latest,
     "corpus_sample": q_corpus_sample,
+    "token_budget": q_token_budget,
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
@@ -3393,6 +3441,7 @@ ORACLES: dict[str, str] = {
     "cdx_index": ORACLE_CDX,
     "cdx_latest": ORACLE_CDX_LATEST,
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
+    "token_budget": ORACLE_TOKEN_BUDGET,
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,

@@ -68,3 +68,93 @@ def test_default_rate_applies_to_unlisted_strata(spark):
         _docs(spark), "doc_id", "source", {"src0": 1.0}, default_rate=0.0
     )
     assert {r.source for r in out.select("source").distinct().collect()} == {"src0"}
+
+
+# --- token_budget_sample -----------------------------------------------
+
+
+def _tok_docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+        ((F.col("id") * 7) % 50 + 1).cast("long").alias("n_tokens"),
+    )
+
+
+def _mirror(rows, budgets, default=0):
+    """Python reference: per stratum, order by (md5-bucket, key); the
+    running total over ALL docs in that order (not just kept ones)
+    admits a doc iff the total including it is <= budget — a prefix
+    cut, so the kept set closes at the first overflowing doc."""
+    import hashlib
+
+    def bucket(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % SAMPLE_BUCKETS
+
+    kept = {}
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r["source"], []).append(r)
+    for s, rs in by_s.items():
+        b = budgets.get(s, default)
+        tot = 0
+        for r in sorted(rs, key=lambda r: (bucket(r["doc_id"]), r["doc_id"])):
+            if tot + r["n_tokens"] <= b:
+                kept[r["doc_id"]] = tot
+            tot += r["n_tokens"]
+    return kept
+
+
+def test_token_budget_matches_python_mirror(spark):
+    from bathyscaphe_spark.operators.sampling import token_budget_sample
+
+    d = _tok_docs(spark)
+    budgets = {"src0": 4000, "src1": 800, "src2": 0}
+    rows = [r.asDict() for r in d.collect()]
+    want = _mirror(rows, budgets)
+    got = {
+        r["doc_id"]: r["tok_before"]
+        for r in token_budget_sample(
+            d, "doc_id", "source", "n_tokens", budgets
+        ).collect()
+    }
+    assert got == want
+    # the budget is actually binding, not vacuous
+    assert 0 < len(got) < len(rows)
+
+
+def test_token_budget_boundary_bucket_exact(spark):
+    """A budget landing mid-bucket keeps exactly the within-bucket
+    prefix: raising the budget by one doc's tokens admits exactly the
+    next doc in (bucket, key) order."""
+    from bathyscaphe_spark.operators.sampling import token_budget_sample
+
+    d = _tok_docs(spark, 300)
+    rows = [r.asDict() for r in d.collect()]
+    for b in (500, 501, 777):
+        want = _mirror(rows, {"src0": b, "src1": b, "src2": b})
+        got = {
+            r["doc_id"]: r["tok_before"]
+            for r in token_budget_sample(
+                d, "doc_id", "source", "n_tokens", {}, default_budget=b
+            ).collect()
+        }
+        assert got == want, b
+
+
+def test_token_budget_stable_under_partitioning(spark):
+    from bathyscaphe_spark.operators.sampling import token_budget_sample
+
+    d = _tok_docs(spark)
+    budgets = {"src0": 3000, "src1": 3000, "src2": 3000}
+    a = {
+        (r["doc_id"], r["tok_before"])
+        for r in token_budget_sample(d, "doc_id", "source", "n_tokens", budgets).collect()
+    }
+    b = {
+        (r["doc_id"], r["tok_before"])
+        for r in token_budget_sample(
+            d.repartition(17), "doc_id", "source", "n_tokens", budgets
+        ).collect()
+    }
+    assert a == b
