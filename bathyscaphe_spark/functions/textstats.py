@@ -127,3 +127,37 @@ def clean_text_col(text: Column) -> Column:
     t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
     t = F.regexp_replace(t, "\\s+", " ")
     return F.trim(t)
+
+
+# --- PII scrubbing ----------------------------------------------------------
+#
+# The redaction pass public web-text pipelines run before training
+# (CCNet / FineWeb style): emails, IPv4 literals, and phone-shaped
+# digit runs are replaced with typed placeholders.  Patterns are
+# restricted to the syntax subset where Java regex (Spark) and RE2
+# (DuckDB) agree exactly — no lookaround, no backrefs, ASCII classes
+# only — so the oracle can run the literal same patterns.  Application
+# ORDER is part of the contract (email → ipv4 → phone: an email's
+# digits must not later count as a phone) and each count is taken on
+# the stage the pattern actually sees.
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PII_PHONE = "\\+?[0-9][0-9 .-]{7,}[0-9]"
+
+
+def pii_scrub_cols(text: Column) -> dict[str, Column]:
+    """(scrubbed, n_emails, n_ips, n_phones) — pure codegen regexp
+    stages, no UDF.  Counts are BIGINT for hash stability."""
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL)).cast("long")
+    t1 = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4)).cast("long")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE)).cast("long")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return {
+        "scrubbed": t3,
+        "n_emails": n_emails,
+        "n_ips": n_ips,
+        "n_phones": n_phones,
+    }

@@ -2279,6 +2279,76 @@ FROM o WHERE cum <= b
 """
 
 
+# PII-bearing corpus: deterministic emails / IPv4s / phone-shaped runs
+# appended per doc_id residue.  Valid and identical in Spark SQL and
+# DuckDB (||, CASE, CAST AS STRING are common dialect).
+_PII_DOCS_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 3 = 0 THEN ' mail agent'
+            || CAST(doc_id AS STRING) || '@ex-ample.org ok' ELSE '' END
+       || CASE WHEN doc_id % 4 = 0 THEN ' peer 10.'
+            || CAST(doc_id % 256 AS STRING) || '.0.'
+            || CAST(doc_id % 100 AS STRING) || ' seen' ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN ' dial +1 555-01'
+            || CAST(doc_id % 89 + 10 AS STRING) || '-'
+            || CAST(doc_id % 9000 + 1000 AS STRING) || ' end' ELSE '' END
+       AS text
+FROM documents
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (functions/textstats.py pii_scrub_cols):
+    emails → <EMAIL>, IPv4 literals → <IP>, phone-shaped digit runs →
+    <PHONE>, applied in that order with per-category counts taken on
+    the stage each pattern actually sees.  Pure codegen regexp stages
+    over a deterministically PII-injected corpus; the oracle runs the
+    LITERAL same patterns (Java∩RE2-safe syntax) in DuckDB."""
+    from .functions.textstats import pii_scrub_cols
+
+    _docs(spark, sf_dir)
+    d = spark.sql(_PII_DOCS_SQL)
+    c = pii_scrub_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        c["scrubbed"].alias("scrubbed"),
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH d AS ({_pii_docs}),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT)
+             AS n_emails,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+             '<EMAIL>', 'g') AS t1
+  FROM d
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1,
+             '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}',
+             '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '\+?[0-9][0-9 .-]{{7,}}[0-9]', '<PHONE>', 'g')
+           AS scrubbed,
+       n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2,
+           '\+?[0-9][0-9 .-]{{7,}}[0-9]')) AS BIGINT) AS n_phones
+FROM s2
+""".format(_pii_docs=_PII_DOCS_SQL)
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDXJ index rows (surt, ts14, json) over a deterministic pages
     shape — the seekable web-archive key layout, all codegen column
@@ -3361,6 +3431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_latest": q_cdx_latest,
     "corpus_sample": q_corpus_sample,
     "token_budget": q_token_budget,
+    "pii_scrub": q_pii_scrub,
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
@@ -3442,6 +3513,7 @@ ORACLES: dict[str, str] = {
     "cdx_latest": ORACLE_CDX_LATEST,
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "token_budget": ORACLE_TOKEN_BUDGET,
+    "pii_scrub": ORACLE_PII_SCRUB,
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,

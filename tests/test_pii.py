@@ -1,0 +1,82 @@
+"""PII scrubbing goldens (functions/textstats.py pii_scrub_cols).
+
+Pins the stage ORDER contract (an email's digits never count as a
+phone; an IP's digits never count as a phone) and the Java↔RE2-safe
+pattern subset via a python `re` mirror of the same three stages.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from bathyscaphe_spark.functions.textstats import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    pii_scrub_cols,
+)
+
+CASES = [
+    # email swallowed before phone can see its digits
+    ("write a1.b-c%d+e@mail.example.org today", "write <EMAIL> today", 1, 0, 0),
+    # ip, and a version string that LOOKS like an ip (documented: matches)
+    ("host 192.168.001.255 runs v1.2.3.4 now", "host <IP> runs v<IP> now", 0, 2, 0),
+    # phone variants: plus, spaces, dots, hyphens
+    ("call +1 555-0142-9000 or 555.014.2900 x", "call <PHONE> or <PHONE> x", 0, 0, 2),
+    # ip digits must not re-count as phone (order contract)
+    ("10.0.0.1", "<IP>", 0, 1, 0),
+    # a long digit run is a phone even without separators
+    ("ref 123456789 end", "ref <PHONE> end", 0, 0, 1),
+    # 8 digits is too short for the phone shape (needs >= 9 chars)
+    ("ref 12345678 end", "ref 12345678 end", 0, 0, 0),
+    # all three categories in one doc
+    (
+        "a@b.io at 8.8.8.8 dial 555 123 4567",
+        "<EMAIL> at <IP> dial <PHONE>",
+        1, 1, 1,
+    ),
+    ("", "", 0, 0, 0),
+]
+
+
+def _mirror(text):
+    n_e = len(re.findall(PII_EMAIL, text))
+    t1 = re.sub(PII_EMAIL, "<EMAIL>", text)
+    n_i = len(re.findall(PII_IPV4, t1))
+    t2 = re.sub(PII_IPV4, "<IP>", t1)
+    n_p = len(re.findall(PII_PHONE, t2))
+    return re.sub(PII_PHONE, "<PHONE>", t2), n_e, n_i, n_p
+
+
+def _run(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    c = pii_scrub_cols(F.col("text"))
+    rows = (
+        df.select("i", c["scrubbed"].alias("s"), c["n_emails"].alias("e"),
+                  c["n_ips"].alias("ip"), c["n_phones"].alias("p"))
+        .orderBy("i")
+        .collect()
+    )
+    return [(r.s, r.e, r.ip, r.p) for r in rows]
+
+
+def test_goldens(spark):
+    got = _run(spark, [c[0] for c in CASES])
+    for (text, want_s, we, wi, wp), (s, e, ip, p) in zip(CASES, got):
+        assert (s, e, ip, p) == (want_s, we, wi, wp), text
+
+
+def test_python_re_mirror_agrees(spark):
+    """Java regex (Spark) and python re agree on every golden plus
+    adversarial separators — the patterns stay inside the engine-
+    portable subset."""
+    texts = [c[0] for c in CASES] + [
+        "a@b.cd e@f.gh",          # adjacent emails
+        "1.2.3.4.5.6.7.8",        # run of dotted digits (two IPs)
+        "+12 345 678 901 234",    # very long phone run
+        "dot.end@x.yz.",          # trailing dot outside the email
+        "9 . 9 . 9 . 9",          # spaced dots: phone shape, not ip
+    ]
+    got = _run(spark, texts)
+    for t, g in zip(texts, got):
+        assert g == _mirror(t), t
