@@ -1,0 +1,82 @@
+"""Adaptive recrawl scheduling from revisit history.
+
+The reference recrawls on a fixed TTL (cache.go TTL semantics — our D3
+operator).  A production crawler instead ESTIMATES each URL's change
+rate from its capture history and spends the fetch budget on pages
+that are probably stale (Cho & Garcia-Molina, "Effective Page Refresh
+Policies for Web Crawlers", TODS 2003 — public).  This operator turns
+a captures table (url, warc_ts, content_hash) into per-URL staleness
+scores the politeness/priority stage can rank on.
+
+Definitions (all integer arithmetic → bit-identical at any parallelism
+and in the DuckDB oracle):
+
+* ``n_changes``  — count of consecutive-capture hash changes per url;
+* ``span_s``     — seconds between first and last capture;
+* ``age_s``      — seconds since the last capture, measured against a
+  corpus-wide ``now`` = max(warc_ts) + horizon (a 1-row broadcast, so
+  the score needs no wall clock and stays deterministic);
+* ``due_milli``  — 1000 · age_s · n_changes DIV span_s: age expressed
+  in thousandths of the URL's mean observed change interval.  0 when
+  the URL never changed or has a single capture (nothing observed ⇒
+  no evidence it goes stale; a seed-rotation policy handles those).
+
+Scale design: one window (lag over url, ordered by ts) followed by a
+groupBy(url) — the window's hash-partitioning by url already satisfies
+the aggregation's distribution, so the whole operator is ONE shuffle;
+``now`` attaches as a broadcast of a single aggregated row, never a
+driver round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def recrawl_priority(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    hash_col: str = "content_hash",
+    horizon_s: int = 86_400,
+) -> DataFrame:
+    """Per-URL recrawl staleness: (url, n_caps, n_changes, span_s,
+    age_s, due_milli)."""
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    prev = F.lag(F.col(hash_col)).over(w)
+    changed = (prev.isNotNull() & (F.col(hash_col) != prev)).cast("long")
+    ts_l = F.unix_timestamp(F.col(ts_col))
+
+    per_url = (
+        captures.select(
+            F.col(url_col).alias("url"),
+            ts_l.alias("_ts"),
+            changed.alias("_chg"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_caps"),
+            F.sum("_chg").alias("n_changes"),
+            F.min("_ts").alias("_first"),
+            F.max("_ts").alias("_last"),
+        )
+    )
+    now = captures.agg(
+        (F.max(F.unix_timestamp(F.col(ts_col))) + F.lit(horizon_s)).alias("_now")
+    )
+    j = per_url.crossJoin(F.broadcast(now))
+    span_s: Column = (F.col("_last") - F.col("_first")).cast("long")
+    age_s: Column = (F.col("_now") - F.col("_last")).cast("long")
+    due = F.when(
+        (span_s > 0) & (F.col("n_changes") > 0),
+        F.expr("1000 * (_now - _last) * n_changes DIV (_last - _first)"),
+    ).otherwise(F.lit(0)).cast("long")
+    return j.select(
+        "url",
+        "n_caps",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        span_s.alias("span_s"),
+        age_s.alias("age_s"),
+        due.alias("due_milli"),
+    )

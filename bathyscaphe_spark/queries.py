@@ -2298,6 +2298,61 @@ FROM documents
 """
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl staleness from revisit history (operators/
+    recrawl.py recrawl_priority): per-URL change counts from
+    consecutive-capture hash diffs (one window + one groupBy sharing
+    a single shuffle), age measured against a corpus-derived now
+    (1-row broadcast — no wall clock), and an integer due score = age
+    in thousandths of the mean observed change interval.  The Cho &
+    Garcia-Molina freshness policy the reference's fixed TTL (D3)
+    approximates."""
+    from .operators.recrawl import recrawl_priority
+
+    d = _docs(spark, sf_dir)
+    caps = d.selectExpr(
+        "concat('https://host', CAST(doc_id % 30 AS STRING),"
+        " '.onion/page', CAST(doc_id % 120 AS STRING)) AS url",
+        "to_timestamp(1714564800 + doc_id * 1000) AS warc_ts",
+        "concat('h', CAST((doc_id * 7) % 3 AS STRING)) AS content_hash",
+    )
+    return recrawl_priority(caps)
+
+
+ORACLE_RECRAWL = """
+WITH caps AS (
+  SELECT 'https://host' || CAST(doc_id % 30 AS STRING)
+             || '.onion/page' || CAST(doc_id % 120 AS STRING) AS url,
+         1714564800 + doc_id * 1000 AS ts,
+         'h' || CAST((doc_id * 7) % 3 AS STRING) AS content_hash
+  FROM documents
+),
+c AS (
+  SELECT url, ts,
+         CASE WHEN lag(content_hash) OVER w IS NOT NULL
+               AND content_hash != lag(content_hash) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM caps
+  WINDOW w AS (PARTITION BY url ORDER BY ts)
+),
+p AS (
+  SELECT url, count(*) AS n_caps, sum(chg) AS n_changes,
+         min(ts) AS f, max(ts) AS l
+  FROM c GROUP BY url
+),
+n AS (SELECT max(ts) + 86400 AS now_s FROM caps)
+SELECT url,
+       CAST(n_caps AS BIGINT) AS n_caps,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(l - f AS BIGINT) AS span_s,
+       CAST(now_s - l AS BIGINT) AS age_s,
+       CAST(CASE WHEN l > f AND n_changes > 0
+                 THEN (1000 * (now_s - l) * n_changes) // (l - f)
+                 ELSE 0 END AS BIGINT) AS due_milli
+FROM p, n
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (functions/textstats.py pii_scrub_cols):
     emails → <EMAIL>, IPv4 literals → <IP>, phone-shaped digit runs →
@@ -3432,6 +3487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": q_corpus_sample,
     "token_budget": q_token_budget,
     "pii_scrub": q_pii_scrub,
+    "recrawl_priority": q_recrawl_priority,
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
@@ -3514,6 +3570,7 @@ ORACLES: dict[str, str] = {
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "token_budget": ORACLE_TOKEN_BUDGET,
     "pii_scrub": ORACLE_PII_SCRUB,
+    "recrawl_priority": ORACLE_RECRAWL,
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,

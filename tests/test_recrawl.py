@@ -1,0 +1,67 @@
+"""Adaptive recrawl scheduling (operators/recrawl.py)."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from bathyscaphe_spark.operators.recrawl import recrawl_priority
+
+
+def _ts(s):
+    return datetime.fromtimestamp(1714564800 + s, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _caps(spark, rows):
+    return spark.createDataFrame(
+        [(u, _ts(t), h) for u, t, h in rows],
+        "url string, warc_ts timestamp, content_hash string",
+    )
+
+
+def test_change_counting_and_due_score(spark):
+    rows = [
+        # u1: changes at every revisit (3 caps, 2 changes over 200s)
+        ("u1", 0, "a"), ("u1", 100, "b"), ("u1", 200, "c"),
+        # u2: never changes (3 caps, 0 changes)
+        ("u2", 0, "x"), ("u2", 100, "x"), ("u2", 200, "x"),
+        # u3: single capture
+        ("u3", 500, "y"),
+    ]
+    got = {r.url: r for r in recrawl_priority(_caps(spark, rows), horizon_s=100).collect()}
+    # now = max_ts(500) + 100 = 600
+    assert (got["u1"].n_caps, got["u1"].n_changes, got["u1"].span_s, got["u1"].age_s) == (3, 2, 200, 400)
+    assert got["u1"].due_milli == 1000 * 400 * 2 // 200  # 4000
+    assert (got["u2"].n_changes, got["u2"].due_milli) == (0, 0)
+    assert (got["u3"].n_caps, got["u3"].span_s, got["u3"].due_milli) == (1, 0, 0)
+
+
+def test_out_of_order_arrival_is_ts_ordered(spark):
+    """Change detection orders by event time, not arrival order: the
+    same captures shuffled give the same change count."""
+    rows = [("u", 200, "b"), ("u", 0, "a"), ("u", 100, "b"), ("u", 300, "a")]
+    got = recrawl_priority(_caps(spark, rows)).collect()[0]
+    # a -> b (change), b -> b (no), b -> a (change)
+    assert (got.n_caps, got.n_changes) == (4, 2)
+
+
+def test_partitioning_invariance(spark):
+    rows = [(f"u{i % 13}", i * 10, f"h{(i * 3) % 4}") for i in range(400)]
+    a = sorted(map(tuple, recrawl_priority(_caps(spark, rows)).collect()))
+    b = sorted(map(tuple, recrawl_priority(_caps(spark, rows).repartition(17)).collect()))
+    assert a == b
+
+
+def test_single_shuffle_plan(spark):
+    """The lag window and the per-url aggregation must share ONE
+    hash(url) exchange; `now` attaches by broadcast, not shuffle."""
+    rows = [(f"u{i % 5}", i * 10, f"h{i % 2}") for i in range(50)]
+    plan = (
+        recrawl_priority(_caps(spark, rows))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 1, plan
