@@ -48,6 +48,8 @@ from html import unescape
 from html.parser import HTMLParser
 
 import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import MapType, StringType, StructField, StructType
 
@@ -385,3 +387,30 @@ def extract_text_py(body: str | bytes | None) -> str:
 @pandas_udf(StringType())
 def extract_text(body: pd.Series) -> pd.Series:
     return pd.Series([extract_text_py(b) for b in body])
+
+
+# --- anchor (href, text) pairs — codegen path -------------------------------
+
+# Well-formed double-quoted anchors with tag-free inner text.  This is
+# the strict-subset extractor for the anchor-text corpus signal: the
+# href↔text PAIRING needs tag awareness the crawl kernel's xurls-style
+# URL regex deliberately lacks, and for the common well-formed case a
+# pure column-expression pipeline beats a per-row parse.  Anchors whose
+# inner text nests markup do not match (their urls are still harvested
+# by the crawl kernel; only the text pairing is skipped).  Java∩RE2-safe
+# so the DuckDB oracle runs the literal same pattern.
+ANCHOR_RE = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+
+def anchor_pairs_col(html: Column) -> Column:
+    """array<struct<href:string, anchor:string>> of well-formed anchors,
+    document order.  Two group-extractions over the same full-match
+    array — all JVM regexp, no UDF."""
+    matches = F.regexp_extract_all(html, F.lit(ANCHOR_RE), 0)
+    return F.transform(
+        matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, ANCHOR_RE, 1).alias("href"),
+            F.regexp_extract(m, ANCHOR_RE, 2).alias("anchor"),
+        ),
+    )

@@ -2298,6 +2298,85 @@ FROM documents
 """
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic web-corpus
+    relevance signal (anchor words describing the TARGET page, used by
+    search rankers and link-text training corpora).  Codegen regexp
+    pair extraction (functions/html.py anchor_pairs_col: the href↔text
+    pairing needs tag awareness the crawl kernel's URL regex lacks),
+    explode, then ONE groupBy(target) shuffle.  In-degree skew is the
+    scale hazard (popular targets collect millions of anchors), so the
+    rollup keeps counts exact but caps the anchor sample at the 16
+    lexicographically-smallest texts — a deterministic multiset, which
+    the oracle reproduces with a rank filter; the cap BINDS at sf0.01
+    so parity actually pins it.  A nested-markup anchor is excluded by
+    construction (strict extractor contract)."""
+    from .functions.html import anchor_pairs_col
+
+    d = _docs(spark, sf_dir)
+    html = (
+        "'<html><body><p>intro</p><a class=\"x\" href=\"/p' ||"
+        " CAST(doc_id * 7 % 40 AS STRING) || '\">go ' ||"
+        " CAST(doc_id % 17 AS STRING) || '</a> mid <a href=\"/p' ||"
+        " CAST((doc_id * 13 + 1) % 40 AS STRING) || '\">see ' ||"
+        " CAST(doc_id % 11 AS STRING) || '</a>' ||"
+        " CASE WHEN doc_id % 4 = 0 THEN '<a href=\"/p' ||"
+        " CAST(doc_id % 40 AS STRING) || '\"><b>bold</b></a>'"
+        " ELSE '' END || '</body></html>'"
+    )
+    pages = d.selectExpr("doc_id", f"{html} AS html")
+    pairs = pages.select(
+        "doc_id", F.explode(anchor_pairs_col(F.col("html"))).alias("a")
+    ).select("doc_id", F.col("a.href").alias("href"), F.col("a.anchor").alias("anchor"))
+    return pairs.groupBy("href").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_src_docs"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("anchor")), 1, 16), "|"
+        ).alias("anchor_sample"),
+    )
+
+
+_ANCHOR_RE_SQL = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+ORACLE_ANCHOR_TEXT = f"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><body><p>intro</p><a class="x" href="/p'
+         || CAST(doc_id * 7 % 40 AS STRING) || '">go '
+         || CAST(doc_id % 17 AS STRING) || '</a> mid <a href="/p'
+         || CAST((doc_id * 13 + 1) % 40 AS STRING) || '">see '
+         || CAST(doc_id % 11 AS STRING) || '</a>'
+         || CASE WHEN doc_id % 4 = 0 THEN '<a href="/p'
+            || CAST(doc_id % 40 AS STRING) || '"><b>bold</b></a>'
+            ELSE '' END || '</body></html>' AS html
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 0)) AS mt
+  FROM d
+),
+p AS (
+  SELECT doc_id,
+         regexp_extract(mt, '{_ANCHOR_RE_SQL}', 1) AS href,
+         regexp_extract(mt, '{_ANCHOR_RE_SQL}', 2) AS anchor
+  FROM m
+),
+r AS (
+  SELECT href, doc_id, anchor,
+         row_number() OVER (PARTITION BY href ORDER BY anchor) AS rk
+  FROM p
+)
+SELECT href,
+       count(*) AS n_links,
+       count(DISTINCT doc_id) AS n_src_docs,
+       string_agg(CASE WHEN rk <= 16 THEN anchor END, '|' ORDER BY anchor)
+           AS anchor_sample
+FROM r GROUP BY href
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl staleness from revisit history (operators/
     recrawl.py recrawl_priority): per-URL change counts from
@@ -3488,6 +3567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "pii_scrub": q_pii_scrub,
     "recrawl_priority": q_recrawl_priority,
+    "anchor_text": q_anchor_text,
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
@@ -3571,6 +3651,7 @@ ORACLES: dict[str, str] = {
     "token_budget": ORACLE_TOKEN_BUDGET,
     "pii_scrub": ORACLE_PII_SCRUB,
     "recrawl_priority": ORACLE_RECRAWL,
+    "anchor_text": ORACLE_ANCHOR_TEXT,
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,

@@ -168,3 +168,36 @@ ADVERSARIAL = [  # equivalence must hold whichever path runs
 def test_adversarial_equivalence(body):
     assert H.parse_doc_py(body) == _slow_doc(body)
     assert H.extract_text_py(body) == _slow_text(body)
+
+
+# --- anchor (href, text) pair extraction (codegen) --------------------
+
+
+def test_anchor_pairs_well_formed_and_strict(spark):
+    from bathyscaphe_spark.functions.html import anchor_pairs_col
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (html, expected [(href, anchor), ...])
+        ('<a href="/x">one</a><a class="c" href="/y">two</a>',
+         [("/x", "one"), ("/y", "two")]),
+        # nested markup inside the anchor: excluded (strict contract)
+        ('<a href="/z"><b>bold</b></a>', []),
+        # single-quoted href: excluded (strict contract)
+        ("<a href='/q'>q</a>", []),
+        # empty text and empty href both extract
+        ('<a href="">e</a><a href="/w"></a>', [("", "e"), ("/w", "")]),
+        # no anchors
+        ("<p>nothing here</p>", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    rows = (
+        df.select("i", anchor_pairs_col(F.col("html")).alias("a"))
+        .orderBy("i")
+        .collect()
+    )
+    for (html, want), r in zip(cases, rows):
+        got = [(p["href"], p["anchor"]) for p in r.a]
+        assert got == want, html
