@@ -134,3 +134,119 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+#
+# The second classic ANN scale path next to LSH: partition the corpus
+# into cells around representative centroid vectors, search only the
+# nprobe cells nearest each query.  Fully relational here — centroid
+# pick, assignment, probing, and rerank are all column expressions, so
+# the DuckDB oracle can replicate every value exactly (unlike the
+# hyperplane path, whose recall is pinned by a planted-pair contract).
+#
+# Centroids are a deterministic HASH-PICKED sample (the n_cells vectors
+# with the smallest (md5-bucket, id) keys) rather than k-means: uniform
+# over the corpus, engine-independent, and stable under corpus growth.
+# K-means would tighten cells but costs iterative passes and breaks
+# bit-determinism; the hash pick is the honest baseline and the seam
+# where trained centroids would plug in.
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, n_cells: int = IVF_CELLS
+) -> DataFrame:
+    """(cell, cv, cn): cell = 1-based rank in (md5-bucket, id) order.
+    The pick is a TakeOrdered over a narrow projection (per-partition
+    heaps, never a global sort); the rank window then runs over only
+    n_cells rows."""
+    from .sampling import sample_bucket
+
+    base = _with_norm(emb, id_col, vec_col).withColumn(
+        "bkt", sample_bucket(F.col("_id"))
+    )
+    picked = base.orderBy("bkt", "_id").limit(n_cells)
+    w = Window.orderBy("bkt", "_id")
+    return picked.select(
+        F.row_number().over(w).cast("long").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+
+
+def _cell_scores(side: DataFrame, centroids: DataFrame) -> DataFrame:
+    """side × broadcast(centroids) with cos6 = round(cos, 6): the 6-dp
+    round + cell-asc tie-break keeps the argmax engine-independent."""
+    cos6 = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+    )
+    return side.crossJoin(F.broadcast(centroids)).select(
+        "_id", "v", "nrm", "cell", cos6.alias("cos6")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str, vec_col: str, n_cells: int = IVF_CELLS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(_id, v, nrm, cell): each vector's best cell (cos6 desc, cell
+    asc).  The argmax is a groupBy max(struct(...)) — the n_cells-way
+    expansion combines map-side back to one row per id BEFORE the
+    shuffle, where a Window would shuffle the whole expansion.  The
+    struct comparison always terminates at negcell (unique per id), so
+    the carried vector fields never participate in ordering."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, id_col, vec_col, n_cells)
+    scored = _cell_scores(_with_norm(emb, id_col, vec_col), centroids)
+    best = scored.groupBy("_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos6"),
+                (-F.col("cell")).alias("negcell"),
+                F.col("cell"),
+                F.col("v"),
+                F.col("nrm"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "_id", F.col("m.v").alias("v"), F.col("m.nrm").alias("nrm"),
+        F.col("m.cell").alias("cell"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids, k: int,
+    n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k: candidates live in the nprobe cells whose
+    centroids are nearest the query; exact cosine rerank within.
+    Output (q_id, n_id, rank).  The corpus side is assigned once (one
+    shuffle) and never replicates; only the tiny query side explodes
+    into probes."""
+    centroids = ivf_centroids(emb, id_col, vec_col, n_cells)
+    corpus = ivf_assign(emb, id_col, vec_col, n_cells, centroids).selectExpr(
+        "_id AS n_id", "v AS nv", "nrm AS nn", "cell"
+    )
+    qside = _with_norm(emb, id_col, vec_col).where(
+        F.col("_id").isin(list(query_ids))
+    )
+    qscored = _cell_scores(qside, centroids)
+    wq = Window.partitionBy("_id").orderBy(F.desc("cos6"), F.asc("cell"))
+    probes = (
+        qscored.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .selectExpr("_id AS q_id", "v AS qv", "nrm AS qn", "cell")
+    )
+    pairs = probes.join(corpus, "cell").where(F.col("q_id") != F.col("n_id"))
+    cos3 = F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 3)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos3"), F.asc("n_id"))
+    return (
+        pairs.select("q_id", "n_id", cos3.alias("cos3"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    )

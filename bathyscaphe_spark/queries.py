@@ -911,6 +911,69 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 (operators/similarity.py ivf_topk): the
+    corpus partitions into 16 cells around deterministically
+    hash-picked centroid vectors; each query probes its 4 nearest
+    cells and reranks by exact cosine.  Unlike the hyperplane LSH path
+    (planted-pair recall contract), every IVF step is relational, so
+    the oracle replicates the ENTIRE computation value-for-value —
+    centroid pick, cell argmax, probe ranking, rerank."""
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, "vec_id", "embedding", query_ids=range(5), k=3)
+
+
+ORACLE_IVF = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+ b AS (
+   SELECT vec_id, v, nrm,
+          list_reduce(list_prepend(0::HUGEINT, list_transform(
+              string_split_regex(substring(md5(CAST(vec_id AS VARCHAR)), 1, 8), ''),
+              c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+            (a, b2) -> a * 16 + b2
+          ) % 10000 AS bkt
+   FROM n
+ ),
+ cent AS (
+   SELECT row_number() OVER (ORDER BY bkt, vec_id) AS cell, v AS cv, nrm AS cn
+   FROM (SELECT * FROM b ORDER BY bkt, vec_id LIMIT 16)
+ ),
+ scored AS (
+   SELECT b.vec_id, b.v, b.nrm, cent.cell,
+          round(list_dot_product(b.v, cent.cv) / (b.nrm * cent.cn), 6) AS cos6
+   FROM b, cent
+ ),
+ assign AS (
+   SELECT vec_id, v, nrm, cell
+   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos6 DESC, cell ASC) AS rk FROM scored)
+   WHERE rk = 1
+ ),
+ probes AS (
+   SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell
+   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos6 DESC, cell ASC) AS rk FROM scored
+         WHERE vec_id < 5)
+   WHERE rk <= 4
+ ),
+ pairs AS (
+   SELECT p.q_id, a.vec_id AS n_id,
+          round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 3) AS cos3
+   FROM probes p JOIN assign a USING (cell)
+   WHERE p.q_id != a.vec_id
+ ),
+ ranked AS (
+   SELECT q_id, n_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos3 DESC, n_id ASC) AS rank
+   FROM pairs
+ )
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
 ORACLE_KNN = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
  n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -3568,6 +3631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "recrawl_priority": q_recrawl_priority,
     "anchor_text": q_anchor_text,
+    "ivf_topk": q_ivf_topk,
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
@@ -3652,6 +3716,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "recrawl_priority": ORACLE_RECRAWL,
     "anchor_text": ORACLE_ANCHOR_TEXT,
+    "ivf_topk": ORACLE_IVF,
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,

@@ -59,3 +59,52 @@ def test_ann_subset_semantics(spark, emb):
     ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     for r in out:
         assert r["n_id"] in ids and r["n_id"] != r["q_id"]
+
+
+# --- IVF ---------------------------------------------------------------
+
+
+def _clustered(spark, n_clusters=5, per=40, dim=16):
+    """Tight, well-separated clusters: cluster c lives on axis c with
+    tiny deterministic jitter, so same-cluster cosine ≈ 1 and
+    cross-cluster cosine ≈ 0."""
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 1) % dim] = 0.001 * ((c * per + i) % 7)
+            rows.append((c * per + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_assignment_total_and_deterministic(spark):
+    from bathyscaphe_spark.operators.similarity import ivf_assign
+
+    d = _clustered(spark)
+    a = {(r["_id"], r["cell"]) for r in ivf_assign(d, "vec_id", "embedding").collect()}
+    b = {(r["_id"], r["cell"]) for r in ivf_assign(d.repartition(9), "vec_id", "embedding").collect()}
+    assert a == b
+    assert len(a) == 200                      # every vector, exactly once
+    assert 1 < len({c for _, c in a}) <= 16   # multiple non-empty cells
+
+
+def test_ivf_equals_exact_on_separated_clusters(spark):
+    """With tight separated clusters every true neighbor shares the
+    query's cell, so IVF top-k must equal the exact top-k."""
+    from bathyscaphe_spark.operators.similarity import ivf_topk
+
+    d = _clustered(spark)
+    qs = [0, 40, 80, 120, 160]  # one query per cluster
+    exact = cosine_topk(d, "vec_id", "embedding", qs, k=3).collect()
+    approx = ivf_topk(d, "vec_id", "embedding", qs, k=3).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))
+
+
+def test_ivf_subset_semantics(spark, emb):
+    from bathyscaphe_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(emb, "vec_id", "embedding", range(5), k=3).collect()
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for r in out:
+        assert r["n_id"] in ids and r["n_id"] != r["q_id"]
