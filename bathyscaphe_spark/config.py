@@ -51,6 +51,26 @@ class CrawlConfig:
     forbidden_hostnames: tuple[str, ...] = ()
     # refresh-delay seconds; 0 => seen entries never expire (cache.go:9-12)
     refresh_delay_s: int = 0
+    # adaptive refresh (engine addition; operators/recrawl.py): per-URL
+    # seen TTLs adapt multiplicatively to observed content change —
+    # byte-stable pages double toward refresh_max_s, churning pages
+    # halve toward refresh_min_s; refresh_delay_s is the starting TTL
+    # (must be > 0 when enabled).  Off by default: the reference has a
+    # single fixed TTL and the parity oracles replay that exactly.
+    # Requires a state dir that has been adaptive from round 0 (the
+    # seen schema gains a ttl_s column and a fetch_meta table appears).
+    adaptive_refresh: bool = False
+    refresh_min_s: int = 60
+    refresh_max_s: int = 30 * 86_400
+    # recrawl generator (requires adaptive_refresh): up to this many
+    # previously-fetched URLs whose seen TTL has fully expired are
+    # re-enqueued into each round's frontier, oldest-fetch-first —
+    # the pump that makes expiry-driven refetching continuous instead
+    # of waiting for link re-discovery.  0 = off.
+    recrawl_budget: int = 0
+    # frontier priority for pumped refetches (fresh discoveries start
+    # at 1000 - depth*10; refetches deliberately rank below them)
+    recrawl_priority: int = 500
     # blacklist-config (client.go:46-50; compose default threshold=5 ttl=1200)
     blacklist_threshold: int = 5
     blacklist_ttl_s: int = 1200

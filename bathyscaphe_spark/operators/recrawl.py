@@ -80,3 +80,89 @@ def recrawl_priority(
         age_s.alias("age_s"),
         due.alias("due_milli"),
     )
+
+
+# --- pipeline integration: adaptive per-URL seen TTL ------------------------
+
+
+def adaptive_seen_delta(
+    new_urls: DataFrame,
+    seen: DataFrame | None,
+    fetch_meta: DataFrame | None,
+    now_s: int,
+    base_s: int,
+    min_s: int,
+    max_s: int,
+    round_n: int,
+) -> DataFrame:
+    """Seen-delta rows for this round's discoveries with a PER-URL TTL
+    adapted from fetch history (multiplicative refresh adaptation: the
+    public crawler policy of doubling the revisit interval while a page
+    stays byte-stable and halving it when it churns).
+
+    A URL re-discovered after expiry has, by D1, only expired seen
+    rows; its fetch history tells us whether the content changed
+    between its last two fetches:
+
+    * fewer than two fetches observed → ``base_s`` (nothing to adapt);
+    * last two content hashes equal   → min(prev_ttl · 2, max_s);
+    * differ                          → max(prev_ttl DIV 2, min_s);
+
+    where prev_ttl is the ttl_s written on the URL's latest prior seen
+    row (base_s when that row predates the feature).  Adaptation lags
+    one revisit by construction — a change is OBSERVED at the second
+    fetch, so the shortened interval applies from the next cycle.
+
+    Scale: fetch_meta and seen are filtered to this round's (small)
+    discovery set FIRST — the top-2-by-round window and the max_by
+    aggregation run over |new_urls|-sized joins, never over the full
+    10^10-row tables.
+    """
+    keys = new_urls.select("url_hash")
+    hist = None
+    if fetch_meta is not None:
+        m = fetch_meta.join(keys, "url_hash")
+        w = Window.partitionBy("url_hash").orderBy(F.desc("round"))
+        top2 = m.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= 2)
+        hist = top2.groupBy("url_hash").agg(
+            F.max(F.when(F.col("_rk") == 1, F.col("content_fnv"))).alias("_last_fnv"),
+            F.max(F.when(F.col("_rk") == 2, F.col("content_fnv"))).alias("_prev_fnv"),
+        )
+    prev = None
+    if seen is not None and "ttl_s" in seen.columns:
+        prev = (
+            seen.join(keys, "url_hash")
+            .groupBy("url_hash")
+            .agg(F.max_by("ttl_s", "first_seen_round").alias("_prev_ttl"))
+        )
+
+    d = new_urls
+    if hist is not None:
+        d = d.join(hist, "url_hash", "left")
+    else:
+        d = d.withColumn("_last_fnv", F.lit(None).cast("long")).withColumn(
+            "_prev_fnv", F.lit(None).cast("long")
+        )
+    if prev is not None:
+        d = d.join(prev, "url_hash", "left")
+    else:
+        d = d.withColumn("_prev_ttl", F.lit(None).cast("long"))
+
+    p_ttl = F.coalesce(F.col("_prev_ttl"), F.lit(base_s)).cast("long")
+    ttl = (
+        F.when(
+            F.col("_last_fnv").isNull() | F.col("_prev_fnv").isNull(),
+            F.lit(base_s),
+        )
+        .when(
+            F.col("_last_fnv") == F.col("_prev_fnv"),
+            F.least(p_ttl * 2, F.lit(max_s)),
+        )
+        .otherwise(F.greatest(F.floor(p_ttl / 2).cast("long"), F.lit(min_s)))
+    ).cast("long")
+    return d.select(
+        "url_hash",
+        F.lit(round_n).alias("first_seen_round"),
+        F.timestamp_seconds(F.lit(now_s) + ttl).alias("expires_ts"),
+        ttl.alias("ttl_s"),
+    )

@@ -46,6 +46,11 @@ def bootstrap(
         F.lit(-1).alias("first_seen_round"),
         F.lit(None).cast("timestamp").alias("expires_ts"),
     )
+    if config.adaptive_refresh:
+        # keep every seen delta schema-identical (read_deltas unions the
+        # round files in one parquet read): seeds carry a null ttl_s —
+        # they never expire, so no TTL ever applies to them
+        seen0 = seen0.withColumn("ttl_s", F.lit(None).cast("long"))
     catalog.stage_round("seen", seen0, -1)
     catalog.commit_round(-1, ["seen"], extra={"bootstrap": True})
 

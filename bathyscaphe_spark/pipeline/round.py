@@ -234,6 +234,41 @@ def run_round(
         host_failures = bl.empty_host_failures(spark)
     seen = catalog.read_deltas("seen")
 
+    # recrawl generator (adaptive refresh): re-enqueue up to
+    # recrawl_budget previously-fetched URLs whose seen TTL has fully
+    # expired — oldest fetch first, deterministic url_hash tie-break.
+    # Without the pump an expired URL is only refetched if some fetched
+    # page happens to link to it again; with it, expiry-driven
+    # refreshing is continuous.  Runs before the link-rank boost so
+    # pumped rows rank under the same policy as fresh ones.
+    if config.adaptive_refresh and config.recrawl_budget > 0 and seen is not None:
+        meta_hist = catalog.read_deltas("fetch_meta")
+        if meta_hist is not None:
+            live = seen.where(
+                F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
+            ).select("url_hash")
+            last_fetch = meta_hist.groupBy("url_hash").agg(
+                F.max_by("url", "round").alias("url"),
+                F.max_by("host", "round").alias("host"),
+                F.max("round").alias("_last_round"),
+            )
+            due = (
+                last_fetch.join(live, "url_hash", "left_anti")
+                .join(frontier.select("url_hash"), "url_hash", "left_anti")
+                .orderBy("_last_round", "url_hash")
+                .limit(config.recrawl_budget)
+            )
+            pump = due.select(
+                "url",
+                "url_hash",
+                "host",
+                F.lit(0).cast("int").alias("depth"),
+                F.lit(config.recrawl_priority).cast("int").alias("priority"),
+                rts.alias("discovered_ts"),
+                F.lit(round_n).cast("int").alias("round"),
+            )
+            frontier = frontier.unionByName(pump)
+
     # O1 — two-phase salted rank (skew-proof politeness budget).  O2 for
     # the fetch stage is the universe's url-hash partitioning: the fetch
     # join reuses the pages table's bucketing, so only this (small)
@@ -373,6 +408,20 @@ def run_round(
         blacklist_pred,
     )
 
+    # adaptive refresh: one tiny (url_hash, round, content_fnv) row per
+    # fetch — the change-detection history adaptive_seen_delta reads.
+    # xxhash64 is the JVM-side digest (engine-internal change signal;
+    # the reference-parity FNV stays on urls only).
+    fetch_meta_delta = None
+    if config.adaptive_refresh:
+        fetch_meta_delta = fetched_ok.select(
+            "url",
+            "url_hash",
+            "host",
+            F.lit(round_n).alias("round"),
+            F.xxhash64("html").alias("content_fnv"),
+        ).dropDuplicates(["url_hash"])
+
     # ---- stage writes (invisible until commit); row counts come from the
     # written parquet footers — zero extra Spark jobs ----------------------
     # Phase A (sequential): the two writes that MATERIALIZE the caches —
@@ -439,7 +488,51 @@ def run_round(
     from concurrent.futures import ThreadPoolExecutor
 
     def _write_seen():
-        catalog.stage_round("seen", _seen_delta(new_urls, config, round_n), round_n)
+        if config.adaptive_refresh:
+            from ..operators.recrawl import adaptive_seen_delta
+
+            meta_all = fetch_meta_delta
+            prior_meta = catalog.read_deltas("fetch_meta")
+            if prior_meta is not None:
+                meta_all = prior_meta.select(*fetch_meta_delta.columns).unionByName(
+                    fetch_meta_delta
+                )
+            # seen rows are (re)written for this round's discoveries AND
+            # for every SCHEDULED url that no longer had a live seen row
+            # (a refetch — the pump path, or a TTL that lapsed in-flight):
+            # the refetch is the moment the change history grows, so it
+            # is when the adapted TTL must be (re)armed
+            targets = new_urls.select("url_hash")
+            if seen is not None:
+                refetched = scheduled.select("url_hash").join(
+                    seen.where(
+                        F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
+                    ).select("url_hash"),
+                    "url_hash",
+                    "left_anti",
+                )
+                targets = targets.unionByName(refetched).dropDuplicates(["url_hash"])
+            delta = adaptive_seen_delta(
+                targets,
+                seen,
+                meta_all,
+                now_s=BASE_TS + round_n * ROUND_INTERVAL_S,
+                base_s=config.refresh_delay_s,
+                min_s=config.refresh_min_s,
+                max_s=config.refresh_max_s,
+                round_n=round_n,
+            )
+        else:
+            delta = _seen_delta(new_urls, config, round_n)
+        catalog.stage_round("seen", delta, round_n)
+
+    def _write_fetch_meta():
+        if fetch_meta_delta is None:
+            return False
+        catalog.stage_round(
+            "fetch_meta", fetch_meta_delta, round_n, files=small_files
+        )
+        return True
 
     def _write_resources():
         catalog.stage_round("resources", resources, round_n)
@@ -498,7 +591,11 @@ def run_round(
         )
         return True
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        # fetch_meta first: _write_seen reads the staged delta's plan
+        # inputs (both derive from the fetched cache, so ordering only
+        # affects warm-cache reuse, not correctness)
+        f_meta = pool.submit(_write_fetch_meta)
         f_seen = pool.submit(_write_seen)
         f_res = pool.submit(_write_resources)
         f_bl = pool.submit(_write_blacklister)
@@ -506,6 +603,8 @@ def run_round(
         f_edges = pool.submit(_write_edges)
         f_seen.result()
         f_res.result()
+        if f_meta.result():
+            committed_tables += ["fetch_meta"]
         if f_bl.result():
             committed_tables += ["host_failures", "blacklist"]
         if f_rob.result():

@@ -1,0 +1,105 @@
+"""Adaptive per-URL refresh TTLs + the recrawl pump (pipeline/round.py,
+operators/recrawl.py adaptive_seen_delta).
+
+Drives run_round directly with a DIFFERENT pages universe per round so
+page A's content churns every fetch while page B stays byte-stable:
+A's revisit interval must halve to the floor, B's must double to the
+cap, and the pump must refetch each exactly when its TTL lapses.
+"""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from bathyscaphe_spark.config import CrawlConfig
+from bathyscaphe_spark.pipeline.driver import bootstrap
+from bathyscaphe_spark.pipeline.round import run_round
+from bathyscaphe_spark.pipeline.synth import build_host_status
+from bathyscaphe_spark.state.tables import TableCatalog
+
+# normalized form (no trailing slash) — universe urls must match the
+# scheduler's purell-normalized output for the fetch join to hit
+S, A, B = "https://s.onion", "https://a.onion", "https://b.onion"
+
+
+def _pages(spark, salt):
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+    hdr = {"Content-Type": "text/html"}
+    rows = [
+        (S, "s.onion", ts, f"links: {A} and {B}".encode(), hdr, 200),
+        (A, "a.onion", ts, f"churning r{salt} back {S}".encode(), hdr, 200),
+        (B, "b.onion", ts, f"stable body back {S}".encode(), hdr, 200),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "url string, host string, warc_ts timestamp, html binary,"
+        " headers map<string,string>, status int",
+    )
+
+
+def _seeds(spark):
+    return spark.createDataFrame([(S, "s.onion")], "url string, host string")
+
+
+def test_adaptive_ttls_and_pump_cadence(spark, tmp_path):
+    cfg = CrawlConfig(
+        refresh_delay_s=3600,        # base TTL = one round interval
+        adaptive_refresh=True,
+        refresh_min_s=900,
+        refresh_max_s=14400,
+        recrawl_budget=10,
+        bloom_enabled=False,
+    )
+    cat = TableCatalog(spark, str(tmp_path / "state"))
+    bootstrap(cat, _seeds(spark), cfg)
+    host_status = build_host_status(_pages(spark, 0))
+    for n in range(6):
+        run_round(cat, _pages(spark, n), host_status, cfg, n)
+
+    meta = cat.read_deltas("fetch_meta")
+    fetched = {}
+    for r in meta.select("url", "round").collect():
+        fetched.setdefault(r["url"], []).append(r["round"])
+    fetched = {u: sorted(v) for u, v in fetched.items()}
+    # A churns: interval halves to the 900s floor -> refetched every round
+    # B stable: interval doubles 3600 -> 7200 -> 14400 (due again at r8)
+    assert fetched[S] == [0]
+    assert fetched[A] == [1, 2, 3, 4, 5]
+    assert fetched[B] == [1, 2, 4]
+
+    seen = cat.read_deltas("seen")
+    ttls = {}
+    for r in seen.where(F.col("ttl_s").isNotNull()).collect():
+        ttls.setdefault(r["url_hash"], []).append(
+            (r["first_seen_round"], r["ttl_s"])
+        )
+    by_url = {
+        r["url"]: r["url_hash"]
+        for r in meta.select("url", "url_hash").distinct().collect()
+    }
+    assert sorted(ttls[by_url[A]]) == [
+        (0, 3600),  # discovery
+        (1, 3600),  # first fetch: one observation, nothing to adapt
+        (2, 1800),  # change observed -> halve
+        (3, 900),   # halve again
+        (4, 900),   # floor
+        (5, 900),
+    ]
+    assert sorted(ttls[by_url[B]]) == [
+        (0, 3600),
+        (1, 3600),
+        (2, 7200),   # stable -> double
+        (4, 14400),  # stable -> cap
+    ]
+
+
+def test_default_path_untouched(spark, tmp_path):
+    """Feature off: no fetch_meta table, seen schema has no ttl_s."""
+    cfg = CrawlConfig(refresh_delay_s=3600, bloom_enabled=False)
+    cat = TableCatalog(spark, str(tmp_path / "state"))
+    bootstrap(cat, _seeds(spark), cfg)
+    host_status = build_host_status(_pages(spark, 0))
+    for n in range(2):
+        run_round(cat, _pages(spark, n), host_status, cfg, n)
+    assert cat.read_deltas("fetch_meta") is None
+    assert "ttl_s" not in cat.read_deltas("seen").columns
