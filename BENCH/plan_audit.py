@@ -31,7 +31,11 @@ CARTESIAN_OK = {"knn_cosine_topk"}
 # BroadcastNestedLoopJoin against a single aggregated row — the
 # collect()-free way to give every doc the corpus N/avgdl/df values)
 SCALAR_ATTACH_OK = {"bm25_search", "recrawl_priority"}
-CARTESIAN_OK = CARTESIAN_OK | SCALAR_ATTACH_OK
+# bounded broadcast small-side expansion: IVF assignment is docs ×
+# broadcast(n_cells=16 centroid rows) — the documented O(n·cells)
+# assignment cost, combined map-side back to one row per doc
+SMALL_BCAST_OK = {"ivf_topk"}
+CARTESIAN_OK = CARTESIAN_OK | SCALAR_ATTACH_OK | SMALL_BCAST_OK
 
 
 def main() -> None:

@@ -2440,6 +2440,106 @@ FROM r GROUP BY href
 """
 
 
+# adaptive-TTL fixture: 150 urls, 3-4 fetches each; every 3rd url
+# churns (its content hash changes every round), the rest are stable;
+# every 5th url's latest seen row predates the feature (null ttl_s)
+_ADAPT_META_SQL = """
+SELECT doc_id % 150 AS url_hash,
+       doc_id / 150 AS round,
+       (doc_id % 150) * 1000
+         + CASE WHEN doc_id % 150 % 3 = 0 THEN doc_id / 150 ELSE 0 END
+         AS content_fnv
+FROM documents
+"""
+_ADAPT_SEEN_SQL = """
+SELECT doc_id % 150 AS url_hash, 1 AS first_seen_round,
+       CAST(NULL AS TIMESTAMP) AS expires_ts,
+       7200 AS ttl_s
+FROM documents WHERE doc_id < 150
+UNION ALL
+SELECT doc_id % 150 AS url_hash, 2 AS first_seen_round,
+       CAST(NULL AS TIMESTAMP) AS expires_ts,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE 1800 * (1 + doc_id % 3) END AS ttl_s
+FROM documents WHERE doc_id < 150
+"""
+
+
+def q_adaptive_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive-refresh TTL kernel (operators/recrawl.py
+    adaptive_seen_delta) over a synthesized fetch history: per-URL seen
+    TTLs double (to the cap) while the last two content hashes agree
+    and halve (to the floor) when they differ, starting from the
+    latest prior ttl_s (base when that row predates the feature).  The
+    oracle replicates the top-2-by-round window, the max_by prior-TTL
+    pick, and the clamp arithmetic exactly."""
+    from .operators.recrawl import adaptive_seen_delta
+
+    _docs(spark, sf_dir)
+    # Spark's integer division of doc_id/150 differs from DuckDB's `/`:
+    # use explicit div/CAST so both build the identical fixture
+    meta = spark.sql(_ADAPT_META_SQL.replace("doc_id / 150", "doc_id div 150"))
+    seen = spark.sql(_ADAPT_SEEN_SQL)
+    targets = spark.sql(
+        "SELECT DISTINCT doc_id % 150 AS url_hash FROM documents"
+        " WHERE doc_id % 2 = 0"
+    )
+    return adaptive_seen_delta(
+        targets, seen, meta,
+        now_s=1714564800, base_s=3600, min_s=900, max_s=14400, round_n=9,
+    )
+
+
+ORACLE_ADAPTIVE_TTL = f"""
+WITH meta AS ({_ADAPT_META_SQL}),
+ seen AS ({_ADAPT_SEEN_SQL}),
+ targets AS (
+   SELECT DISTINCT doc_id % 150 AS url_hash FROM documents
+   WHERE doc_id % 2 = 0
+ ),
+ m AS (
+   SELECT meta.url_hash, content_fnv,
+          row_number() OVER (PARTITION BY meta.url_hash
+                             ORDER BY round DESC) AS rk
+   FROM meta JOIN targets USING (url_hash)
+ ),
+ hist AS (
+   SELECT url_hash,
+          max(CASE WHEN rk = 1 THEN content_fnv END) AS last_fnv,
+          max(CASE WHEN rk = 2 THEN content_fnv END) AS prev_fnv
+   FROM m WHERE rk <= 2 GROUP BY url_hash
+ ),
+ prev AS (
+   -- row_number, NOT arg_max: Spark's max_by keeps a NULL ttl_s found
+   -- at the latest round (-> base applies), DuckDB's arg_max would
+   -- skip it and resurrect an older TTL; the fixture's 7200-ttl older
+   -- rows exist precisely to catch that divergence
+   SELECT url_hash, ttl_s AS prev_ttl
+   FROM (SELECT seen.url_hash, ttl_s,
+                row_number() OVER (PARTITION BY seen.url_hash
+                                   ORDER BY first_seen_round DESC) AS rk
+         FROM seen JOIN targets USING (url_hash))
+   WHERE rk = 1
+ ),
+ d AS (
+   SELECT t.url_hash, h.last_fnv, h.prev_fnv,
+          COALESCE(p.prev_ttl, 3600) AS p_ttl
+   FROM targets t LEFT JOIN hist h USING (url_hash)
+                  LEFT JOIN prev p USING (url_hash)
+ )
+SELECT url_hash, CAST(9 AS INT) AS first_seen_round,
+       to_timestamp(1714564800 + CASE
+         WHEN last_fnv IS NULL OR prev_fnv IS NULL THEN 3600
+         WHEN last_fnv = prev_fnv THEN least(p_ttl * 2, 14400)
+         ELSE greatest(p_ttl // 2, 900) END)::TIMESTAMP AS expires_ts,
+       CAST(CASE
+         WHEN last_fnv IS NULL OR prev_fnv IS NULL THEN 3600
+         WHEN last_fnv = prev_fnv THEN least(p_ttl * 2, 14400)
+         ELSE greatest(p_ttl // 2, 900) END AS BIGINT) AS ttl_s
+FROM d
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl staleness from revisit history (operators/
     recrawl.py recrawl_priority): per-URL change counts from
@@ -3630,6 +3730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "pii_scrub": q_pii_scrub,
     "recrawl_priority": q_recrawl_priority,
+    "adaptive_ttl": q_adaptive_ttl,
     "anchor_text": q_anchor_text,
     "ivf_topk": q_ivf_topk,
     "o1_delay_budget": q_o1_delay_budget,
@@ -3715,6 +3816,7 @@ ORACLES: dict[str, str] = {
     "token_budget": ORACLE_TOKEN_BUDGET,
     "pii_scrub": ORACLE_PII_SCRUB,
     "recrawl_priority": ORACLE_RECRAWL,
+    "adaptive_ttl": ORACLE_ADAPTIVE_TTL,
     "anchor_text": ORACLE_ANCHOR_TEXT,
     "ivf_topk": ORACLE_IVF,
     "o1_delay_budget": ORACLE_O1_DELAY,
