@@ -166,3 +166,18 @@ def adaptive_seen_delta(
         F.timestamp_seconds(F.lit(now_s) + ttl).alias("expires_ts"),
         ttl.alias("ttl_s"),
     )
+
+
+def compact_fetch_meta(df: DataFrame) -> DataFrame:
+    """agg_fn for ``TableCatalog.compact_deltas("fetch_meta", ...)``:
+    only the last two fetches per URL feed the TTL adaptation, so
+    history beyond them is dead weight — at 10^10 URLs the table would
+    otherwise grow by one row per fetch forever.  Keeping exactly the
+    top-2 rounds per url_hash preserves adaptive_seen_delta's output
+    bit-for-bit."""
+    w = Window.partitionBy("url_hash").orderBy(F.desc("round"))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 2)
+        .drop("_rk")
+    )

@@ -103,3 +103,39 @@ def test_default_path_untouched(spark, tmp_path):
         run_round(cat, _pages(spark, n), host_status, cfg, n)
     assert cat.read_deltas("fetch_meta") is None
     assert "ttl_s" not in cat.read_deltas("seen").columns
+
+
+def test_fetch_meta_compaction_preserves_adaptation(spark, tmp_path):
+    """Compacting fetch_meta to the last two fetches per URL mid-crawl
+    changes neither the TTL schedule nor the pump cadence."""
+    from bathyscaphe_spark.operators.recrawl import compact_fetch_meta
+
+    cfg = CrawlConfig(
+        refresh_delay_s=3600, adaptive_refresh=True, refresh_min_s=900,
+        refresh_max_s=14400, recrawl_budget=10, bloom_enabled=False,
+    )
+    ttls = {}
+    for tag, compact_at in (("ctl", None), ("cmp", 4)):
+        cat = TableCatalog(spark, str(tmp_path / tag))
+        bootstrap(cat, _seeds(spark), cfg)
+        host_status = build_host_status(_pages(spark, 0))
+        for n in range(6):
+            if n == compact_at:
+                folded = cat.compact_deltas("fetch_meta", compact_fetch_meta)
+                assert folded >= 2
+            run_round(cat, _pages(spark, n), host_status, cfg, n)
+        ttls[tag] = sorted(
+            (r["url_hash"], r["first_seen_round"], r["ttl_s"])
+            for r in cat.read_deltas("seen").where(
+                F.col("ttl_s").isNotNull()
+            ).collect()
+        )
+        if compact_at is not None:
+            # compacted history holds at most 2 rows per url
+            per = (
+                cat.read_deltas("fetch_meta")
+                .groupBy("url_hash").count().collect()
+            )
+            # rounds after compaction may add up to 2 more deltas
+            assert max(r["count"] for r in per) <= 4
+    assert ttls["ctl"] == ttls["cmp"]
