@@ -181,3 +181,45 @@ def compact_fetch_meta(df: DataFrame) -> DataFrame:
         .where(F.col("_rk") <= 2)
         .drop("_rk")
     )
+
+
+def recrawl_due(
+    fetch_meta: DataFrame,
+    seen: DataFrame,
+    frontier_hashes: DataFrame,
+    rts: Column,
+    budget: int,
+    priority_v: int,
+    round_n: int,
+) -> DataFrame:
+    """The recrawl pump's due-set selection (shared by run_round and the
+    ``recrawl_due`` contract query): previously-fetched URLs with NO
+    live seen row and not already in the frontier, oldest fetch first
+    (url_hash tie-break), capped at ``budget`` via TakeOrdered — never
+    a global sort.  Returns frontier-shaped rows.
+
+    max_by(url, round) is unambiguous because fetch_meta holds at most
+    one row per (url_hash, round) by construction."""
+    live = seen.where(
+        F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
+    ).select("url_hash")
+    last_fetch = fetch_meta.groupBy("url_hash").agg(
+        F.max_by("url", "round").alias("url"),
+        F.max_by("host", "round").alias("host"),
+        F.max("round").alias("_last_round"),
+    )
+    due = (
+        last_fetch.join(live, "url_hash", "left_anti")
+        .join(frontier_hashes.select("url_hash"), "url_hash", "left_anti")
+        .orderBy("_last_round", "url_hash")
+        .limit(budget)
+    )
+    return due.select(
+        "url",
+        "url_hash",
+        "host",
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(priority_v).cast("int").alias("priority"),
+        rts.alias("discovered_ts"),
+        F.lit(round_n).cast("int").alias("round"),
+    )

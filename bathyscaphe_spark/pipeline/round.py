@@ -244,28 +244,13 @@ def run_round(
     if config.adaptive_refresh and config.recrawl_budget > 0 and seen is not None:
         meta_hist = catalog.read_deltas("fetch_meta")
         if meta_hist is not None:
-            live = seen.where(
-                F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
-            ).select("url_hash")
-            last_fetch = meta_hist.groupBy("url_hash").agg(
-                F.max_by("url", "round").alias("url"),
-                F.max_by("host", "round").alias("host"),
-                F.max("round").alias("_last_round"),
-            )
-            due = (
-                last_fetch.join(live, "url_hash", "left_anti")
-                .join(frontier.select("url_hash"), "url_hash", "left_anti")
-                .orderBy("_last_round", "url_hash")
-                .limit(config.recrawl_budget)
-            )
-            pump = due.select(
-                "url",
-                "url_hash",
-                "host",
-                F.lit(0).cast("int").alias("depth"),
-                F.lit(config.recrawl_priority).cast("int").alias("priority"),
-                rts.alias("discovered_ts"),
-                F.lit(round_n).cast("int").alias("round"),
+            from ..operators.recrawl import recrawl_due
+
+            pump = recrawl_due(
+                meta_hist, seen, frontier, rts,
+                budget=config.recrawl_budget,
+                priority_v=config.recrawl_priority,
+                round_n=round_n,
             )
             frontier = frontier.unionByName(pump)
 

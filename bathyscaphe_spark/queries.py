@@ -2540,6 +2540,80 @@ FROM d
 """
 
 
+# pump fixture: shares _ADAPT_META_SQL's url space; every 7th url is
+# seen-forever, expiry staggers by url%4, every 11th sits in the frontier
+_PUMP_SEEN_SQL = """
+SELECT DISTINCT doc_id % 150 AS url_hash, 0 AS first_seen_round,
+       CASE WHEN doc_id % 150 % 7 = 0 THEN CAST(NULL AS TIMESTAMP)
+            ELSE to_timestamp(1714564800 + (doc_id % 150 % 4) * 1000)
+       END AS expires_ts
+FROM documents
+"""
+_PUMP_META_SQL = """
+SELECT 'https://h' || CAST(doc_id % 150 % 10 AS STRING) || '.onion/p'
+           || CAST(doc_id % 150 AS STRING) AS url,
+       doc_id % 150 AS url_hash,
+       'h' || CAST(doc_id % 150 % 10 AS STRING) || '.onion' AS host,
+       {rdiv} AS round,
+       0 AS content_fnv
+FROM documents
+"""
+
+
+def q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recrawl pump's due-set selection (operators/recrawl.py
+    recrawl_due — the literal function run_round unions into the
+    frontier): previously-fetched URLs whose every seen row has
+    expired and that are not already queued, oldest fetch first with
+    url_hash tie-break, budget-capped via TakeOrdered.  The 20-row
+    budget BINDS on the fixture (~64 due urls) so the oracle pins the
+    ordering, not just the filter."""
+    from .operators.recrawl import recrawl_due
+
+    _docs(spark, sf_dir)
+    meta = spark.sql(_PUMP_META_SQL.format(rdiv="doc_id div 150"))
+    seen = spark.sql(_PUMP_SEEN_SQL)
+    frontier = spark.sql(
+        "SELECT DISTINCT doc_id % 150 AS url_hash FROM documents"
+        " WHERE doc_id % 150 % 11 = 0"
+    )
+    return recrawl_due(
+        meta, seen, frontier,
+        rts=F.timestamp_seconds(F.lit(1714564800 + 1500)),
+        budget=20, priority_v=500, round_n=7,
+    )
+
+
+ORACLE_RECRAWL_DUE = f"""
+WITH meta AS ({_PUMP_META_SQL.format(rdiv="doc_id / 150")}),
+ seen AS ({_PUMP_SEEN_SQL}),
+ frontier AS (
+   SELECT DISTINCT doc_id % 150 AS url_hash FROM documents
+   WHERE doc_id % 150 % 11 = 0
+ ),
+ live AS (
+   SELECT url_hash FROM seen
+   WHERE expires_ts IS NULL OR expires_ts > to_timestamp(1714564800 + 1500)
+ ),
+ last_fetch AS (
+   SELECT url_hash, arg_max(url, round) AS url, arg_max(host, round) AS host,
+          max(round) AS last_round
+   FROM meta GROUP BY url_hash
+ ),
+ due AS (
+   SELECT * FROM last_fetch
+   WHERE url_hash NOT IN (SELECT url_hash FROM live)
+     AND url_hash NOT IN (SELECT url_hash FROM frontier)
+   ORDER BY last_round, url_hash LIMIT 20
+ )
+SELECT url, url_hash, host, CAST(0 AS INT) AS depth,
+       CAST(500 AS INT) AS priority,
+       to_timestamp(1714564800 + 1500)::TIMESTAMP AS discovered_ts,
+       CAST(7 AS INT) AS round
+FROM due
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl staleness from revisit history (operators/
     recrawl.py recrawl_priority): per-URL change counts from
@@ -3731,6 +3805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "recrawl_priority": q_recrawl_priority,
     "adaptive_ttl": q_adaptive_ttl,
+    "recrawl_due": q_recrawl_due,
     "anchor_text": q_anchor_text,
     "ivf_topk": q_ivf_topk,
     "o1_delay_budget": q_o1_delay_budget,
@@ -3817,6 +3892,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "recrawl_priority": ORACLE_RECRAWL,
     "adaptive_ttl": ORACLE_ADAPTIVE_TTL,
+    "recrawl_due": ORACLE_RECRAWL_DUE,
     "anchor_text": ORACLE_ANCHOR_TEXT,
     "ivf_topk": ORACLE_IVF,
     "o1_delay_budget": ORACLE_O1_DELAY,

@@ -46,6 +46,13 @@ def main() -> None:
     ap.add_argument("--fetch-budget", type=int, default=None,
                     help="global per-round fetch cap (cross-host top-K "
                          "after the per-host politeness rank)")
+    ap.add_argument("--adaptive-refresh", action="store_true",
+                    help="per-URL seen TTLs adapt to observed content "
+                         "change (requires refresh-delay > 0 in --config)")
+    ap.add_argument("--recrawl-budget", type=int, default=None,
+                    help="re-enqueue up to N fully-expired fetched URLs "
+                         "per round, oldest fetch first (with "
+                         "--adaptive-refresh)")
     args = ap.parse_args()
 
     from bathyscaphe_spark.config import DEFAULT_CONFIG, CrawlConfig
@@ -61,13 +68,15 @@ def main() -> None:
         TableCatalog(spark, args.state).destroy()
 
     cfg = CrawlConfig.from_json(args.config) if args.config else DEFAULT_CONFIG
-    if args.link_rank or args.fetch_budget:
+    if args.link_rank or args.fetch_budget or args.adaptive_refresh:
         from dataclasses import replace
 
         cfg = replace(
             cfg,
             link_rank_enabled=args.link_rank or cfg.link_rank_enabled,
             round_fetch_budget=args.fetch_budget or cfg.round_fetch_budget,
+            adaptive_refresh=args.adaptive_refresh or cfg.adaptive_refresh,
+            recrawl_budget=args.recrawl_budget or cfg.recrawl_budget,
         )
 
     if args.pages.startswith("synth:"):
