@@ -139,3 +139,32 @@ def test_fetch_meta_compaction_preserves_adaptation(spark, tmp_path):
             # rounds after compaction may add up to 2 more deltas
             assert max(r["count"] for r in per) <= 4
     assert ttls["ctl"] == ttls["cmp"]
+
+
+def test_adaptive_composes_with_link_rank_and_budget(spark, tmp_path):
+    """Pump rows flow through the link-rank boost and the global fetch
+    cap like any frontier row (_base_priority restore included) — the
+    TTL adaptation still lands."""
+    cfg = CrawlConfig(
+        refresh_delay_s=3600, adaptive_refresh=True, refresh_min_s=900,
+        refresh_max_s=14400, recrawl_budget=10, bloom_enabled=False,
+        link_rank_enabled=True, round_fetch_budget=5,
+    )
+    cat = TableCatalog(spark, str(tmp_path / "state"))
+    bootstrap(cat, _seeds(spark), cfg)
+    host_status = build_host_status(_pages(spark, 0))
+    for n in range(5):
+        run_round(cat, _pages(spark, n), host_status, cfg, n)
+    meta = cat.read_deltas("fetch_meta")
+    fetched = {}
+    for r in meta.select("url", "round").collect():
+        fetched.setdefault(r["url"], []).append(r["round"])
+    # the pump refetched both pages at least once under the cap
+    assert len(fetched.get(A, [])) >= 2
+    assert len(fetched.get(B, [])) >= 2
+    ttls = {
+        r["ttl_s"]
+        for r in cat.read_deltas("seen").where(F.col("ttl_s").isNotNull()).collect()
+    }
+    assert 1800 in ttls or 900 in ttls   # A halved at least once
+    assert 7200 in ttls                   # B doubled at least once
