@@ -3681,6 +3681,69 @@ ORDER BY cnt DESC, token ASC LIMIT {_VOCAB_K}
 """
 
 
+_BPE_K = 50
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep: the adjacent-symbol pair statistics of BPE's
+    first merge iteration (Sennrich et al. 2016 — public), computed
+    corpus-wide.  Word frequencies aggregate FIRST (the classic BPE
+    trick: pair counts then cost O(|vocab|·len), not O(corpus)), then
+    each word explodes into its adjacent character pairs weighted by
+    the word's frequency; deterministic top-50 by (count DESC, pair
+    ASC) via TakeOrdered.  Words are restricted to ASCII letters so
+    Spark's UTF-16 and DuckDB's UTF-8 substring semantics coincide —
+    a real multilingual run would pre-map text to byte symbols
+    anyway (byte-level BPE)."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+            ).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_K)
+    )
+
+
+ORACLE_BPE = rf"""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x != '')) AS w
+    FROM documents
+  ) WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, length(w)),
+                               i -> substring(w, CAST(i AS INT), 2))) AS pair
+  FROM words
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT {_BPE_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # linear quality classifier (hashing trick — model-scoring plumbing)
 # --------------------------------------------------------------------------
@@ -3816,6 +3879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "url_quality": q_url_quality,
     "vocab_topk": q_vocab_topk,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "quality_classifier": q_quality_classifier,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
@@ -3903,6 +3967,7 @@ ORACLES: dict[str, str] = {
     "repetition_stats": ORACLE_REPETITION,
     "url_quality": ORACLE_URL_QUALITY,
     "vocab_topk": ORACLE_VOCAB,
+    "bpe_pair_counts": ORACLE_BPE,
     "quality_classifier": _classifier_oracle_sql(),
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
