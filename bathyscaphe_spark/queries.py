@@ -2614,6 +2614,78 @@ FROM due
 """
 
 
+def q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-lastmod conditional refresh: join advertised lastmod
+    against the engine's fetch history (fetch_meta) and fetch only what
+    changed or was never seen — how real crawlers spend zero requests
+    on pages the sitemap says are stale-free.  Output per url:
+    (needs_fetch, staleness_s = lastmod − last fetch, 0 floor).  Pure
+    join + column arithmetic; one shuffle."""
+    _docs(spark, sf_dir)
+    sitemap = spark.sql(
+        """
+        SELECT 'https://h' || CAST(doc_id % 40 AS STRING) || '.onion/p'
+                   || CAST(doc_id % 200 AS STRING) AS url,
+               to_timestamp(1714564800 + (doc_id % 200) * 600) AS lastmod_ts
+        FROM documents WHERE doc_id < 200
+        """
+    )
+    fetched = spark.sql(
+        """
+        SELECT 'https://h' || CAST(doc_id % 40 AS STRING) || '.onion/p'
+                   || CAST(doc_id % 200 AS STRING) AS url,
+               to_timestamp(1714564800 + (doc_id % 200) * 600
+                            + (CASE WHEN doc_id % 3 = 0 THEN -900
+                                    ELSE 900 END)) AS fetch_ts
+        FROM documents WHERE doc_id < 200 AND doc_id % 5 != 0
+        """
+    )
+    j = sitemap.join(fetched, "url", "left")
+    stale = F.when(
+        F.col("fetch_ts").isNull(),
+        F.lit(None).cast("long"),
+    ).otherwise(
+        F.greatest(
+            F.unix_timestamp("lastmod_ts") - F.unix_timestamp("fetch_ts"),
+            F.lit(0),
+        )
+    )
+    return j.select(
+        "url",
+        "lastmod_ts",
+        "fetch_ts",
+        stale.alias("staleness_s"),
+        (
+            F.col("fetch_ts").isNull()
+            | (F.col("lastmod_ts") > F.col("fetch_ts"))
+        ).alias("needs_fetch"),
+    )
+
+
+ORACLE_SITEMAP_REFRESH = """
+WITH sitemap AS (
+  SELECT 'https://h' || CAST(doc_id % 40 AS STRING) || '.onion/p'
+             || CAST(doc_id % 200 AS STRING) AS url,
+         to_timestamp(1714564800 + (doc_id % 200) * 600)::TIMESTAMP AS lastmod_ts
+  FROM documents WHERE doc_id < 200
+),
+fetched AS (
+  SELECT 'https://h' || CAST(doc_id % 40 AS STRING) || '.onion/p'
+             || CAST(doc_id % 200 AS STRING) AS url,
+         to_timestamp(1714564800 + (doc_id % 200) * 600
+                      + (CASE WHEN doc_id % 3 = 0 THEN -900
+                              ELSE 900 END))::TIMESTAMP AS fetch_ts
+  FROM documents WHERE doc_id < 200 AND doc_id % 5 != 0
+)
+SELECT s.url, s.lastmod_ts, f.fetch_ts,
+       CASE WHEN f.fetch_ts IS NULL THEN NULL
+            ELSE CAST(greatest(epoch(s.lastmod_ts) - epoch(f.fetch_ts), 0)
+                      AS BIGINT) END AS staleness_s,
+       (f.fetch_ts IS NULL OR s.lastmod_ts > f.fetch_ts) AS needs_fetch
+FROM sitemap s LEFT JOIN fetched f USING (url)
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl staleness from revisit history (operators/
     recrawl.py recrawl_priority): per-URL change counts from
@@ -3869,6 +3941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_priority": q_recrawl_priority,
     "adaptive_ttl": q_adaptive_ttl,
     "recrawl_due": q_recrawl_due,
+    "sitemap_refresh": q_sitemap_refresh,
     "anchor_text": q_anchor_text,
     "ivf_topk": q_ivf_topk,
     "o1_delay_budget": q_o1_delay_budget,
@@ -3957,6 +4030,7 @@ ORACLES: dict[str, str] = {
     "recrawl_priority": ORACLE_RECRAWL,
     "adaptive_ttl": ORACLE_ADAPTIVE_TTL,
     "recrawl_due": ORACLE_RECRAWL_DUE,
+    "sitemap_refresh": ORACLE_SITEMAP_REFRESH,
     "anchor_text": ORACLE_ANCHOR_TEXT,
     "ivf_topk": ORACLE_IVF,
     "o1_delay_budget": ORACLE_O1_DELAY,
