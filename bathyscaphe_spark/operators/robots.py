@@ -200,3 +200,35 @@ def apply_robots(
         F.col("_r_prefix")
     )
     return candidates.join(F.broadcast(r), cond, "left_anti")
+
+
+def parse_sitemaps_py(text: str) -> list[str]:
+    """``Sitemap:`` directive URLs, in order of appearance.  Per the
+    sitemaps protocol these are GLOBAL lines — independent of any
+    user-agent group — so no agent parameter; '#' comments strip first
+    (a commented-out Sitemap line must not parse), and the value splits
+    on the FIRST ':' only (the URL itself contains one)."""
+    out: list[str] = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
+
+
+def sitemap_urls_col():
+    """Arrow-batched column form of ``parse_sitemaps_py`` (lazy: no
+    SparkSession needed at import)."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _sm(bodies: pd.Series) -> pd.Series:
+        return pd.Series(
+            [parse_sitemaps_py(b if isinstance(b, str) else
+                               (bytes(b).decode("utf-8", "replace") if b is not None else ""))
+             for b in bodies]
+        )
+
+    return _sm

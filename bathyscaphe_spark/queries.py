@@ -2105,6 +2105,42 @@ SELECT doc_id, '/extra' FROM documents WHERE doc_id % 5 <> 0
 """
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Sitemap:`` directive harvesting from robots.txt bodies
+    (operators/robots.py parse_sitemaps_py): global lines independent
+    of user-agent groups, mixed-case keys, first-colon-only value
+    split (the URL contains ':'), commented-out lines must NOT parse.
+    Feeds the sitemap ingestion pipeline (sources/sitemap.py) — the
+    standard discovery chain robots → sitemap → seeds."""
+    from .operators.robots import sitemap_urls_col
+
+    d = _docs(spark, sf_dir)
+    text = F.expr(
+        "'User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://h' || CAST(doc_id % 23 AS STRING) || "
+        "'.onion/sm' || CAST(doc_id AS STRING) || '.xml\n"
+        "# Sitemap: https://commented.onion/never.xml\n' || "
+        "CASE WHEN doc_id % 4 = 0 THEN 'sitEMAP: https://h' || "
+        "CAST(doc_id % 23 AS STRING) || '.onion/extra.xml\n' ELSE '' END"
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(sitemap_urls_col()(text)).alias("pos", "sitemap_url"),
+    )
+
+
+ORACLE_ROBOTS_SITEMAPS = """
+SELECT doc_id, CAST(0 AS INT) AS pos,
+       'https://h' || CAST(doc_id % 23 AS STRING) || '.onion/sm'
+           || CAST(doc_id AS STRING) || '.xml' AS sitemap_url
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INT),
+       'https://h' || CAST(doc_id % 23 AS STRING) || '.onion/extra.xml'
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec-free multimodal decode: deterministic P6 PPM / PCM16
     WAV payloads are synthesized from doc_id, then parsed back by the
@@ -3942,6 +3978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adaptive_ttl": q_adaptive_ttl,
     "recrawl_due": q_recrawl_due,
     "sitemap_refresh": q_sitemap_refresh,
+    "robots_sitemaps": q_robots_sitemaps,
     "anchor_text": q_anchor_text,
     "ivf_topk": q_ivf_topk,
     "o1_delay_budget": q_o1_delay_budget,
@@ -4031,6 +4068,7 @@ ORACLES: dict[str, str] = {
     "adaptive_ttl": ORACLE_ADAPTIVE_TTL,
     "recrawl_due": ORACLE_RECRAWL_DUE,
     "sitemap_refresh": ORACLE_SITEMAP_REFRESH,
+    "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
     "anchor_text": ORACLE_ANCHOR_TEXT,
     "ivf_topk": ORACLE_IVF,
     "o1_delay_budget": ORACLE_O1_DELAY,

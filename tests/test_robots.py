@@ -147,3 +147,25 @@ def test_fetch_robots_end_to_end(spark, tmp_path):
     ]
     # r2: Crawl-delay 30 @ round 60s ⇒ budget floor(60/30)=2
     assert stats[2].scheduled == 2
+
+
+def test_parse_sitemaps_goldens():
+    from bathyscaphe_spark.operators.robots import parse_sitemaps_py
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: https://a.onion/s1.xml\n"
+        "# Sitemap: https://commented.onion/no.xml\n"
+        "siteMAP:   https://a.onion/s2.xml  \n"
+        "Sitemap: https://b.onion/s3.xml # trailing comment\n"
+        "Sitemap:\n"          # empty value: skipped
+        "Sitemapx: https://not-a-directive\n"
+    )
+    assert parse_sitemaps_py(body) == [
+        "https://a.onion/s1.xml",
+        "https://a.onion/s2.xml",
+        "https://b.onion/s3.xml",
+    ]
+    assert parse_sitemaps_py("") == []
+    assert parse_sitemaps_py(None) == []

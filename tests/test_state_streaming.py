@@ -178,3 +178,56 @@ def test_streaming_seen_dedup(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r["url"], r["url_hash"]) for r in spark.sql("select * from dedup_out").collect()}
     assert rows == {("u1", 1), ("u2", 2), ("u3", 3)}
+
+
+def test_stream_to_universe_feeds_crawl(spark, tmp_path):
+    """Structured Streaming front door: page arrivals land in the
+    universe dir exactly once (checkpointed epochs), and a crawl round
+    fetches out of the streamed universe.  Re-running the stream with
+    the same checkpoint appends nothing new."""
+    import glob
+    import os
+    from datetime import datetime, timezone
+
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.pipeline.driver import crawl
+    from bathyscaphe_spark.streaming.ingest import stream_to_universe
+
+    ts = datetime(2024, 5, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+    hdr = {"Content-Type": "text/html"}
+    rows = [
+        ("https://s.onion", "s.onion", ts,
+         "to https://a.onion and https://b.onion".encode(), hdr, 200),
+        ("https://a.onion", "a.onion", ts, b"alpha", hdr, 200),
+        ("https://b.onion", "b.onion", ts, b"beta", hdr, 200),
+    ]
+    schema = ("url string, host string, warc_ts timestamp, html binary,"
+              " headers map<string,string>, status int")
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    os.rename(part, os.path.join(src, "batch-0.parquet"))
+
+    uni = str(tmp_path / "universe")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_to_universe(stream, uni, ckpt).start().awaitTermination()
+    n1 = spark.read.parquet(uni).count()
+    assert n1 == 3
+
+    # exactly-once: same checkpoint, no new files -> no duplicate append
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    stream_to_universe(stream2, uni, ckpt).start().awaitTermination()
+    assert spark.read.parquet(uni).count() == n1
+
+    # the streamed universe is crawlable
+    pages = spark.read.parquet(uni)
+    seeds = spark.createDataFrame([("https://s.onion", "s.onion")],
+                                  "url string, host string")
+    stats = crawl(spark, pages, seeds, str(tmp_path / "state"),
+                  CrawlConfig(bloom_enabled=False), max_rounds=2)
+    assert stats[0].fetched == 1          # the seed
+    assert stats[1].fetched == 2          # a + b discovered from it
