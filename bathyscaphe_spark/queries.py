@@ -1204,6 +1204,72 @@ LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup APPLIED: the cleaned corpus after dropping every
+    non-canonical member of each MinHash-LSH connected component — one
+    row per surviving document with its duplicate-set size and a
+    content digest (proving the text column rides through the plan,
+    not just ids).  The pipeline LLM corpora actually ship: pairs →
+    closure → keep-canonical → emit."""
+    from .operators.dedup import minhash_dedup_pairs
+    from .operators.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.6
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = corpus.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        "text",
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        labeled.where(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "n_members",
+            F.md5(F.col("text")).alias("content_md5"),
+        )
+    )
+
+
+def _dedup_apply_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) mh),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.text
+  FROM ({NEARDUP_CORPUS_SQL}) d
+  LEFT JOIN comp c ON c.node = d.doc_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, CAST(s.n_members AS BIGINT) AS n_members,
+       md5(l.text) AS content_md5
+FROM labeled l JOIN sizes s USING (cluster_id)
+WHERE l.doc_id = l.cluster_id
+"""
+
+
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash fingerprints of every document
     (operators/dedup.py simhash — FNV word hashes + column-expr votes)."""
@@ -3979,6 +4045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_due": q_recrawl_due,
     "sitemap_refresh": q_sitemap_refresh,
     "robots_sitemaps": q_robots_sitemaps,
+    "dedup_apply": q_dedup_apply,
     "anchor_text": q_anchor_text,
     "ivf_topk": q_ivf_topk,
     "o1_delay_budget": q_o1_delay_budget,
@@ -4069,6 +4136,7 @@ ORACLES: dict[str, str] = {
     "recrawl_due": ORACLE_RECRAWL_DUE,
     "sitemap_refresh": ORACLE_SITEMAP_REFRESH,
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
+    "dedup_apply": _dedup_apply_oracle_sql(),
     "anchor_text": ORACLE_ANCHOR_TEXT,
     "ivf_topk": ORACLE_IVF,
     "o1_delay_budget": ORACLE_O1_DELAY,
