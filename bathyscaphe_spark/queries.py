@@ -1477,6 +1477,49 @@ SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
 """
 
 
+def q_supplier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by account balance per region (TPC-H-Q2-shaped
+    pick without partsupp): supplier ⋈ broadcast(nation ⋈ region) +
+    one Window rank — the dimension joins broadcast, only the fact
+    side shuffles on the window key.  Cents-integer balances for hash
+    stability."""
+    from pyspark.sql import Window
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dim = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    j = s.join(dim, s.s_nationkey == dim.n_nationkey)
+    bal_c = F.round(F.col("s_acctbal") * 100).cast("long")
+    w = Window.partitionBy("r_name").orderBy(
+        F.desc("bal_cents"), F.asc("s_suppkey")
+    )
+    return (
+        j.select("r_name", "n_name", "s_suppkey", "s_name", bal_c.alias("bal_cents"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+ORACLE_SUPPLIER_TOPK = """
+WITH j AS (
+  SELECT r.r_name, n.n_name, s.s_suppkey, s.s_name,
+         CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT r_name, n_name, s_suppkey, s_name, bal_cents,
+       CAST(row_number() OVER (PARTITION BY r_name
+             ORDER BY bal_cents DESC, s_suppkey ASC) AS BIGINT) AS rk
+FROM j QUALIFY rk <= 3
+"""
+
+
 def q_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation across the region→nation→customer join."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -4070,6 +4113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "events_topk": q_events_topk,
     "rollup_customers": q_rollup_customers,
+    "supplier_topk": q_supplier_topk,
     "pagerank_priority": q_pagerank_priority,
     "corpus_build": q_corpus_build,
     "streaming_dedup": q_streaming_dedup,
@@ -4163,6 +4207,7 @@ ORACLES: dict[str, str] = {
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "events_topk": ORACLE_EVENTS_TOPK,
     "rollup_customers": ORACLE_ROLLUP,
+    "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "pagerank_priority": _pagerank_oracle_sql(),
     "corpus_build": ORACLE_CORPUS_BUILD,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
