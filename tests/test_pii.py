@@ -80,3 +80,29 @@ def test_python_re_mirror_agrees(spark):
     got = _run(spark, texts)
     for t, g in zip(texts, got):
         assert g == _mirror(t), t
+
+
+def test_randomized_corpus_agrees_with_re(spark):
+    """200 deterministic pseudo-random ASCII strings (digit-heavy, PII
+    fragments spliced in) — Spark's Java regex pipeline must agree with
+    the python re mirror on every one.  One DataFrame pass, not
+    per-case sessions."""
+    import random
+
+    rng = random.Random(42)
+    frags = [
+        "a@b.io", "10.0.0.1", "+1 555 123 4567", "1.2.3.4.5", "....",
+        "a-b@c-d.org", " 99999999 ", "999999999", "@@", ".5.5.5.5",
+        "x@y", "1 2 3 4 5 6 7 8 9", "-5.-5.-5.-5", "+?12",
+    ]
+    alphabet = "ab19 .@-+%_"
+    texts = []
+    for _ in range(200):
+        parts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12)))]
+        for _ in range(rng.randrange(0, 4)):
+            parts.append(rng.choice(frags))
+            parts.append("".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 8))))
+        texts.append("".join(parts))
+    got = _run(spark, texts)
+    for t, g in zip(texts, got):
+        assert g == _mirror(t), repr(t)
