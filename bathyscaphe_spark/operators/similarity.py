@@ -218,16 +218,35 @@ def ivf_assign(
     )
 
 
+def centroids_from_fp(trained: DataFrame, scale: int = 1 << 20) -> DataFrame:
+    """(cell, cv, cn) from kmeans_fp_train's exploded fixed-point output
+    — the adapter that plugs trained centroids into ivf_assign/ivf_topk
+    in place of the hash-picked sample."""
+    arr = (
+        trained.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c_fp"))).alias("a"))
+        .select(
+            "cell",
+            F.transform(
+                "a", lambda s: s["c_fp"].cast("double") / F.lit(float(scale))
+            ).alias("cv"),
+        )
+    )
+    return arr.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+
+
 def ivf_topk(
     emb: DataFrame, id_col: str, vec_col: str, query_ids, k: int,
     n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates live in the nprobe cells whose
     centroids are nearest the query; exact cosine rerank within.
     Output (q_id, n_id, rank).  The corpus side is assigned once (one
     shuffle) and never replicates; only the tiny query side explodes
     into probes."""
-    centroids = ivf_centroids(emb, id_col, vec_col, n_cells)
+    if centroids is None:
+        centroids = ivf_centroids(emb, id_col, vec_col, n_cells)
     corpus = ivf_assign(emb, id_col, vec_col, n_cells, centroids).selectExpr(
         "_id AS n_id", "v AS nv", "nrm AS nn", "cell"
     )
@@ -249,4 +268,101 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH
+    Spark's DIV and DuckDB's // implement (python's // floors, so the
+    driver-side step must not use it)."""
+    return -((-s) // n) if s < 0 else s // n
+
+
+def kmeans_fp_train(
+    emb: DataFrame, id_col: str, vec_col: str, n_cells: int = IVF_CELLS,
+    iters: int = 2, scale: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd) for IVF centroid
+    training, in FIXED-POINT arithmetic: vectors quantize to
+    floor(x·2^20) longs, distances are exact integer L2, and centroid
+    updates are exact long sums followed by truncating division — so
+    the result is bit-identical at any parallelism (float summation
+    order can never leak in) and replicable by the integer-SQL oracle.
+
+    Init = the hash-picked sample (``ivf_centroids``' pick); each
+    iteration is one broadcast-assign (the groupBy min(struct) argmin,
+    map-side combinable) + one (cell, pos) sum — the element-wise
+    centroid numerators.  Per iteration the driver collects only
+    n_cells × dim aggregated rows (bounded small, like the blacklist
+    head); an empty cell keeps its previous centroid.
+
+    Returns exploded (cell, pos, c_fp, n_members): scalar columns so
+    engine-vs-oracle comparison never string-compares arrays.
+    """
+    from .sampling import sample_bucket
+
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("vf"),
+    ).persist()
+    picked = (
+        base.withColumn("bkt", sample_bucket(F.col("_id")))
+        .orderBy("bkt", "_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [(i + 1, list(r["vf"])) for i, r in enumerate(picked)]
+    members = {cell: 0 for cell, _ in cents}
+    try:
+        for _ in range(iters):
+            cdf = F.broadcast(
+                spark.createDataFrame(cents, "cell long, cf array<long>")
+            )
+            d2 = F.aggregate(
+                F.zip_with("vf", "cf", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            assigned = (
+                base.crossJoin(cdf)
+                .select("_id", "vf", "cell", d2.alias("d2"))
+                .groupBy("_id")
+                .agg(F.min(F.struct("d2", "cell", "vf")).alias("m"))
+                .select(F.col("m.cell").alias("cell"), F.col("m.vf").alias("vf"))
+            )
+            sums = (
+                assigned.select("cell", F.posexplode("vf").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in sums:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+            nxt = []
+            for cell, vec in cents:
+                got = by_cell.get(cell)
+                if got:
+                    n = got[0][1]
+                    nxt.append(
+                        (cell, [_trunc_div(got[p][0], n) for p in range(len(vec))])
+                    )
+                    members[cell] = n
+                else:
+                    nxt.append((cell, vec))  # empty cell keeps its centroid
+                    members[cell] = 0
+            cents = nxt
+    finally:
+        base.unpersist()
+    rows = [
+        (cell, pos, val, members[cell])
+        for cell, vec in cents
+        for pos, val in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "cell long, pos long, c_fp long, n_members long"
     )

@@ -974,6 +974,84 @@ SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means for IVF centroid training
+    (operators/similarity.py kmeans_fp_train): two Lloyd iterations in
+    FIXED-POINT arithmetic — floor(x·2^20) quantization, exact integer
+    L2 argmin (min-struct, map-side combinable), exact long centroid
+    sums with truncating division — so float summation order can never
+    leak in and the oracle unrolls the identical iterations in integer
+    SQL.  Output exploded (cell, pos, c_fp, n_members)."""
+    from .operators.similarity import kmeans_fp_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_fp_train(emb, "vec_id", "embedding", n_cells=16, iters=2)
+
+
+_IVF_BUCKET_FOLD = """
+list_reduce(list_prepend(0::HUGEINT, list_transform(
+    string_split_regex(substring(md5(CAST(vec_id AS VARCHAR)), 1, 8), ''),
+    c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+  (a, b2) -> a * 16 + b2
+) % 10000
+"""
+
+_IVF_ITER_SQL = """
+a{i} AS (
+  SELECT b.vec_id, b.vf, c.cell,
+         CAST(list_sum(list_transform(list_zip(b.vf, c.cf),
+              s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+  FROM b, c{p} c
+),
+w{i} AS (
+  SELECT vec_id, vf, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cell) AS rk FROM a{i}
+  ) WHERE rk = 1
+),
+g{i} AS (
+  SELECT cell, unnest(range(0, len(vf))) AS pos, unnest(vf) AS val
+  FROM w{i}
+),
+u{i} AS (
+  SELECT cell, pos, sum(val) AS s, count(*) AS n
+  FROM g{i} GROUP BY cell, pos
+),
+c{i} AS (
+  SELECT p.cell, coalesce(x.cf_new, p.cf) AS cf,
+         coalesce(x.n, 0) AS n_members
+  FROM c{p} p LEFT JOIN (
+    SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cf_new,
+           max(n) AS n
+    FROM u{i} GROUP BY cell
+  ) x USING (cell)
+)
+"""
+
+ORACLE_IVF_TRAIN = f"""
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS vf,
+         {_IVF_BUCKET_FOLD} AS bkt
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY bkt, vec_id) AS cell, vf AS cf
+  FROM (SELECT * FROM b ORDER BY bkt, vec_id LIMIT 16)
+),
+{_IVF_ITER_SQL.format(i=1, p=0)},
+{_IVF_ITER_SQL.format(i=2, p=1)}
+SELECT cell, CAST(pos AS BIGINT) AS pos, c_fp,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (
+  SELECT cell, unnest(range(0, len(cf))) AS pos, unnest(cf) AS c_fp,
+         n_members
+  FROM c2
+)
+"""
+
+
 ORACLE_KNN = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
  n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -4091,6 +4169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply": q_dedup_apply,
     "anchor_text": q_anchor_text,
     "ivf_topk": q_ivf_topk,
+    "ivf_train": q_ivf_train,
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
@@ -4183,6 +4262,7 @@ ORACLES: dict[str, str] = {
     "dedup_apply": _dedup_apply_oracle_sql(),
     "anchor_text": ORACLE_ANCHOR_TEXT,
     "ivf_topk": ORACLE_IVF,
+    "ivf_train": ORACLE_IVF_TRAIN,
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,

@@ -108,3 +108,45 @@ def test_ivf_subset_semantics(spark, emb):
     ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     for r in out:
         assert r["n_id"] in ids and r["n_id"] != r["q_id"]
+
+
+def test_kmeans_fp_deterministic_and_convergent(spark):
+    """Fixed-point Lloyd: bit-identical under repartitioning, and on
+    separated clusters each populated cell's centroid is dominated by
+    one cluster axis after 2 iterations."""
+    from bathyscaphe_spark.operators.similarity import kmeans_fp_train
+
+    d = _clustered(spark)
+    a = sorted(map(tuple, kmeans_fp_train(d, "vec_id", "embedding").collect()))
+    b = sorted(map(tuple, kmeans_fp_train(
+        d.repartition(13), "vec_id", "embedding").collect()))
+    assert a == b
+    # members over populated cells cover the corpus
+    mem = {}
+    for cell, pos, c_fp, n in a:
+        mem[cell] = n
+    assert sum(mem.values()) == 200
+    # every populated cell's centroid has its mass on a single axis
+    by_cell = {}
+    for cell, pos, c_fp, n in a:
+        if n > 0:
+            by_cell.setdefault(cell, []).append(c_fp)
+    for cell, vec in by_cell.items():
+        top = max(abs(v) for v in vec)
+        assert top > 0.8 * (1 << 20), (cell, vec)
+
+
+def test_ivf_topk_with_trained_centroids_matches_exact(spark):
+    from bathyscaphe_spark.operators.similarity import (
+        centroids_from_fp,
+        ivf_topk,
+        kmeans_fp_train,
+    )
+
+    d = _clustered(spark)
+    trained = centroids_from_fp(kmeans_fp_train(d, "vec_id", "embedding"))
+    qs = [0, 40, 80, 120, 160]
+    exact = cosine_topk(d, "vec_id", "embedding", qs, k=3).collect()
+    approx = ivf_topk(d, "vec_id", "embedding", qs, k=3,
+                      centroids=trained).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))
