@@ -2202,6 +2202,137 @@ def q_crawl_2rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out0.unionByName(out1)
 
 
+def q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 METRICS CONTRACT — two REAL run_round executions (catalog,
+    staged writes, atomic commits) over the crawl_2rounds-style
+    arithmetic universe; returns the committed metrics table's
+    per-round stage totals (scheduled from the per-partition lineage
+    sum — partitioning-independent by construction; fetched / timeouts
+    / discovered from the stage rows).  The oracle recomputes every
+    count arithmetically: link graph, F1-F4, D1/D2 vs the bootstrap
+    seen, round-0 timeout promotion gating round 1's fetch and
+    discovery.  Budgets are set non-binding so politeness never cuts
+    (the budget path has its own oracles)."""
+    import shutil
+    import tempfile
+
+    from .pipeline.driver import bootstrap
+    from .pipeline.round import run_round
+    from .pipeline.synth import build_host_status
+    from .state.tables import TableCatalog
+
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    i = F.col("doc_id")
+
+    def purl(col):
+        return F.concat(
+            F.lit("http://chost"), (col % 23).cast("string"),
+            F.lit(".onion/p"), col.cast("string"), F.lit(".html"),
+        )
+
+    links = [(i * 7 + 3) % n, (i * 13 + 11) % n, (i * 31 + 17) % n]
+    body = F.concat(
+        F.lit('<html><body><a href="'), purl(links[0]),
+        F.lit('">a</a> <a href="'), purl(links[1]),
+        F.lit('">b</a> see '), purl(links[2]),
+        F.lit(' <img src="http://chost'), (i % 23).cast("string"),
+        F.lit(".onion/img"), i.cast("string"),
+        F.lit('.png"> also https://mirror.example.com/x.html'
+              " and ftp://f.onion/dump</body></html>"),
+    )
+    univ = d.select(
+        purl(i).alias("url"),
+        F.concat(F.lit("chost"), (i % 23).cast("string"),
+                 F.lit(".onion")).alias("host"),
+        F.to_timestamp(F.lit("2020-10-29 12:00:00")).alias("warc_ts"),
+        body.cast("binary").alias("html"),
+        F.create_map(F.lit("Content-Type"), F.lit("text/html")).alias("headers"),
+        F.when((i % 23) % 7 == 3, F.lit(-1)).otherwise(F.lit(200))
+        .cast("int").alias("status"),
+        i.alias("doc_i"),
+    )
+    seeds = univ.where("doc_i % 10 = 0").select("url", "host")
+    cfg = CrawlConfig(
+        bloom_enabled=False, per_host_budget=1_000_000,
+        blacklist_threshold=1,
+    )
+    root = tempfile.mkdtemp(prefix="q_crawl_metrics_")
+    try:
+        cat = TableCatalog(spark, root)
+        bootstrap(cat, seeds, cfg)
+        hs = build_host_status(univ)
+        run_round(cat, univ, hs, cfg, 0)
+        run_round(cat, univ, hs, cfg, 1)
+        m = cat.read_deltas("metrics")
+        totals = m.where(
+            (F.col("partition_id") == -1) & (F.col("stage") != "fetch")
+        ).select("round", "stage", "rows")
+        sched = (
+            m.where(F.col("stage") == "scheduled")
+            .groupBy("round")
+            .agg(F.sum("rows").alias("rows"))
+            .select("round", F.lit("scheduled").alias("stage"), "rows")
+        )
+        rows = totals.unionByName(sched).collect()  # tiny; state dir dies
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "round int, stage string, rows bigint")
+
+
+def _crawl_metrics_oracle_sql() -> str:
+    """Arithmetic ground truth for q_crawl_metrics: the same CTE
+    machinery as the crawl_2rounds oracle, with the bootstrap seen
+    (seeds, never expiring) instead of the seeded-TTL fixture."""
+    return """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+ ids AS (SELECT doc_id AS i FROM documents),
+ seeds AS (SELECT i FROM ids WHERE i % 10 = 0),
+ fetched0 AS (SELECT i FROM seeds WHERE (i % 23) % 7 <> 3),
+ timeouts0 AS (SELECT i FROM seeds WHERE (i % 23) % 7 = 3),
+ cand0 AS (
+   SELECT DISTINCT j FROM (
+     SELECT (i*7+3) % (SELECT n FROM n) AS j FROM fetched0
+     UNION ALL SELECT (i*13+11) % (SELECT n FROM n) FROM fetched0
+     UNION ALL SELECT (i*31+17) % (SELECT n FROM n) FROM fetched0
+   )
+ ),
+ new0 AS (
+   SELECT j FROM cand0 WHERE j NOT IN (SELECT i FROM seeds)
+ ),
+ -- blacklist after round 0: hosts of seed timeouts, still down
+ bl AS (SELECT DISTINCT (i % 23) AS h FROM timeouts0),
+ -- round 1: frontier = new0; blacklisted hosts never reach the fetch
+ notbl1 AS (
+   SELECT j FROM new0 WHERE (j % 23) NOT IN (SELECT h FROM bl)
+ ),
+ fetched1 AS (SELECT j AS i FROM notbl1 WHERE (j % 23) % 7 <> 3),
+ timeouts1 AS (SELECT j FROM notbl1 WHERE (j % 23) % 7 = 3),
+ cand1 AS (
+   SELECT DISTINCT j FROM (
+     SELECT (i*7+3) % (SELECT n FROM n) AS j FROM fetched1
+     UNION ALL SELECT (i*13+11) % (SELECT n FROM n) FROM fetched1
+     UNION ALL SELECT (i*31+17) % (SELECT n FROM n) FROM fetched1
+   )
+ ),
+ new1 AS (
+   SELECT j FROM cand1
+   WHERE j NOT IN (SELECT i FROM seeds)
+     AND j NOT IN (SELECT j FROM new0)
+     AND (j % 23) NOT IN (SELECT h FROM bl)
+ )
+SELECT CAST(0 AS INT) AS round, 'scheduled' AS stage,
+       CAST((SELECT count(*) FROM seeds) AS BIGINT) AS rows
+UNION ALL SELECT 0, 'fetched', (SELECT count(*) FROM fetched0)
+UNION ALL SELECT 0, 'timeouts', (SELECT count(*) FROM timeouts0)
+UNION ALL SELECT 0, 'discovered', (SELECT count(*) FROM new0)
+UNION ALL SELECT 1, 'scheduled', (SELECT count(*) FROM new0)
+UNION ALL SELECT 1, 'fetched', (SELECT count(*) FROM fetched1)
+UNION ALL SELECT 1, 'timeouts', (SELECT count(*) FROM timeouts1)
+UNION ALL SELECT 1, 'discovered', (SELECT count(*) FROM new1)
+"""
+
+
 def _crawl2_oracle_sql() -> str:
     """DuckDB ground truth for crawl_2rounds: the link graph is computed
     ARITHMETICALLY (no regex) — the Spark side must reproduce it through
@@ -4120,6 +4251,7 @@ GROUP BY t.doc_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scheduler_round": q_scheduler_round,
     "crawl_2rounds": q_crawl_2rounds,
+    "crawl_metrics": q_crawl_metrics,
     "f5_content_type": q_f5_content_type,
     "f6_redirect_policy": q_f6_redirect_policy,
     "x7_header_lower": q_x7_header_lower,
@@ -4209,6 +4341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "scheduler_round": ORACLE_SCHEDULER_ROUND,
     "crawl_2rounds": _crawl2_oracle_sql(),
+    "crawl_metrics": _crawl_metrics_oracle_sql(),
     "f5_content_type": ORACLE_F5,
     "f6_redirect_policy": ORACLE_F6,
     "x7_header_lower": ORACLE_X7,
