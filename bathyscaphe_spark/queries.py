@@ -1546,6 +1546,52 @@ def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts as one column per event type plus a
+    value sum in cents — the wide-table reshape Spark plans as a single
+    partial-aggregated pivot (one shuffle, no join per column).  The
+    type list is pinned explicitly (never inferred with an extra scan),
+    which is also what keeps the output schema stable at 100 TB."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    total = None
+    for t in _PIVOT_TYPES:
+        c = F.coalesce(F.col(f"{t}_cents"), F.lit(0))
+        total = c if total is None else total + c
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+        total.cast("long").alias("value_cents"),
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT user_id,
+       {counts},
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+""".format(
+    counts=",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+)
+
+
 ORACLE_EVENTS_TOPK = """
 SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
   SELECT user_id, event_id,
@@ -4323,6 +4369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "approx_distinct": q_approx_distinct,
     "events_topk": q_events_topk,
+    "events_pivot": q_events_pivot,
     "rollup_customers": q_rollup_customers,
     "supplier_topk": q_supplier_topk,
     "pagerank_priority": q_pagerank_priority,
@@ -4419,6 +4466,7 @@ ORACLES: dict[str, str] = {
     # exact count and the 15% error bound are oracle-pinned
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "events_topk": ORACLE_EVENTS_TOPK,
+    "events_pivot": ORACLE_EVENTS_PIVOT,
     "rollup_customers": ORACLE_ROLLUP,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "pagerank_priority": _pagerank_oracle_sql(),
