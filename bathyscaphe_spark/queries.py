@@ -1546,6 +1546,37 @@ def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — JSON decode at the edges: the events table's ``props``
+    column is a JSON string (exactly how semi-structured payloads
+    arrive off a wire); parse the typed field JVM-side
+    (get_json_object, codegen — never a Python json.loads) and
+    aggregate it per event type.  Schema-on-read for the one field we
+    need, not a full from_json materialization."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4370,6 +4401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "events_topk": q_events_topk,
     "events_pivot": q_events_pivot,
+    "json_props": q_json_props,
     "rollup_customers": q_rollup_customers,
     "supplier_topk": q_supplier_topk,
     "pagerank_priority": q_pagerank_priority,
@@ -4467,6 +4499,7 @@ ORACLES: dict[str, str] = {
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "events_topk": ORACLE_EVENTS_TOPK,
     "events_pivot": ORACLE_EVENTS_PIVOT,
+    "json_props": ORACLE_JSON_PROPS,
     "rollup_customers": ORACLE_ROLLUP,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "pagerank_priority": _pagerank_oracle_sql(),
