@@ -2298,7 +2298,10 @@ def q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.synth import build_host_status
     from .state.tables import TableCatalog
 
-    d = _docs(spark, sf_dir)
+    # deterministic 600-doc cap: identical to the full table at the
+    # correctness SF (500 docs) and keeps the two real catalog rounds
+    # cheap at bench SFs; the oracle applies the same cap
+    d = _docs(spark, sf_dir).where("doc_id < 600")
     n = d.count()
     i = F.col("doc_id")
 
@@ -2362,8 +2365,8 @@ def _crawl_metrics_oracle_sql() -> str:
     machinery as the crawl_2rounds oracle, with the bootstrap seen
     (seeds, never expiring) instead of the seeded-TTL fixture."""
     return """
-WITH n AS (SELECT COUNT(*) AS n FROM documents),
- ids AS (SELECT doc_id AS i FROM documents),
+WITH n AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 600),
+ ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 600),
  seeds AS (SELECT i FROM ids WHERE i % 10 = 0),
  fetched0 AS (SELECT i FROM seeds WHERE (i % 23) % 7 <> 3),
  timeouts0 AS (SELECT i FROM seeds WHERE (i % 23) % 7 = 3),
