@@ -345,3 +345,36 @@ def url_quality_keep(s: dict):
         & (s["n_params"] <= 8)
         & (s["url_len"] <= 200)
     )
+
+
+# --- tracking-parameter stripping -------------------------------------------
+
+# The public click-tracking parameters every crawl/dedup pipeline
+# strips before URL canonicalization (utm_* is the Google Analytics
+# convention; the rest are the big ad/referral platforms' click ids).
+# Pattern is Java∩RE2-safe so the oracle runs it verbatim.
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9_]+|fbclid|gclid|dclid|msclkid|mc_eid|igshid|ref|ref_src)="
+)
+
+
+def strip_tracking_col(url):
+    """URL with tracking query parameters removed — pure column
+    expressions: split the query on '&', drop params matching
+    TRACKING_PARAM_RE, rejoin (original order kept; '?' dropped when
+    nothing survives; fragment untouched because the crawl normalizer
+    already stripped it upstream).  Dedup keys built from cleaned URLs
+    collapse republished links that differ only in click-tracking."""
+    from pyspark.sql import functions as F
+
+    base = F.substring_index(url, "?", 1)
+    qs = F.when(
+        url.contains("?"), F.substring(url, F.length(base) + 2, 1_000_000)
+    ).otherwise(F.lit(None))
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.when(qs.isNull() | (F.size(kept) == 0), base).otherwise(
+        F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    )

@@ -3120,6 +3120,65 @@ FROM sitemap s LEFT JOIN fetched f USING (url)
 """
 
 
+_TRACK_URL_SQL = """
+'https://h' || CAST(doc_id % 20 AS STRING) || '.onion/p'
+ || CAST(doc_id % 50 AS STRING)
+ || CASE CAST(doc_id % 4 AS INT)
+     WHEN 0 THEN '?utm_source=tw&id=' || CAST(doc_id % 9 AS STRING)
+     WHEN 1 THEN '?id=' || CAST(doc_id % 9 AS STRING) || '&fbclid=x'
+          || CAST(doc_id AS STRING) || '&x=1'
+     WHEN 2 THEN '?utm_campaign=a&gclid=b'
+     ELSE '' END
+"""
+
+
+def q_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-parameter stripping before URL canonicalization
+    (functions/urltools.py strip_tracking_col): utm_*/click-id params
+    drop, surviving params keep their order, an all-tracking query
+    loses its '?'.  The dedup count per cleaned URL shows the point —
+    republished links differing only in click-tracking collapse."""
+    from .functions.urltools import strip_tracking_col
+
+    _docs(spark, sf_dir)
+    d = spark.sql(f"SELECT doc_id, {_TRACK_URL_SQL} AS url FROM documents")
+    clean = strip_tracking_col(F.col("url"))
+    per_url = d.select("doc_id", clean.alias("clean_url"))
+    return per_url.groupBy("clean_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_STRIP_TRACKING = rf"""
+WITH d AS (SELECT doc_id, {_TRACK_URL_SQL} AS url FROM documents),
+p AS (
+  SELECT doc_id,
+         split_part(url, '?', 1) AS base,
+         CASE WHEN strpos(url, '?') > 0
+              THEN substring(url, strpos(url, '?') + 1) END AS qs
+  FROM d
+),
+k AS (
+  SELECT doc_id, base,
+         CASE WHEN qs IS NULL THEN NULL
+              ELSE list_filter(string_split(qs, '&'),
+                   x -> x != '' AND NOT regexp_matches(x,
+                   '^(utm_[a-z0-9_]+|fbclid|gclid|dclid|msclkid|mc_eid|igshid|ref|ref_src)='))
+         END AS kept
+  FROM p
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN kept IS NULL OR len(kept) = 0 THEN base
+              ELSE base || '?' || array_to_string(kept, '&') END AS clean_url
+  FROM k
+)
+SELECT clean_url, count(*) AS n_variants, min(doc_id) AS first_doc
+FROM c GROUP BY clean_url
+"""
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl staleness from revisit history (operators/
     recrawl.py recrawl_priority): per-URL change counts from
@@ -4377,6 +4436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adaptive_ttl": q_adaptive_ttl,
     "recrawl_due": q_recrawl_due,
     "sitemap_refresh": q_sitemap_refresh,
+    "url_strip_tracking": q_url_strip_tracking,
     "robots_sitemaps": q_robots_sitemaps,
     "dedup_apply": q_dedup_apply,
     "anchor_text": q_anchor_text,
@@ -4473,6 +4533,7 @@ ORACLES: dict[str, str] = {
     "adaptive_ttl": ORACLE_ADAPTIVE_TTL,
     "recrawl_due": ORACLE_RECRAWL_DUE,
     "sitemap_refresh": ORACLE_SITEMAP_REFRESH,
+    "url_strip_tracking": ORACLE_STRIP_TRACKING,
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
     "dedup_apply": _dedup_apply_oracle_sql(),
     "anchor_text": ORACLE_ANCHOR_TEXT,

@@ -216,3 +216,35 @@ def test_findall_urls_goldens():
         "https://a.onion/x.php?id=1"
     ]
     assert findall_urls("a://b://c d") == ["a://b://c"]
+
+
+def test_strip_tracking_goldens(spark):
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.functions.urltools import strip_tracking_col
+
+    cases = [
+        ("https://a.onion/p?utm_source=tw&id=1", "https://a.onion/p?id=1"),
+        ("https://a.onion/p?id=1&fbclid=xyz&x=2", "https://a.onion/p?id=1&x=2"),
+        # all-tracking query: the '?' goes too
+        ("https://a.onion/p?utm_campaign=a&gclid=b", "https://a.onion/p"),
+        # no query untouched
+        ("https://a.onion/p", "https://a.onion/p"),
+        # param VALUE containing 'utm_' is kept (the match anchors at key=)
+        ("https://a.onion/p?q=utm_source%3D1", "https://a.onion/p?q=utm_source%3D1"),
+        # 'ref' strips, 'reframe' survives
+        ("https://a.onion/p?ref=hn&reframe=1", "https://a.onion/p?reframe=1"),
+        # order of survivors preserved
+        ("https://a.onion/p?b=2&utm_x=1&a=1", "https://a.onion/p?b=2&a=1"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = (
+        df.select("i", strip_tracking_col(F.col("url")).alias("c"))
+        .orderBy("i")
+        .collect()
+    )
+    for (url, want), r in zip(cases, got):
+        assert r["c"] == want, url
