@@ -3132,6 +3132,115 @@ _TRACK_URL_SQL = """
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff — the ops query run after every recrawl:
+    full-outer join of two capture generations on url, classifying
+    each as new / gone / changed / same by content hash.  One shuffle
+    (both sides hash-partition on url); counts by class make the
+    report."""
+    _docs(spark, sf_dir)
+    g1 = spark.sql(
+        """
+        SELECT 'https://h' || CAST(doc_id % 40 AS STRING) || '.onion/p'
+                   || CAST(doc_id % 300 AS STRING) AS url,
+               md5(CAST(doc_id % 300 AS STRING)) AS h
+        FROM documents WHERE doc_id < 300 AND doc_id % 7 != 0
+        """
+    )
+    g2 = spark.sql(
+        """
+        SELECT 'https://h' || CAST(doc_id % 40 AS STRING) || '.onion/p'
+                   || CAST(doc_id % 300 AS STRING) AS url,
+               CASE WHEN doc_id % 5 = 0
+                    THEN md5('v2-' || CAST(doc_id % 300 AS STRING))
+                    ELSE md5(CAST(doc_id % 300 AS STRING)) END AS h
+        FROM documents WHERE doc_id < 300 AND doc_id % 11 != 0
+        """
+    )
+    j = g1.selectExpr("url", "h AS h1").join(
+        g2.selectExpr("url", "h AS h2"), "url", "full_outer"
+    )
+    cls = (
+        F.when(F.col("h1").isNull(), F.lit("new"))
+        .when(F.col("h2").isNull(), F.lit("gone"))
+        .when(F.col("h1") == F.col("h2"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", cls.alias("class")).groupBy("class").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH g1 AS (
+  SELECT 'https://h' || CAST(doc_id % 40 AS STRING) || '.onion/p'
+             || CAST(doc_id % 300 AS STRING) AS url,
+         md5(CAST(doc_id % 300 AS STRING)) AS h1
+  FROM documents WHERE doc_id < 300 AND doc_id % 7 != 0
+),
+g2 AS (
+  SELECT 'https://h' || CAST(doc_id % 40 AS STRING) || '.onion/p'
+             || CAST(doc_id % 300 AS STRING) AS url,
+         CASE WHEN doc_id % 5 = 0
+              THEN md5('v2-' || CAST(doc_id % 300 AS STRING))
+              ELSE md5(CAST(doc_id % 300 AS STRING)) END AS h2
+  FROM documents WHERE doc_id < 300 AND doc_id % 11 != 0
+),
+j AS (
+  SELECT coalesce(g1.url, g2.url) AS url, h1, h2
+  FROM g1 FULL OUTER JOIN g2 USING (url)
+)
+SELECT CASE WHEN h1 IS NULL THEN 'new'
+            WHEN h2 IS NULL THEN 'gone'
+            WHEN h1 = h2 THEN 'same'
+            ELSE 'changed' END AS class,
+       count(*) AS n
+FROM j GROUP BY 1
+"""
+
+
+def q_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the FineWeb-style balance pass: no host
+    may dominate the corpus): rank each host's docs by (md5-bucket,
+    doc_id) — the same deterministic uniform order the samplers use —
+    and keep at most 5.  One Window shuffle on host."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import sample_bucket
+
+    d = _docs(spark, sf_dir)
+    docs = d.selectExpr(
+        "doc_id", "concat('h', CAST(doc_id % 17 AS STRING), '.onion') AS host"
+    ).withColumn("bucket", sample_bucket(F.col("doc_id")))
+    w = Window.partitionBy("host").orderBy("bucket", "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "host", "bucket", "rk")
+    )
+
+
+ORACLE_HOST_CAP = """
+WITH b AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 17 AS STRING) || '.onion' AS host,
+         list_reduce(list_prepend(0::HUGEINT, list_transform(
+             string_split_regex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+             c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+           (a, b2) -> a * 16 + b2
+         ) % 10000 AS bucket
+  FROM documents
+),
+r AS (
+  SELECT doc_id, host, CAST(bucket AS BIGINT) AS bucket,
+         CAST(row_number() OVER (PARTITION BY host
+              ORDER BY bucket, doc_id) AS BIGINT) AS rk
+  FROM b
+)
+SELECT doc_id, host, bucket, rk FROM r WHERE rk <= 5
+"""
+
+
 def q_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracking-parameter stripping before URL canonicalization
     (functions/urltools.py strip_tracking_col): utm_*/click-id params
@@ -4437,6 +4546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_due": q_recrawl_due,
     "sitemap_refresh": q_sitemap_refresh,
     "url_strip_tracking": q_url_strip_tracking,
+    "snapshot_diff": q_snapshot_diff,
+    "host_cap_sample": q_host_cap_sample,
     "robots_sitemaps": q_robots_sitemaps,
     "dedup_apply": q_dedup_apply,
     "anchor_text": q_anchor_text,
@@ -4534,6 +4645,8 @@ ORACLES: dict[str, str] = {
     "recrawl_due": ORACLE_RECRAWL_DUE,
     "sitemap_refresh": ORACLE_SITEMAP_REFRESH,
     "url_strip_tracking": ORACLE_STRIP_TRACKING,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "host_cap_sample": ORACLE_HOST_CAP,
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
     "dedup_apply": _dedup_apply_oracle_sql(),
     "anchor_text": ORACLE_ANCHOR_TEXT,
