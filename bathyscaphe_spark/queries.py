@@ -1546,6 +1546,80 @@ def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event sessions with a 30-minute
+    inactivity gap via Spark's native ``session_window`` aggregation
+    (batch mode — the same operator Structured Streaming uses with a
+    watermark).  The oracle derives identical sessions relationally
+    (gaps-and-islands: lag + cumulative island id), pinning the
+    session boundaries, counts, and integer value totals — including
+    the inclusive boundary: an event at EXACTLY the previous event's
+    ts+gap MERGES into the session (sentinel user -1's events at
+    0/30/60 minutes form ONE 3-event session; the oracle's strict >
+    pins it — measured, not assumed)."""
+    _docs(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "ts", "value"
+    ).unionByName(
+        spark.sql(
+            """
+            SELECT CAST(-1 AS BIGINT) AS user_id,
+                   to_timestamp(1714564800 + (doc_id % 3) * 1800) AS ts,
+                   CAST(1.0 AS DOUBLE) AS value
+            FROM documents WHERE doc_id < 3
+            """
+        )
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id, ts, value FROM events
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT),
+         to_timestamp(1714564800 + (doc_id % 3) * 1800)::TIMESTAMP,
+         1.0
+  FROM documents WHERE doc_id < 3
+),
+o AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         lag(ts) OVER w AS prev_ts
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+isl AS (
+  -- strict > : Spark's session window CLOSES at start+gap inclusively —
+  -- an event at exactly the previous event's ts+gap MERGES into the
+  -- session (verified against session_window; the sentinel user's
+  -- 0/30/60-minute events form ONE 3-event session)
+  SELECT user_id, ts, cents,
+         sum(CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS sess_start,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM isl GROUP BY user_id, sid
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12 — JSON decode at the edges: the events table's ``props``
     column is a JSON string (exactly how semi-structured payloads
@@ -4576,6 +4650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_topk": q_events_topk,
     "events_pivot": q_events_pivot,
     "json_props": q_json_props,
+    "sessionize": q_sessionize,
     "rollup_customers": q_rollup_customers,
     "supplier_topk": q_supplier_topk,
     "pagerank_priority": q_pagerank_priority,
@@ -4677,6 +4752,7 @@ ORACLES: dict[str, str] = {
     "events_topk": ORACLE_EVENTS_TOPK,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "json_props": ORACLE_JSON_PROPS,
+    "sessionize": ORACLE_SESSIONIZE,
     "rollup_customers": ORACLE_ROLLUP,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "pagerank_priority": _pagerank_oracle_sql(),
