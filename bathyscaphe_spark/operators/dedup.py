@@ -304,6 +304,25 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(_run, schema=out_schema)
 
 
+def banded_signatures(
+    sigs: DataFrame, id_col: str,
+    num_perm: int = MINHASH_PERMS, bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """(id, band, band_hash): each signature exploded into its LSH band
+    keys — the shuffle key both the self-join and the incremental
+    probe-vs-index join meet on."""
+    r = num_perm // bands
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str,
     num_perm: int = MINHASH_PERMS, bands: int = MINHASH_BANDS,
@@ -314,16 +333,7 @@ def lsh_candidate_pairs(
     The shuffle key is (band, band_hash): only documents agreeing on a
     full band ever meet — this is the 10^10-scale path (no all-pairs).
     """
-    r = num_perm // bands
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
-                for b in range(bands)
-            ])
-        ).alias("band", "band_hash"),
-    )
+    banded = banded_signatures(sigs, id_col, num_perm, bands)
     x = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     y = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -836,4 +846,79 @@ def duplicate_spans(
             F.count(F.lit(1)).alias("n_grams"),
         )
         .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
+def incremental_dedup_pairs(
+    old_sigs: DataFrame, new_docs: DataFrame, id_col: str, text_col: str,
+    threshold: float, num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS, k: int = SHINGLE_K,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL ingest: newly arrived docs
+    dedup against an existing corpus whose (id, sig, sh_hashes) table
+    is already persisted — the production pattern where the old
+    corpus's signatures are NEVER recomputed and old-vs-old pairs
+    never form (the standing corpus is already deduped; re-pairing it
+    would be O(corpus) wasted work every ingest).
+
+    Candidates = (new ⋈ old on band keys) ∪ (new self-join); both
+    shuffles key on (band, band_hash), never all-pairs.  Every
+    candidate is exactly verified by shingle-set Jaccard, old shingles
+    read from the persisted table.  Output (id_a, id_b, jaccard3,
+    pair_kind) with id_a < id_b.
+    """
+    # persist: the new-side kernel feeds the band probe, the self-join,
+    # and the shingle lookup — without the cache the Arrow stage would
+    # re-run once per reference (five subtrees)
+    new_sigs = minhash_with_shingles(
+        new_docs, id_col, text_col, num_perm, k
+    ).persist()
+    banded_new = banded_signatures(new_sigs, id_col, num_perm, bands)
+    banded_old = banded_signatures(old_sigs, id_col, num_perm, bands)
+    cross = (
+        banded_new.select(F.col(id_col).alias("_n"), "band", "band_hash")
+        .join(
+            banded_old.select(F.col(id_col).alias("_o"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select(
+            F.least("_n", "_o").alias("id_a"),
+            F.greatest("_n", "_o").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("pair_kind", F.lit("new_old"))
+    )
+    within = lsh_candidate_pairs(
+        new_sigs.select(id_col, "sig"), id_col, num_perm, bands
+    ).withColumn("pair_kind", F.lit("new_new"))
+    # disjoint by construction: a cross pair has exactly one old side,
+    # a within pair has two new sides — no overlap to dedupe across
+    cand = cross.unionByName(within)
+    sh = (
+        old_sigs.select(F.col(id_col).alias("_sid"), F.col("sh_hashes").alias("shingles"))
+        .unionByName(
+            new_sigs.select(
+                F.col(id_col).alias("_sid"), F.col("sh_hashes").alias("shingles")
+            )
+        )
+    )
+    pairs = (
+        cand.join(
+            sh.withColumnRenamed("_sid", "id_a").withColumnRenamed("shingles", "sh_a"),
+            "id_a",
+        ).join(
+            sh.withColumnRenamed("_sid", "id_b").withColumnRenamed("shingles", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(jac, 3).alias("jaccard3"), "pair_kind"
+        )
+        .where(F.col("jaccard3") >= threshold)
     )

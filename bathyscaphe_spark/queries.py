@@ -1231,6 +1231,35 @@ FROM spans GROUP BY doc_id, span
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup ingest (operators/dedup.py
+    incremental_dedup_pairs): the base documents play the standing
+    corpus whose (sig, shingles) table is already persisted; the
+    mutated copies play the new arrivals.  Old signatures are never
+    recomputed and old-vs-old pairs never form — the oracle is the
+    full-corpus MinHash result FILTERED to pairs touching a new id,
+    which is exactly what the incremental plan must reproduce."""
+    from .operators.dedup import incremental_dedup_pairs, minhash_with_shingles
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    old_sigs = minhash_with_shingles(
+        corpus.where("doc_id < 100000"), "doc_id", "text"
+    )
+    new_docs = corpus.where("doc_id >= 100000")
+    return incremental_dedup_pairs(
+        old_sigs, new_docs, "doc_id", "text", threshold=0.6
+    )
+
+
+def _incremental_oracle_sql() -> str:
+    return f"""
+SELECT id_a, id_b, jaccard3,
+       CASE WHEN id_a >= 100000 THEN 'new_new' ELSE 'new_old' END AS pair_kind
+FROM ({_minhash_oracle_sql()}) mh
+WHERE id_b >= 100000
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level fuzzy-dedup CLUSTERS: MinHash-LSH verified pairs →
     connected components (transitive closure) → one canonical document
@@ -4624,6 +4653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_cap_sample": q_host_cap_sample,
     "robots_sitemaps": q_robots_sitemaps,
     "dedup_apply": q_dedup_apply,
+    "incremental_dedup": q_incremental_dedup,
     "anchor_text": q_anchor_text,
     "ivf_topk": q_ivf_topk,
     "ivf_train": q_ivf_train,
@@ -4724,6 +4754,7 @@ ORACLES: dict[str, str] = {
     "host_cap_sample": ORACLE_HOST_CAP,
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
     "dedup_apply": _dedup_apply_oracle_sql(),
+    "incremental_dedup": _incremental_oracle_sql(),
     "anchor_text": ORACLE_ANCHOR_TEXT,
     "ivf_topk": ORACLE_IVF,
     "ivf_train": ORACLE_IVF_TRAIN,

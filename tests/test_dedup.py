@@ -361,3 +361,57 @@ def test_duplicate_spans_short_docs_emit_nothing(spark):
     rows = [(1, "only nine tokens here not ten in this doc"),
             (2, "only nine tokens here not ten in this doc")]
     assert duplicate_spans(_span_docs(spark, rows), "doc_id", "text", k=10).count() == 0
+
+
+def test_incremental_dedup_no_recompute_and_exact(spark, tmp_path):
+    """Incremental ingest: with the old corpus's signature table read
+    from parquet, the plan runs exactly ONE python signature kernel
+    (the new side) — and the pair set equals the full-corpus result
+    filtered to pairs touching a new id."""
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_dedup_pairs,
+        minhash_with_shingles,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+            (F.col("id") % 12).cast("string"),
+        ).alias("text"),
+    )
+    news = spark.range(6).select(
+        (F.col("id") * 2 + 100).alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+            (F.col("id") * 2 % 12).cast("string"),
+            F.lit(" zz"),
+        ).alias("text"),
+    )
+    sig_dir = str(tmp_path / "old_sigs")
+    minhash_with_shingles(docs, "doc_id", "text").write.parquet(sig_dir)
+    old_sigs = spark.read.parquet(sig_dir)
+
+    inc = incremental_dedup_pairs(old_sigs, news, "doc_id", "text", threshold=0.5)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    # old side: signatures come from parquet (no text column even exists
+    # to re-shingle); new side: the one Arrow kernel is cache-shared
+    # across its five consumers instead of re-running per subtree
+    assert "FileScan parquet" in plan
+    assert "InMemoryTableScan" in plan, plan
+
+    got = {(r.id_a, r.id_b, r.jaccard3, r.pair_kind) for r in inc.collect()}
+    full = minhash_dedup_pairs(
+        docs.unionByName(news), "doc_id", "text", threshold=0.5
+    ).collect()
+    new_ids = {r.doc_id for r in news.collect()}
+    want = {
+        (r.id_a, r.id_b, r.jaccard3,
+         "new_new" if r.id_a in new_ids else "new_old")
+        for r in full
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got == want and len(got) > 0
