@@ -194,24 +194,40 @@ def recrawl_due(
 ) -> DataFrame:
     """The recrawl pump's due-set selection (shared by run_round and the
     ``recrawl_due`` contract query): previously-fetched URLs with NO
-    live seen row and not already in the frontier, oldest fetch first
-    (url_hash tie-break), capped at ``budget`` via TakeOrdered — never
-    a global sort.  Returns frontier-shaped rows.
+    live seen row and not already in the frontier, ranked
+    CHANGED-FIRST then oldest-fetch-first (url_hash tie-break) and
+    capped at ``budget`` via TakeOrdered — never a global sort.  A URL
+    whose last two observations differed is the best staleness
+    evidence available (the same signal recrawl_priority scores), so
+    it outranks equally-old stable pages when the budget binds.
+    Returns frontier-shaped rows.
 
-    max_by(url, round) is unambiguous because fetch_meta holds at most
-    one row per (url_hash, round) by construction."""
+    max_by(url/host/content_fnv, round) is unambiguous because
+    fetch_meta holds at most one row per (url_hash, round) by
+    construction."""
     live = seen.where(
         F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
     ).select("url_hash")
-    last_fetch = fetch_meta.groupBy("url_hash").agg(
+    w = Window.partitionBy("url_hash").orderBy(F.desc("round"))
+    top2 = fetch_meta.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= 2
+    )
+    last_fetch = top2.groupBy("url_hash").agg(
         F.max_by("url", "round").alias("url"),
         F.max_by("host", "round").alias("host"),
         F.max("round").alias("_last_round"),
+        F.max(F.when(F.col("_rk") == 1, F.col("content_fnv"))).alias("_last_fnv"),
+        F.max(F.when(F.col("_rk") == 2, F.col("content_fnv"))).alias("_prev_fnv"),
     )
+    changed = (
+        F.col("_prev_fnv").isNotNull()
+        & (F.col("_last_fnv") != F.col("_prev_fnv"))
+    ).cast("int")
     due = (
-        last_fetch.join(live, "url_hash", "left_anti")
+        last_fetch.withColumn("_chg", changed)
+        .join(live, "url_hash", "left_anti")
         .join(frontier_hashes.select("url_hash"), "url_hash", "left_anti")
-        .orderBy("_last_round", "url_hash")
+        .orderBy(F.desc("_chg"), F.asc("_last_round"), F.asc("url_hash"))
         .limit(budget)
     )
     return due.select(

@@ -3092,7 +3092,9 @@ SELECT 'https://h' || CAST(doc_id % 150 % 10 AS STRING) || '.onion/p'
        doc_id % 150 AS url_hash,
        'h' || CAST(doc_id % 150 % 10 AS STRING) || '.onion' AS host,
        {rdiv} AS round,
-       0 AS content_fnv
+       (doc_id % 150) * 1000
+         + CASE WHEN doc_id % 150 % 3 = 0 THEN {rdiv} ELSE 0 END
+         AS content_fnv
 FROM documents
 """
 
@@ -3101,10 +3103,12 @@ def q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recrawl pump's due-set selection (operators/recrawl.py
     recrawl_due — the literal function run_round unions into the
     frontier): previously-fetched URLs whose every seen row has
-    expired and that are not already queued, oldest fetch first with
+    expired and that are not already queued, ranked CHANGED-first
+    (last two content hashes differ) then oldest-fetch-first with
     url_hash tie-break, budget-capped via TakeOrdered.  The 20-row
-    budget BINDS on the fixture (~64 due urls) so the oracle pins the
-    ordering, not just the filter."""
+    budget BINDS inside the changed subset on this fixture (~21 of
+    ~64 due urls churn), so the oracle pins the full ranking — change
+    flag, age, tie-break — not just the filter."""
     from .operators.recrawl import recrawl_due
 
     _docs(spark, sf_dir)
@@ -3132,16 +3136,26 @@ WITH meta AS ({_PUMP_META_SQL.format(rdiv="doc_id / 150")}),
    SELECT url_hash FROM seen
    WHERE expires_ts IS NULL OR expires_ts > to_timestamp(1714564800 + 1500)
  ),
+ t2 AS (
+   SELECT *, row_number() OVER (PARTITION BY url_hash
+                                ORDER BY round DESC) AS rk
+   FROM meta
+ ),
  last_fetch AS (
    SELECT url_hash, arg_max(url, round) AS url, arg_max(host, round) AS host,
-          max(round) AS last_round
-   FROM meta GROUP BY url_hash
+          max(round) AS last_round,
+          max(CASE WHEN rk = 1 THEN content_fnv END) AS last_fnv,
+          max(CASE WHEN rk = 2 THEN content_fnv END) AS prev_fnv
+   FROM t2 WHERE rk <= 2 GROUP BY url_hash
  ),
  due AS (
    SELECT * FROM last_fetch
    WHERE url_hash NOT IN (SELECT url_hash FROM live)
      AND url_hash NOT IN (SELECT url_hash FROM frontier)
-   ORDER BY last_round, url_hash LIMIT 20
+   ORDER BY (CASE WHEN prev_fnv IS NOT NULL AND last_fnv != prev_fnv
+                  THEN 1 ELSE 0 END) DESC,
+            last_round, url_hash
+   LIMIT 20
  )
 SELECT url, url_hash, host, CAST(0 AS INT) AS depth,
        CAST(500 AS INT) AS priority,
