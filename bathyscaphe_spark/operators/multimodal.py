@@ -284,3 +284,68 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
         df.where(F.col("modality") == "video")
         .select("item_id", F.explode(frames).alias("frame_idx"))
     )
+
+
+def synth_gradient_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic NON-uniform P6 payloads: pixel (y, x) of item i has
+    R = (y·W + x + i) % 256, G = (2·(y·W + x) + i) % 256, B = i % 256 —
+    a gradient, so a resize actually samples different values (a solid
+    image would make any resize contract vacuous)."""
+
+    def _run(batches):
+        for pdf in batches:
+            ids, payload = [], []
+            for iid in pdf[id_col]:
+                i = int(iid)
+                w, h = 4 + i % 5, 3 + i % 4
+                idx = np.arange(h * w, dtype=np.int64)
+                rgb = np.stack(
+                    [(idx + i) % 256, (2 * idx + i) % 256,
+                     np.full(h * w, i % 256, dtype=np.int64)],
+                    axis=1,
+                ).astype(np.uint8).reshape(h, w, 3)
+                header = f"P6\n{w} {h}\n255\n".encode()
+                ids.append(i)
+                payload.append(header + rgb.tobytes())
+            yield pd.DataFrame({"item_id": ids, "payload": payload})
+
+    return df.select(id_col).mapInPandas(
+        _run, schema="item_id long, payload binary"
+    )
+
+
+def resize_nn_stats(
+    df: DataFrame, out_h: int = 6, out_w: int = 8,
+    id_col: str = "item_id", payload_col: str = "payload",
+) -> DataFrame:
+    """REAL decode → nearest-neighbor resize to (out_h, out_w) → exact
+    integer channel sums.  The resize is the deterministic integer
+    grid map src_y = y·H DIV out_h, src_x = x·W DIV out_w (the
+    standard nn downsample/upsample), all numpy indexing — exact
+    BIGINT sums make the contract float-free."""
+
+    def _run(batches):
+        for pdf in batches:
+            ids, ow, oh, sr, sg, sb = [], [], [], [], [], []
+            for iid, b in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_ppm(bytes(b))
+                h, w = img.shape[0], img.shape[1]
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                out = img[ys][:, xs].astype(np.int64)
+                ids.append(int(iid))
+                ow.append(out_w)
+                oh.append(out_h)
+                sr.append(int(out[:, :, 0].sum()))
+                sg.append(int(out[:, :, 1].sum()))
+                sb.append(int(out[:, :, 2].sum()))
+            yield pd.DataFrame(
+                {"item_id": ids, "out_w": ow, "out_h": oh,
+                 "sum_r": sr, "sum_g": sg, "sum_b": sb}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run,
+        schema="item_id long, out_w long, out_h long,"
+               " sum_r long, sum_g long, sum_b long",
+    )

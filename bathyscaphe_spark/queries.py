@@ -2669,6 +2669,39 @@ FROM documents
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize through the REAL byte path:
+    deterministic gradient P6 payloads are synthesized, decoded by the
+    real PPM parser, resized on the integer grid map src = out·in DIV
+    out_size, and reduced to exact BIGINT channel sums — the oracle
+    recomputes every sampled pixel arithmetically, so header parse,
+    byte layout, the grid map, and the sums are all pinned without a
+    single float."""
+    from .operators.multimodal import resize_nn_stats, synth_gradient_ppm
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return resize_nn_stats(synth_gradient_ppm(d))
+
+
+ORACLE_IMAGE_RESIZE = """
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         ((y.y * g.h) // 6) * g.w + ((x.x * g.w) // 8) AS idx
+  FROM g, range(0, 6) y(y), range(0, 8) x(x)
+)
+SELECT p.doc_id AS item_id,
+       CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+       CAST(sum((idx + p.doc_id) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((2 * idx + p.doc_id) % 256) AS BIGINT) AS sum_g,
+       CAST(48 * (p.doc_id % 256) AS BIGINT) AS sum_b
+FROM px p GROUP BY p.doc_id
+"""
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction pinned end-to-end: deterministic HTML is
     built around each document's (markup-sanitized) text — including a
@@ -4649,6 +4682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_parse": q_robots_parse,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "image_resize": q_image_resize,
     "warc_ingest": q_warc_ingest,
     "html_text": q_html_text,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -4750,6 +4784,7 @@ ORACLES: dict[str, str] = {
     "robots_parse": ORACLE_ROBOTS_PARSE,
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "image_resize": ORACLE_IMAGE_RESIZE,
     "warc_ingest": ORACLE_WARC_INGEST,
     "html_text": ORACLE_HTML_TEXT,
     "winnow_fingerprint": _winnow_oracle_sql(),
