@@ -232,3 +232,79 @@ def sitemap_urls_col():
         )
 
     return _sm
+
+
+def parse_rules_py(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """(rule_path, is_allow) pairs applying to ``agent`` — BOTH Allow
+    and Disallow lines, for RFC 9309 longest-match precedence (the
+    deny-only ``parse_robots_py`` remains the minimal-crawler default).
+    Empty values are no-rules; plain path prefixes only (the wildcard
+    extension is out of scope and documented so)."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    in_body = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_body:
+                groups.append((agents, rules))
+                agents, rules, in_body = [], [], False
+            agents.append(val)
+        elif key in ("disallow", "allow"):
+            in_body = True
+            if val:
+                rules.append((val, key == "allow"))
+    if agents or rules:
+        groups.append((agents, rules))
+    agent = agent.lower()
+    out: list[tuple[str, bool]] = []
+    for grp_agents, grp_rules in groups:
+        if any(a == "*" or a.lower() == agent for a in grp_agents):
+            out.extend(grp_rules)
+    return out
+
+
+def rfc9309_allowed(
+    cands: DataFrame, rules: DataFrame, url_col: str = "url",
+    host_col: str = "host", path_col: str = "path",
+) -> DataFrame:
+    """RFC 9309 precedence over plain-prefix rules: among the rules of
+    the candidate's host whose path is a prefix of the candidate's
+    path, the LONGEST wins; a length tie goes to Allow; no matching
+    rule means allowed.  ``rules``: (host, rule, is_allow) — per-host
+    tiny, always the broadcast side.  Output: cands + ``allowed``.
+
+    Plan: one broadcast theta join (host equality + startswith) and a
+    max(struct(rule_len, is_allow)) aggregation on the candidate key —
+    the struct comparison IS the precedence rule (longer beats
+    shorter; on equal length TRUE > FALSE, i.e. Allow wins)."""
+    r = F.broadcast(
+        rules.select(
+            F.col("host").alias("_rh"),
+            F.col("rule").alias("_rule"),
+            F.col("is_allow").alias("_ra"),
+        )
+    )
+    j = cands.join(
+        r,
+        (F.col(host_col) == F.col("_rh"))
+        & F.col(path_col).startswith(F.col("_rule")),
+        "left",
+    )
+    verdict = j.groupBy(url_col).agg(
+        F.max(
+            F.when(
+                F.col("_rule").isNotNull(),
+                F.struct(F.length("_rule").alias("l"), F.col("_ra").alias("a")),
+            )
+        ).alias("_m")
+    )
+    return cands.join(verdict, url_col).select(
+        *cands.columns,
+        (F.col("_m").isNull() | F.col("_m.a")).alias("allowed"),
+    )

@@ -2642,6 +2642,67 @@ FROM documents WHERE doc_id % 4 = 0
 """
 
 
+def q_robots_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 rule precedence (operators/robots.py rfc9309_allowed):
+    among a host's matching prefix rules the LONGEST wins, a length tie
+    goes to Allow, no match allows.  Even-numbered hosts carry the
+    ladder Disallow /a < Allow /a/b < Disallow /a/b/c plus a tie pair
+    (Allow+Disallow '/t'); odd hosts have no rules.  Paths hit every
+    rung, so the oracle pins the full precedence order — including the
+    real parser feeding the rules (Allow lines parsed, comments
+    stripped)."""
+    from .operators.robots import parse_rules_py, rfc9309_allowed
+
+    _docs(spark, sf_dir)
+    cands = spark.sql(
+        """
+        SELECT 'https://h' || CAST(doc_id % 10 AS STRING) || '.onion/x'
+                   || CAST(doc_id AS STRING) AS url,
+               'h' || CAST(doc_id % 10 AS STRING) || '.onion' AS host,
+               CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN '/a/x'
+                 WHEN 1 THEN '/a/b/x'
+                 WHEN 2 THEN '/a/b/c/x'
+                 WHEN 3 THEN '/t/x'
+                 ELSE '/z' END AS path
+        FROM documents
+        """
+    )
+    body = (
+        "User-agent: *\n# ladder\nDisallow: /a\nAllow: /a/b\n"
+        "Disallow: /a/b/c\nAllow: /t\nDisallow: /t\n"
+    )
+    hosts = [f"h{i}.onion" for i in range(0, 10, 2)]
+    rules = spark.createDataFrame(
+        [(h, rule, is_allow) for h in hosts
+         for rule, is_allow in parse_rules_py(body)],
+        "host string, rule string, is_allow boolean",
+    )
+    return rfc9309_allowed(cands, rules)
+
+
+ORACLE_ROBOTS_RFC = """
+WITH c AS (
+  SELECT 'https://h' || CAST(doc_id % 10 AS STRING) || '.onion/x'
+             || CAST(doc_id AS STRING) AS url,
+         doc_id % 10 AS hn,
+         CAST(doc_id % 5 AS INT) AS variant
+  FROM documents
+)
+SELECT url,
+       'h' || CAST(hn AS STRING) || '.onion' AS host,
+       CASE variant WHEN 0 THEN '/a/x' WHEN 1 THEN '/a/b/x'
+            WHEN 2 THEN '/a/b/c/x' WHEN 3 THEN '/t/x' ELSE '/z' END AS path,
+       CASE WHEN hn % 2 = 1 THEN TRUE           -- no rules: allowed
+            WHEN variant = 0 THEN FALSE         -- Disallow /a
+            WHEN variant = 1 THEN TRUE          -- Allow /a/b (longer)
+            WHEN variant = 2 THEN FALSE         -- Disallow /a/b/c (longest)
+            WHEN variant = 3 THEN TRUE          -- tie '/t': Allow wins
+            ELSE TRUE END AS allowed            -- /z: no match
+FROM c
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec-free multimodal decode: deterministic P6 PPM / PCM16
     WAV payloads are synthesized from doc_id, then parsed back by the
@@ -4700,6 +4761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "host_cap_sample": q_host_cap_sample,
     "robots_sitemaps": q_robots_sitemaps,
+    "robots_rfc9309": q_robots_rfc9309,
     "dedup_apply": q_dedup_apply,
     "incremental_dedup": q_incremental_dedup,
     "anchor_text": q_anchor_text,
@@ -4802,6 +4864,7 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "host_cap_sample": ORACLE_HOST_CAP,
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
+    "robots_rfc9309": ORACLE_ROBOTS_RFC,
     "dedup_apply": _dedup_apply_oracle_sql(),
     "incremental_dedup": _incremental_oracle_sql(),
     "anchor_text": ORACLE_ANCHOR_TEXT,

@@ -169,3 +169,33 @@ def test_parse_sitemaps_goldens():
     ]
     assert parse_sitemaps_py("") == []
     assert parse_sitemaps_py(None) == []
+
+
+def test_rfc9309_precedence(spark):
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.operators.robots import rfc9309_allowed
+
+    rules = spark.createDataFrame(
+        [("h.onion", "/a", False), ("h.onion", "/a/b", True),
+         ("h.onion", "/a/b/c", False),
+         ("h.onion", "/t", True), ("h.onion", "/t", False)],
+        "host string, rule string, is_allow boolean",
+    )
+    cands = spark.createDataFrame(
+        [(f"u{i}", "h.onion", p) for i, p in enumerate(
+            ["/a/x", "/a/b/x", "/a/b/c/x", "/t", "/z", "/a", "/a/b"]
+        )] + [("u7", "other.onion", "/a/x")],
+        "url string, host string, path string",
+    )
+    got = {r.url: r.allowed for r in rfc9309_allowed(cands, rules).collect()}
+    assert got == {
+        "u0": False,  # Disallow /a
+        "u1": True,   # Allow /a/b outranks /a
+        "u2": False,  # Disallow /a/b/c longest
+        "u3": True,   # exact tie on '/t': Allow wins
+        "u4": True,   # no rule matches
+        "u5": False,  # exact /a
+        "u6": True,   # exact /a/b
+        "u7": True,   # other host: no rules
+    }
