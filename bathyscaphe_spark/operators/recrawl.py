@@ -204,7 +204,15 @@ def recrawl_due(
 
     max_by(url/host/content_fnv, round) is unambiguous because
     fetch_meta holds at most one row per (url_hash, round) by
-    construction."""
+    construction.
+
+    Scale note: the change flag needs the last TWO fetches, so the
+    pump pays one hash(url_hash) shuffle of fetch_meta with a top-2
+    row_number — the same cost class as the seen anti-join.  Periodic
+    ``compact_fetch_meta`` (kept-rows ≤ 2 per url) keeps the per-key
+    sort O(1) and the table itself O(|fetched urls|), not O(fetches);
+    a deployment that skips compaction pays the sort over its full
+    fetch history."""
     live = seen.where(
         F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
     ).select("url_hash")
