@@ -645,6 +645,42 @@ FROM documents
 """
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card — the per-language summary block every dataset
+    release ships: doc counts, exact token totals, and interpolated
+    p50/p90 token percentiles (Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition; rounded
+    to 6dp to absorb last-ulp float noise).  One scan, one shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    ).cast("long")
+    per = d.select("lang", toks.alias("n_tokens"))
+    pct = F.expr("percentile(n_tokens, array(0.5, 0.9))")
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(pct[0], 6).alias("p50_tokens"),
+        F.round(pct[1], 6).alias("p90_tokens"),
+    )
+
+
+ORACLE_CORPUS_CARD = r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              w -> w != '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE), 6) AS p50_tokens,
+       round(CAST(quantile_cont(n_tokens, 0.9) AS DOUBLE), 6) AS p90_tokens
+FROM t GROUP BY lang
+"""
+
+
 def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals: punctuation/digit/uppercase/stopword
     counts (integer outputs for hash stability)."""
@@ -4771,6 +4807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
+    "corpus_card": q_corpus_card,
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
     "url_quality": q_url_quality,
@@ -4874,6 +4911,7 @@ ORACLES: dict[str, str] = {
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
+    "corpus_card": ORACLE_CORPUS_CARD,
     "gopher_quality": ORACLE_GOPHER,
     "repetition_stats": ORACLE_REPETITION,
     "url_quality": ORACLE_URL_QUALITY,
