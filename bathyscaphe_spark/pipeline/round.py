@@ -241,8 +241,11 @@ def run_round(
     # page happens to link to it again; with it, expiry-driven
     # refreshing is continuous.  Runs before the link-rank boost so
     # pumped rows rank under the same policy as fresh ones.
+    prior_meta = (
+        catalog.read_deltas("fetch_meta") if config.adaptive_refresh else None
+    )
     if config.adaptive_refresh and config.recrawl_budget > 0 and seen is not None:
-        meta_hist = catalog.read_deltas("fetch_meta")
+        meta_hist = prior_meta
         if meta_hist is not None:
             from ..operators.recrawl import recrawl_due
 
@@ -477,7 +480,6 @@ def run_round(
             from ..operators.recrawl import adaptive_seen_delta
 
             meta_all = fetch_meta_delta
-            prior_meta = catalog.read_deltas("fetch_meta")
             if prior_meta is not None:
                 meta_all = prior_meta.select(*fetch_meta_delta.columns).unionByName(
                     fetch_meta_delta
