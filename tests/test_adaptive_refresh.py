@@ -168,3 +168,53 @@ def test_adaptive_composes_with_link_rank_and_budget(spark, tmp_path):
     }
     assert 1800 in ttls or 900 in ttls   # A halved at least once
     assert 7200 in ttls                   # B doubled at least once
+
+
+def test_adaptive_ttl_random_histories(spark):
+    """300 random (meta, seen, target) fixtures vs a python mirror of
+    the TTL policy — clamps, null prev-ttl, missing history, single
+    fetch, churn/stable branches all land exactly."""
+    import random
+
+    from bathyscaphe_spark.operators.recrawl import adaptive_seen_delta
+
+    rng = random.Random(7)
+    BASE, MIN, MAX, NOW, RN = 3600, 900, 14400, 1_000_000, 5
+    meta_rows, seen_rows, targets = [], [], []
+    expect = {}
+    for u in range(300):
+        fetches = sorted(rng.sample(range(10), rng.randrange(0, 5)))
+        fnvs = [rng.randrange(3) for _ in fetches]
+        for r, v in zip(fetches, fnvs):
+            meta_rows.append((u, r, v))
+        seen_n = rng.randrange(0, 4)
+        ttls = [rng.choice([None, 600, 1800, 7200, 14000]) for _ in range(seen_n)]
+        for i, t in enumerate(ttls):
+            seen_rows.append((u, i, None, t))
+        if rng.random() < 0.7:
+            targets.append((u,))
+            prev_ttl = ttls[-1] if ttls else None  # latest first_seen_round
+            p = prev_ttl if prev_ttl is not None else BASE
+            if len(fetches) < 2:
+                ttl = BASE
+            elif fnvs[-1] == fnvs[-2]:
+                ttl = min(p * 2, MAX)
+            else:
+                ttl = max(p // 2, MIN)  # p positive: trunc == floor
+            expect[u] = ttl
+    meta = spark.createDataFrame(
+        meta_rows, "url_hash long, round long, content_fnv long"
+    )
+    seen = spark.createDataFrame(
+        seen_rows,
+        "url_hash long, first_seen_round long, expires_ts timestamp, ttl_s long",
+    )
+    tgt = spark.createDataFrame(targets, "url_hash long")
+    out = adaptive_seen_delta(
+        tgt, seen, meta, now_s=NOW, base_s=BASE, min_s=MIN, max_s=MAX, round_n=RN
+    ).collect()
+    got = {r["url_hash"]: r["ttl_s"] for r in out}
+    assert got == expect
+    for r in out:
+        assert r["first_seen_round"] == RN
+        assert int(r["expires_ts"].timestamp()) == NOW + r["ttl_s"]
