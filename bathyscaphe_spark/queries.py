@@ -4140,6 +4140,68 @@ FROM documents
 """
 
 
+def q_streaming_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``dropDuplicatesWithinWatermark`` beside the
+    custom applyInPandasWithState path: the same 4-batch arrival
+    stream, duplicates arriving within the watermark horizon dropped
+    by the engine's own bounded-state operator.  Every duplicate in
+    the fixture arrives within the horizon, so the emitted set is
+    exactly DISTINCT — pinned by the same oracle contract as the
+    custom path (emitted SET, not ordering)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    _docs(spark, sf_dir)
+    base = 1714564800
+    inp = spark.sql(_STREAM_URLS_SQL).withColumn(
+        "url_hash", fnv1_64(F.col("url"))
+    ).withColumn(
+        # event time: batches are minutes apart, well inside the
+        # 1-hour watermark horizon, so no duplicate can outlive state
+        "ev_ts",
+        F.expr(f"to_timestamp({base} + (doc_id % 4) * 60)"),
+    )
+    root = tempfile.mkdtemp(prefix="q_stream_dedup_nat_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    try:
+        t0 = int(_time.time())
+        for b in range(4):
+            stage = os.path.join(root, f"stage{b}")
+            (
+                inp.where(F.col("doc_id") % 4 == b)
+                .select("url", "url_hash", "ev_ts")
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"batch-{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + b, t0 + b))
+        stream = (
+            spark.readStream.schema("url string, url_hash long, ev_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.withWatermark("ev_ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["url_hash"])
+            .writeStream.format("memory")
+            .queryName("q_streaming_dedup_nat_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table("q_streaming_dedup_nat_out").select("url", "url_hash")
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming first-occurrence URL dedup
     (streaming/stateful.py streaming_seen_dedup) run to completion:
@@ -4833,6 +4895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_priority": q_pagerank_priority,
     "corpus_build": q_corpus_build,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_dedup_native": q_streaming_dedup_native,
     "streaming_window_rates": q_streaming_window_rates,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
@@ -4939,6 +5002,7 @@ ORACLES: dict[str, str] = {
     "pagerank_priority": _pagerank_oracle_sql(),
     "corpus_build": ORACLE_CORPUS_BUILD,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "streaming_dedup_native": ORACLE_STREAMING_DEDUP,
     "streaming_window_rates": ORACLE_STREAMING_WINDOWS,
     "line_dedup": ORACLE_LINE_DEDUP,
     "decontaminate": ORACLE_DECONTAMINATE,
