@@ -3720,6 +3720,86 @@ SELECT doc_id, unnest(fps) AS fp FROM sel
 """
 
 
+def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC EXPORT round-trip through the distributed writer: a
+    resources-shaped frame goes out via ``write_warc`` (one gzip
+    archive per partition, record-streamed executor-side) and comes
+    back via ``read_warc``; the oracle recomputes every surviving
+    field arithmetically.  This pins the writer — record framing,
+    Content-Length byte math, gzip member boundaries, header casing —
+    in the driver contract (previously pytest-only)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.warc import read_warc, write_warc
+
+    d = _docs(spark, sf_dir)
+    rows = d.selectExpr(
+        "'https://h' || CAST(doc_id % 13 AS STRING) || '.onion/p'"
+        " || CAST(doc_id AS STRING) AS url",
+        "to_timestamp(1714564800 + doc_id) AS warc_ts",
+        "CAST(CASE WHEN doc_id % 6 = 0 THEN 404 ELSE 200 END AS INT) AS status",
+        "map('Content-Type', 'text/html',"
+        " 'X-N', CAST(doc_id % 7 AS STRING)) AS headers",
+        "CAST(text AS BINARY) AS html",
+    )
+    root = tempfile.mkdtemp(prefix="q_warc_export_")
+    try:
+        write_warc(rows.repartition(4), root, compress=True)
+        back = read_warc(spark, os.path.join(root, "*.warc.gz"))
+        out = back.select(
+            "url",
+            F.col("status").cast("long").alias("status"),
+            F.length("html").cast("long").alias("body_len"),
+            F.unix_timestamp("warc_ts").alias("ts_unix"),
+            F.coalesce(
+                F.element_at("headers", "x-n"), F.element_at("headers", "X-N")
+            ).alias("xn"),
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "url string, status long, body_len long, ts_unix long, xn string"
+    )
+
+
+ORACLE_WARC_EXPORT = """
+SELECT 'https://h' || CAST(doc_id % 13 AS STRING) || '.onion/p'
+           || CAST(doc_id AS STRING) AS url,
+       CAST(CASE WHEN doc_id % 6 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status,
+       CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+       CAST(1714564800 + doc_id AS BIGINT) AS ts_unix,
+       CAST(doc_id % 7 AS STRING) AS xn
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN (operators/multimodal.py
+    frame_sample_plan): metadata-only fan-out — one row per planned
+    frame index, every 30th frame up to min(frame_count, 300) — the
+    explode a real sampler schedules decode work with (the decode
+    itself is the documented codec stub)."""
+    from .operators.multimodal import frame_sample_plan
+
+    d = _docs(spark, sf_dir)
+    items = d.selectExpr(
+        "doc_id AS item_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS modality",
+        "map('height', CAST(doc_id % 400 AS STRING)) AS meta",
+    )
+    return frame_sample_plan(items, every_n=30)
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id AS item_id,
+       CAST(unnest(range(0, least(doc_id % 400, 300) + 1, 30)) AS INT)
+           AS frame_idx
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source round-trip through the REAL serializer and parser:
     deterministic response records (url/status/headers/timestamp derived
@@ -4843,6 +4923,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "image_resize": q_image_resize,
     "warc_ingest": q_warc_ingest,
+    "warc_export": q_warc_export,
+    "frame_sample": q_frame_sample,
     "html_text": q_html_text,
     "winnow_fingerprint": q_winnow_fingerprint,
     "surt_key": q_surt_key,
@@ -4948,6 +5030,8 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "image_resize": ORACLE_IMAGE_RESIZE,
     "warc_ingest": ORACLE_WARC_INGEST,
+    "warc_export": ORACLE_WARC_EXPORT,
+    "frame_sample": ORACLE_FRAME_SAMPLE,
     "html_text": ORACLE_HTML_TEXT,
     "winnow_fingerprint": _winnow_oracle_sql(),
     "surt_key": ORACLE_SURT,
