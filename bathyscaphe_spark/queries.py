@@ -4882,6 +4882,71 @@ GROUP BY t.doc_id
 
 
 # --------------------------------------------------------------------------
+# CCNet-style LM perplexity bucketing (integer bigram surprisal)
+# --------------------------------------------------------------------------
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM-fluency filter (Wenzek et al. 2020): score every
+    document by its mean bigram surprisal under the corpus's own MLE
+    bigram model, then head/middle/tail-bucket by score tertiles
+    learned on a deterministic doc_id-mod-10 sample — the filter that
+    decides which crawled text enters a training corpus.
+
+    Integer fixed-point throughout (surprisal = SCALE*(c1+V) div
+    (c2+1), the monotone inverse of the add-1-smoothed P(w2|w1)), so
+    the result is bit-identical at any parallelism and engine; see
+    operators/lm.py for why smoothing is load-bearing and for the
+    overflow-headroom / scale-shape notes."""
+    from .operators.lm import bigram_surprisal, ppl_buckets
+
+    d = _docs(spark, sf_dir)
+    return ppl_buckets(bigram_surprisal(d))
+
+
+ORACLE_LM_PPL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     w -> w != '') AS ts
+  FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[CAST(i AS INT)])) AS w1,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[CAST(i + 1 AS INT)])) AS w2
+  FROM toks WHERE len(ts) >= 2
+), bd AS (
+  SELECT doc_id, w1, w2, count(*) AS k FROM big GROUP BY doc_id, w1, w2
+), c2 AS (
+  SELECT w1, w2, sum(k) AS c2 FROM bd GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, sum(k) AS c1 FROM bd GROUP BY w1
+), v AS (
+  SELECT count(*) AS v FROM c1
+), scores AS (
+  SELECT bd.doc_id,
+         CAST(sum(bd.k) AS BIGINT) AS n_bigrams,
+         CAST(sum(bd.k * ((1000000 * (c1.c1 + v.v)) // (c2.c2 + 1)))
+              // sum(bd.k) AS BIGINT) AS mean_surprisal
+  FROM bd JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+  GROUP BY bd.doc_id
+), cuts AS (
+  SELECT xs[CAST(ceil(len(xs) / 3.0) AS INT)] AS t1,
+         xs[CAST(ceil(len(xs) * 2 / 3.0) AS INT)] AS t2
+  FROM (SELECT list_sort(list(mean_surprisal)) AS xs
+        FROM scores WHERE doc_id % 10 = 0)
+)
+SELECT s.doc_id, s.n_bigrams, s.mean_surprisal,
+       CASE WHEN s.mean_surprisal > c.t2 THEN 'tail'
+            WHEN s.mean_surprisal > c.t1 THEN 'middle'
+            ELSE 'head' END AS ppl_bucket
+FROM scores s, cuts c
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4958,6 +5023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "quality_classifier": q_quality_classifier,
+    "lm_perplexity": q_lm_perplexity,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5065,6 +5131,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": ORACLE_VOCAB,
     "bpe_pair_counts": ORACLE_BPE,
     "quality_classifier": _classifier_oracle_sql(),
+    "lm_perplexity": ORACLE_LM_PPL,
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,
