@@ -922,3 +922,75 @@ def incremental_dedup_pairs(
         )
         .where(F.col("jaccard3") >= threshold)
     )
+
+
+def mirror_pairs(
+    docs: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    hot_cap: int = 10,
+    min_permille: int = 100,
+) -> DataFrame:
+    """Host-level near-mirror detection: pairs of hosts whose DISTINCT
+    word-``n``-gram shingle sets overlap by at least ``min_permille``
+    of the smaller set (integer overlap coefficient — no floats, so
+    the cut is bit-identical across engines).
+
+    Mirror and template farms are a first-order corpus-inflation
+    problem at crawl scale (the same site served from many hostnames);
+    doc-level near-dup (MinHash/SimHash) finds the individual page
+    copies, this finds the HOSTS so the frontier can collapse them.
+
+    Scale shape: the shingle self-join is an inverted index — only
+    host pairs sharing a shingle ever meet — and the hot-shingle cap
+    (drop shingles present on more than ``hot_cap`` hosts, the
+    standard df-cap of every inverted-index join here) bounds any one
+    shingle's fanout to ``hot_cap**2`` pair rows, so boilerplate
+    n-grams ("click here to", copyright lines) can never produce a
+    quadratic blowup.  One distinct + three aggregations + one
+    equi-join; the hot set is small and anti-joins as a broadcast.
+
+    Output: (host_a, host_b, shared, n_a, n_b, overlap_permille) with
+    host_a < host_b, filtered to overlap_permille >= min_permille.
+    """
+    ts = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    sh = (
+        docs.select(F.col(host_col).alias("host"), ts.alias("ts"))
+        .where(F.size("ts") >= n)
+        .select(
+            "host",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at("ts", i + F.lit(j)) for j in range(n)],
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    hot = sh.groupBy("shingle").count().where(F.col("count") > hot_cap).select("shingle")
+    kept = sh.join(hot, "shingle", "left_anti")
+    sizes = kept.groupBy("host").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.withColumnRenamed("host", "host_a")
+    b = kept.withColumnRenamed("host", "host_b")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("host", "host_a")
+                   .withColumnRenamed("n_sh", "n_a"), "host_a")
+        .join(sizes.withColumnRenamed("host", "host_b")
+              .withColumnRenamed("n_sh", "n_b"), "host_b")
+        .select(
+            "host_a", "host_b", "shared", "n_a", "n_b",
+            F.expr("(1000 * shared) div least(n_a, n_b)").alias("overlap_permille"),
+        )
+        .where(F.col("overlap_permille") >= min_permille)
+    )

@@ -4947,6 +4947,58 @@ FROM scores s, cuts c
 
 
 # --------------------------------------------------------------------------
+# host-level near-mirror detection (shingle-set overlap coefficient)
+# --------------------------------------------------------------------------
+
+
+def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host pairs whose distinct 3-gram shingle sets overlap ≥ 10% of
+    the smaller set — mirror/template-farm detection so the frontier
+    can collapse hostnames serving the same site (doc-level near-dup
+    finds the page copies; this finds the HOSTS).  Inverted-index
+    join with a hot-shingle df-cap; integer overlap coefficient, no
+    floats.  See operators/dedup.py mirror_pairs."""
+    from .operators.dedup import mirror_pairs
+
+    d = _docs(spark, sf_dir)
+    return mirror_pairs(d, host_col="source", text_col="text")
+
+
+ORACLE_MIRROR = r"""
+WITH toks AS (
+  SELECT source AS host,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     w -> w != '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT host,
+         unnest(list_transform(range(1, len(ts) - 1),
+                i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]
+                     || ' ' || ts[CAST(i + 2 AS INT)])) AS shingle
+  FROM toks WHERE len(ts) >= 3
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 10
+), kept AS (
+  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (
+  SELECT host, count(*) AS n_sh FROM kept GROUP BY host
+), pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT p.host_a, p.host_b, CAST(p.shared AS BIGINT) AS shared,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+       CAST((1000 * p.shared) // least(sa.n_sh, sb.n_sh) AS BIGINT)
+         AS overlap_permille
+FROM pairs p
+JOIN sizes sa ON p.host_a = sa.host
+JOIN sizes sb ON p.host_b = sb.host
+WHERE (1000 * p.shared) // least(sa.n_sh, sb.n_sh) >= 100
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5024,6 +5076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "quality_classifier": q_quality_classifier,
     "lm_perplexity": q_lm_perplexity,
+    "mirror_detect": q_mirror_detect,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5132,6 +5185,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": ORACLE_BPE,
     "quality_classifier": _classifier_oracle_sql(),
     "lm_perplexity": ORACLE_LM_PPL,
+    "mirror_detect": ORACLE_MIRROR,
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,
