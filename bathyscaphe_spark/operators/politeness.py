@@ -173,3 +173,54 @@ def compute_priority(depth, discovered_ts, round_ts):
     higher is better; recency decays per day since discovery."""
     age_days = F.datediff(round_ts.cast("date"), discovered_ts.cast("date"))
     return (F.lit(1000) - F.col(depth) * 10 - F.coalesce(age_days, F.lit(0))).cast("int")
+
+
+def drain_forecast(
+    frontier: DataFrame,
+    config: CrawlConfig,
+    host_budgets: DataFrame | None = None,
+) -> DataFrame:
+    """Frontier drain forecast: for each future round k, how many hosts
+    are still active, how many URLs the politeness budgets let the
+    cluster fetch, and how much backlog remains afterward — the
+    capacity-planning view of O1 ("when does this frontier drain, and
+    what is the per-round fetch volume the politeness caps actually
+    allow?").
+
+    Window-free by design: round k fetches ``least(b, n - (k-1)·b)``
+    URLs from a host with n queued and budget b, so the whole forecast
+    falls out of ONE per-host count — no per-URL rank, no per-host
+    window that a mega-host could skew.  Each host then explodes into
+    its ceil(n/b) active rounds (bounded: a host is one row per round
+    it is still draining, not one row per URL) and one groupBy(round)
+    folds the fleet view.  Exact integers throughout.
+
+    ``host_budgets`` lowers budgets exactly like ``rank_frontier``
+    (robots Crawl-delay overlay; never raises above the config cap).
+
+    Output: (round, hosts_active, urls_fetched, backlog_after), one row
+    per round until the slowest host drains.
+    """
+    counts = frontier.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    cap = F.lit(config.per_host_budget)
+    if host_budgets is not None:
+        bdg = F.broadcast(
+            host_budgets.select("host", F.col("budget").alias("_host_budget"))
+        )
+        counts = counts.join(bdg, "host", "left")
+        cap = F.least(cap, F.coalesce(F.col("_host_budget"), cap))
+    per_host = counts.select(
+        "host", "n", cap.cast("long").alias("b")
+    ).select("host", "n", "b", F.expr("(n + b - 1) div b").alias("rounds"))
+    per_round = per_host.select(
+        "n", "b",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("rounds"))).alias("round"),
+    )
+    return (
+        per_round.groupBy("round")
+        .agg(
+            F.count(F.lit(1)).alias("hosts_active"),
+            F.sum(F.expr("least(b, n - (round - 1) * b)")).alias("urls_fetched"),
+            F.sum(F.expr("greatest(0, n - round * b)")).alias("backlog_after"),
+        )
+    )

@@ -4947,6 +4947,63 @@ FROM scores s, cuts c
 
 
 # --------------------------------------------------------------------------
+# frontier drain forecast (window-free politeness capacity planning)
+# --------------------------------------------------------------------------
+
+
+def q_frontier_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round frontier drain forecast under the O1 politeness caps:
+    for each future round, active hosts, fetchable URLs, and remaining
+    backlog — "when does this frontier drain?" for capacity planning.
+    Window-free (one per-host count + bounded rounds explode), so a
+    mega-host can never skew it; robots-style budget overlay lowers
+    host 0,3,6,… to budget 2 exactly like rank_frontier's overlay.
+    See operators/politeness.py drain_forecast."""
+    from .operators.politeness import drain_forecast
+
+    d = _docs(spark, sf_dir)
+    f = d.selectExpr(
+        f"{LINK1} AS url",
+        "'host' || CAST(doc_id % 23 AS STRING) || '.onion' AS host",
+    )
+    budgets = (
+        d.selectExpr("doc_id % 23 AS hid")
+        .distinct()
+        .where("hid % 3 = 0")
+        .selectExpr(
+            "'host' || CAST(hid AS STRING) || '.onion' AS host",
+            "CAST(2 AS LONG) AS budget",
+        )
+    )
+    cfg = CrawlConfig(per_host_budget=5)
+    return drain_forecast(f, cfg, host_budgets=budgets)
+
+
+ORACLE_FORECAST = """
+WITH f AS (
+  SELECT 'host' || CAST(doc_id % 23 AS STRING) || '.onion' AS host,
+         doc_id % 23 AS hid
+  FROM documents
+), counts AS (
+  SELECT host, hid, count(*) AS n FROM f GROUP BY host, hid
+), per_host AS (
+  SELECT host, n,
+         CASE WHEN hid % 3 = 0 THEN least(5, 2) ELSE 5 END AS b,
+         (n + CASE WHEN hid % 3 = 0 THEN 2 ELSE 5 END - 1)
+           // CASE WHEN hid % 3 = 0 THEN 2 ELSE 5 END AS rounds
+  FROM counts
+), per_round AS (
+  SELECT n, b, unnest(range(1, rounds + 1)) AS round FROM per_host
+)
+SELECT round,
+       CAST(count(*) AS BIGINT) AS hosts_active,
+       CAST(sum(least(b, n - (round - 1) * b)) AS BIGINT) AS urls_fetched,
+       CAST(sum(greatest(0, n - round * b)) AS BIGINT) AS backlog_after
+FROM per_round GROUP BY round
+"""
+
+
+# --------------------------------------------------------------------------
 # host-level near-mirror detection (shingle-set overlap coefficient)
 # --------------------------------------------------------------------------
 
@@ -5077,6 +5134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "lm_perplexity": q_lm_perplexity,
     "mirror_detect": q_mirror_detect,
+    "frontier_forecast": q_frontier_forecast,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5186,6 +5244,7 @@ ORACLES: dict[str, str] = {
     "quality_classifier": _classifier_oracle_sql(),
     "lm_perplexity": ORACLE_LM_PPL,
     "mirror_detect": ORACLE_MIRROR,
+    "frontier_forecast": ORACLE_FORECAST,
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,
