@@ -414,3 +414,17 @@ def anchor_pairs_col(html: Column) -> Column:
             F.regexp_extract(m, ANCHOR_RE, 2).alias("anchor"),
         ),
     )
+
+
+CANONICAL_RE = '<link [^>]*rel="canonical"[^>]*href="([^"]*)"'
+
+
+def canonical_href_col(html: Column) -> Column:
+    """First ``<link rel="canonical" href="...">`` target, or NULL when
+    the page declares none.  Strict-contract pure-codegen regexp (same
+    discipline as ANCHOR_RE: double-quoted attributes, rel before
+    href); the tolerant-parser path is not needed because a canonical
+    link that doesn't parse strictly is ignored by the big engines too.
+    Java and RE2 agree on every construct used here."""
+    hit = F.regexp_extract(html, CANONICAL_RE, 1)
+    return F.when(hit != "", hit)

@@ -4947,6 +4947,87 @@ FROM scores s, cuts c
 
 
 # --------------------------------------------------------------------------
+# rel=canonical collapse (duplicate-URL folding the way big engines do)
+# --------------------------------------------------------------------------
+
+
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``<link rel="canonical">`` honoring: every crawled page maps to
+    its declared canonical target (itself when none is declared), the
+    dedup key big crawl engines fold URL variants with BEFORE any
+    content hashing.  Pure-codegen regexp extraction
+    (functions/html.py canonical_href_col) + one groupBy for duplicate-
+    set sizes; canonical groups here span hosts, as print/mobile/AMP
+    variants do in the wild.  Fixture: each run of 5 doc_ids shares a
+    leader; members 1-3 declare it, 0 and 4 declare nothing."""
+    from .functions.html import canonical_href_col
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "'http://h' || CAST(doc_id % 31 AS STRING) || '.onion/p' || "
+        "CAST(doc_id AS STRING) AS url",
+        "'http://h' || CAST((doc_id - doc_id % 5) % 31 AS STRING) || "
+        "'.onion/p' || CAST(doc_id - doc_id % 5 AS STRING) AS leader_url",
+    )
+    pages = d.selectExpr(
+        "url",
+        "'<html><head>' || CASE WHEN doc_id % 5 IN (1, 2, 3) THEN "
+        "'<link rel=\"canonical\" href=\"' || leader_url || '\">' "
+        "ELSE '' END || '<title>t</title></head><body>x</body></html>' AS html",
+    )
+    eff = pages.select(
+        "url", canonical_href_col(F.col("html")).alias("canonical_url")
+    ).select(
+        "url",
+        "canonical_url",
+        F.coalesce("canonical_url", "url").alias("effective_url"),
+        (
+            F.col("canonical_url").isNotNull()
+            & (F.col("canonical_url") != F.col("url"))
+        ).alias("is_alias"),
+    )
+    sizes = eff.groupBy("effective_url").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return eff.join(sizes, "effective_url")
+
+
+def _canonical_oracle_sql() -> str:
+    from .functions.html import CANONICAL_RE
+
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         'http://h' || CAST(doc_id % 31 AS VARCHAR) || '.onion/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'http://h' || CAST((doc_id - doc_id % 5) % 31 AS VARCHAR)
+           || '.onion/p' || CAST(doc_id - doc_id % 5 AS VARCHAR) AS leader_url
+  FROM documents
+), pages AS (
+  SELECT url,
+         '<html><head>' || CASE WHEN doc_id % 5 IN (1, 2, 3) THEN
+           '<link rel="canonical" href="' || leader_url || '">'
+           ELSE '' END || '<title>t</title></head><body>x</body></html>' AS html
+  FROM d
+), eff AS (
+  SELECT url, canonical_url,
+         coalesce(canonical_url, url) AS effective_url,
+         canonical_url IS NOT NULL AND canonical_url != url AS is_alias
+  FROM (
+    SELECT url,
+           NULLIF(regexp_extract(html, '{CANONICAL_RE}', 1), '') AS canonical_url
+    FROM pages
+  )
+)
+SELECT e.url, e.canonical_url, e.effective_url, e.is_alias,
+       CAST(s.group_size AS BIGINT) AS group_size
+FROM eff e
+JOIN (SELECT effective_url, count(*) AS group_size
+      FROM eff GROUP BY 1) s USING (effective_url)
+"""
+
+
+# --------------------------------------------------------------------------
 # frontier drain forecast (window-free politeness capacity planning)
 # --------------------------------------------------------------------------
 
@@ -5135,6 +5216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "mirror_detect": q_mirror_detect,
     "frontier_forecast": q_frontier_forecast,
+    "canonical_collapse": q_canonical_collapse,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5245,6 +5327,7 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": ORACLE_LM_PPL,
     "mirror_detect": ORACLE_MIRROR,
     "frontier_forecast": ORACLE_FORECAST,
+    "canonical_collapse": _canonical_oracle_sql(),
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,

@@ -201,3 +201,28 @@ def test_anchor_pairs_well_formed_and_strict(spark):
     for (html, want), r in zip(cases, rows):
         got = [(p["href"], p["anchor"]) for p in r.a]
         assert got == want, html
+
+
+class TestCanonicalHref:
+    def _one(self, spark, html):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.functions.html import canonical_href_col
+
+        df = spark.createDataFrame([(html,)], "html string")
+        return df.select(canonical_href_col(F.col("html")).alias("c")).first()["c"]
+
+    def test_extracts_first_canonical(self, spark):
+        h = ('<html><head><link type="x" rel="canonical" href="http://a/1">'
+             '<link rel="canonical" href="http://a/2"></head></html>')
+        assert self._one(spark, h) == "http://a/1"
+
+    def test_none_declared_is_null(self, spark):
+        assert self._one(spark, "<html><head><title>t</title></head></html>") is None
+
+    def test_other_link_rels_ignored(self, spark):
+        h = '<link rel="stylesheet" href="/s.css">'
+        assert self._one(spark, h) is None
+
+    def test_empty_href_is_null(self, spark):
+        assert self._one(spark, '<link rel="canonical" href="">') is None
