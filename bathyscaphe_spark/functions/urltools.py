@@ -378,3 +378,101 @@ def strip_tracking_col(url):
     return F.when(qs.isNull() | (F.size(kept) == 0), base).otherwise(
         F.concat(base, F.lit("?"), F.array_join(kept, "&"))
     )
+
+
+# --------------------------------------------------------------------------
+# registered domain (public-suffix longest-match, PSL-lite)
+# --------------------------------------------------------------------------
+
+# A deliberately small slice of the Public Suffix List (publicsuffix.org,
+# public domain-ish MPL data).  The ALGORITHM is the operator — longest
+# matching suffix wins, unknown TLDs default to one label — and at
+# deployment this tuple is swapped for the full PSL snapshot (a ~10k-row
+# broadcast table, same plan).  Multi-label and private-registry entries
+# are included so the longest-match path is actually exercised.
+PUBLIC_SUFFIXES = (
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "ai", "co", "de", "fr", "jp", "uk", "au", "br", "cn", "ru",
+    "onion",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "net.br",
+    "com.cn", "org.cn",
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+)
+
+
+def registered_domain_cols(hosts, host_col: str = "host", suffixes=PUBLIC_SUFFIXES):
+    """eTLD+1 per host — the key per-DOMAIN politeness and host-collapse
+    group by (one site, many subdomains).
+
+    Plan: each host explodes into its last-1..4-label candidate
+    suffixes tagged with label count k, equi-joins the broadcast
+    suffix table, and an argmax on k per host picks the LONGEST match
+    (the PSL rule).  Hosts matching no suffix fall back to the PSL
+    default rule (the last label is the public suffix).  The suffix
+    table is tiny → broadcast; one shuffle for the per-host argmax.
+
+    Output: (host, public_suffix, registered_domain); hosts that ARE a
+    bare public suffix get registered_domain NULL (nothing registered).
+    """
+    from pyspark.sql import functions as F
+
+    spark = hosts.sparkSession
+    sdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, s.count(".") + 1) for s in suffixes], "sfx string, k int"
+        )
+    )
+    labs = hosts.select(host_col, F.split(F.col(host_col), r"\.").alias("ls"))
+    cand = labs.select(
+        host_col,
+        "ls",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.size("ls"), F.lit(4))),
+                    lambda k: F.struct(
+                        k.alias("k"),
+                        F.concat_ws(
+                            ".", F.slice("ls", F.size("ls") - k + 1, k)
+                        ).alias("sfx"),
+                    ),
+                ),
+                lambda c: c["k"] <= F.size("ls"),
+            )
+        ).alias("c"),
+    ).select(host_col, "ls", F.col("c.k").alias("k"), F.col("c.sfx").alias("sfx"))
+    hit = cand.join(sdf, ["sfx", "k"]).groupBy(host_col).agg(
+        F.max(F.struct("k", "sfx")).alias("best"),
+        F.first("ls").alias("ls"),
+    )
+    matched = hit.select(
+        host_col,
+        F.col("best.sfx").alias("public_suffix"),
+        F.when(
+            F.size("ls") > F.col("best.k"),
+            F.concat_ws(
+                ".",
+                F.element_at("ls", F.size("ls") - F.col("best.k")),
+                F.col("best.sfx"),
+            ),
+        ).alias("registered_domain"),
+    )
+    unmatched = (
+        labs.join(matched.select(host_col), host_col, "left_anti")
+        .select(
+            host_col,
+            F.element_at("ls", F.size("ls")).alias("public_suffix"),
+            F.when(
+                F.size("ls") > 1,
+                F.concat_ws(
+                    ".",
+                    F.element_at("ls", F.size("ls") - 1),
+                    F.element_at("ls", F.size("ls")),
+                ),
+            ).alias("registered_domain"),
+        )
+    )
+    return matched.unionByName(unmatched)

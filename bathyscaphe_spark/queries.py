@@ -4947,6 +4947,77 @@ FROM scores s, cuts c
 
 
 # --------------------------------------------------------------------------
+# registered domain (public-suffix longest match — per-DOMAIN politeness)
+# --------------------------------------------------------------------------
+
+_HOST_SYNTH_SQL = """
+CASE doc_id % 6
+  WHEN 0 THEN 'www.site' || CAST(doc_id AS STRING) || '.co.uk'
+  WHEN 1 THEN 'blog.site' || CAST(doc_id AS STRING) || '.com'
+  WHEN 2 THEN 'user' || CAST(doc_id AS STRING) || '.github.io'
+  WHEN 3 THEN 'deep.sub.host' || CAST(doc_id AS STRING) || '.onion'
+  WHEN 4 THEN 'site' || CAST(doc_id AS STRING) || '.weirdtld'
+  ELSE 'ftp.site' || CAST(doc_id AS STRING) || '.com.au'
+END
+"""
+
+
+def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction by the Public-Suffix longest-match rule — the
+    group-by key for per-DOMAIN politeness and subdomain collapse (a
+    site with 10^6 subdomains must share one crawl budget).  Candidate
+    last-1..4-label suffixes explode per host, join the broadcast PSL
+    slice, argmax-by-length picks the winner; no-match hosts take the
+    PSL default rule (last label is the suffix).  The fixture covers
+    multi-label ccTLDs, a private registry (github.io), .onion, and an
+    unknown TLD.  See functions/urltools.py registered_domain_cols."""
+    from .functions.urltools import registered_domain_cols
+
+    hosts = _docs(spark, sf_dir).selectExpr(f"{_HOST_SYNTH_SQL} AS host")
+    return registered_domain_cols(hosts)
+
+
+def _regdomain_oracle_sql() -> str:
+    from .functions.urltools import PUBLIC_SUFFIXES
+
+    values = ", ".join(
+        f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES
+    )
+    return f"""
+WITH sfx(sfx, k) AS (VALUES {values}),
+hosts AS (
+  SELECT {_HOST_SYNTH_SQL} AS host FROM documents
+), labs AS (
+  SELECT host, string_split(host, '.') AS ls FROM hosts
+), cand AS (
+  SELECT host, ls, kk.k AS k,
+         array_to_string(list_slice(ls, len(ls) - kk.k + 1, len(ls)), '.')
+           AS csfx
+  FROM labs, (SELECT unnest(range(1, 5)) AS k) kk
+  WHERE kk.k <= len(ls)
+), hit AS (
+  SELECT host, max(c.k) AS bk, max_by(c.csfx, c.k) AS bsfx,
+         max_by(c.ls, c.k) AS ls
+  FROM cand c JOIN sfx s ON c.csfx = s.sfx AND c.k = s.k
+  GROUP BY host
+), matched AS (
+  SELECT host, bsfx AS public_suffix,
+         CASE WHEN len(ls) > bk
+              THEN ls[CAST(len(ls) - bk AS INT)] || '.' || bsfx END
+           AS registered_domain
+  FROM hit
+), unmatched AS (
+  SELECT host, ls[CAST(len(ls) AS INT)] AS public_suffix,
+         CASE WHEN len(ls) > 1
+              THEN ls[CAST(len(ls) - 1 AS INT)] || '.'
+                   || ls[CAST(len(ls) AS INT)] END AS registered_domain
+  FROM labs WHERE host NOT IN (SELECT host FROM hit)
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
+# --------------------------------------------------------------------------
 # rel=canonical collapse (duplicate-URL folding the way big engines do)
 # --------------------------------------------------------------------------
 
@@ -5217,6 +5288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mirror_detect": q_mirror_detect,
     "frontier_forecast": q_frontier_forecast,
     "canonical_collapse": q_canonical_collapse,
+    "registered_domain": q_registered_domain,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5328,6 +5400,7 @@ ORACLES: dict[str, str] = {
     "mirror_detect": ORACLE_MIRROR,
     "frontier_forecast": ORACLE_FORECAST,
     "canonical_collapse": _canonical_oracle_sql(),
+    "registered_domain": _regdomain_oracle_sql(),
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,

@@ -248,3 +248,40 @@ def test_strip_tracking_goldens(spark):
     )
     for (url, want), r in zip(cases, got):
         assert r["c"] == want, url
+
+
+class TestRegisteredDomain:
+    def _run(self, spark, hosts):
+        from bathyscaphe_spark.functions.urltools import registered_domain_cols
+
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        return {
+            r["host"]: (r["public_suffix"], r["registered_domain"])
+            for r in registered_domain_cols(df).collect()
+        }
+
+    def test_longest_match_wins(self, spark):
+        got = self._run(spark, ["www.example.co.uk", "www.example.uk"])
+        assert got["www.example.co.uk"] == ("co.uk", "example.co.uk")
+        assert got["www.example.uk"] == ("uk", "example.uk")
+
+    def test_private_registry_beats_tld(self, spark):
+        got = self._run(spark, ["alice.github.io", "deep.sub.alice.github.io"])
+        assert got["alice.github.io"] == ("github.io", "alice.github.io")
+        assert got["deep.sub.alice.github.io"] == ("github.io", "alice.github.io")
+
+    def test_unknown_tld_default_rule(self, spark):
+        got = self._run(spark, ["a.b.weirdtld", "weirdtld"])
+        assert got["a.b.weirdtld"] == ("weirdtld", "b.weirdtld")
+        assert got["weirdtld"] == ("weirdtld", None)
+
+    def test_bare_public_suffix_has_no_registration(self, spark):
+        got = self._run(spark, ["co.uk", "com"])
+        assert got["co.uk"] == ("co.uk", None)
+        assert got["com"] == ("com", None)
+
+    def test_onion_sites_group_by_onion_label(self, spark):
+        got = self._run(spark, ["x.y.facebookcorewwwi.onion"])
+        assert got["x.y.facebookcorewwwi.onion"] == (
+            "onion", "facebookcorewwwi.onion",
+        )
