@@ -30,7 +30,9 @@ CARTESIAN_OK = {"knn_cosine_topk"}
 # 1-row broadcast scalar attach (global corpus stats joined back as a
 # BroadcastNestedLoopJoin against a single aggregated row — the
 # collect()-free way to give every doc the corpus N/avgdl/df values)
-SCALAR_ATTACH_OK = {"bm25_search", "recrawl_priority", "lm_perplexity"}
+SCALAR_ATTACH_OK = {
+    "bm25_search", "recrawl_priority", "lm_perplexity", "hits_scores",
+}
 # bounded broadcast small-side expansion: IVF assignment is docs ×
 # broadcast(n_cells=16 centroid rows) — the documented O(n·cells)
 # assignment cost, combined map-side back to one row per doc

@@ -172,3 +172,85 @@ def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
         ed.unpersist()
         nodes.unpersist()
     return ranks
+
+
+HITS_SCALE = 10**6  # hub/authority micro-units: 1.0 == 10^6
+
+
+def hits_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999, public) over
+    ``edges(src: long, dst: long)`` → ``(node, hub_fp, auth_fp)``.
+
+    PageRank orders the FETCH (importance of the page itself); HITS
+    hubs order SEED DISCOVERY — a high-hub page is a link directory
+    whose outlinks are worth re-extracting first, the classic
+    crawler-focusing signal.
+
+    Per iteration: ``a(v) = Σ_{u→v} h(u)`` then ``h(u) = Σ_{u→v} a(v)``,
+    each half-step max-normalized to ``HITS_SCALE`` with integer floor
+    division — BIGINT sums are associative and max/div deterministic,
+    so results are bit-identical at any parallelism and in the DuckDB
+    oracle.  Scoring joins touch edges once per half-step, partitioned
+    on the join key with map-side partial sums; the normalizing max is
+    ONE aggregated row attached via broadcast (scalar-attach pattern).
+
+    Overflow headroom: the rescale product ``raw * HITS_SCALE`` must
+    fit int64, i.e. max in-degree ≤ ~9·10^6 at SCALE 10^6; beyond that
+    (mega-hub graphs) widen the product to DECIMAL(38,0) — ordering is
+    unchanged.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ed = edges.persist()
+    try:
+        if nodes.count() == 0:
+            return nodes.select(
+                "node",
+                F.lit(0).cast("long").alias("hub_fp"),
+                F.lit(0).cast("long").alias("auth_fp"),
+            )
+        hubs = nodes.withColumn("hub_fp", F.lit(HITS_SCALE).cast("long"))
+        auths = None
+        for _ in range(iters):
+            araw = (
+                ed.join(hubs, ed["src"] == hubs["node"])
+                .groupBy(F.col("dst").alias("n"))
+                .agg(F.sum("hub_fp").alias("raw"))
+            )
+            amax = araw.agg(F.max("raw").alias("m"))
+            auths = araw.crossJoin(F.broadcast(amax)).select(
+                F.col("n").alias("node"),
+                F.expr(f"(raw * {HITS_SCALE}) div m").alias("auth_fp"),
+            )
+            hraw = (
+                ed.join(auths, ed["dst"] == auths["node"])
+                .groupBy(F.col("src").alias("n"))
+                .agg(F.sum("auth_fp").alias("raw"))
+            )
+            hmax = hraw.agg(F.max("raw").alias("m"))
+            hubs = (
+                hraw.crossJoin(F.broadcast(hmax))
+                .select(
+                    F.col("n").alias("node"),
+                    F.expr(f"(raw * {HITS_SCALE}) div m").alias("hub_fp"),
+                )
+                .localCheckpoint(eager=True)  # O(1) lineage across iters
+            )
+        out = (
+            nodes.join(hubs, "node", "left")
+            .join(auths, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
+                F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ed.unpersist()
+        nodes.unpersist()
+    return out

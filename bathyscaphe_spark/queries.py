@@ -4947,6 +4947,59 @@ FROM scores s, cuts c
 
 
 # --------------------------------------------------------------------------
+# HITS hubs/authorities (seed-discovery priority beside PageRank)
+# --------------------------------------------------------------------------
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point HITS over the same host link graph PageRank uses:
+    hub scores order SEED DISCOVERY (a high-hub page is a link
+    directory worth re-extracting first), authority scores rank fetch
+    targets.  Integer max-normalized half-steps — bit-identical across
+    engines and parallelism.  See operators/graph.py hits_fp."""
+    from .operators.graph import hits_fp
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL)
+    return hits_fp(edges, iters=3)
+
+
+def _hits_oracle_sql(iters: int = 3) -> str:
+    from .operators.graph import HITS_SCALE as S
+
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        f"h0 AS (SELECT node, CAST({S} AS BIGINT) AS hub FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i}raw AS (SELECT e.dst AS node, SUM(h.hub) AS raw "
+            f"FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst),"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node, (raw * {S}) // "
+            f"(SELECT max(raw) FROM a{i}raw) AS auth FROM a{i}raw),"
+        )
+        parts.append(
+            f"h{i}raw AS (SELECT e.src AS node, SUM(a.auth) AS raw "
+            f"FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, (raw * {S}) // "
+            f"(SELECT max(raw) FROM h{i}raw) AS hub FROM h{i}raw),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT n.node, CAST(coalesce(h.hub, 0) AS BIGINT) AS hub_fp, "
+        f"CAST(coalesce(a.auth, 0) AS BIGINT) AS auth_fp "
+        f"FROM nodes n LEFT JOIN h{iters} h USING (node) "
+        f"LEFT JOIN a{iters} a USING (node)"
+    )
+    return "\n".join(parts)
+
+
+# --------------------------------------------------------------------------
 # registered domain (public-suffix longest match — per-DOMAIN politeness)
 # --------------------------------------------------------------------------
 
@@ -5289,6 +5342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_forecast": q_frontier_forecast,
     "canonical_collapse": q_canonical_collapse,
     "registered_domain": q_registered_domain,
+    "hits_scores": q_hits_scores,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5401,6 +5455,7 @@ ORACLES: dict[str, str] = {
     "frontier_forecast": ORACLE_FORECAST,
     "canonical_collapse": _canonical_oracle_sql(),
     "registered_domain": _regdomain_oracle_sql(),
+    "hits_scores": _hits_oracle_sql(),
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,

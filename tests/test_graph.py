@@ -116,3 +116,49 @@ def test_cc_partitioning_invariant(spark):
     a = sorted(map(tuple, connected_components(df1).collect()))
     b = sorted(map(tuple, connected_components(df2).collect()))
     assert a == b
+
+
+class TestHits:
+    def _run(self, spark, edges, iters=3):
+        from bathyscaphe_spark.operators.graph import hits_fp
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: (r["hub_fp"], r["auth_fp"])
+            for r in hits_fp(df, iters=iters).collect()
+        }
+
+    def test_star_graph_hand_computed(self, spark):
+        from bathyscaphe_spark.operators.graph import HITS_SCALE as S
+
+        # 1,2,3 all point at 4; 4 points nowhere
+        got = self._run(spark, [(1, 4), (2, 4), (3, 4)], iters=1)
+        # a(4) = 3S -> normalized S; h(1..3) = S each -> normalized S
+        assert got[4] == (0, S)
+        assert got[1] == got[2] == got[3] == (S, 0)
+
+    def test_hub_vs_authority_separation(self, spark):
+        # 10 is a pure hub (links to 1..4); 1..4 also chain to 5
+        edges = [(10, i) for i in range(1, 5)] + [(i, 5) for i in range(1, 5)]
+        got = self._run(spark, edges)
+        from bathyscaphe_spark.operators.graph import HITS_SCALE as S
+
+        # 5 is the unique top authority (everyone's target); 10 sits at
+        # the hub maximum (1..4 tie it — each links to the top authority)
+        assert got[5][1] == S and all(v[1] < S for n, v in got.items() if n != 5)
+        assert got[10][0] == S == max(v[0] for v in got.values())
+        assert got[10][1] == 0  # nothing links TO the hub
+        assert got[5][0] == 0  # the sink links to nothing
+
+    def test_partition_invariance(self, spark):
+        edges = [((i * 7 + 1) % 23, (i * 5 + 2) % 23) for i in range(60)]
+        edges = [(s, d) for s, d in set(edges) if s != d]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        from bathyscaphe_spark.operators.graph import hits_fp
+
+        a = sorted(map(tuple, hits_fp(df.repartition(1)).collect()))
+        b = sorted(map(tuple, hits_fp(df.repartition(7)).collect()))
+        assert a == b and len(a) > 0
+
+    def test_empty_graph(self, spark):
+        assert self._run(spark, []) == {}
