@@ -476,3 +476,88 @@ def registered_domain_cols(hosts, host_col: str = "host", suffixes=PUBLIC_SUFFIX
         )
     )
     return matched.unionByName(unmatched)
+
+
+# --------------------------------------------------------------------------
+# DUST parameter mining (Different URLs, Same Text — Bar-Yossef et al.)
+# --------------------------------------------------------------------------
+
+
+def dust_param_evidence(pages, url_col: str = "url", hash_col: str = "content_hash"):
+    """Mine which query parameters are content-irrelevant from
+    duplicate evidence ("Do Not Crawl in the DUST", Bar-Yossef et al.
+    2007, public): a parameter k is removable when URLs that differ
+    ONLY in k consistently carry identical content, and never differing
+    content.
+
+    For every (url, param k): the residual key is the URL with k
+    removed and the surviving params re-sorted (order-canonical).
+    Groups of ≥2 URLs sharing a residual key are the evidence: all
+    content hashes equal → k-removal collapses them (support); any
+    differing hash → k is load-bearing (violation).  Session ids,
+    click-tracking refs, and cache busters light up as
+    (evidence > 0, violations = 0); pagination params accumulate
+    violations and survive canonicalization.
+
+    Scale shape: params explode per URL (bounded by params-per-URL),
+    one groupBy (param, residual) with map-side combine, one groupBy
+    (param) rollup — no joins, no windows.
+
+    Output: (param, evidence_groups, collapsible_urls,
+    violating_groups, removable).
+    """
+    from pyspark.sql import functions as F
+
+    split_q = F.split(F.col(url_col), r"\?", 2)
+    base = F.element_at(split_q, 1)
+    params = F.filter(
+        F.split(F.coalesce(F.element_at(split_q, 2), F.lit("")), "&"),
+        lambda p: p != "",
+    )
+    per_param = (
+        pages.select(
+            F.col(hash_col).alias("h"),
+            base.alias("base"),
+            params.alias("ps"),
+        )
+        .select(
+            "h", "base", "ps", F.explode("ps").alias("p")
+        )
+        .select(
+            F.element_at(F.split(F.col("p"), "=", 2), 1).alias("param"),
+            F.concat(
+                F.col("base"),
+                F.lit("?"),
+                F.concat_ws(
+                    "&",
+                    F.sort_array(F.filter("ps", lambda q: q != F.col("p"))),
+                ),
+            ).alias("residual"),
+            "h",
+        )
+    )
+    groups = per_param.groupBy("param", "residual").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("h").alias("n_hashes"),
+    )
+    return (
+        groups.where(F.col("n_urls") >= 2)
+        .groupBy("param")
+        .agg(
+            F.sum(F.when(F.col("n_hashes") == 1, 1).otherwise(0)).alias(
+                "evidence_groups"
+            ),
+            F.sum(
+                F.when(F.col("n_hashes") == 1, F.col("n_urls") - 1).otherwise(0)
+            ).alias("collapsible_urls"),
+            F.sum(F.when(F.col("n_hashes") > 1, 1).otherwise(0)).alias(
+                "violating_groups"
+            ),
+        )
+        .select(
+            "param", "evidence_groups", "collapsible_urls", "violating_groups",
+            (
+                (F.col("evidence_groups") > 0) & (F.col("violating_groups") == 0)
+            ).alias("removable"),
+        )
+    )

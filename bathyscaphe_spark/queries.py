@@ -4947,6 +4947,75 @@ FROM scores s, cuts c
 
 
 # --------------------------------------------------------------------------
+# DUST parameter mining (learn junk query params from duplicate evidence)
+# --------------------------------------------------------------------------
+
+_DUST_URL_SQL = """
+'http://h.onion/p' || CAST(doc_id % 25 AS STRING)
+  || '?page=' || CAST(doc_id % 3 AS STRING)
+  || '&sessionid=s' || CAST(doc_id % 5 AS STRING)
+  || CASE WHEN doc_id % 2 = 0
+          THEN '&ref=r' || CAST(doc_id % 4 AS STRING) ELSE '' END
+"""
+_DUST_HASH_SQL = (
+    "'c' || CAST(doc_id % 25 AS STRING) || '-' || CAST(doc_id % 3 AS STRING)"
+)
+
+
+def q_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (Bar-Yossef et al. 2007): which query params
+    are content-irrelevant, learned from crawl evidence — URLs
+    differing only in `sessionid`/`ref` carry identical content
+    (removable), while `page` changes the content (violations, kept).
+    url_strip_tracking applies a STATIC junk-param list; this MINES
+    the list from the crawl itself.  No joins, no windows: one param
+    explode + two aggregations.  See functions/urltools.py
+    dust_param_evidence."""
+    from .functions.urltools import dust_param_evidence
+
+    pages = _docs(spark, sf_dir).selectExpr(
+        f"{_DUST_URL_SQL} AS url", f"{_DUST_HASH_SQL} AS content_hash"
+    )
+    return dust_param_evidence(pages)
+
+
+ORACLE_DUST = rf"""
+WITH pages AS (
+  SELECT {_DUST_URL_SQL} AS url, {_DUST_HASH_SQL} AS h
+  FROM documents
+), parts AS (
+  SELECT h, string_split(url, '?')[1] AS base,
+         list_filter(string_split(string_split(url, '?')[2], '&'),
+                     p -> p != '') AS ps
+  FROM pages
+), per0 AS (
+  SELECT h, base, ps, unnest(ps) AS p FROM parts
+), per AS (
+  SELECT split_part(p, '=', 1) AS param,
+         base || '?' || array_to_string(
+           list_sort(list_filter(ps, q -> q != p)), '&') AS residual,
+         h
+  FROM per0
+), grp AS (
+  SELECT param, residual, count(*) AS n_urls,
+         count(DISTINCT h) AS n_hashes
+  FROM per GROUP BY 1, 2
+)
+SELECT param,
+       CAST(sum(CASE WHEN n_hashes = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS evidence_groups,
+       CAST(sum(CASE WHEN n_hashes = 1 THEN n_urls - 1 ELSE 0 END) AS BIGINT)
+         AS collapsible_urls,
+       CAST(sum(CASE WHEN n_hashes > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       sum(CASE WHEN n_hashes = 1 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN n_hashes > 1 THEN 1 ELSE 0 END) = 0 AS removable
+FROM grp WHERE n_urls >= 2
+GROUP BY param
+"""
+
+
+# --------------------------------------------------------------------------
 # HITS hubs/authorities (seed-discovery priority beside PageRank)
 # --------------------------------------------------------------------------
 
@@ -5343,6 +5412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_collapse": q_canonical_collapse,
     "registered_domain": q_registered_domain,
     "hits_scores": q_hits_scores,
+    "dust_params": q_dust_params,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5456,6 +5526,7 @@ ORACLES: dict[str, str] = {
     "canonical_collapse": _canonical_oracle_sql(),
     "registered_domain": _regdomain_oracle_sql(),
     "hits_scores": _hits_oracle_sql(),
+    "dust_params": ORACLE_DUST,
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,
