@@ -308,3 +308,75 @@ def rfc9309_allowed(
         *cands.columns,
         (F.col("_m").isNull() | F.col("_m.a")).alias("allowed"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFC 9309 wildcard rules (* matches any run, $ anchors end-of-path)
+# --------------------------------------------------------------------------
+
+_RE_META = ".\\+?[](){}^|"
+
+
+def wildcard_rule_regex_py(rule: str) -> str:
+    """robots rule → anchored regex implementing RFC 9309 §2.2.2
+    special characters: ``*`` matches any character run, a TRAILING
+    ``$`` anchors at end-of-path (mid-rule ``$`` is literal).  All
+    other characters are matched literally (regex-escaped).  The
+    output uses only constructs Java regex and RE2 interpret
+    identically (literal escapes, ``.*``, ``^``/``$`` anchors), so the
+    engine (Spark rlike) and the oracle (DuckDB regexp_matches) can
+    never diverge.  Rules are per-host tiny — this runs driver-side at
+    table build, never per page."""
+    anchored_end = rule.endswith("$")
+    body = rule[:-1] if anchored_end else rule
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RE_META or ch == "$":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored_end else "")
+
+
+def rfc9309_allowed_wild(
+    cands: DataFrame, rules: DataFrame, url_col: str = "url",
+    host_col: str = "host", path_col: str = "path",
+) -> DataFrame:
+    """``rfc9309_allowed`` with full special-character support:
+    ``rules`` carries (host, rule, rule_regex, is_allow) where
+    ``rule_regex`` comes from ``wildcard_rule_regex_py``.  Precedence
+    is unchanged — longest RAW rule wins (octet length, ``*``/``$``
+    counted, per the spec's most-specific-by-length), ties go to
+    Allow, no match means allowed.  Same plan shape as the prefix
+    variant: one broadcast theta join (host equality + regex match)
+    and one max(struct) aggregation; the per-row regex evaluates
+    against the tiny broadcast side's pattern column, never a corpus
+    blowup."""
+    r = F.broadcast(
+        rules.select(
+            F.col("host").alias("_rh"),
+            F.col("rule").alias("_rule"),
+            F.col("rule_regex").alias("_rx"),
+            F.col("is_allow").alias("_ra"),
+        )
+    )
+    j = cands.join(
+        r,
+        (F.col(host_col) == F.col("_rh"))
+        & F.expr(f"{path_col} rlike _rx"),
+        "left",
+    )
+    verdict = j.groupBy(url_col).agg(
+        F.max(
+            F.when(
+                F.col("_rule").isNotNull(),
+                F.struct(F.length("_rule").alias("l"), F.col("_ra").alias("a")),
+            )
+        ).alias("_m")
+    )
+    return cands.join(verdict, url_col).select(
+        *cands.columns,
+        (F.col("_m").isNull() | F.col("_m.a")).alias("allowed"),
+    )

@@ -4947,6 +4947,84 @@ FROM scores s, cuts c
 
 
 # --------------------------------------------------------------------------
+# RFC 9309 wildcard robots rules (* / $ special characters)
+# --------------------------------------------------------------------------
+
+_ROBOTS_WILD_RULES = [
+    ("h.onion", "/private*", False),
+    ("h.onion", "/private/ok$", True),
+    ("h.onion", "/*.php$", False),
+    ("h.onion", "/a", False),
+    ("h.onion", "/a*/b", True),
+]
+
+_ROBOTS_PATH_SQL = """
+CASE doc_id % 6
+  WHEN 0 THEN '/private/page' || CAST(doc_id % 3 AS STRING)
+  WHEN 1 THEN '/private/ok'
+  WHEN 2 THEN '/file' || CAST(doc_id % 3 AS STRING) || '.php'
+  WHEN 3 THEN '/a' || CAST(doc_id % 3 AS STRING) || '/b'
+  WHEN 4 THEN '/public/page' || CAST(doc_id % 3 AS STRING)
+  ELSE '/x.phpx'
+END
+"""
+
+
+def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.2 special characters: ``*`` any-run and trailing
+    ``$`` end anchor, with most-specific-by-length precedence and
+    ties-to-Allow — the rule dialect real sites publish (the plain
+    prefix variant stays in robots_rfc9309).  The fixture exercises
+    the allow-override of a shorter disallow, the end anchor rejecting
+    a near-miss (.phpx), and a mid-path wildcard.  See
+    operators/robots.py rfc9309_allowed_wild; the regex builder is
+    SHARED with the oracle so the dialects cannot drift."""
+    from .operators.robots import rfc9309_allowed_wild, wildcard_rule_regex_py
+
+    rules = spark.createDataFrame(
+        [(h, r, wildcard_rule_regex_py(r), a) for h, r, a in _ROBOTS_WILD_RULES],
+        "host string, rule string, rule_regex string, is_allow boolean",
+    )
+    cands = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{_ROBOTS_PATH_SQL} AS path")
+        .selectExpr(
+            "'http://h.onion' || path || '?i=' || CAST(doc_id AS STRING) AS url",
+            "'h.onion' AS host",
+            "path",
+        )
+    )
+    return rfc9309_allowed_wild(cands, rules)
+
+
+def _robots_wild_oracle_sql() -> str:
+    from .operators.robots import wildcard_rule_regex_py
+
+    vals = ", ".join(
+        f"('{h}', '{r}', '{wildcard_rule_regex_py(r)}', {str(a).upper()})"
+        for h, r, a in _ROBOTS_WILD_RULES
+    )
+    return f"""
+WITH rules(host, rule, rule_regex, is_allow) AS (VALUES {vals}),
+cands AS (
+  SELECT 'http://h.onion' || p || '?i=' || CAST(doc_id AS STRING) AS url,
+         'h.onion' AS host, p AS path
+  FROM (SELECT doc_id, {_ROBOTS_PATH_SQL} AS p FROM documents)
+), matches AS (
+  SELECT c.url, r.is_allow, length(r.rule) AS l
+  FROM cands c JOIN rules r
+    ON c.host = r.host AND regexp_matches(c.path, r.rule_regex)
+), verdict AS (
+  SELECT url,
+         (max([l, CASE WHEN is_allow THEN 1 ELSE 0 END]))[2] = 1 AS a
+  FROM matches GROUP BY url
+)
+SELECT c.url, c.host, c.path, coalesce(v.a, TRUE) AS allowed
+FROM cands c LEFT JOIN verdict v USING (url)
+"""
+
+
+# --------------------------------------------------------------------------
 # DUST parameter mining (learn junk query params from duplicate evidence)
 # --------------------------------------------------------------------------
 
@@ -5413,6 +5491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "registered_domain": q_registered_domain,
     "hits_scores": q_hits_scores,
     "dust_params": q_dust_params,
+    "robots_wildcards": q_robots_wildcards,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5527,6 +5606,7 @@ ORACLES: dict[str, str] = {
     "registered_domain": _regdomain_oracle_sql(),
     "hits_scores": _hits_oracle_sql(),
     "dust_params": ORACLE_DUST,
+    "robots_wildcards": _robots_wild_oracle_sql(),
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,

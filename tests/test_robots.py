@@ -199,3 +199,52 @@ def test_rfc9309_precedence(spark):
         "u6": True,   # exact /a/b
         "u7": True,   # other host: no rules
     }
+
+
+class TestWildcardRules:
+    def test_regex_builder_goldens(self):
+        from bathyscaphe_spark.operators.robots import wildcard_rule_regex_py as rx
+
+        assert rx("/private*") == "^/private.*"
+        assert rx("/*.php$") == "^/.*\\.php$"
+        assert rx("/plain") == "^/plain"
+        assert rx("/a$b*") == "^/a\\$b.*"  # mid-rule $ is literal
+        assert rx("/p+q(1)") == "^/p\\+q\\(1\\)"
+
+    def _verdicts(self, spark, rules_raw, paths):
+        from bathyscaphe_spark.operators.robots import (
+            rfc9309_allowed_wild,
+            wildcard_rule_regex_py,
+        )
+
+        rules = spark.createDataFrame(
+            [("h", r, wildcard_rule_regex_py(r), a) for r, a in rules_raw],
+            "host string, rule string, rule_regex string, is_allow boolean",
+        )
+        cands = spark.createDataFrame(
+            [(f"u{i}", "h", p) for i, p in enumerate(paths)],
+            "url string, host string, path string",
+        )
+        out = rfc9309_allowed_wild(cands, rules)
+        return {r["path"]: r["allowed"] for r in out.collect()}
+
+    def test_spec_examples(self, spark):
+        got = self._verdicts(
+            spark,
+            [("/private*", False), ("/private/ok$", True), ("/*.php$", False)],
+            ["/private/x", "/private/ok", "/private/ok2", "/f.php", "/f.phpx", "/"],
+        )
+        assert got == {
+            "/private/x": False,
+            "/private/ok": True,   # longer allow overrides
+            "/private/ok2": False,  # $ anchor: allow doesn't match
+            "/f.php": False,
+            "/f.phpx": True,       # $ anchor rejects the near-miss
+            "/": True,             # no rule -> allowed
+        }
+
+    def test_equal_length_tie_goes_to_allow(self, spark):
+        got = self._verdicts(
+            spark, [("/dir", False), ("/di*", True)], ["/dir/x"]
+        )
+        assert got == {"/dir/x": True}
