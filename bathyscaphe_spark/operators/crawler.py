@@ -100,3 +100,67 @@ def fetch(
     (reference: fetch error ⇒ drop, crawler.go:106-114).
     """
     return split_fetched(fetch_join(scheduled, pages, blacklist), config)
+
+
+# --------------------------------------------------------------------------
+# soft-404 detection (error pages served with HTTP 200)
+# --------------------------------------------------------------------------
+
+SOFT404_PHRASES = (
+    "page not found|404 error|does not exist|no longer available"
+    "|page you requested|been removed"
+)
+SOFT404_TEMPLATE_MIN = 5  # distinct URLs sharing one body on one host
+
+
+def soft404_flags(
+    fetched: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    text_col: str = "text",
+    phrases: str = SOFT404_PHRASES,
+    template_min: int = SOFT404_TEMPLATE_MIN,
+) -> DataFrame:
+    """Flag error pages served with HTTP 200 — the classic crawl-index
+    pollution source (a host's catch-all template returns 200 for any
+    path, and every dead outlink becomes a "document").
+
+    Two signals, both relational:
+
+    * ``phrase_hit`` — an error-phrase regex over the lowercased body
+      (pure codegen, one pass);
+    * ``template_size`` — how many DISTINCT URLs on the same host serve
+      this exact body (xxhash64 of the text; one (host, body-hash)
+      aggregation).  A host's soft-404 template is the body that
+      appears at many different URLs, which is how production crawlers
+      detect it (fetch a known-random path, compare — here the corpus
+      itself supplies the evidence).
+
+    ``soft404`` = phrase_hit OR template_size ≥ template_min.  The
+    phrase list errs conservative; the template signal catches the
+    phrase-free templates and localized error pages.
+
+    Scale shape: one groupBy (host, body-hash) with map-side combine +
+    one equi-join back on the same key — no windows, no UDFs; the join
+    key reuses the aggregation's partitioning.
+
+    Output: fetched + (phrase_hit, template_size, soft404).
+    """
+    bh = F.xxhash64(F.col(text_col))
+    tagged = fetched.withColumn("_bh", bh).withColumn(
+        "phrase_hit", F.lower(F.col(text_col)).rlike(phrases)
+    )
+    templates = tagged.groupBy(
+        F.col(host_col).alias("_th"), F.col("_bh").alias("_tb")
+    ).agg(F.countDistinct(url_col).alias("template_size"))
+    return (
+        tagged.join(
+            templates,
+            (F.col(host_col) == F.col("_th")) & (F.col("_bh") == F.col("_tb")),
+        )
+        .drop("_th", "_tb", "_bh")
+        .withColumn(
+            "soft404",
+            F.col("phrase_hit") | (F.col("template_size") >= template_min),
+        )
+    )

@@ -4947,15 +4947,75 @@ FROM scores s, cuts c
 
 
 # --------------------------------------------------------------------------
+# soft-404 detection (error pages served with HTTP 200)
+# --------------------------------------------------------------------------
+
+_SOFT404_TEXT_SQL = """
+CASE doc_id % 4
+  WHEN 0 THEN 'oops something went wrong on h'
+              || CAST(doc_id % 5 AS STRING) || '.onion'
+  WHEN 1 THEN 'this page does not exist entry ' || CAST(doc_id AS STRING)
+  WHEN 2 THEN 'seasonal promo ' || CAST(doc_id - doc_id % 120 AS STRING)
+  ELSE 'regular article ' || CAST(doc_id AS STRING)
+END
+"""
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection: error pages served with HTTP 200, the
+    classic index-pollution source.  Phrase regex (codegen) catches
+    explicit error text; the per-host body-template count catches the
+    phrase-free catch-all template (one body at ≥5 distinct URLs of a
+    host).  The fixture separates all four classes: a phrase-free
+    per-host template, a phrase-only unique page, a benign small
+    duplicate run (below threshold), and regular articles.  See
+    operators/crawler.py soft404_flags."""
+    from .operators.crawler import soft404_flags
+
+    fetched = _docs(spark, sf_dir).selectExpr(
+        "'http://h' || CAST(doc_id % 5 AS STRING) || '.onion/p'"
+        " || CAST(doc_id AS STRING) AS url",
+        "'h' || CAST(doc_id % 5 AS STRING) || '.onion' AS host",
+        f"{_SOFT404_TEXT_SQL} AS text",
+    )
+    return soft404_flags(fetched).select(
+        "url", "host", "phrase_hit", "template_size", "soft404"
+    )
+
+
+def _soft404_oracle_sql() -> str:
+    from .operators.crawler import SOFT404_PHRASES, SOFT404_TEMPLATE_MIN
+
+    return rf"""
+WITH fetched AS (
+  SELECT 'http://h' || CAST(doc_id % 5 AS STRING) || '.onion/p'
+           || CAST(doc_id AS STRING) AS url,
+         'h' || CAST(doc_id % 5 AS STRING) || '.onion' AS host,
+         {_SOFT404_TEXT_SQL} AS text
+  FROM documents
+), templates AS (
+  SELECT host, text, count(DISTINCT url) AS template_size
+  FROM fetched GROUP BY host, text
+)
+SELECT f.url, f.host,
+       regexp_matches(lower(f.text), '{SOFT404_PHRASES}') AS phrase_hit,
+       CAST(t.template_size AS BIGINT) AS template_size,
+       (regexp_matches(lower(f.text), '{SOFT404_PHRASES}')
+        OR t.template_size >= {SOFT404_TEMPLATE_MIN}) AS soft404
+FROM fetched f JOIN templates t ON f.host = t.host AND f.text = t.text
+"""
+
+
+# --------------------------------------------------------------------------
 # RFC 9309 wildcard robots rules (* / $ special characters)
 # --------------------------------------------------------------------------
 
 _ROBOTS_WILD_RULES = [
-    ("h.onion", "/private*", False),
-    ("h.onion", "/private/ok$", True),
-    ("h.onion", "/*.php$", False),
-    ("h.onion", "/a", False),
-    ("h.onion", "/a*/b", True),
+    ("h0.onion", "/private*", False),
+    ("h0.onion", "/private/ok$", True),
+    ("h0.onion", "/*.php$", False),
+    ("h1.onion", "/a", False),
+    ("h1.onion", "/a*/b", True),
 ]
 
 _ROBOTS_PATH_SQL = """
@@ -4976,7 +5036,10 @@ def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties-to-Allow — the rule dialect real sites publish (the plain
     prefix variant stays in robots_rfc9309).  The fixture exercises
     the allow-override of a shorter disallow, the end anchor rejecting
-    a near-miss (.phpx), and a mid-path wildcard.  See
+    a near-miss (.phpx), a mid-path wildcard, and TWO hosts with
+    disjoint rule sets (rules must not leak across hosts, and the host
+    equality keeps the join a broadcast HASH join — a single-host
+    fixture constant-folds the equi-key away into a nested loop).  See
     operators/robots.py rfc9309_allowed_wild; the regex builder is
     SHARED with the oracle so the dialects cannot drift."""
     from .operators.robots import rfc9309_allowed_wild, wildcard_rule_regex_py
@@ -4989,8 +5052,9 @@ def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .selectExpr("doc_id", f"{_ROBOTS_PATH_SQL} AS path")
         .selectExpr(
-            "'http://h.onion' || path || '?i=' || CAST(doc_id AS STRING) AS url",
-            "'h.onion' AS host",
+            "'http://h' || CAST(doc_id % 2 AS STRING) || '.onion' || path"
+            " || '?i=' || CAST(doc_id AS STRING) AS url",
+            "'h' || CAST(doc_id % 2 AS STRING) || '.onion' AS host",
             "path",
         )
     )
@@ -5007,8 +5071,9 @@ def _robots_wild_oracle_sql() -> str:
     return f"""
 WITH rules(host, rule, rule_regex, is_allow) AS (VALUES {vals}),
 cands AS (
-  SELECT 'http://h.onion' || p || '?i=' || CAST(doc_id AS STRING) AS url,
-         'h.onion' AS host, p AS path
+  SELECT 'http://h' || CAST(doc_id % 2 AS STRING) || '.onion' || p
+           || '?i=' || CAST(doc_id AS STRING) AS url,
+         'h' || CAST(doc_id % 2 AS STRING) || '.onion' AS host, p AS path
   FROM (SELECT doc_id, {_ROBOTS_PATH_SQL} AS p FROM documents)
 ), matches AS (
   SELECT c.url, r.is_allow, length(r.rule) AS l
@@ -5492,6 +5557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_scores": q_hits_scores,
     "dust_params": q_dust_params,
     "robots_wildcards": q_robots_wildcards,
+    "soft404": q_soft404,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5607,6 +5673,7 @@ ORACLES: dict[str, str] = {
     "hits_scores": _hits_oracle_sql(),
     "dust_params": ORACLE_DUST,
     "robots_wildcards": _robots_wild_oracle_sql(),
+    "soft404": _soft404_oracle_sql(),
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,
