@@ -4904,12 +4904,16 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_buckets(bigram_surprisal(d))
 
 
-ORACLE_LM_PPL = r"""
-WITH toks AS (
+def _lm_ppl_ctes(source: str) -> str:
+    """The bigram-surprisal + tertile-cut CTE chain over ``source``
+    (any relation with doc_id, text) — shared by the standalone
+    lm_perplexity oracle and the corpus_release composition so the two
+    can never drift.  Ends with the ``scores`` and ``cuts`` CTEs."""
+    return rf"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\s+'),
                      w -> w != '') AS ts
-  FROM documents
+  FROM {source}
 ), big AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(ts)),
@@ -4937,12 +4941,102 @@ WITH toks AS (
          xs[CAST(ceil(len(xs) * 2 / 3.0) AS INT)] AS t2
   FROM (SELECT list_sort(list(mean_surprisal)) AS xs
         FROM scores WHERE doc_id % 10 = 0)
-)
+)"""
+
+
+ORACLE_LM_PPL = rf"""
+WITH {_lm_ppl_ctes("documents")}
 SELECT s.doc_id, s.n_bigrams, s.mean_surprisal,
        CASE WHEN s.mean_surprisal > c.t2 THEN 'tail'
             WHEN s.mean_surprisal > c.t1 THEN 'middle'
             ELSE 'head' END AS ppl_bucket
 FROM scores s, cuts c
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus release: gopher gate → LM head/middle cut → exact dedup → print
+# --------------------------------------------------------------------------
+
+
+def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data release chain in ONE declarative plan:
+    quality gate → CCNet LM-perplexity cut (drop the tail tertile;
+    the LM is trained on the GATED corpus, as CCNet trains on
+    already-filtered text) → exact dedup keeping the lowest doc_id →
+    printable-ASCII content fingerprint.  Demonstrates that the
+    quality / LM / dedup operators compose as column expressions and
+    shared-key shuffles inside a single Catalyst plan — at 100 TB the
+    gate folds into the scan and the LM count joins reuse the same
+    token shuffle as standalone lm_perplexity.  The gate is
+    corpus_build's (≥8 tokens, punct ≤25% of chars): the full Gopher
+    gate (standalone-oracled in gopher_quality) rejects this synthetic
+    corpus wholesale — its vocabulary has no English stopwords — which
+    would make the composition degenerate."""
+    from pyspark.sql import Window
+
+    from .functions.fnv import fnv1_64
+    from .operators.lm import bigram_surprisal, ppl_buckets
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    gated = d.select("doc_id", "text").where(
+        (F.size(toks) >= 8)
+        & (
+            F.regexp_count(F.col("text"), F.lit(r"\p{Punct}")) * 4
+            <= F.length("text")
+        )
+    )
+    labeled = ppl_buckets(bigram_surprisal(gated))
+    kept = gated.join(
+        labeled.where(F.col("ppl_bucket") != "tail").select(
+            "doc_id", "mean_surprisal", "ppl_bucket"
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "doc_id",
+            "mean_surprisal",
+            "ppl_bucket",
+            fnv1_64(F.regexp_replace(F.col("text"), "[^ -~]", "")).alias(
+                "fingerprint"
+            ),
+        )
+    )
+
+
+def _corpus_release_oracle_sql() -> str:
+    from .functions.fnv import duckdb_fnv_signed_sql
+
+    fp = duckdb_fnv_signed_sql("regexp_replace(text, '[^ -~]', '', 'g')")
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x != '')) >= 8
+    AND len(regexp_extract_all(text, '[[:punct:]]')) * 4 <= length(text)
+), {_lm_ppl_ctes("gated")},
+labeled AS (
+  SELECT s.doc_id, s.mean_surprisal,
+         CASE WHEN s.mean_surprisal > c.t2 THEN 'tail'
+              WHEN s.mean_surprisal > c.t1 THEN 'middle'
+              ELSE 'head' END AS ppl_bucket
+  FROM scores s, cuts c
+), kept AS (
+  SELECT g.doc_id, g.text, l.mean_surprisal, l.ppl_bucket
+  FROM gated g JOIN labeled l USING (doc_id)
+  WHERE l.ppl_bucket != 'tail'
+), dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT doc_id, mean_surprisal, ppl_bucket, {fp} AS fingerprint
+FROM dedup WHERE rn = 1
 """
 
 
@@ -5558,6 +5652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dust_params": q_dust_params,
     "robots_wildcards": q_robots_wildcards,
     "soft404": q_soft404,
+    "corpus_release": q_corpus_release,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine_topk": q_knn_cosine,
@@ -5674,6 +5769,7 @@ ORACLES: dict[str, str] = {
     "dust_params": ORACLE_DUST,
     "robots_wildcards": _robots_wild_oracle_sql(),
     "soft404": _soft404_oracle_sql(),
+    "corpus_release": _corpus_release_oracle_sql(),
     "lang_guess": ORACLE_LANG,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "knn_cosine_topk": ORACLE_KNN,
