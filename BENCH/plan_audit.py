@@ -32,11 +32,14 @@ CARTESIAN_OK = {"knn_cosine_topk"}
 # collect()-free way to give every doc the corpus N/avgdl/df values)
 SCALAR_ATTACH_OK = {
     "bm25_search", "recrawl_priority", "lm_perplexity", "hits_scores",
+    # corpus_release composes the lm_perplexity stage, inheriting its
+    # 1-row corpus-stat scalar attaches
+    "corpus_release",
 }
 # bounded broadcast small-side expansion: IVF assignment is docs ×
 # broadcast(n_cells=16 centroid rows) — the documented O(n·cells)
 # assignment cost, combined map-side back to one row per doc
-SMALL_BCAST_OK = {"ivf_topk"}
+SMALL_BCAST_OK = {"ivf_topk", "semdedup_prune"}
 CARTESIAN_OK = CARTESIAN_OK | SCALAR_ATTACH_OK | SMALL_BCAST_OK
 
 

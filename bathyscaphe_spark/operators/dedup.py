@@ -649,6 +649,57 @@ def embedding_near_dup_pairs(
     return out
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    threshold: float = 0.40,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster embeddings, then within each
+    cluster prune every point that has an EARLIER (lower-id) point at
+    cosine ≥ ``threshold`` — the upper-triangular max-similarity rule
+    of the public reference implementation, made engine-deterministic
+    by the id ordering and the 3-dp cosine round.  Unlike
+    ``embedding_near_dup_pairs`` (exact pairs, quadratic) this is the
+    CORPUS-SCALE pruning pass: the all-pairs work is confined within
+    clusters — O(Σ c_i²), not O(n²) — and cluster size is controlled by
+    ``n_cells`` (raise it as the corpus grows so cells stay bounded).
+
+    Output ``(vec_id, cell, pruned)``, one row per input vector.
+
+    Plan: one broadcast-centroid argmax assignment (map-side
+    combinable, see similarity.ivf_assign), one self-join shuffled on
+    ``cell`` for the within-cluster pairs, one distinct + left join to
+    mark the pruned set.  Centroids default to the deterministic
+    hash-picked sample; pass ``kmeans_fp_train``-derived centroids
+    (similarity.centroids_from_fp) for tighter cells at real scale.
+    """
+    from .similarity import _dot, ivf_assign
+
+    assigned = ivf_assign(emb, id_col, vec_col, n_cells, centroids)
+    a = assigned.selectExpr("_id AS id_a", "v AS va", "nrm AS na", "cell")
+    b = assigned.selectExpr("_id AS id_b", "v AS vb", "nrm AS nb", "cell")
+    cos3 = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 3
+    )
+    dup_ids = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos3 >= F.lit(threshold))
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    return assigned.join(dup_ids, "_id", "left").select(
+        F.col("_id").alias("vec_id"),
+        "cell",
+        F.coalesce("pruned", F.lit(False)).alias("pruned"),
+    )
+
+
 def line_dedup_clean(
     docs: DataFrame,
     min_docs: int = 2,

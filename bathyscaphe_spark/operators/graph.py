@@ -174,6 +174,63 @@ def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     return ranks
 
 
+def resolve_redirects(edges: DataFrame, max_doublings: int = 6) -> DataFrame:
+    """Resolve redirect chains to their final landing URL by POINTER
+    DOUBLING: O(log L) self-joins instead of one join per hop.
+
+    The reference follows ≤302 redirects one hop at a time inside the
+    HTTP client (`internal/http/client.go:48-56` — fasthttp's redirect
+    loop); at frontier scale the engine instead materializes the
+    redirect edges the crawl observed (src page → Location target) and
+    collapses whole chains relationally, so canonicalization, the
+    seen-set, and the frontier all key on the FINAL URL, not on
+    intermediate 301 hops.
+
+    ``edges(src: long, dst: long)`` must be functional — one outgoing
+    redirect per src (a URL redirects to one place).  Returns
+    ``(src, final, hops, unresolved)``: ``final`` is the node reached
+    after following at most ``2^max_doublings`` hops; ``hops`` is the
+    exact chain length when the chain terminates within the cap (the
+    landing node has no outgoing redirect), else exactly
+    ``2^max_doublings``; ``unresolved`` marks chains still pointing
+    onward — redirect cycles or chains beyond the cap, both crawl
+    traps the scheduler drops.
+
+    Scale: each doubling step composes the pointer table with itself —
+    one equi-join shuffled on the key, state one row per redirecting
+    URL — so a length-64 chain costs 6 joins, not 64, and lineage stays
+    O(1) via per-step localCheckpoint.  Determinism: pure integer
+    joins; bit-identical at any parallelism.
+    """
+    ptr = edges.select(
+        F.col("src").alias("node"),
+        F.col("dst").alias("nxt"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    for _ in range(max_doublings):
+        j = ptr.select(
+            F.col("node").alias("j_node"),
+            F.col("nxt").alias("j_nxt"),
+            F.col("hops").alias("j_hops"),
+        )
+        ptr = (
+            ptr.join(j, ptr["nxt"] == j["j_node"], "left")
+            .select(
+                "node",
+                F.coalesce("j_nxt", "nxt").alias("nxt"),
+                (F.col("hops") + F.coalesce("j_hops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    src_set = edges.select(F.col("src").alias("t")).distinct()
+    return ptr.join(src_set, ptr["nxt"] == src_set["t"], "left").select(
+        F.col("node").alias("src"),
+        F.col("nxt").alias("final"),
+        "hops",
+        F.col("t").isNotNull().alias("unresolved"),
+    )
+
+
 HITS_SCALE = 10**6  # hub/authority micro-units: 1.0 == 10^6
 
 

@@ -1106,6 +1106,111 @@ SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup corpus-scale semantic pruning (operators/dedup.py
+    semdedup_prune): IVF-cell clustering (the same deterministic
+    hash-picked centroids as ivf_topk) then the upper-triangular
+    prune-if-earlier-neighbor rule at cos3 ≥ 0.40 — the planted
+    near-dup pairs in the embeddings table are the guaranteed
+    positives.  Fully relational, so the oracle replicates every step
+    value-for-value."""
+    from .operators.dedup import semdedup_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_prune(emb, "vec_id", "embedding", n_cells=16, threshold=0.40)
+
+
+# the centroid-pick + cell-argmax CTEs shared with ORACLE_IVF's shape
+_IVF_ASSIGN_CTES = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+ b AS (
+   SELECT vec_id, v, nrm,
+          list_reduce(list_prepend(0::HUGEINT, list_transform(
+              string_split_regex(substring(md5(CAST(vec_id AS VARCHAR)), 1, 8), ''),
+              c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+            (a, b2) -> a * 16 + b2
+          ) % 10000 AS bkt
+   FROM n
+ ),
+ cent AS (
+   SELECT row_number() OVER (ORDER BY bkt, vec_id) AS cell, v AS cv, nrm AS cn
+   FROM (SELECT * FROM b ORDER BY bkt, vec_id LIMIT 16)
+ ),
+ scored AS (
+   SELECT b.vec_id, b.v, b.nrm, cent.cell,
+          round(list_dot_product(b.v, cent.cv) / (b.nrm * cent.cn), 6) AS cos6
+   FROM b, cent
+ ),
+ assign AS (
+   SELECT vec_id, v, nrm, cell
+   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos6 DESC, cell ASC) AS rk FROM scored)
+   WHERE rk = 1
+ )
+"""
+
+ORACLE_SEMDEDUP = f"""
+WITH {_IVF_ASSIGN_CTES},
+ dups AS (
+   SELECT DISTINCT b2.vec_id
+   FROM assign a2 JOIN assign b2 USING (cell)
+   WHERE a2.vec_id < b2.vec_id
+     AND round(list_dot_product(a2.v, b2.v) / (a2.nrm * b2.nrm), 3) >= 0.40
+ )
+SELECT a1.vec_id, CAST(a1.cell AS BIGINT) AS cell,
+       (d.vec_id IS NOT NULL) AS pruned
+FROM assign a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id
+"""
+
+
+# --- redirect-chain resolution ---------------------------------------------
+# deterministic synthetic redirect graph over documents ids: downward
+# chains (x → x-1 within each 16-block) plus a cycle closer every 80 ids
+# (16k → 16k+5 → 16k+4 → … → 16k: a 6-cycle with real chains feeding in)
+REDIRECT_EDGES_SQL = """
+SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 16 != 0
+UNION ALL
+SELECT doc_id AS src, doc_id + 5 AS dst FROM documents WHERE doc_id % 80 = 0
+"""
+
+
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling
+    (operators/graph.py resolve_redirects): collapse 301/302 chains to
+    their final landing node in O(log L) self-joins, flagging cycles /
+    over-cap chains as unresolved (crawl traps).  The reference follows
+    redirects hop-by-hop in the HTTP client
+    (internal/http/client.go:48-56); the engine resolves whole chains
+    relationally so frontier + seen-set key on final URLs."""
+    from .operators.graph import resolve_redirects
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(REDIRECT_EDGES_SQL)
+    return resolve_redirects(edges, max_doublings=6)
+
+
+ORACLE_REDIRECT_CHAINS = f"""
+WITH RECURSIVE r AS ({REDIRECT_EDGES_SQL}),
+walk AS (
+  SELECT src, dst AS cur, 1 AS hops FROM r
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN r e ON w.cur = e.src
+  WHERE w.hops < 64
+),
+fin AS (
+  SELECT src, cur AS final, hops FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rk
+    FROM walk
+  ) WHERE rk = 1
+)
+SELECT f.src, f.final, CAST(f.hops AS BIGINT) AS hops,
+       EXISTS(SELECT 1 FROM r e WHERE e.src = f.final) AS unresolved
+FROM fin f
+"""
+
+
 # --- near-dup corpus: documents + mutated copies (shared SQL) -------------
 # every 5th doc gets a near-identical copy (two words appended) so the
 # near-dup operators have guaranteed positives with known pair ids
@@ -5632,6 +5737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text": q_anchor_text,
     "ivf_topk": q_ivf_topk,
     "ivf_train": q_ivf_train,
+    "semdedup_prune": q_semdedup_prune,
+    "redirect_chains": q_redirect_chains,
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
     "token_count": q_token_count,
@@ -5748,6 +5855,8 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": _incremental_oracle_sql(),
     "anchor_text": ORACLE_ANCHOR_TEXT,
     "ivf_topk": ORACLE_IVF,
+    "semdedup_prune": ORACLE_SEMDEDUP,
+    "redirect_chains": ORACLE_REDIRECT_CHAINS,
     "ivf_train": ORACLE_IVF_TRAIN,
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,

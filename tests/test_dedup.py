@@ -415,3 +415,51 @@ def test_incremental_dedup_no_recompute_and_exact(spark, tmp_path):
         if r.id_a in new_ids or r.id_b in new_ids
     }
     assert got == want and len(got) > 0
+
+
+class TestSemDeDup:
+    def _run(self, spark, rows, **kw):
+        from bathyscaphe_spark.operators.dedup import semdedup_prune
+
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return {
+            r["vec_id"]: (r["cell"], r["pruned"])
+            for r in semdedup_prune(emb, "vec_id", "embedding", **kw).collect()
+        }
+
+    def test_prunes_later_near_dup_keeps_earliest(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),   # near-dup of 1 → pruned
+            (7, [0.998, 0.05, 0.01]),  # near-dup of 1 and 2 → pruned
+            (3, [0.0, 1.0, 0.0]),      # orthogonal → kept
+        ]
+        got = self._run(spark, rows, n_cells=1, threshold=0.9)
+        assert got[1][1] is False and got[3][1] is False
+        assert got[2][1] is True and got[7][1] is True
+
+    def test_one_row_per_input_and_cells_cover(self, spark):
+        rows = [(i, [float((i * 7) % 5), float(i % 3), 1.0]) for i in range(40)]
+        got = self._run(spark, rows, n_cells=4, threshold=2.0)  # nothing prunable
+        assert len(got) == 40
+        assert all(p is False for _c, p in got.values())
+
+    def test_pruning_is_within_cell_only(self, spark):
+        """Two identical vectors forced into different cells are NOT
+        compared — the documented SemDeDup trade (cluster-confined
+        pairs). With n_cells=1 they are."""
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+        ]
+        got1 = self._run(spark, rows, n_cells=1, threshold=0.9)
+        assert got1[2][1] is True and got1[1][1] is False
+
+    def test_partition_invariance(self, spark):
+        from bathyscaphe_spark.operators.dedup import semdedup_prune
+
+        rows = [(i, [float((i * 13 + 3) % 7), float((i * 5) % 11), 1.0]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = sorted(map(tuple, semdedup_prune(df.repartition(1), "vec_id", "embedding", n_cells=4, threshold=0.95).collect()))
+        b = sorted(map(tuple, semdedup_prune(df.repartition(7), "vec_id", "embedding", n_cells=4, threshold=0.95).collect()))
+        assert a == b and len(a) == 60

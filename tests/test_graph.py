@@ -162,3 +162,53 @@ class TestHits:
 
     def test_empty_graph(self, spark):
         assert self._run(spark, []) == {}
+
+
+class TestResolveRedirects:
+    def _run(self, spark, edges, **kw):
+        from bathyscaphe_spark.operators.graph import resolve_redirects
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["src"]: (r["final"], r["hops"], r["unresolved"])
+            for r in resolve_redirects(df, **kw).collect()
+        }
+
+    def test_simple_chain_exact_hops(self, spark):
+        # 5 -> 4 -> 3 -> 2 -> 1 -> 0 (terminal)
+        got = self._run(spark, [(i, i - 1) for i in range(1, 6)])
+        assert got[5] == (0, 5, False)
+        assert got[1] == (0, 1, False)
+
+    def test_pure_cycle_unresolved(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3), (3, 1)])
+        # every member walks exactly 64 hops and is still pointing onward
+        assert all(h == 64 and unres for (_f, h, unres) in got.values())
+        # 64 ≡ 1 (mod 3): each node lands one step past itself
+        assert got[1][0] == 2 and got[2][0] == 3 and got[3][0] == 1
+
+    def test_chain_into_cycle(self, spark):
+        # 10 -> 1 -> 2 -> 3 -> 1 ... : feeder is unresolved too
+        got = self._run(spark, [(10, 1), (1, 2), (2, 3), (3, 1)])
+        assert got[10][1] == 64 and got[10][2] is True
+
+    def test_long_chain_within_cap(self, spark):
+        n = 60  # < 64-hop cap: resolves exactly
+        got = self._run(spark, [(i, i - 1) for i in range(1, n + 1)])
+        assert got[n] == (0, n, False)
+
+    def test_chain_beyond_cap_unresolved(self, spark):
+        n = 70  # > 64-hop cap: still pointing onward after 64 hops
+        got = self._run(spark, [(i, i - 1) for i in range(1, n + 1)])
+        assert got[n] == (n - 64, 64, True)
+        assert got[64] == (0, 64, False)  # exactly-at-cap resolves
+
+    def test_partition_invariance(self, spark):
+        from bathyscaphe_spark.operators.graph import resolve_redirects
+
+        edges = [(i, i - 1) for i in range(1, 40) if i % 16 != 0]
+        edges += [(0, 5), (16, 21), (32, 37)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = sorted(map(tuple, resolve_redirects(df.repartition(1)).collect()))
+        b = sorted(map(tuple, resolve_redirects(df.repartition(7)).collect()))
+        assert a == b and len(a) == len(edges)
