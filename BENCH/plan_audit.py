@@ -35,6 +35,8 @@ SCALAR_ATTACH_OK = {
     # corpus_release composes the lm_perplexity stage, inheriting its
     # 1-row corpus-stat scalar attaches
     "corpus_release",
+    # weight-total and leftover are 1-row aggregates attached back
+    "budget_apportion",
 }
 # bounded broadcast small-side expansion: IVF assignment is docs ×
 # broadcast(n_cells=16 centroid rows) — the documented O(n·cells)

@@ -224,3 +224,87 @@ def drain_forecast(
             F.sum(F.expr("greatest(0, n - round * b)")).alias("backlog_after"),
         )
     )
+
+
+def allocate_budget(
+    host_stats: DataFrame,
+    total_budget: int,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Apportion a GLOBAL per-round fetch budget across hosts
+    proportional to an integer weight — largest-remainder (Hamilton)
+    apportionment, the exact-total division every large crawler does
+    when a round can afford B fetches and hosts deserve shares by
+    pagerank mass / pending backlog / freshness debt.
+
+    ``global_fetch_cap`` answers "which ranked URLs survive a global
+    cap"; this answers the planning question one level up: "how many
+    fetches does each host GET" — its quotas feed ``rank_frontier``'s
+    per-host truncation, replacing the flat ``per_host_budget`` with a
+    weight-proportional one.
+
+    ``host_stats``: one row per host — (host, pending:long ≥ 0,
+    weight:long ≥ 0).  Hosts with zero weight or zero pending are
+    excluded from apportionment and emit quota 0.
+
+    Exactness: quotas are computed in DECIMAL(38,0) — no floats, no
+    long overflow at B·w ≈ 10^21 — as base = ⌊B·w/W⌋ plus +1 for the
+    B − Σbase largest remainders (ties broken by host asc), so
+    Σ uncapped == B precisely.  ``quota`` then clamps to pending and
+    ``max_per_host``; the clamp's shortfall is visible as
+    uncapped − quota (callers re-run apportionment on the residue if
+    they want water-filling — kept single-pass here so the op stays
+    two aggregations + one window).
+
+    Scale/plan: two tiny aggregations broadcast back as 1-row scalar
+    attaches, one Window over the HOST table (bounded by host count —
+    the same cardinality the politeness rank already shuffles; never
+    the URL table).  Pure integer/decimal codegen, bit-identical at
+    any parallelism.
+    """
+    dec = "decimal(38,0)"
+    elig = (F.col("pending") > 0) & (F.col("weight") > 0)
+    s = host_stats.select(
+        "host", "pending", "weight", elig.alias("_e"),
+        F.col("weight").cast(dec).alias("_w"),
+    )
+    tot = s.where("_e").agg(F.sum("_w").cast(dec).alias("_wsum"))
+    b = F.lit(int(total_budget)).cast(dec)
+    based = (
+        s.join(F.broadcast(tot))
+        .withColumn(
+            "_base",
+            F.when(F.col("_e"), F.expr(f"CAST({int(total_budget)} AS {dec})"
+                                       " * _w div _wsum").cast(dec))
+            .otherwise(F.lit(0).cast(dec)),
+        )
+        .withColumn(
+            "_rem",
+            F.when(F.col("_e"), b * F.col("_w") - F.col("_base") * F.col("_wsum"))
+            .otherwise(F.lit(-1).cast(dec)),
+        )
+    )
+    leftover = based.agg(
+        (b - F.sum("_base")).cast(dec).alias("_r")
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("host"))
+    out = (
+        based.join(F.broadcast(leftover))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "uncapped",
+            (
+                F.col("_base")
+                + F.when(
+                    F.col("_e") & (F.col("_rn").cast(dec) <= F.col("_r")),
+                    F.lit(1),
+                ).otherwise(F.lit(0)).cast(dec)
+            ).cast("long"),
+        )
+    )
+    quota = F.least(
+        F.col("uncapped"),
+        F.col("pending"),
+        *( [F.lit(int(max_per_host))] if max_per_host is not None else [] ),
+    )
+    return out.select("host", quota.alias("quota"), "uncapped")

@@ -380,3 +380,70 @@ def rfc9309_allowed_wild(
         *cands.columns,
         (F.col("_m").isNull() | F.col("_m.a")).alias("allowed"),
     )
+
+
+def robots_availability(
+    fetches: DataFrame,
+    now,
+    cache_max_age_h: int = 24,
+    unreachable_grace_d: int = 30,
+) -> DataFrame:
+    """RFC 9309 §2.3.1 availability semantics + §2.4 cache staleness:
+    map each host's last robots.txt FETCH OUTCOME to the effective
+    crawl policy.  The rule-parsing suite (``parse_robots`` /
+    ``rfc9309_allowed``) assumes a 2xx body; this operator decides
+    what to do for every other outcome — the part of the spec a real
+    fetcher hits constantly:
+
+    * 2xx → ``rules`` (apply the parsed rule set);
+    * 4xx ("unavailable", §2.3.1.3) → ``allow_all`` — the file does
+      not exist, crawlers MAY access any resources;
+    * 3xx terminal status ("redirects", §2.3.1.2) — the fetcher gave
+      up past the ≥5-hop requirement without reaching a body →
+      treated as unavailable → ``allow_all``;
+    * 5xx or network error (status NULL; "unreachable", §2.3.1.4) →
+      ``disallow_all`` (MUST assume complete disallow), unless the
+      failure streak exceeds ``unreachable_grace_d`` days, after which
+      a crawler MAY fall back: ``cached_rules`` when a previously
+      fetched copy exists (``ok_ts`` non-NULL), else ``allow_all``;
+    * ``refetch_due`` (§2.4): cached copies SHOULD NOT be used beyond
+      ``cache_max_age_h`` hours, so any attempt older than that is
+      due — and unreachable hosts inside the grace window retry every
+      round (their disallow-all verdict is the costly one to hold).
+
+    ``fetches`` carries one row per host: (host, status:int — NULL
+    means the network attempt itself failed, attempt_ts — last
+    attempt, ok_ts — last 2xx success or NULL, fail_since_ts — start
+    of the current consecutive-failure streak, NULL when the last
+    attempt succeeded).  ``now`` is an explicit timestamp (tests and
+    oracles pass a literal; the driver passes the round's clock) —
+    never a wall-clock read, so verdicts are replayable.
+
+    Scale/plan: pure whole-stage-codegen CASE arithmetic on integer
+    epoch seconds — no joins, no shuffles, no UDFs; one row per host
+    (bounded by host count, not URL count).
+    """
+    now_s = F.unix_timestamp(F.lit(now).cast("timestamp"))
+    age_s = now_s - F.unix_timestamp(F.col("attempt_ts"))
+    fail_s = now_s - F.unix_timestamp(F.col("fail_since_ts"))
+    unreachable = F.col("status").isNull() | F.col("status").between(500, 599)
+    policy = (
+        F.when(F.col("status").between(200, 299), F.lit("rules"))
+        .when(F.col("status").between(400, 499), F.lit("allow_all"))
+        .when(F.col("status").between(300, 399), F.lit("allow_all"))
+        .when(
+            unreachable & (fail_s > F.lit(unreachable_grace_d * 86400)),
+            F.when(F.col("ok_ts").isNotNull(), F.lit("cached_rules")).otherwise(
+                F.lit("allow_all")
+            ),
+        )
+        .otherwise(F.lit("disallow_all"))
+    )
+    return fetches.select(
+        "host",
+        policy.alias("policy"),
+        (
+            (policy == F.lit("disallow_all"))
+            | (age_s >= F.lit(cache_max_age_h * 3600))
+        ).alias("refetch_due"),
+    )

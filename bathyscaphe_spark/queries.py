@@ -5289,6 +5289,140 @@ FROM cands c LEFT JOIN verdict v USING (url)
 
 
 # --------------------------------------------------------------------------
+# RFC 9309 availability semantics (what to do when robots.txt ISN'T a 2xx)
+# --------------------------------------------------------------------------
+
+_ROBOTS_AVAIL_NOW = "TIMESTAMP '2020-03-01 00:00:00'"
+# one host per doc, 8 outcome variants: fresh 200 / stale 200 / 404 at
+# the exact 24h cache boundary / young 5xx streak / 45-day network
+# streak WITH a cached copy / 45-day 5xx streak with NO copy / terminal
+# 301 (redirect cap) / 5xx streak at the exact 30-day grace boundary
+_ROBOTS_AVAIL_FIXTURE_SQL = f"""
+SELECT 'h' || CAST(doc_id AS STRING) || '.onion' AS host,
+       CASE CAST(doc_id % 8 AS INT)
+         WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 404
+         WHEN 3 THEN 503 WHEN 5 THEN 503 WHEN 6 THEN 301
+         WHEN 7 THEN 500 ELSE CAST(NULL AS INT) END AS status,
+       CASE CAST(doc_id % 8 AS INT)
+         WHEN 1 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 30 HOUR
+         WHEN 2 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 24 HOUR
+         WHEN 5 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 30 HOUR
+         ELSE {_ROBOTS_AVAIL_NOW} - INTERVAL 1 HOUR END AS attempt_ts,
+       CASE CAST(doc_id % 8 AS INT)
+         WHEN 0 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 1 HOUR
+         WHEN 1 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 30 HOUR
+         WHEN 3 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 3 DAY
+         WHEN 4 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 50 DAY
+         ELSE CAST(NULL AS TIMESTAMP) END AS ok_ts,
+       CASE CAST(doc_id % 8 AS INT)
+         WHEN 3 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 2 DAY
+         WHEN 4 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 45 DAY
+         WHEN 5 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 45 DAY
+         WHEN 7 THEN {_ROBOTS_AVAIL_NOW} - INTERVAL 30 DAY
+         ELSE CAST(NULL AS TIMESTAMP) END AS fail_since_ts
+FROM documents
+"""
+
+
+def q_robots_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.3.1 availability + §2.4 cache staleness
+    (operators/robots.py robots_availability): the per-host verdict
+    for every non-2xx robots.txt fetch outcome — 4xx ⇒ allow-all,
+    terminal 3xx past the redirect cap ⇒ allow-all, 5xx/network ⇒
+    complete disallow until the 30-day grace expires (then cached
+    rules if a copy exists, else allow-all), plus the 24h refetch-due
+    clock.  Fixture hits both boundaries EXACTLY: a 24h-old attempt
+    (due: ≥) and a 30-day failure streak (still disallowed: >).
+    Pure codegen CASE arithmetic — no joins, no UDFs."""
+    from .operators.robots import robots_availability
+
+    _docs(spark, sf_dir)
+    fetches = spark.sql(_ROBOTS_AVAIL_FIXTURE_SQL)
+    return robots_availability(fetches, "2020-03-01 00:00:00")
+
+
+ORACLE_ROBOTS_AVAIL = f"""
+WITH f AS ({_ROBOTS_AVAIL_FIXTURE_SQL}),
+p AS (
+  SELECT host, attempt_ts,
+         CASE WHEN status BETWEEN 200 AND 299 THEN 'rules'
+              WHEN status BETWEEN 400 AND 499 THEN 'allow_all'
+              WHEN status BETWEEN 300 AND 399 THEN 'allow_all'
+              WHEN (status IS NULL OR status BETWEEN 500 AND 599)
+                   AND epoch({_ROBOTS_AVAIL_NOW}) - epoch(fail_since_ts)
+                       > 30 * 86400
+              THEN CASE WHEN ok_ts IS NOT NULL
+                        THEN 'cached_rules' ELSE 'allow_all' END
+              ELSE 'disallow_all' END AS policy
+  FROM f
+)
+SELECT host, policy,
+       (policy = 'disallow_all'
+        OR epoch({_ROBOTS_AVAIL_NOW}) - epoch(attempt_ts) >= 24 * 3600)
+           AS refetch_due
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# global fetch-budget apportionment across hosts (largest remainder)
+# --------------------------------------------------------------------------
+
+# per-host stats from documents; h0 forced weightless and h1 backlog-free
+# so both exclusion edges sit in the fixture
+_BUDGET_HOSTS_SQL = """
+SELECT host,
+       CASE WHEN host = 'h1' THEN 0 ELSE pending END AS pending,
+       CASE WHEN host = 'h0' THEN 0 ELSE weight END AS weight
+FROM (SELECT 'h' || CAST(doc_id % 37 AS STRING) AS host,
+             CAST(SUM(doc_id % 13) AS BIGINT) AS pending,
+             CAST(SUM(n_chars % 101) AS BIGINT) AS weight
+      FROM documents GROUP BY 1)
+"""
+
+
+def q_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fetch-budget apportionment (operators/politeness.py
+    allocate_budget): divide B=1000 round fetches across hosts
+    proportional to integer weight by largest-remainder (Hamilton) —
+    Σ uncapped == B exactly, quotas then clamp to backlog and the 25
+    per-host cap (which BINDS on heavy hosts at every sf).  DECIMAL
+    arithmetic end-to-end; the fixture carries a zero-weight and a
+    zero-backlog host so the exclusion rule is pinned too."""
+    from .operators.politeness import allocate_budget
+
+    _docs(spark, sf_dir)
+    hs = spark.sql(_BUDGET_HOSTS_SQL)
+    return allocate_budget(hs, 1000, max_per_host=25)
+
+
+ORACLE_BUDGET_APPORTION = f"""
+WITH hs AS ({_BUDGET_HOSTS_SQL}),
+e AS (SELECT host, pending, weight::HUGEINT AS w,
+             (pending > 0 AND weight > 0) AS el FROM hs),
+t AS (SELECT SUM(w) AS wsum FROM e WHERE el),
+base AS (
+  SELECT host, pending, el,
+         CASE WHEN el THEN (1000::HUGEINT * w) // t.wsum
+              ELSE 0::HUGEINT END AS b,
+         CASE WHEN el
+              THEN 1000::HUGEINT * w - ((1000::HUGEINT * w) // t.wsum) * t.wsum
+              ELSE (-1)::HUGEINT END AS rem
+  FROM e, t
+),
+lo AS (SELECT 1000::HUGEINT - SUM(b) AS r FROM base),
+rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+       FROM base)
+SELECT host,
+       CAST(LEAST(b + CASE WHEN el AND rn <= lo.r THEN 1 ELSE 0 END,
+                  pending::HUGEINT, 25::HUGEINT) AS BIGINT) AS quota,
+       CAST(b + CASE WHEN el AND rn <= lo.r THEN 1 ELSE 0 END AS BIGINT)
+           AS uncapped
+FROM rk, lo
+"""
+
+
+# --------------------------------------------------------------------------
 # DUST parameter mining (learn junk query params from duplicate evidence)
 # --------------------------------------------------------------------------
 
@@ -5758,6 +5892,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_scores": q_hits_scores,
     "dust_params": q_dust_params,
     "robots_wildcards": q_robots_wildcards,
+    "robots_availability": q_robots_availability,
+    "budget_apportion": q_budget_apportion,
     "soft404": q_soft404,
     "corpus_release": q_corpus_release,
     "lang_guess": q_lang_guess,
@@ -5877,6 +6013,8 @@ ORACLES: dict[str, str] = {
     "hits_scores": _hits_oracle_sql(),
     "dust_params": ORACLE_DUST,
     "robots_wildcards": _robots_wild_oracle_sql(),
+    "robots_availability": ORACLE_ROBOTS_AVAIL,
+    "budget_apportion": ORACLE_BUDGET_APPORTION,
     "soft404": _soft404_oracle_sql(),
     "corpus_release": _corpus_release_oracle_sql(),
     "lang_guess": ORACLE_LANG,

@@ -1,0 +1,93 @@
+"""allocate_budget: largest-remainder fetch-budget apportionment."""
+
+from pyspark.sql import functions as F
+
+from bathyscaphe_spark.operators.politeness import allocate_budget
+
+
+def _run(spark, rows, budget, **kw):
+    df = spark.createDataFrame(rows, "host string, pending long, weight long")
+    return {
+        r["host"]: (r["quota"], r["uncapped"])
+        for r in allocate_budget(df, budget, **kw).collect()
+    }
+
+
+class TestAllocateBudget:
+    def test_hand_computed_hamilton(self, spark):
+        # W=17; base = floor(10*w/17): a2 b1 c1 d4 (sum 8, leftover 2)
+        # remainders 16,13,3,2 -> +1 to a and b; d clamps to pending 2
+        got = _run(
+            spark,
+            [("a", 100, 5), ("b", 100, 3), ("c", 100, 2), ("d", 2, 7),
+             ("e", 0, 9), ("f", 100, 0)],
+            10,
+        )
+        assert got == {
+            "a": (3, 3), "b": (2, 2), "c": (1, 1), "d": (2, 4),
+            "e": (0, 0), "f": (0, 0),
+        }
+
+    def test_uncapped_sums_to_budget_exactly(self, spark):
+        rows = [(f"h{i:03d}", 10**6, (i * 37) % 11 + 1) for i in range(100)]
+        got = _run(spark, rows, 997)
+        assert sum(u for _q, u in got.values()) == 997
+
+    def test_no_long_overflow_at_huge_weights(self, spark):
+        # B*w ~ 1e21 > int64 max: must stay exact in DECIMAL
+        rows = [(f"h{i}", 10**9, 10**12 + i) for i in range(5)]
+        got = _run(spark, rows, 10**9)
+        assert sum(u for _q, u in got.values()) == 10**9
+        # near-equal weights -> near-equal shares
+        assert max(u for _q, u in got.values()) - min(
+            u for _q, u in got.values()
+        ) <= 1
+
+    def test_max_per_host_clamps_quota_not_uncapped(self, spark):
+        got = _run(spark, [("a", 100, 9), ("b", 100, 1)], 10, max_per_host=5)
+        assert got["a"] == (5, 9) and got["b"] == (1, 1)
+
+    def test_remainder_tie_breaks_by_host_asc(self, spark):
+        # equal weights, budget not divisible: leftover goes to the
+        # lexicographically smallest hosts
+        got = _run(spark, [("x", 9, 1), ("y", 9, 1), ("z", 9, 1)], 7)
+        assert got == {"x": (3, 3), "y": (2, 2), "z": (2, 2)}
+
+    def test_partition_invariance(self, spark):
+        rows = [(f"h{i}", (i % 7) + 1, (i * 13) % 19 + 1) for i in range(60)]
+        df1 = spark.createDataFrame(rows, "host string, pending long, weight long")
+        a = sorted(map(tuple, allocate_budget(df1.repartition(1), 53).collect()))
+        b = sorted(map(tuple, allocate_budget(df1.repartition(7), 53).collect()))
+        assert a == b
+
+
+def test_quotas_feed_rank_frontier(spark):
+    """allocate_budget -> rank_frontier composition: the apportioned
+    quota IS the per-host budget (lowering the config cap)."""
+    import datetime as dt
+
+    from bathyscaphe_spark.config import CrawlConfig
+    from bathyscaphe_spark.operators.politeness import rank_frontier
+
+    t0 = dt.datetime(2020, 1, 1)
+    frontier = spark.createDataFrame(
+        [
+            (f"http://{h}/p{i}", hash((h, i)), h, 1, 0, t0)
+            for h in ("big.onion", "small.onion")
+            for i in range(20)
+        ],
+        "url string, url_hash long, host string, depth int,"
+        " priority int, discovered_ts timestamp",
+    )
+    stats = spark.createDataFrame(
+        [("big.onion", 20, 9), ("small.onion", 20, 1)],
+        "host string, pending long, weight long",
+    )
+    quotas = allocate_budget(stats, 10).selectExpr("host", "quota AS budget")
+    cfg = CrawlConfig(per_host_budget=50)
+    out = rank_frontier(frontier, cfg, host_budgets=quotas)
+    counts = {
+        r["host"]: r["n"]
+        for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big.onion": 9, "small.onion": 1}

@@ -248,3 +248,76 @@ class TestWildcardRules:
             spark, [("/dir", False), ("/di*", True)], ["/dir/x"]
         )
         assert got == {"/dir/x": True}
+
+
+class TestRobotsAvailability:
+    NOW = "2020-03-01 00:00:00"
+
+    def _run(self, spark, rows, **kw):
+        import datetime as dt
+
+        from bathyscaphe_spark.operators.robots import robots_availability
+
+        base = dt.datetime(2020, 3, 1)
+
+        def ts(hours_ago):
+            return None if hours_ago is None else base - dt.timedelta(hours=hours_ago)
+
+        fetches = spark.createDataFrame(
+            [(h, s, ts(a), ts(ok), ts(fs)) for h, s, a, ok, fs in rows],
+            "host string, status int, attempt_ts timestamp,"
+            " ok_ts timestamp, fail_since_ts timestamp",
+        )
+        return {
+            r["host"]: (r["policy"], r["refetch_due"])
+            for r in robots_availability(fetches, self.NOW, **kw).collect()
+        }
+
+    def test_status_classes(self, spark):
+        got = self._run(spark, [
+            ("ok", 200, 1, 1, None),
+            ("gone", 404, 1, None, None),
+            ("teapot", 418, 1, None, None),
+            ("redirloop", 301, 1, None, None),
+            ("err", 503, 1, None, 48),
+            ("net", None, 1, None, 48),
+        ])
+        assert got["ok"] == ("rules", False)
+        assert got["gone"] == ("allow_all", False)
+        assert got["teapot"] == ("allow_all", False)
+        assert got["redirloop"] == ("allow_all", False)
+        # young failure streaks: complete disallow, retried every round
+        assert got["err"] == ("disallow_all", True)
+        assert got["net"] == ("disallow_all", True)
+
+    def test_unreachable_grace_fallback(self, spark):
+        got = self._run(spark, [
+            ("cached", None, 1, 50 * 24, 45 * 24),   # long streak, copy held
+            ("nocopy", 503, 1, None, 45 * 24),        # long streak, never fetched
+            ("boundary", 500, 1, None, 30 * 24),      # exactly 30d: NOT past grace
+        ])
+        assert got["cached"] == ("cached_rules", False)
+        assert got["nocopy"] == ("allow_all", False)
+        assert got["boundary"] == ("disallow_all", True)
+
+    def test_cache_staleness_boundary(self, spark):
+        got = self._run(spark, [
+            ("fresh", 200, 23, 23, None),
+            ("edge", 200, 24, 24, None),   # exactly 24h: due (>=)
+            ("stale", 404, 30, None, None),
+        ])
+        assert got["fresh"] == ("rules", False)
+        assert got["edge"] == ("rules", True)
+        assert got["stale"] == ("allow_all", True)
+
+    def test_knobs(self, spark):
+        got = self._run(
+            spark,
+            [("h1", 503, 1, 10, 3), ("h2", 200, 2, 2, None)],
+            cache_max_age_h=1, unreachable_grace_d=0,
+        )
+        # grace 0: a 3h streak already falls back to the cached copy
+        # (and the 1h-old attempt is at the 1h cache edge: due)
+        assert got["h1"] == ("cached_rules", True)
+        # cache max age 1h: a 2h-old success is due
+        assert got["h2"] == ("rules", True)
