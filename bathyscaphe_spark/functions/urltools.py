@@ -561,3 +561,91 @@ def dust_param_evidence(pages, url_col: str = "url", hash_col: str = "content_ha
             ).alias("removable"),
         )
     )
+
+
+def dust_apply(
+    pages, removable, url_col: str = "url"
+) -> "DataFrame":  # noqa: F821 — DataFrame imported lazily below
+    """Apply MINED DUST rules: rewrite every URL with the learned
+    content-irrelevant query parameters removed — the second half of
+    the Bar-Yossef et al. loop whose first half is
+    ``dust_param_evidence`` (mine) — so frontier/seen-set keys collapse
+    session-id and cache-buster variants the static
+    ``strip_tracking_col`` list never heard of.
+
+    ``removable``: a DataFrame with a ``param`` column (e.g.
+    ``dust_param_evidence(...).where("removable")``) — per-site tiny,
+    always the broadcast side.
+
+    Same edge conventions as ``strip_tracking_col``: survivor order
+    kept, '?' dropped when nothing survives, no-query URLs unchanged.
+
+    Scale shape: posexplode(params) → broadcast LEFT ANTI join on the
+    param key → groupBy(url) ordered reassembly — one shuffle keyed on
+    the url, no windows, no UDFs, no driver-side collect of the rule
+    set.  URLs with no query string bypass the explode entirely.
+    """
+    from pyspark.sql import DataFrame, functions as F  # noqa: F811
+
+    url = F.col(url_col)
+    base = F.substring_index(url, "?", 1)
+    qs = F.when(
+        url.contains("?"), F.substring(url, F.length(base) + 2, 1_000_000)
+    ).otherwise(F.lit(None))
+    params = F.filter(F.split(qs, "&"), lambda p: p != "")
+    # one rewrite per DISTINCT url: repeated pages rows must not double
+    # the reassembled params, and the final join stays 1:1
+    with_q = (
+        pages.select(url.alias("_u"), params.alias("_ps"))
+        .where(qs.isNotNull())
+        .dropDuplicates(["_u"])
+    )
+    kept = (
+        with_q.select("_u", F.posexplode("_ps").alias("_pos", "_p"))
+        .withColumn(
+            "_k", F.element_at(F.split(F.col("_p"), "=", 2), 1)
+        )
+        .join(
+            F.broadcast(removable.select(F.col("param").alias("_k"))),
+            "_k",
+            "left_anti",
+        )
+        .groupBy("_u")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_p"))
+                    ),
+                    lambda s: s["_p"],
+                ),
+                "&",
+            ).alias("_kept")
+        )
+    )
+    canon_q = (
+        with_q.select("_u")
+        .join(kept, "_u", "left")
+        .select(
+            "_u",
+            F.when(
+                F.col("_kept").isNull() | (F.col("_kept") == ""),
+                F.substring_index(F.col("_u"), "?", 1),
+            )
+            .otherwise(
+                F.concat(
+                    F.substring_index(F.col("_u"), "?", 1),
+                    F.lit("?"),
+                    F.col("_kept"),
+                )
+            )
+            .alias("_canon"),
+        )
+    )
+    return (
+        pages.join(canon_q, pages[url_col] == canon_q["_u"], "left")
+        .select(
+            *pages.columns,
+            F.coalesce(F.col("_canon"), url).alias("canonical_url"),
+        )
+    )

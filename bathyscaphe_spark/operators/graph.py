@@ -311,3 +311,49 @@ def hits_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
         ed.unpersist()
         nodes.unpersist()
     return out
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    min_links: int = 3,
+    min_recip_pm: int = 600,
+) -> DataFrame:
+    """Reciprocal-link (link-farm) detection over the host graph:
+    host pairs that exchange heavy mutual link mass are nepotistic
+    candidates (the classic web-spam signal — Fetterly/Gyöngyi line of
+    work, public), and their pages rank DOWN in crawl priority where
+    PageRank/HITS alone would rank them up.
+
+    ``edges``: directed weighted host edges (src:long, dst:long,
+    n:long ≥ 1 — link count, e.g. from the same extraction pass that
+    feeds pagerank_fp).  Output one row per unordered host pair:
+    (host_a < host_b, fwd — links a→b, rev — links b→a, recip_pm —
+    2·min(fwd,rev)·1000 ∕ (fwd+rev), integer permille, reciprocal —
+    both directions ≥ ``min_links`` and recip_pm ≥ ``min_recip_pm``).
+
+    Scale/plan: NO join — the pair is canonicalized to
+    (least, greatest) and both directions meet in one groupBy(a, b)
+    with map-side combine; one shuffle keyed on the pair, pure integer
+    arithmetic, bit-identical at any parallelism.  A self-join
+    formulation would shuffle the edge table twice for the same
+    answer.
+    """
+    a = F.least("src", "dst")
+    b = F.greatest("src", "dst")
+    fwd_dir = F.col("src") < F.col("dst")
+    pairs = edges.groupBy(a.alias("host_a"), b.alias("host_b")).agg(
+        F.coalesce(F.sum(F.when(fwd_dir, F.col("n"))), F.lit(0)).alias("fwd"),
+        F.coalesce(F.sum(F.when(~fwd_dir, F.col("n"))), F.lit(0)).alias("rev"),
+    )
+    recip_pm = F.expr("2 * least(fwd, rev) * 1000 div (fwd + rev)")
+    return pairs.select(
+        "host_a",
+        "host_b",
+        "fwd",
+        "rev",
+        recip_pm.alias("recip_pm"),
+        (
+            (F.least("fwd", "rev") >= F.lit(min_links))
+            & (recip_pm >= F.lit(min_recip_pm))
+        ).alias("reciprocal"),
+    )

@@ -90,3 +90,58 @@ def chunk_stats(packed: DataFrame, group_col: str, tokens_col: str) -> DataFrame
         F.sum("fill").alias("total_tokens"),
         F.max("fill").alias("max_fill"),
     )
+
+
+def shard_balance(
+    docs: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    n_shards: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Assign documents to ``n_shards`` output shards with near-equal
+    TOKEN totals — the balanced-writer step after packing/mixing: a
+    training run reads shards in parallel, so the slowest shard is the
+    epoch's critical path and hash-only assignment leaves the tail to
+    luck.
+
+    Two-phase, scale-shaped like ``token_budget_sample``: documents
+    hash (md5, engine-stable) into ``n_buckets`` buckets; per-bucket
+    token sums (ONE map-side-combinable aggregation, n_buckets rows)
+    are ranked by (tokens desc, bucket asc) and dealt to shards in
+    SERPENTINE order (0..K-1, K-1..0, …) — the classic LPT-flavored
+    greedy at bucket granularity; the tiny bucket→shard map broadcasts
+    back onto the documents.  Balance error is bounded by the largest
+    bucket, so raise ``n_buckets`` as the corpus grows (10⁵ buckets at
+    100 TB keeps buckets ~GB-sized); the only Window runs over the
+    BUCKET table, never the corpus.
+
+    Output: input columns + (bucket, shard).  Deterministic,
+    bit-identical at any parallelism.
+    """
+    k = int(n_shards)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    with_b = docs.withColumn("bucket", bucket)
+    sums = with_b.groupBy("bucket").agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("_btok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_btok"), F.asc("bucket"))
+    r = F.row_number().over(w) - 1
+    assign = sums.select(
+        "bucket",
+        F.when(
+            (r.cast("long") % (2 * k)) < k, r.cast("long") % (2 * k)
+        )
+        .otherwise(2 * k - 1 - (r.cast("long") % (2 * k)))
+        .alias("shard"),
+    )
+    return with_b.join(F.broadcast(assign), "bucket").select(
+        *docs.columns, "bucket", "shard"
+    )

@@ -5491,6 +5491,164 @@ GROUP BY param
 """
 
 
+def q_dust_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DUST loop CLOSED (functions/urltools.py dust_apply): rules
+    mined by dust_param_evidence on this crawl's duplicate evidence
+    (sessionid/ref removable, page load-bearing) rewrite the same
+    URLs — session-id variants collapse onto one canonical key and the
+    variant-group sizes quantify the frontier shrink.  Mining feeds
+    application in ONE plan; broadcast anti-join on the param key,
+    ordered reassembly, no UDFs."""
+    from .functions.urltools import dust_apply, dust_param_evidence
+
+    pages = _docs(spark, sf_dir).selectExpr(
+        f"{_DUST_URL_SQL} AS url", f"{_DUST_HASH_SQL} AS content_hash"
+    )
+    removable = dust_param_evidence(pages).where("removable").select("param")
+    mapping = dust_apply(pages.select("url").distinct(), removable)
+    sizes = mapping.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants")
+    )
+    return mapping.join(sizes, "canonical_url").select(
+        "url", "canonical_url", "n_variants"
+    )
+
+
+ORACLE_DUST_APPLY = rf"""
+WITH pages AS (
+  SELECT {_DUST_URL_SQL} AS url, {_DUST_HASH_SQL} AS h
+  FROM documents
+), parts AS (
+  SELECT h, string_split(url, '?')[1] AS base,
+         list_filter(string_split(string_split(url, '?')[2], '&'),
+                     p -> p != '') AS ps
+  FROM pages
+), per0 AS (
+  SELECT h, base, ps, unnest(ps) AS p FROM parts
+), per AS (
+  SELECT split_part(p, '=', 1) AS param,
+         base || '?' || array_to_string(
+           list_sort(list_filter(ps, q -> q != p)), '&') AS residual,
+         h
+  FROM per0
+), grp AS (
+  SELECT param, residual, count(*) AS n_urls,
+         count(DISTINCT h) AS n_hashes
+  FROM per GROUP BY 1, 2
+), rem AS (
+  SELECT param FROM grp WHERE n_urls >= 2
+  GROUP BY param
+  HAVING sum(CASE WHEN n_hashes = 1 THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN n_hashes > 1 THEN 1 ELSE 0 END) = 0
+), u AS (
+  SELECT DISTINCT url, string_split(url, '?')[1] AS base,
+         coalesce(list_filter(string_split(string_split(url, '?')[2], '&'),
+                              p -> p != ''), []) AS ps
+  FROM pages
+), ex0 AS (
+  SELECT url, ps, unnest(generate_series(1, len(ps))) AS i FROM u
+), ex AS (
+  SELECT url, i, ps[i] AS p FROM ex0
+), asm AS (
+  SELECT url, string_agg(p, '&' ORDER BY i) AS kept
+  FROM ex WHERE split_part(p, '=', 1) NOT IN (SELECT param FROM rem)
+  GROUP BY url
+), m AS (
+  SELECT u.url,
+         CASE WHEN a.kept IS NULL OR a.kept = '' THEN u.base
+              ELSE u.base || '?' || a.kept END AS canonical_url
+  FROM u LEFT JOIN asm a USING (url)
+)
+SELECT m.url, m.canonical_url, n.n_variants
+FROM m JOIN (SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants
+             FROM m GROUP BY 1) n USING (canonical_url)
+"""
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output-shard assignment (operators/packing.py
+    shard_balance): documents dealt to 8 shards with near-equal token
+    totals via bucket-granular serpentine LPT — per-bucket sums ranked
+    desc, zigzag-dealt, tiny map broadcast back.  The Window runs over
+    64 bucket rows, never the corpus."""
+    from .operators.packing import shard_balance
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    docs = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return shard_balance(docs, "doc_id", "n_tokens", n_shards=8, n_buckets=64)
+
+
+ORACLE_SHARD_BALANCE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(0::HUGEINT, list_transform(
+             string_split_regex(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+             c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+           (a, b2) -> a * 16 + b2
+         ) % 64 AS bucket
+  FROM documents
+), sums AS (
+  SELECT bucket, SUM(n_tokens) AS btok FROM t GROUP BY bucket
+), rk AS (
+  SELECT bucket,
+         row_number() OVER (ORDER BY btok DESC, bucket ASC) - 1 AS r
+  FROM sums
+), assign AS (
+  SELECT bucket,
+         CASE WHEN r % 16 < 8 THEN r % 16 ELSE 15 - (r % 16) END AS shard
+  FROM rk
+)
+SELECT t.doc_id, t.n_tokens, CAST(t.bucket AS BIGINT) AS bucket,
+       CAST(a.shard AS BIGINT) AS shard
+FROM t JOIN assign a USING (bucket)
+"""
+
+
+# weighted host edges: the organic generator plus a PLANTED two-host
+# farm (200 <-> 201) exchanging heavy mutual link mass
+_WEDGES_SQL = """
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT (doc_id * 7 + 1) % 97 AS src, (doc_id * 3 + 2) % 97 AS dst
+  FROM documents
+  UNION ALL
+  SELECT 200 + doc_id % 2 AS src, 201 - doc_id % 2 AS dst
+  FROM documents WHERE doc_id % 4 < 2
+) e WHERE src != dst GROUP BY 1, 2
+"""
+
+
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link farm detection (operators/graph.py
+    link_reciprocity): unordered host pairs with their mutual link
+    mass and integer-permille reciprocity; the planted 200<->201 farm
+    must flag, organic generator pairs mostly must not.  One groupBy
+    on the canonicalized pair — no self-join, one shuffle."""
+    from .operators.graph import link_reciprocity
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_WEDGES_SQL)
+    return link_reciprocity(edges)
+
+
+ORACLE_LINK_RECIPROCITY = f"""
+WITH e AS ({_WEDGES_SQL}),
+p AS (
+  SELECT least(src, dst) AS host_a, greatest(src, dst) AS host_b,
+         coalesce(SUM(CASE WHEN src < dst THEN n END), 0) AS fwd,
+         coalesce(SUM(CASE WHEN src > dst THEN n END), 0) AS rev
+  FROM e GROUP BY 1, 2
+)
+SELECT host_a, host_b, CAST(fwd AS BIGINT) AS fwd, CAST(rev AS BIGINT) AS rev,
+       CAST(2 * least(fwd, rev) * 1000 // (fwd + rev) AS BIGINT) AS recip_pm,
+       (least(fwd, rev) >= 3
+        AND 2 * least(fwd, rev) * 1000 // (fwd + rev) >= 600) AS reciprocal
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # HITS hubs/authorities (seed-discovery priority beside PageRank)
 # --------------------------------------------------------------------------
@@ -5894,6 +6052,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_wildcards": q_robots_wildcards,
     "robots_availability": q_robots_availability,
     "budget_apportion": q_budget_apportion,
+    "dust_apply": q_dust_apply,
+    "link_reciprocity": q_link_reciprocity,
+    "shard_balance": q_shard_balance,
     "soft404": q_soft404,
     "corpus_release": q_corpus_release,
     "lang_guess": q_lang_guess,
@@ -6015,6 +6176,9 @@ ORACLES: dict[str, str] = {
     "robots_wildcards": _robots_wild_oracle_sql(),
     "robots_availability": ORACLE_ROBOTS_AVAIL,
     "budget_apportion": ORACLE_BUDGET_APPORTION,
+    "dust_apply": ORACLE_DUST_APPLY,
+    "link_reciprocity": ORACLE_LINK_RECIPROCITY,
+    "shard_balance": ORACLE_SHARD_BALANCE,
     "soft404": _soft404_oracle_sql(),
     "corpus_release": _corpus_release_oracle_sql(),
     "lang_guess": ORACLE_LANG,

@@ -67,3 +67,64 @@ def test_partition_invariance(spark):
     a = sorted(map(tuple, dust_param_evidence(df1.repartition(1)).collect()))
     b = sorted(map(tuple, dust_param_evidence(df1.repartition(9)).collect()))
     assert a == b
+
+
+class TestDustApply:
+    def _run(self, spark, urls, removable):
+        from bathyscaphe_spark.functions.urltools import dust_apply
+
+        pages = spark.createDataFrame([(u,) for u in urls], "url string")
+        rem = spark.createDataFrame([(p,) for p in removable], "param string")
+        return {
+            r["url"]: r["canonical_url"]
+            for r in dust_apply(pages, rem).collect()
+        }
+
+    def test_removes_mined_params_keeps_order(self, spark):
+        got = self._run(
+            spark,
+            ["http://h/p?sessionid=a&page=2&ref=x"],
+            ["sessionid", "ref"],
+        )
+        assert got == {"http://h/p?sessionid=a&page=2&ref=x": "http://h/p?page=2"}
+
+    def test_all_removed_drops_question_mark(self, spark):
+        got = self._run(spark, ["http://h/p?sid=1", "http://h/p"], ["sid"])
+        assert got == {"http://h/p?sid=1": "http://h/p", "http://h/p": "http://h/p"}
+
+    def test_duplicate_rows_do_not_double_params(self, spark):
+        urls = ["http://h/p?sid=1&a=1&b=2"] * 3
+        got_rows = self._run(spark, urls, ["sid"])
+        assert got_rows == {"http://h/p?sid=1&a=1&b=2": "http://h/p?a=1&b=2"}
+        from bathyscaphe_spark.functions.urltools import dust_apply
+
+        pages = spark.createDataFrame([(u,) for u in urls], "url string")
+        rem = spark.createDataFrame([("sid",)], "param string")
+        assert dust_apply(pages, rem).count() == 3  # cardinality preserved
+
+    def test_repeated_surviving_param_kept_verbatim(self, spark):
+        got = self._run(spark, ["http://h/q?page=1&page=1&sid=z"], ["sid"])
+        assert got == {"http://h/q?page=1&page=1&sid=z": "http://h/q?page=1&page=1"}
+
+    def test_empty_rule_set_is_identity(self, spark):
+        urls = ["http://h/p?a=1", "http://h/p"]
+        got = self._run(spark, urls, [])
+        assert got == {u: u for u in urls}
+
+    def test_mine_then_apply_collapses_planted_dust(self, spark):
+        """End-to-end loop: evidence mining finds sessionid removable,
+        application collapses its variants onto one canonical key."""
+        from bathyscaphe_spark.functions.urltools import (
+            dust_apply,
+            dust_param_evidence,
+        )
+
+        pages = spark.createDataFrame(
+            [(f"http://h/p?page={i % 2}&sessionid=s{i}", f"c{i % 2}")
+             for i in range(8)],
+            "url string, content_hash string",
+        )
+        rem = dust_param_evidence(pages).where("removable").select("param")
+        out = dust_apply(pages.select("url").distinct(), rem)
+        canons = {r["canonical_url"] for r in out.collect()}
+        assert canons == {"http://h/p?page=0", "http://h/p?page=1"}

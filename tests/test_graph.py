@@ -212,3 +212,46 @@ class TestResolveRedirects:
         a = sorted(map(tuple, resolve_redirects(df.repartition(1)).collect()))
         b = sorted(map(tuple, resolve_redirects(df.repartition(7)).collect()))
         assert a == b and len(a) == len(edges)
+
+
+class TestLinkReciprocity:
+    def _run(self, spark, edges, **kw):
+        from bathyscaphe_spark.operators.graph import link_reciprocity
+
+        df = spark.createDataFrame(edges, "src long, dst long, n long")
+        return {
+            (r["host_a"], r["host_b"]): (
+                r["fwd"], r["rev"], r["recip_pm"], r["reciprocal"]
+            )
+            for r in link_reciprocity(df, **kw).collect()
+        }
+
+    def test_planted_farm_flags_one_way_does_not(self, spark):
+        got = self._run(spark, [
+            (1, 2, 10), (2, 1, 8),    # farm: heavy both ways
+            (3, 4, 50),               # one-way: popular link target
+            (5, 6, 10), (6, 5, 1),    # asymmetric: min below min_links=3
+        ])
+        assert got[(1, 2)] == (10, 8, 2 * 8 * 1000 // 18, True)
+        assert got[(3, 4)] == (50, 0, 0, False)
+        assert got[(5, 6)] == (10, 1, 2 * 1 * 1000 // 11, False)
+
+    def test_threshold_knobs(self, spark):
+        edges = [(1, 2, 10), (2, 1, 2)]
+        # recip_pm = 2*2*1000//12 = 333
+        assert self._run(spark, edges)[(1, 2)][3] is False
+        assert self._run(spark, edges, min_links=2, min_recip_pm=300)[(1, 2)][3] is True
+
+    def test_multi_edge_rows_accumulate(self, spark):
+        got = self._run(spark, [(1, 2, 3), (1, 2, 4), (2, 1, 5)])
+        assert got[(1, 2)][:2] == (7, 5)
+
+    def test_partition_invariance(self, spark):
+        from bathyscaphe_spark.operators.graph import link_reciprocity
+
+        edges = [(i % 9, (i * 5 + 1) % 9, i % 4 + 1) for i in range(80)
+                 if i % 9 != (i * 5 + 1) % 9]
+        df = spark.createDataFrame(edges, "src long, dst long, n long")
+        a = sorted(map(tuple, link_reciprocity(df.repartition(1)).collect()))
+        b = sorted(map(tuple, link_reciprocity(df.repartition(7)).collect()))
+        assert a == b

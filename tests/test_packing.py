@@ -1,5 +1,7 @@
 """Greedy sequence packing (operators/packing.py)."""
 
+from pyspark.sql import functions as F
+
 from bathyscaphe_spark.operators.packing import chunk_stats, pack_sequences
 
 
@@ -77,3 +79,74 @@ def test_null_tokens_pack_as_zero(spark):
         for r in pack_sequences(_df(spark, rows), "source", "doc_id", "n_tokens", 256).collect()
     }
     assert got == {1: (0, 0), 2: (0, 256)}
+
+
+class TestShardBalance:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    def test_serpentine_deal_on_equal_buckets(self, spark):
+        """With n_buckets == n_docs and distinct token sizes, ranks are
+        the docs themselves: zigzag must put the two heaviest on
+        opposite ends and pair heaviest with lightest."""
+        from bathyscaphe_spark.operators.packing import shard_balance
+
+        # find 4 doc ids in distinct buckets (md5 % 4aren't guaranteed
+        # distinct, so probe)
+        import hashlib
+
+        def bkt(i, m):
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % m
+
+        ids, seen = [], set()
+        i = 0
+        while len(ids) < 4:
+            if bkt(i, 64) not in seen:
+                seen.add(bkt(i, 64))
+                ids.append(i)
+            i += 1
+        rows = [(ids[j], 100 - j * 10) for j in range(4)]  # 100,90,80,70
+        out = shard_balance(
+            self._df(spark, rows), "doc_id", "n_tokens", n_shards=2,
+            n_buckets=64,
+        ).collect()
+        shards = {r["doc_id"]: r["shard"] for r in out}
+        # serpentine over ranks 0..3 with k=2: shards 0,1,1,0
+        assert shards[ids[0]] == 0 and shards[ids[3]] == 0
+        assert shards[ids[1]] == 1 and shards[ids[2]] == 1
+
+    def test_token_totals_balanced(self, spark):
+        from bathyscaphe_spark.operators.packing import shard_balance
+
+        rows = [(i, (i * 37) % 400 + 50) for i in range(2000)]
+        out = shard_balance(
+            self._df(spark, rows), "doc_id", "n_tokens", n_shards=8,
+            n_buckets=256,
+        )
+        totals = [
+            r["t"]
+            for r in out.groupBy("shard")
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        ]
+        assert len(totals) == 8
+        assert (max(totals) - min(totals)) / max(totals) < 0.05
+
+    def test_every_doc_assigned_once(self, spark):
+        from bathyscaphe_spark.operators.packing import shard_balance
+
+        rows = [(i, i % 7 + 1) for i in range(500)]
+        out = shard_balance(
+            self._df(spark, rows), "doc_id", "n_tokens", n_shards=4
+        )
+        assert out.count() == 500
+        assert out.select("doc_id").distinct().count() == 500
+
+    def test_partition_invariance(self, spark):
+        from bathyscaphe_spark.operators.packing import shard_balance
+
+        rows = [(i, (i * 13) % 90 + 10) for i in range(300)]
+        df = self._df(spark, rows)
+        a = sorted(map(tuple, shard_balance(df.repartition(1), "doc_id", "n_tokens", 4, 32).collect()))
+        b = sorted(map(tuple, shard_balance(df.repartition(7), "doc_id", "n_tokens", 4, 32).collect()))
+        assert a == b
