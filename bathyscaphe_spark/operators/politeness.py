@@ -308,3 +308,58 @@ def allocate_budget(
         *( [F.lit(int(max_per_host))] if max_per_host is not None else [] ),
     )
     return out.select("host", quota.alias("quota"), "uncapped")
+
+
+def aimd_delay(
+    fetch_rounds: DataFrame,
+    d0_ms: int = 1000,
+    add_ms: int = 100,
+    mult: int = 2,
+    dmin_ms: int = 100,
+    dmax_ms: int = 60_000,
+) -> DataFrame:
+    """Per-host AIMD politeness-delay controller — the adaptive loop
+    production crawlers run on top of a static Crawl-delay: back OFF
+    multiplicatively the moment a host shows distress, creep back DOWN
+    additively while it stays healthy (TCP congestion control's AIMD,
+    public).  The reference's only reaction to a sick host is the
+    blacklist threshold (A1); this degrades politely first.
+
+    ``fetch_rounds``: one row per (host, round:int, timeouts:long) —
+    the per-round distress signal the metrics stage already aggregates.
+    Starting from ``d0_ms``, rounds apply IN ORDER:
+
+        timeouts > 0 → delay = min(delay · mult, dmax_ms)
+        timeouts = 0 → delay = max(delay − add_ms, dmin_ms)
+
+    Only rounds PRESENT for a host advance its controller (an idle
+    round carries no evidence).  Output: (host, round, delay_ms) — the
+    delay in force AFTER that round's evidence, feeding the next
+    round's ``host_budgets``/schedule spacing.
+
+    Scale/plan: the recurrence is sequential WITHIN a host and hosts
+    are the parallel unit — exactly ``applyInPandas`` shape (the
+    pack_sequences discipline): one shuffle on host, an O(rounds)
+    integer fold per group, no state across groups.  Deterministic:
+    pure integer arithmetic, bit-identical at any parallelism —
+    mirrored by a recursive-CTE oracle.
+    """
+    import pandas as pd
+
+    d0, add, m = int(d0_ms), int(add_ms), int(mult)
+    lo, hi = int(dmin_ms), int(dmax_ms)
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("round")
+        d = d0
+        out = []
+        for t in pdf["timeouts"].to_numpy():
+            d = min(d * m, hi) if t > 0 else max(d - add, lo)
+            out.append(d)
+        return pd.DataFrame(
+            {"host": pdf["host"], "round": pdf["round"], "delay_ms": out}
+        )
+
+    return fetch_rounds.select("host", "round", "timeouts").groupBy(
+        "host"
+    ).applyInPandas(_fold, schema="host string, round int, delay_ms long")

@@ -3825,6 +3825,53 @@ SELECT doc_id, unnest(fps) AS fp FROM sel
 """
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record framing (sources/warc.py wet_records): the
+    Common Crawl text sidecar downstream LLM pipelines actually consume
+    — WARC-Type: conversion, md5-deterministic record ids, OCTET
+    Content-Length (multi-byte text ≠ char count; the fixture plants a
+    non-ASCII marker on every 9th doc to pin that).  Pure codegen
+    framing; the byte-stream writer (write_wet) round-trips in
+    test_warc.py."""
+    from .sources.warc import wet_records
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        "'http://h' || CAST(doc_id % 40 AS STRING) || '.onion/d'"
+        " || CAST(doc_id AS STRING) AS url",
+        "TIMESTAMP '2020-03-01 00:00:00' AS warc_ts",
+        "CASE WHEN doc_id % 9 = 0 THEN text || ' café' ELSE text END AS text",
+    )
+    return wet_records(pages)
+
+
+ORACLE_WET_EXPORT = """
+WITH p AS (
+  SELECT 'http://h' || CAST(doc_id % 40 AS STRING) || '.onion/d'
+             || CAST(doc_id AS STRING) AS url,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' café' ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+), f AS (
+  SELECT url, text, chr(13) || chr(10) AS crlf,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_octets
+  FROM p
+), h AS (
+  SELECT url, text, n_octets,
+         'WARC/1.0' || crlf || 'WARC-Type: conversion' || crlf
+           || 'WARC-Target-URI: ' || url || crlf
+           || 'WARC-Date: 2020-03-01T00:00:00Z' || crlf
+           || 'WARC-Record-ID: <urn:md5:' || md5(url) || '>' || crlf
+           || 'Content-Type: text/plain' || crlf
+           || 'Content-Length: ' || CAST(n_octets AS VARCHAR)
+           || crlf || crlf AS wet_header
+  FROM f
+)
+SELECT url, wet_header, n_octets AS content_length,
+       wet_header || text AS wet_record
+FROM h
+"""
+
+
 def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC EXPORT round-trip through the distributed writer: a
     resources-shaped frame goes out via ``write_warc`` (one gzip
@@ -5381,6 +5428,59 @@ FROM (SELECT 'h' || CAST(doc_id % 37 AS STRING) AS host,
 """
 
 
+# per-(host, round) distress ledger: host h(d%23), 6 rounds; timeouts
+# planted so every controller path fires — sustained backoff to the cap
+# (h0: every round sick), full recovery to the floor (late rounds
+# healthy), and alternation
+_AIMD_FIXTURE_SQL = """
+SELECT 'h' || CAST(doc_id % 23 AS STRING) AS host,
+       CAST(doc_id % 6 AS INT) AS round,
+       CAST(CASE
+         WHEN doc_id % 23 = 0 THEN 1
+         WHEN (doc_id % 23) % 3 = 1 AND doc_id % 6 < 2 THEN doc_id % 3
+         WHEN (doc_id % 23) % 3 = 2 AND doc_id % 6 % 2 = 0 THEN 1
+         ELSE 0 END AS BIGINT) AS timeouts
+FROM documents GROUP BY 1, 2, 3
+"""
+
+
+def q_aimd_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD politeness-delay controller (operators/politeness.py
+    aimd_delay): multiplicative backoff on distressed rounds, additive
+    recovery on healthy ones, clamped to [500ms, 60s] — the adaptive
+    loop above the static Crawl-delay.  Fixture hosts exercise
+    sustained backoff to the 60s cap, recovery onto the 500ms floor, and
+    alternation; the oracle replays the exact recurrence as a
+    recursive CTE."""
+    from .operators.politeness import aimd_delay
+
+    _docs(spark, sf_dir)
+    fr = spark.sql(_AIMD_FIXTURE_SQL)
+    return aimd_delay(fr, dmin_ms=500)
+
+
+ORACLE_AIMD = f"""
+WITH RECURSIVE f AS ({_AIMD_FIXTURE_SQL}),
+r AS (
+  SELECT host, round, timeouts,
+         row_number() OVER (PARTITION BY host ORDER BY round) AS rn
+  FROM f
+),
+fold(host, rn, round, delay_ms) AS (
+  SELECT host, rn, round,
+         CASE WHEN timeouts > 0 THEN least(1000 * 2, 60000)
+              ELSE greatest(1000 - 100, 500) END
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT n.host, n.rn, n.round,
+         CASE WHEN n.timeouts > 0 THEN least(p.delay_ms * 2, 60000)
+              ELSE greatest(p.delay_ms - 100, 500) END
+  FROM fold p JOIN r n ON n.host = p.host AND n.rn = p.rn + 1
+)
+SELECT host, round, CAST(delay_ms AS BIGINT) AS delay_ms FROM fold
+"""
+
+
 def q_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global fetch-budget apportionment (operators/politeness.py
     allocate_budget): divide B=1000 round fetches across hosts
@@ -6006,6 +6106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize": q_image_resize,
     "warc_ingest": q_warc_ingest,
     "warc_export": q_warc_export,
+    "wet_export": q_wet_export,
     "frame_sample": q_frame_sample,
     "html_text": q_html_text,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -6055,6 +6156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dust_apply": q_dust_apply,
     "link_reciprocity": q_link_reciprocity,
     "shard_balance": q_shard_balance,
+    "aimd_delay": q_aimd_delay,
     "soft404": q_soft404,
     "corpus_release": q_corpus_release,
     "lang_guess": q_lang_guess,
@@ -6130,6 +6232,7 @@ ORACLES: dict[str, str] = {
     "image_resize": ORACLE_IMAGE_RESIZE,
     "warc_ingest": ORACLE_WARC_INGEST,
     "warc_export": ORACLE_WARC_EXPORT,
+    "wet_export": ORACLE_WET_EXPORT,
     "frame_sample": ORACLE_FRAME_SAMPLE,
     "html_text": ORACLE_HTML_TEXT,
     "winnow_fingerprint": _winnow_oracle_sql(),
@@ -6179,6 +6282,7 @@ ORACLES: dict[str, str] = {
     "dust_apply": ORACLE_DUST_APPLY,
     "link_reciprocity": ORACLE_LINK_RECIPROCITY,
     "shard_balance": ORACLE_SHARD_BALANCE,
+    "aimd_delay": ORACLE_AIMD,
     "soft404": _soft404_oracle_sql(),
     "corpus_release": _corpus_release_oracle_sql(),
     "lang_guess": ORACLE_LANG,

@@ -286,3 +286,73 @@ def test_latest_capture_partitioning_invariant(spark):
     a = sorted(map(tuple, latest_captures(df).collect()))
     b = sorted(map(tuple, latest_captures(df.repartition(17)).collect()))
     assert a == b
+
+
+class TestWet:
+    def test_wet_roundtrip_bytes_identical(self, spark, tmp_path):
+        import datetime as dt
+
+        from bathyscaphe_spark.sources.warc import read_warc, write_wet
+
+        rows = [
+            ("http://a.onion/1", dt.datetime(2020, 3, 1), "plain ascii"),
+            ("http://a.onion/2", dt.datetime(2020, 3, 2), "café ≠ cafe "),
+            ("http://b.onion/3", None, "no timestamp"),
+            ("http://b.onion/4", dt.datetime(2020, 3, 4), None),  # skipped
+            (None, dt.datetime(2020, 3, 5), "no url"),             # skipped
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+        out = str(tmp_path / "wet")
+        n = write_wet(df.repartition(2), out)
+        assert n == 3
+        back = read_warc(spark, out + "/*.warc.wet.gz", responses_only=False)
+        got = {
+            r["url"]: (r["record_type"], bytes(r["html"]).decode("utf-8"))
+            for r in back.collect()
+        }
+        assert got == {
+            "http://a.onion/1": ("conversion", "plain ascii"),
+            "http://a.onion/2": ("conversion", "café ≠ cafe "),
+            "http://b.onion/3": ("conversion", "no timestamp"),
+        }
+
+    def test_wet_records_framing_matches_writer(self, spark, tmp_path):
+        """The codegen framing (wet_records) and the byte writer
+        (write_wet) must agree: header+payload of the written file ==
+        wet_record string, octet lengths included."""
+        import datetime as dt
+        import gzip as _gz
+
+        from bathyscaphe_spark.sources.warc import wet_records, write_wet
+
+        rows = [("http://h.onion/x", dt.datetime(2020, 3, 1), "héllo wörld")]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+        rec = wet_records(df).collect()[0]
+        assert rec["content_length"] == len("héllo wörld".encode())
+        out = str(tmp_path / "wet2")
+        write_wet(df.coalesce(1), out)
+        import glob
+
+        raw = _gz.decompress(
+            open(glob.glob(out + "/*.warc.wet.gz")[0], "rb").read()
+        )
+        assert raw == rec["wet_record"].encode("utf-8") + b"\r\n\r\n"
+
+    def test_wet_reader_skips_conversion_when_responses_only(
+        self, spark, tmp_path
+    ):
+        import datetime as dt
+
+        from bathyscaphe_spark.sources.warc import read_warc, write_wet
+
+        df = spark.createDataFrame(
+            [("http://h.onion/x", dt.datetime(2020, 3, 1), "t")],
+            "url string, warc_ts timestamp, text string",
+        )
+        out = str(tmp_path / "wet3")
+        write_wet(df, out)
+        assert read_warc(spark, out + "/*.warc.wet.gz").count() == 0
