@@ -4960,6 +4960,141 @@ ORDER BY cnt DESC, pair ASC LIMIT {_BPE_K}
 
 
 # --------------------------------------------------------------------------
+# full BPE tokenizer training + corpus encoding (operators/bpe.py)
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+# The shared words CTE (identical normalization to ORACLE_BPE) plus the
+# double-separator symbol framing — see operators/bpe.py for why plain
+# SQL replace() IS greedy BPE merge order under this framing.
+_BPE_WORDS_SQL = r"""
+words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x != '')) AS w
+    FROM documents
+  ) WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
+  GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT '||' || regexp_replace(w, '(.)', '\1||', 'g') AS sym, freq
+  FROM words
+)"""
+
+
+def _bpe_iter_sql(k: int) -> str:
+    """One unrolled training iteration: pair counts over v{k-1}, the
+    deterministic argmax, and the replace-merge producing v{k}."""
+    b, vp = f"b{k}", f"v{k - 1}"
+    return rf"""
+p{k} AS (
+  SELECT freq,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS lft,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS rgt
+  FROM (SELECT freq,
+               list_filter(regexp_split_to_array(sym, '\|+'),
+                           x -> x != '') AS toks
+        FROM {vp})
+),
+{b} AS MATERIALIZED (
+  SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM p{k} GROUP BY lft, rgt
+  ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1
+),
+v{k} AS MATERIALIZED (
+  SELECT replace(sym,
+                 '|' || (SELECT lft FROM {b}) || '||'
+                     || (SELECT rgt FROM {b}) || '|',
+                 '|' || (SELECT lft FROM {b})
+                     || (SELECT rgt FROM {b}) || '|') AS sym,
+         freq
+  FROM {vp}
+)"""
+
+
+def _bpe_train_oracle_sql(n: int = _BPE_MERGES) -> str:
+    body = ",\n".join(_bpe_iter_sql(k) for k in range(1, n + 1))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, lft, rgt, lft || rgt AS merged, cnt"
+        f" FROM b{k}"
+        for k in range(1, n + 1)
+    )
+    return f"WITH {_BPE_WORDS_SQL},\n{body}\n{finals}\nORDER BY merge_rank"
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (operators/bpe.py bpe_train): the
+    complete merge loop, not just iteration 1's pair statistics.  One
+    corpus shuffle builds the word-frequency vocab; every merge
+    iteration then runs over that tiny table (explode+groupBy pair
+    counts, a 1-row argmax collect, one codegen replace).  The oracle
+    value-replicates all {n} iterations as unrolled CTEs — the
+    ivf_train discipline: identical tie-breaks (count DESC, left ASC,
+    right ASC), identical replace-merge semantics.""".format(
+        n=_BPE_MERGES
+    )
+    from .operators.bpe import bpe_train, word_freqs
+
+    d = _docs(spark, sf_dir)
+    return bpe_train(word_freqs(d), n_merges=_BPE_MERGES)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding under the learned merge table (operators/bpe.py
+    bpe_encode): train (8 merges, bounded 8-row collect), then apply
+    the merges to every document as ONE chained-replace whole-stage-
+    codegen projection — a narrow map over the corpus, no shuffle, no
+    UDF.  Output (doc_id, n_words, n_tokens): the post-merge subword
+    count a sequence-packing / token-budget stage consumes."""
+    from .operators.bpe import bpe_encode, bpe_train, word_freqs
+
+    d = _docs(spark, sf_dir)
+    merges = [
+        (r["lft"], r["rgt"])
+        for r in bpe_train(word_freqs(d), n_merges=_BPE_MERGES).collect()
+    ]
+    return bpe_encode(d, merges, "doc_id", "text")
+
+
+def _bpe_encode_oracle_sql(n: int = _BPE_MERGES) -> str:
+    body = ",\n".join(_bpe_iter_sql(k) for k in range(1, n + 1))
+    enc = "e0"
+    reps = []
+    for k in range(1, n + 1):
+        reps.append(
+            f"e{k} AS MATERIALIZED (SELECT doc_id, n_words,"
+            f" replace(enc, '|' || (SELECT lft FROM b{k}) || '||'"
+            f" || (SELECT rgt FROM b{k}) || '|',"
+            f" '|' || (SELECT lft FROM b{k})"
+            f" || (SELECT rgt FROM b{k}) || '|') AS enc FROM e{k - 1})"
+        )
+        enc = f"e{k}"
+    reps_sql = ",\n".join(reps)
+    return rf"""WITH {_BPE_WORDS_SQL},
+{body},
+docw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     w -> regexp_full_match(w, '[a-z]+')
+                          AND length(w) >= 2) AS ws
+  FROM documents
+),
+e0 AS (
+  SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+         array_to_string(
+           list_transform(ws,
+             w -> '||' || regexp_replace(w, '(.)', '\1||', 'g')), '') AS enc
+  FROM docw
+),
+{reps_sql}
+SELECT doc_id, n_words,
+       CAST(len(list_filter(regexp_split_to_array(enc, '\|+'),
+                            x -> x != '')) AS INT) AS n_tokens
+FROM {enc}"""
+
+
+# --------------------------------------------------------------------------
 # linear quality classifier (hashing trick — model-scoring plumbing)
 # --------------------------------------------------------------------------
 
@@ -6142,6 +6277,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_quality": q_url_quality,
     "vocab_topk": q_vocab_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     "quality_classifier": q_quality_classifier,
     "lm_perplexity": q_lm_perplexity,
     "mirror_detect": q_mirror_detect,
@@ -6268,6 +6405,8 @@ ORACLES: dict[str, str] = {
     "url_quality": ORACLE_URL_QUALITY,
     "vocab_topk": ORACLE_VOCAB,
     "bpe_pair_counts": ORACLE_BPE,
+    "bpe_train": _bpe_train_oracle_sql(),
+    "bpe_encode": _bpe_encode_oracle_sql(),
     "quality_classifier": _classifier_oracle_sql(),
     "lm_perplexity": ORACLE_LM_PPL,
     "mirror_detect": ORACLE_MIRROR,
