@@ -5095,6 +5095,48 @@ FROM {enc}"""
 
 
 # --------------------------------------------------------------------------
+# deterministic epoch shuffle (Feistel bijection — operators/shuffleperm.py)
+# --------------------------------------------------------------------------
+
+_SHUF_EPOCHS = [0, 1]
+_SHUF_HALF_BITS = 16  # domain 2^32 ids — covers every SF
+_SHUF_SHARDS = 8
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (operators/shuffleperm.py):
+    a 4-round Feistel bijection assigns every document a UNIQUE
+    pseudorandom position per epoch — collision-free by construction
+    (unlike md5 sort keys), O(1) state per epoch (four round keys),
+    bit-identical at any parallelism.  One narrow codegen projection;
+    the only exchange an epoch order ever pays is the final sort /
+    range-partition by pos."""
+    from .operators.shuffleperm import epoch_shuffle
+
+    return epoch_shuffle(
+        _docs(spark, sf_dir).select("doc_id"),
+        "doc_id",
+        _SHUF_EPOCHS,
+        half_bits=_SHUF_HALF_BITS,
+        n_shards=_SHUF_SHARDS,
+    )
+
+
+def _epoch_shuffle_oracle_sql() -> str:
+    from .operators.shuffleperm import feistel_keys, feistel_pos_sql
+
+    parts = []
+    for e in _SHUF_EPOCHS:
+        pos = feistel_pos_sql("doc_id", feistel_keys(e), _SHUF_HALF_BITS)
+        parts.append(
+            f"SELECT doc_id, {e} AS epoch, pos,"
+            f" pos % {_SHUF_SHARDS} AS shard, pos // {_SHUF_SHARDS} AS seq"
+            f" FROM (SELECT doc_id, {pos} AS pos FROM documents)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# --------------------------------------------------------------------------
 # linear quality classifier (hashing trick — model-scoring plumbing)
 # --------------------------------------------------------------------------
 
@@ -6279,6 +6321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "epoch_shuffle": q_epoch_shuffle,
     "quality_classifier": q_quality_classifier,
     "lm_perplexity": q_lm_perplexity,
     "mirror_detect": q_mirror_detect,
@@ -6407,6 +6450,7 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": ORACLE_BPE,
     "bpe_train": _bpe_train_oracle_sql(),
     "bpe_encode": _bpe_encode_oracle_sql(),
+    "epoch_shuffle": _epoch_shuffle_oracle_sql(),
     "quality_classifier": _classifier_oracle_sql(),
     "lm_perplexity": ORACLE_LM_PPL,
     "mirror_detect": ORACLE_MIRROR,
