@@ -174,6 +174,114 @@ def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     return ranks
 
 
+def opic_fp(edges: DataFrame, sweeps: int = 4) -> DataFrame:
+    """Batch OPIC (Abiteboul, Preda & Cobéna 2003, "Adaptive On-Line
+    Page Importance Computation" — public) over
+    ``edges(src: long, dst: long)`` → ``(node, cash_fp, hist_fp)``.
+
+    OPIC is the CRAWL-NATIVE importance estimator: unlike PageRank it
+    needs no convergence before it is usable — every page carries
+    "cash"; reading a page banks its cash into its history and deals
+    the cash to its outlinks, and ``history + cash`` is an unbiased
+    importance estimate AT EVERY MOMENT of the crawl.  The batch
+    adaptation reads one frontier WAVE per sweep (exactly the shape of
+    the engine's round loop): all nodes distribute simultaneously
+    (Jacobi order — parallelism-friendly and deterministic).
+
+    Dangling mass is NOT dropped (the leak ``pagerank_fp`` documents
+    and accepts): OPIC's virtual node absorbs the cash of zero-outdegree
+    pages each sweep and redistributes it uniformly on the next — kept
+    in-plan as a broadcast 1-row aggregate, never a driver collect.
+
+        h_{i+1}(v) = h_i(v) + c_i(v)
+        c_{i+1}(v) = Σ_{u→v} c_i(u) div outdeg(u)  +  virt_i div N
+        virt_{i+1} = Σ_{outdeg(u)=0} c_i(u)
+
+    Fixed-point integer arithmetic (SCALE micro-units, floor division)
+    — bit-identical across engines, reduction orders and cluster sizes,
+    like every graph operator here.
+
+    Scale: per sweep one edges⋈state join shuffled on ``src`` + one
+    ``groupBy(dst)`` with map-side partial sums (the only edge-sized
+    work), one node-sized dangling-sum aggregate, one node-sized left
+    join.  Node set and edges⋈outdeg are persisted across sweeps;
+    state is one row per node.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        df = nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("cash_fp"),
+            F.lit(0).cast("long").alias("hist_fp"),
+        )
+        nodes.unpersist()
+        return df
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
+    # (node, outdeg-or-null) — classifies dangling nodes once, reused
+    # every sweep for the virtual-node absorption sum
+    nd = nodes.join(
+        deg.select(F.col("src").alias("node"), "outdeg"), "node", "left"
+    ).persist()
+    try:
+        state = nodes.select(
+            "node",
+            F.lit(SCALE // n).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+        )
+        virt = None  # 1-row (vcash) DataFrame; None ⇒ 0 on sweep 0
+        for _ in range(sweeps):
+            inflow = (
+                ed.join(state, ed["src"] == state["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("cash div outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            new_virt = (
+                nd.join(state, "node")
+                .where(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("cash"), F.lit(0)).alias("vcash"))
+            )
+            vshare = (
+                F.lit(0).cast("long")
+                if virt is None
+                else F.expr(f"vcash div {n}")
+            )
+            nxt = state.join(inflow, "node", "left").select(
+                "node",
+                F.coalesce(F.col("inflow"), F.lit(0)).alias("_in"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+            if virt is not None:
+                nxt = nxt.crossJoin(F.broadcast(virt))
+            state = nxt.select(
+                "node",
+                (F.col("_in") + vshare).cast("long").alias("cash"),
+                "hist",
+            ).localCheckpoint(eager=True)
+            virt = new_virt.localCheckpoint(eager=True)
+        out = state.select(
+            "node",
+            F.col("cash").alias("cash_fp"),
+            F.col("hist").alias("hist_fp"),
+        ).localCheckpoint(eager=True)
+    finally:
+        ed.unpersist()
+        nd.unpersist()
+        nodes.unpersist()
+    return out
+
+
 def resolve_redirects(edges: DataFrame, max_doublings: int = 6) -> DataFrame:
     """Resolve redirect chains to their final landing URL by POINTER
     DOUBLING: O(log L) self-joins instead of one join per hop.

@@ -4092,6 +4092,67 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
 
 
 # --------------------------------------------------------------------------
+# OPIC: batch online page importance (operators/graph.py opic_fp)
+# --------------------------------------------------------------------------
+
+_OPIC_SWEEPS = 4
+
+
+def q_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch OPIC over the SAME host graph as ``pagerank_priority`` —
+    the crawl-native importance estimator (Abiteboul et al. 2003):
+    cash banks into history as waves are read, so ``hist + cash`` is
+    usable importance at EVERY sweep, no fixed point needed.  Unlike
+    ``pagerank_fp`` the dangling mass is conserved via OPIC's virtual
+    node (the fixture's nodes 97..127 have no outlinks — their cash
+    must re-enter circulation, which the oracle pins exactly)."""
+    from .operators.graph import opic_fp
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL)
+    return opic_fp(edges, sweeps=_OPIC_SWEEPS)
+
+
+def _opic_oracle_sql(sweeps: int = _OPIC_SWEEPS) -> str:
+    """DuckDB reimplementation: the Jacobi cash-sweep recurrence
+    unrolled one CTE triple (inflow, virtual, state) per sweep."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "params AS (SELECT COUNT(*) AS n FROM nodes),",
+        f"s0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM params) AS cash,"
+        " CAST(0 AS BIGINT) AS hist FROM nodes),",
+        "v0 AS (SELECT CAST(0 AS BIGINT) AS vcash)",
+    ]
+    for i in range(sweeps):
+        parts.append(
+            f""", inf{i} AS (
+  SELECT e.dst AS node, SUM(s.cash // d.outdeg) AS inflow
+  FROM edges e
+  JOIN s{i} s ON s.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), v{i + 1} AS (
+  SELECT COALESCE(SUM(s.cash), 0) AS vcash
+  FROM s{i} s LEFT JOIN deg d ON d.src = s.node
+  WHERE d.src IS NULL
+), s{i + 1} AS (
+  SELECT s.node,
+         COALESCE(i.inflow, 0)
+           + (SELECT vcash FROM v{i}) // (SELECT n FROM params) AS cash,
+         s.hist + s.cash AS hist
+  FROM s{i} s LEFT JOIN inf{i} i ON i.node = s.node
+)"""
+        )
+    parts.append(
+        f"SELECT node, CAST(cash AS BIGINT) AS cash_fp,"
+        f" CAST(hist AS BIGINT) AS hist_fp FROM s{sweeps}"
+    )
+    return "\n".join(parts)
+
+
+# --------------------------------------------------------------------------
 # corpus build: the composed training-data pipeline in one plan
 # --------------------------------------------------------------------------
 
@@ -6322,6 +6383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "epoch_shuffle": q_epoch_shuffle,
+    "opic_priority": q_opic_priority,
     "quality_classifier": q_quality_classifier,
     "lm_perplexity": q_lm_perplexity,
     "mirror_detect": q_mirror_detect,
@@ -6451,6 +6513,7 @@ ORACLES: dict[str, str] = {
     "bpe_train": _bpe_train_oracle_sql(),
     "bpe_encode": _bpe_encode_oracle_sql(),
     "epoch_shuffle": _epoch_shuffle_oracle_sql(),
+    "opic_priority": _opic_oracle_sql(),
     "quality_classifier": _classifier_oracle_sql(),
     "lm_perplexity": ORACLE_LM_PPL,
     "mirror_detect": ORACLE_MIRROR,

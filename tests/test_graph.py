@@ -255,3 +255,81 @@ class TestLinkReciprocity:
         a = sorted(map(tuple, link_reciprocity(df.repartition(1)).collect()))
         b = sorted(map(tuple, link_reciprocity(df.repartition(7)).collect()))
         assert a == b
+
+
+class TestOpic:
+    """Batch OPIC (opic_fp): hand-computed sweeps, virtual-node
+    conservation, partition invariance."""
+
+    def _reference(self, edges, sweeps):
+        nodes = sorted({n for e in edges for n in e})
+        n = len(nodes)
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        cash = {v: SCALE // n for v in nodes}
+        hist = {v: 0 for v in nodes}
+        virt = 0
+        for _ in range(sweeps):
+            inflow = {v: 0 for v in nodes}
+            for s, d in edges:
+                inflow[d] += cash[s] // outdeg[s]
+            new_virt = sum(c for v, c in cash.items() if v not in outdeg)
+            vshare = virt // n
+            for v in nodes:
+                hist[v] += cash[v]
+                cash[v] = inflow[v] + vshare
+            virt = new_virt
+        return cash, hist
+
+    def _run(self, spark, edges, sweeps, parts=3):
+        from bathyscaphe_spark.operators.graph import opic_fp
+
+        df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        return {
+            r["node"]: (r["cash_fp"], r["hist_fp"])
+            for r in opic_fp(df, sweeps=sweeps).collect()
+        }
+
+    def test_hand_computed_with_dangling(self, spark):
+        # 1→2, 2→{1,3}; 3 is dangling — its cash must re-enter via the
+        # virtual node one sweep later (v1 // 3 lands in sweep 2's cash)
+        edges = [(1, 2), (2, 1), (2, 3)]
+        got = self._run(spark, edges, sweeps=2)
+        c0 = SCALE // 3
+        assert got[1] == (c0 // 2 + (c0 // 3), c0 + c0 // 2)
+        assert got[2] == (c0 // 2 + (c0 // 3), c0 + c0)
+        assert got[3] == ((c0 // 2) // 1 + (c0 // 3), c0 + c0 // 2)
+
+    @pytest.mark.parametrize("sweeps", [1, 3, 5])
+    def test_matches_reference(self, spark, sweeps):
+        got = self._run(spark, EDGES, sweeps)
+        cash, hist = self._reference(EDGES, sweeps)
+        assert got == {v: (cash[v], hist[v]) for v in cash}
+
+    def test_mass_nearly_conserved(self, spark):
+        # unlike pagerank_fp's documented dangling leak, OPIC recycles
+        # dangling cash: per-sweep loss is only floor-division dust
+        # (< outdeg per distributing node, < 1 per virtual share)
+        sweeps = 4
+        got = self._run(spark, EDGES, sweeps)
+        total = sum(c + h for c, h in got.values())
+        n = len({x for e in EDGES for x in e})
+        start = (SCALE // n) * n
+        expected = start * (sweeps + 1)  # hist banks one copy per sweep
+        # dangling cash spends one sweep parked in the virtual node
+        # (not visible in node state), so allow that plus floor dust
+        assert expected * 0.7 < total <= expected
+
+    def test_partition_invariance(self, spark):
+        edges = [(i % 23, (i * 7 + 3) % 29) for i in range(300)
+                 if i % 23 != (i * 7 + 3) % 29]
+        a = self._run(spark, edges, sweeps=3, parts=1)
+        b = self._run(spark, edges, sweeps=3, parts=8)
+        assert a == b
+
+    def test_empty(self, spark):
+        from bathyscaphe_spark.operators.graph import opic_fp
+
+        df = spark.createDataFrame([], "src long, dst long")
+        assert opic_fp(df, sweeps=2).collect() == []
