@@ -71,7 +71,77 @@ def keyword_search(
     )
 
 
-# --- BM25 ------------------------------------------------------------------
+# --- inverted index (build side) -------------------------------------------
+
+TOKEN_SPLIT = "[^a-z0-9]+"  # shared with the DuckDB oracle verbatim
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stop_df: int = 10**9,
+) -> DataFrame:
+    """Materialize the classic search index the query operators above
+    score against on the fly: per term, document frequency, total term
+    frequency, and a doc-id-sorted postings list stored DELTA-ENCODED
+    (first gap from 0, i.e. the first posting is the doc id itself) —
+    the standard compressed-postings layout (Zobel & Moffat 2006,
+    public), here as integer gap arrays ready for varint packing at
+    the storage layer.
+
+    Output: (term, df, total_tf, deltas: array<long>, tfs: array<long>)
+    with ``deltas``/``tfs`` NULL for STOP terms (df > ``stop_df``).
+
+    Scale design — the skew case is the whole problem: a stopword's
+    postings list is corpus-sized, and building it just to throw it
+    away OOMs the executor.  So the plan is two-phase:
+
+      1. tokenize → ``groupBy(term, doc)`` tf counts (map-side partial
+         agg folds within-doc repeats before the shuffle), then the
+         tiny per-term (df, total_tf) aggregate;
+      2. ONLY terms at df ≤ ``stop_df`` (broadcast semi-join on the
+         stop list's complement... the stop list itself is broadcast,
+         hot terms are FILTERED OUT BEFORE any array is collected)
+         aggregate their postings: ``array_sort(collect_list(struct))``
+         per term, bounded by stop_df entries, then a pure codegen
+         ``transform`` turns sorted ids into gaps.
+
+    No windows (a per-term sort shuffle would double the heavy
+    exchange); determinism: postings are sorted inside the array, gaps
+    are exact integer arithmetic.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    stop = stats.where(F.col("df") > stop_df).select("term")
+    arr = F.array_sort(F.collect_list(F.struct("doc", "tf")))
+    posted = (
+        tf.join(F.broadcast(stop), "term", "left_anti")
+        .groupBy("term")
+        .agg(arr.alias("p"))
+        .select(
+            "term",
+            F.expr(
+                "transform(p, (x, i) -> CASE WHEN i = 0 THEN x.doc "
+                "ELSE x.doc - element_at(p, i).doc END)"
+            ).alias("deltas"),
+            F.expr("transform(p, x -> x.tf)").alias("tfs"),
+        )
+    )
+    return stats.join(posted, "term", "left").select(
+        "term", "df", "total_tf", "deltas", "tfs"
+    )
 
 BM25_K1 = 1.2
 BM25_B = 0.75

@@ -4092,6 +4092,67 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
 
 
 # --------------------------------------------------------------------------
+# inverted index build (operators/search.py build_inverted_index)
+# --------------------------------------------------------------------------
+
+_INVIDX_STOP_DF = 400  # binds on the fixture: exactly one corpus-wide term
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized search index over ``documents``: per term df /
+    total tf and the doc-id-sorted postings as DELTA-ENCODED gap lists
+    (first gap from 0) — the compressed-postings layout retrieval
+    engines store (Zobel & Moffat 2006).  Terms with df >
+    _INVIDX_STOP_DF are STOP terms: stats kept, postings NULL — and
+    crucially they are filtered out BEFORE any array is collected, so
+    a corpus-sized stopword list can never materialize on an executor.
+    Postings serialize to CSV strings for the cross-engine hash."""
+    from .operators.search import build_inverted_index
+
+    idx = build_inverted_index(
+        _docs(spark, sf_dir), "doc_id", "text", stop_df=_INVIDX_STOP_DF
+    )
+    return idx.select(
+        "term",
+        "df",
+        "total_tf",
+        F.when(
+            F.col("deltas").isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat_ws(",", F.col("deltas"))).alias("deltas_csv"),
+        F.when(
+            F.col("tfs").isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat_ws(",", F.col("tfs"))).alias("tfs_csv"),
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH tok AS (
+  SELECT doc_id AS doc, t.term
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x != '')) AS t(term)
+),
+tf AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY term, doc),
+stats AS (SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf
+          FROM tf GROUP BY term),
+d AS (SELECT term, doc, tf,
+             doc - COALESCE(lag(doc) OVER (PARTITION BY term ORDER BY doc),
+                            0) AS delta
+      FROM tf),
+posted AS (SELECT term,
+                  array_to_string(list(delta ORDER BY doc), ',') AS deltas_csv,
+                  array_to_string(list(tf ORDER BY doc), ',') AS tfs_csv
+           FROM d GROUP BY term)
+SELECT s.term, s.df, CAST(s.total_tf AS BIGINT) AS total_tf,
+       CASE WHEN s.df > {_INVIDX_STOP_DF} THEN NULL ELSE p.deltas_csv END
+         AS deltas_csv,
+       CASE WHEN s.df > {_INVIDX_STOP_DF} THEN NULL ELSE p.tfs_csv END
+         AS tfs_csv
+FROM stats s LEFT JOIN posted p USING (term)
+"""
+
+
+# --------------------------------------------------------------------------
 # OPIC: batch online page importance (operators/graph.py opic_fp)
 # --------------------------------------------------------------------------
 
@@ -6384,6 +6445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "epoch_shuffle": q_epoch_shuffle,
     "opic_priority": q_opic_priority,
+    "inverted_index": q_inverted_index,
     "quality_classifier": q_quality_classifier,
     "lm_perplexity": q_lm_perplexity,
     "mirror_detect": q_mirror_detect,
@@ -6514,6 +6576,7 @@ ORACLES: dict[str, str] = {
     "bpe_encode": _bpe_encode_oracle_sql(),
     "epoch_shuffle": _epoch_shuffle_oracle_sql(),
     "opic_priority": _opic_oracle_sql(),
+    "inverted_index": ORACLE_INVERTED_INDEX,
     "quality_classifier": _classifier_oracle_sql(),
     "lm_perplexity": ORACLE_LM_PPL,
     "mirror_detect": ORACLE_MIRROR,

@@ -108,3 +108,64 @@ def test_bm25_partitioning_invariant(spark):
     a = [tuple(r) for r in bm25_search(df, ["alpha", "beta"], k=15).collect()]
     b = [tuple(r) for r in bm25_search(df.repartition(13), ["alpha", "beta"], k=15).collect()]
     assert a == b
+
+
+class TestInvertedIndex:
+    """build_inverted_index: gap encoding, stop-term cap, invariance."""
+
+    def _run(self, spark, docs, stop_df=10**9, parts=3):
+        from bathyscaphe_spark.operators.search import build_inverted_index
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = build_inverted_index(df.repartition(parts), stop_df=stop_df)
+        return {
+            r["term"]: (
+                r["df"],
+                r["total_tf"],
+                list(r["deltas"]) if r["deltas"] is not None else None,
+                list(r["tfs"]) if r["tfs"] is not None else None,
+            )
+            for r in out.collect()
+        }
+
+    def test_gap_encoding_golden(self, spark):
+        docs = [(3, "cat dog cat"), (10, "dog"), (42, "dog CAT!dog")]
+        got = self._run(spark, docs)
+        # cat: docs {3: tf2, 42: tf1} → gaps [3, 39]
+        assert got["cat"] == (2, 3, [3, 39], [2, 1])
+        # dog: docs {3:1, 10:1, 42:2} → gaps [3, 7, 32]
+        assert got["dog"] == (3, 4, [3, 7, 32], [1, 1, 2])
+
+    def test_gaps_reconstruct_ids(self, spark):
+        import itertools
+
+        docs = [(i * 17 + 5, f"w{i % 3} common") for i in range(30)]
+        got = self._run(spark, docs)
+        for term, (df, _tt, deltas, _tfs) in got.items():
+            ids = list(itertools.accumulate(deltas))
+            assert ids == sorted(ids) and len(ids) == df
+            assert all(i in {j * 17 + 5 for j in range(30)} for i in ids)
+
+    def test_stop_term_postings_null_stats_kept(self, spark):
+        docs = [(i, "the the rare" if i == 0 else "the") for i in range(9)]
+        got = self._run(spark, docs, stop_df=5)
+        assert got["the"] == (9, 10, None, None)
+        assert got["rare"] == (1, 1, [0], [1])
+
+    def test_stop_terms_filtered_before_collect(self, spark):
+        # the plan must anti-join the stop list BEFORE the collect_list
+        # aggregate: the ObjectHashAggregate input flows from a join
+        from bathyscaphe_spark.operators.search import build_inverted_index
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = build_inverted_index(df, stop_df=1)._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" in plan
+        ix_join = plan.index("LeftAnti")
+        ix_agg = plan.index("collect_list")
+        assert ix_agg < ix_join  # tree prints top-down: agg ABOVE the anti-join
+
+    def test_partition_invariance(self, spark):
+        docs = [(i, " ".join(f"t{(i * j) % 11}" for j in range(6))) for i in range(60)]
+        a = self._run(spark, docs, stop_df=20, parts=1)
+        b = self._run(spark, docs, stop_df=20, parts=8)
+        assert a == b
