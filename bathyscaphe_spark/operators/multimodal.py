@@ -349,3 +349,106 @@ def resize_nn_stats(
         schema="item_id long, out_w long, out_h long,"
                " sum_r long, sum_g long, sum_b long",
     )
+
+
+# --- perceptual near-dup: average hash ---------------------------------------
+
+AHASH_GRID_H, AHASH_GRID_W = 6, 8  # 48 bits — plugs into simhash_near_pairs
+# ITU-R BT.601 luma weights as the standard integer milli-ratios (public)
+LUMA_R, LUMA_G, LUMA_B = 299, 587, 114
+
+
+def ahash_fingerprints(
+    df: DataFrame,
+    grid_h: int = AHASH_GRID_H,
+    grid_w: int = AHASH_GRID_W,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Average-hash perceptual fingerprints over REAL decoded images —
+    the classic aHash scheme (public: the pHash family / imagehash
+    convention): decode → nearest-neighbor downsample to a
+    ``grid_h × grid_w`` integer-luma grid → threshold each cell against
+    the grid's integer mean → one bit per cell.  Near-duplicate images
+    (recompressions, slight crops, brightness-preserving edits) land
+    within a few bits of each other, so the 48-bit default plugs
+    STRAIGHT into ``operators.dedup.simhash_near_pairs`` — the same
+    pigeonhole-blocked Hamming join dedups text SimHashes and image
+    aHashes with one code path.
+
+    Every step is integer arithmetic (the DIV grid map shared with
+    ``resize_nn_stats``, milli-weight BT.601 luma, floor mean,
+    ``>=`` threshold), so fingerprints are bit-identical across
+    engines and cluster sizes.  Bits: cell (y, x) → bit ``y·grid_w+x``;
+    48 bits keeps the hash a positive long.
+
+    Output: (``id_col`` long, simhash long) — named for the Hamming
+    join's input contract.
+    """
+    bits = grid_h * grid_w
+    if bits > 62:
+        raise ValueError(f"grid {grid_h}x{grid_w} exceeds 62 hash bits")
+    weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+
+    def _run(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for iid, b in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_ppm(bytes(b)).astype(np.int64)
+                h, w = img.shape[0], img.shape[1]
+                ys = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
+                xs = (np.arange(grid_w, dtype=np.int64) * w) // grid_w
+                cell = img[ys][:, xs]
+                luma = (
+                    LUMA_R * cell[:, :, 0]
+                    + LUMA_G * cell[:, :, 1]
+                    + LUMA_B * cell[:, :, 2]
+                ) // 1000
+                mean = int(luma.sum()) // bits
+                bitvec = (luma.reshape(-1) >= mean).astype(np.int64)
+                hashes.append(int((bitvec * weights).sum()))
+                ids.append(int(iid))
+            yield pd.DataFrame({id_col: ids, "simhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=f"{id_col} long, simhash long"
+    )
+
+
+def synth_family_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic near-duplicate image FAMILIES for the perceptual
+    dedup contract: docs share a base pattern per group of 10
+    (``g = id div 10`` picks per-channel multipliers spread by 37/59/97
+    so distinct groups never collide at Hamming ≤ 3), and member
+    ``m = id % 10`` perturbs the base by +128 on the red channel of
+    pixels with ``idx % 10 < m`` — adjacent members are a few flipped
+    cells apart (near-dups), distant members drift further.  Every
+    value is integer arithmetic the DuckDB oracle replicates verbatim.
+
+    Pixel idx of doc i (g = i div 10, m = i % 10, w = 4 + g % 5,
+    h = 3 + g % 4):
+        R = (idx·(3 + (g·37) % 101) + 13·g + 128·[idx % 10 < m]) % 256
+        G = (idx·(5 + (g·59) % 127) + 29·g) % 256
+        B = (idx·7 + 97·g) % 256
+    """
+
+    def _run(batches):
+        for pdf in batches:
+            ids, payload = [], []
+            for iid in pdf[id_col]:
+                i = int(iid)
+                g, m = i // 10, i % 10
+                w, h = 4 + g % 5, 3 + g % 4
+                idx = np.arange(h * w, dtype=np.int64)
+                r = (idx * (3 + (g * 37) % 101) + 13 * g
+                     + 128 * (idx % 10 < m)) % 256
+                gc = (idx * (5 + (g * 59) % 127) + 29 * g) % 256
+                b = (idx * 7 + 97 * g) % 256
+                rgb = np.stack([r, gc, b], axis=1).astype(np.uint8).reshape(h, w, 3)
+                ids.append(i)
+                payload.append(f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes())
+            yield pd.DataFrame({"item_id": ids, "payload": payload})
+
+    return df.select(id_col).mapInPandas(
+        _run, schema="item_id long, payload binary"
+    )

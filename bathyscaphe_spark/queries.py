@@ -4092,6 +4092,68 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
 
 
 # --------------------------------------------------------------------------
+# image perceptual near-dup: aHash + Hamming blocks (operators/multimodal.py)
+# --------------------------------------------------------------------------
+
+
+def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end THROUGH THE REAL BYTE PATH:
+    deterministic near-dup image families (synth_family_ppm) are
+    encoded to P6, decoded by the real netpbm decoder, average-hashed
+    on an integer 6×8 luma grid (ahash_fingerprints), and paired by
+    the SAME pigeonhole-blocked Hamming join that dedups text SimHashes
+    (simhash_near_pairs — one code path for text and image near-dup).
+    The fixture plants 928 within-family pairs and ZERO cross-family
+    collisions at Hamming ≤ 3; the oracle recomputes every sampled
+    pixel, the luma, the mean threshold, the 48-bit hash, and the
+    popcount arithmetically."""
+    from .operators.dedup import simhash_near_pairs
+    from .operators.multimodal import ahash_fingerprints, synth_family_ppm
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    fps = ahash_fingerprints(synth_family_ppm(d))
+    return simhash_near_pairs(fps, "item_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+ORACLE_IMAGE_AHASH = """
+WITH p AS (
+  SELECT doc_id, doc_id // 10 AS g, doc_id % 10 AS m FROM documents
+),
+dims AS (SELECT doc_id, g, m, 4 + g % 5 AS w, 3 + g % 4 AS h FROM p),
+cell AS (
+  SELECT doc_id, y.y AS y, x.x AS x, g, m,
+         ((y.y * d.h) // 6) * d.w + ((x.x * d.w) // 8) AS idx
+  FROM dims d, range(0, 6) y(y), range(0, 8) x(x)
+),
+px AS (
+  SELECT doc_id, y, x,
+    (idx * (3 + (g * 37) % 101) + 13 * g
+       + CASE WHEN idx % 10 < m THEN 128 ELSE 0 END) % 256 AS r,
+    (idx * (5 + (g * 59) % 127) + 29 * g) % 256 AS gc,
+    (idx * 7 + 97 * g) % 256 AS b
+  FROM cell
+),
+luma AS (
+  SELECT doc_id, y, x, (299 * r + 587 * gc + 114 * b) // 1000 AS l FROM px
+),
+mm AS (SELECT doc_id, SUM(l) // 48 AS mean FROM luma GROUP BY doc_id),
+h AS (
+  SELECT l.doc_id,
+         SUM(CASE WHEN l.l >= mm.mean
+             THEN (CAST(1 AS BIGINT) << (l.y * 8 + l.x))
+             ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM luma l JOIN mm ON l.doc_id = mm.doc_id GROUP BY l.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # inverted index build (operators/search.py build_inverted_index)
 # --------------------------------------------------------------------------
 
@@ -6446,6 +6508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_shuffle": q_epoch_shuffle,
     "opic_priority": q_opic_priority,
     "inverted_index": q_inverted_index,
+    "image_ahash_pairs": q_image_ahash_pairs,
     "quality_classifier": q_quality_classifier,
     "lm_perplexity": q_lm_perplexity,
     "mirror_detect": q_mirror_detect,
@@ -6577,6 +6640,7 @@ ORACLES: dict[str, str] = {
     "epoch_shuffle": _epoch_shuffle_oracle_sql(),
     "opic_priority": _opic_oracle_sql(),
     "inverted_index": ORACLE_INVERTED_INDEX,
+    "image_ahash_pairs": ORACLE_IMAGE_AHASH,
     "quality_classifier": _classifier_oracle_sql(),
     "lm_perplexity": ORACLE_LM_PPL,
     "mirror_detect": ORACLE_MIRROR,

@@ -1,5 +1,6 @@
 """Multimodal payload plumbing: schema, batching, stub gating."""
 
+import numpy as np
 import pytest
 
 from bathyscaphe_spark.operators.multimodal import (
@@ -77,3 +78,82 @@ def test_frame_sample_plan(spark):
     for frames in by_item.values():
         assert frames == sorted(frames)
         assert all(f % 30 == 0 for f in frames)
+
+
+class TestAHash:
+    """ahash_fingerprints: invariances, flips, partitioning."""
+
+    def _hash(self, spark, images, parts=2):
+        # images: list[(id, np.uint8 HxWx3)]
+        import pandas as pd
+
+        from bathyscaphe_spark.operators.multimodal import ahash_fingerprints
+
+        rows = [
+            (i, f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode() + a.tobytes())
+            for i, a in images
+        ]
+        df = spark.createDataFrame(rows, "item_id long, payload binary")
+        return {
+            r["item_id"]: r["simhash"]
+            for r in ahash_fingerprints(df.repartition(parts)).collect()
+        }
+
+    def test_identical_images_identical_hash(self, spark):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 255, (6, 9, 3), dtype=np.uint8)
+        got = self._hash(spark, [(1, img), (2, img.copy())])
+        assert got[1] == got[2]
+
+    def test_brightness_shift_invariant(self, spark):
+        # +20 on every channel without wraparound: luma and mean shift
+        # together, the threshold pattern (and hash) must not move
+        rng = np.random.default_rng(11)
+        img = rng.integers(30, 200, (5, 7, 3), dtype=np.uint8)
+        brighter = (img.astype(np.int64) + 20).astype(np.uint8)
+        got = self._hash(spark, [(1, img), (2, brighter)])
+        assert got[1] == got[2]
+
+    def test_region_flip_small_hamming(self, spark):
+        img = np.full((6, 8, 3), 40, dtype=np.uint8)
+        img[0, 0] = img[3, 5] = 250  # two bright cells set their bits
+        tweaked = img.copy()
+        tweaked[3, 5] = 40  # douse one of them
+        got = self._hash(spark, [(1, img), (2, tweaked)])
+        ham = bin(got[1] ^ got[2]).count("1")
+        assert 1 <= ham <= 3
+
+    def test_matches_pure_python(self, spark):
+        from bathyscaphe_spark.operators.multimodal import (
+            AHASH_GRID_H, AHASH_GRID_W, LUMA_B, LUMA_G, LUMA_R,
+        )
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (4, 11, 3), dtype=np.uint8)
+        h, w = img.shape[:2]
+        ys = [(y * h) // AHASH_GRID_H for y in range(AHASH_GRID_H)]
+        xs = [(x * w) // AHASH_GRID_W for x in range(AHASH_GRID_W)]
+        luma = [
+            (LUMA_R * int(img[y, x, 0]) + LUMA_G * int(img[y, x, 1])
+             + LUMA_B * int(img[y, x, 2])) // 1000
+            for y in ys for x in xs
+        ]
+        mean = sum(luma) // 48
+        want = sum(1 << i for i, l in enumerate(luma) if l >= mean)
+        assert self._hash(spark, [(9, img)])[9] == want
+
+    def test_partition_invariance_and_grid_guard(self, spark):
+        import pytest as _pytest
+
+        from bathyscaphe_spark.operators.multimodal import (
+            ahash_fingerprints, synth_family_ppm,
+        )
+
+        d = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+        a = sorted(map(tuple, ahash_fingerprints(
+            synth_family_ppm(d.repartition(1))).collect()))
+        b = sorted(map(tuple, ahash_fingerprints(
+            synth_family_ppm(d.repartition(7))).collect()))
+        assert a == b and len(a) == 60
+        with _pytest.raises(ValueError):
+            ahash_fingerprints(None, grid_h=8, grid_w=8)
