@@ -4092,6 +4092,100 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
 
 
 # --------------------------------------------------------------------------
+# boilerplate block classification (operators/boilerplate.py)
+# --------------------------------------------------------------------------
+
+_BP_SENTENCE = (
+    "this paragraph stays long enough to be classified as content"
+    " on its own merit"
+)
+
+
+def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style main-content extraction driven end-to-end through
+    the REAL block parser: deterministic six-block HTML (title, pure
+    link nav, the document's text as a paragraph, a short mixed-link
+    div, a long constant paragraph, a footer) segments via the Arrow
+    kernel, then classifies with pure-codegen link-density/length
+    thresholds plus the neighbor-inheritance context pass (two
+    IGNORE-NULLS windows).  The fixture exercises every rule: nav is
+    link-dense bad, the short div PROMOTES to good between two good
+    paragraphs (unless the doc's own text is under 50 chars — both
+    branches occur in the corpus), the title and footer DEMOTE at the
+    document edges, and the oracle recomputes all six blocks' chars /
+    link chars and the full label cascade arithmetically."""
+    from .operators.boilerplate import block_segments, classify_blocks
+
+    d = _docs(spark, sf_dir)
+    safe = F.regexp_replace(F.col("text"), "[<>&]", "")
+    html = F.concat(
+        F.lit("<html><head><title>T"),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><nav><a href="/a">home</a> '
+              '<a href="/b">about</a> <a href="/c">contact</a></nav><p>'),
+        safe,
+        F.lit('</p><div><a href="/x">more</a> on this topic here</div><p>'),
+        F.lit(_BP_SENTENCE),
+        F.lit("</p><footer>copyright example corp</footer></body></html>"),
+    )
+    src = d.select("doc_id", html.alias("html"))
+    return classify_blocks(block_segments(src)).select(
+        "doc_id", "block_idx", "text", "chars", "link_chars",
+        "ctx_label", "label",
+    )
+
+
+ORACLE_BOILERPLATE = rf"""
+WITH safe AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text, '[<>&]', '', 'g'),
+                             '\s+', ' ', 'g')) AS p1
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, 0 AS block_idx, 'T' || CAST(doc_id AS STRING) AS text,
+         CAST(length('T' || CAST(doc_id AS STRING)) AS BIGINT) AS chars,
+         CAST(0 AS BIGINT) AS link_chars
+  FROM safe
+  UNION ALL
+  SELECT doc_id, 1, 'home about contact', 18, 16 FROM safe
+  UNION ALL
+  SELECT doc_id, 2, p1, CAST(length(p1) AS BIGINT), 0 FROM safe
+  UNION ALL
+  SELECT doc_id, 3, 'more on this topic here', 23, 4 FROM safe
+  UNION ALL
+  SELECT doc_id, 4, '{_BP_SENTENCE}', 77, 0 FROM safe
+  UNION ALL
+  SELECT doc_id, 5, 'copyright example corp', 22, 0 FROM safe
+),
+ctx AS (
+  SELECT *, CASE
+      WHEN chars > 0 AND link_chars * 1000 >= 330 * chars THEN 'bad'
+      WHEN chars >= 50 THEN 'good'
+      ELSE 'short' END AS ctx_label
+  FROM blocks
+),
+nbr AS (
+  SELECT *,
+    last_value(CASE WHEN ctx_label != 'short' THEN ctx_label END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_d,
+    first_value(CASE WHEN ctx_label != 'short' THEN ctx_label END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_idx
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_d
+  FROM ctx
+)
+SELECT doc_id, CAST(block_idx AS INT) AS block_idx, text, chars, link_chars,
+       ctx_label,
+       CASE WHEN ctx_label != 'short' THEN ctx_label
+            WHEN COALESCE(prev_d, 'bad') = 'good'
+                 AND COALESCE(next_d, 'bad') = 'good' THEN 'good'
+            ELSE 'bad' END AS label
+FROM nbr
+"""
+
+
+# --------------------------------------------------------------------------
 # image perceptual near-dup: aHash + Hamming blocks (operators/multimodal.py)
 # --------------------------------------------------------------------------
 
@@ -6509,6 +6603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "opic_priority": q_opic_priority,
     "inverted_index": q_inverted_index,
     "image_ahash_pairs": q_image_ahash_pairs,
+    "boilerplate_blocks": q_boilerplate_blocks,
     "quality_classifier": q_quality_classifier,
     "lm_perplexity": q_lm_perplexity,
     "mirror_detect": q_mirror_detect,
@@ -6641,6 +6736,7 @@ ORACLES: dict[str, str] = {
     "opic_priority": _opic_oracle_sql(),
     "inverted_index": ORACLE_INVERTED_INDEX,
     "image_ahash_pairs": ORACLE_IMAGE_AHASH,
+    "boilerplate_blocks": ORACLE_BOILERPLATE,
     "quality_classifier": _classifier_oracle_sql(),
     "lm_perplexity": ORACLE_LM_PPL,
     "mirror_detect": ORACLE_MIRROR,
