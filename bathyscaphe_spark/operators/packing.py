@@ -145,3 +145,57 @@ def shard_balance(
     return with_b.join(F.broadcast(assign), "bucket").select(
         *docs.columns, "bucket", "shard"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """Split each document's token sequence into training windows of
+    ≤ ``size`` tokens advancing by ``stride`` (overlap = size − stride;
+    the public HF ``return_overflowing_tokens`` convention) — the
+    long-document step BEFORE ``pack_sequences``: packing fills chunks
+    with whole rows, so a 100k-token page must first become windows or
+    it occupies an oversized chunk alone and the tail of the document
+    never trains.
+
+    Window starts are k·stride for k = 0..k_last with
+    k_last = ceil((n − size)/stride) clamped at 0 — the first window
+    that reaches the document's end is the last (no fully-contained
+    duplicate tail windows), a ≤ size document yields exactly one
+    window, and an empty document yields none (explode semantics).
+
+    Pure codegen: split → sequence → explode → slice; the fan-out is
+    ~n/stride rows per document with no shuffle at all — chunking is a
+    map-only stage whatever the corpus size, and the (id, chunk_idx)
+    key is deterministic at any parallelism.
+
+    Output: (id, chunk_idx, start, n_tokens, chunk_text).
+    """
+    if not (1 <= stride <= size):
+        raise ValueError(f"need 1 <= stride <= size, got {stride}/{size}")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    t = df.select(F.col(id_col), toks.alias("_t")).where(F.size("_t") > 0)
+    k_last = F.expr(
+        f"CASE WHEN size(_t) <= {size} THEN 0"
+        f" ELSE (size(_t) - {size} + {stride} - 1) DIV {stride} END"
+    )
+    exploded = t.select(
+        id_col,
+        "_t",
+        F.explode(F.sequence(F.lit(0), k_last.cast("int"))).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx").cast("long") * stride
+    chunk = F.slice(F.col("_t"), start.cast("int") + 1, size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx"),
+        start.alias("start"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -4945,6 +4945,52 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "source", "doc_id", "n_tokens", _PACK_CAPACITY)
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window long-document splitting (the step BEFORE packing:
+    windows of ≤32 tokens advancing by 24, HF overflowing-tokens
+    convention; the first window reaching the document's end is the
+    last) — operators/packing.py chunk_documents, pure codegen
+    split→sequence→explode→slice, a map-only stage with no shuffle."""
+    from .operators.packing import chunk_documents
+
+    d = _docs(spark, sf_dir)
+    return chunk_documents(
+        d, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+ORACLE_DOC_CHUNKS = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+),
+ks AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, 1 + CASE WHEN n <= {_CHUNK_SIZE} THEN 0
+             ELSE (n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+             END)) AS k
+  FROM sized
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+       CAST(k * {_CHUNK_STRIDE} AS BIGINT) AS start,
+       CAST(len(t[k * {_CHUNK_STRIDE} + 1
+                  : least(k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)])
+            AS BIGINT) AS n_tokens,
+       array_to_string(
+           t[k * {_CHUNK_STRIDE} + 1
+             : least(k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)], ' '
+       ) AS chunk_text
+FROM ks
+"""
+
+
 ORACLE_SEQUENCE_PACK = rf"""
 WITH RECURSIVE
 docs AS (
@@ -6649,6 +6695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resources_search": q_resources_search,
     "bm25_search": q_bm25_search,
     "sequence_pack": q_sequence_pack,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -6784,4 +6831,5 @@ ORACLES: dict[str, str] = {
     "resources_search": _search_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),
     "sequence_pack": ORACLE_SEQUENCE_PACK,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
 }

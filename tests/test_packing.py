@@ -150,3 +150,81 @@ class TestShardBalance:
         a = sorted(map(tuple, shard_balance(df.repartition(1), "doc_id", "n_tokens", 4, 32).collect()))
         b = sorted(map(tuple, shard_balance(df.repartition(7), "doc_id", "n_tokens", 4, 32).collect()))
         assert a == b
+
+
+class TestChunkDocuments:
+    """Sliding-window long-doc splitting (chunk_documents)."""
+
+    @staticmethod
+    def _mirror(text, size, stride):
+        toks = [w for w in (text or "").split() if w]
+        n = len(toks)
+        if n == 0:
+            return []
+        k_last = 0 if n <= size else -(-(n - size) // stride)
+        return [
+            (k, k * stride, toks[k * stride : k * stride + size])
+            for k in range(k_last + 1)
+        ]
+
+    def _run(self, spark, rows, size, stride, parts=3):
+        from bathyscaphe_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_documents(
+            df.repartition(parts), size=size, stride=stride
+        ).collect()
+        return {
+            (r.doc_id, r.chunk_idx): (r.start, r.n_tokens, r.chunk_text)
+            for r in out
+        }
+
+    def test_mirror_and_edges(self, spark):
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(10))),  # multi-window
+            (2, "a b"),            # shorter than size → one window
+            (3, ""),               # empty → no rows
+            (4, None),             # null → no rows
+            (5, " ".join(f"t{i}" for i in range(4))),   # n == size exactly
+            (6, " ".join(f"u{i}" for i in range(5))),   # n == size+1
+            (7, "  x   y\tz\n"),   # whitespace runs collapse
+        ]
+        got = self._run(spark, rows, size=4, stride=3)
+        want = {}
+        for did, text in rows:
+            for k, start, toks in self._mirror(text, 4, 3):
+                want[(did, k)] = (start, len(toks), " ".join(toks))
+        assert got == want
+        assert (5, 0) in got and (5, 1) not in got
+        # n = size+1: second window starts at stride and reaches the end
+        assert got[(6, 1)] == (3, 2, "u3 u4")
+
+    def test_last_window_reaches_end_and_none_contained(self, spark):
+        got = self._run(
+            spark, [(1, " ".join(str(i) for i in range(100)))], 16, 7
+        )
+        ks = sorted(k for (_, k) in got)
+        assert ks == list(range(len(ks)))
+        last_start, last_n, _ = got[(1, ks[-1])]
+        assert last_start + last_n == 100      # covers the tail
+        assert last_start < 100                # starts inside the doc
+        # the PREVIOUS window must not already reach the end
+        prev_start, prev_n, _ = got[(1, ks[-2])]
+        assert prev_start + 16 < 100
+
+    def test_partition_invariance(self, spark):
+        rows = [(i, " ".join(f"w{i}_{j}" for j in range(i % 37))) for i in range(60)]
+        a = self._run(spark, rows, 8, 5, parts=1)
+        b = self._run(spark, rows, 8, 5, parts=13)
+        assert a == b
+
+    def test_stride_validation(self, spark):
+        import pytest
+
+        from bathyscaphe_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, size=4, stride=5)
+        with pytest.raises(ValueError):
+            chunk_documents(df, size=4, stride=0)
