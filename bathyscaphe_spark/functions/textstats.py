@@ -161,3 +161,85 @@ def pii_scrub_cols(text: Column) -> dict[str, Column]:
         "n_ips": n_ips,
         "n_phones": n_phones,
     }
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Overlap-aware duplicate n-gram character fractions — the
+    remaining Gopher repetition rules (Rae et al. 2021 §A1.2: fraction
+    of characters inside ANY n-gram that occurs more than once in the
+    document, counting each character once however many duplicate
+    n-grams overlap it; thresholds 0.15 at n=5 down to 0.10 at n=10).
+    ``repetition_stats`` covers the dup-line and top-2-gram rules; this
+    adds the 5..10-gram family that catches stutter loops and template
+    spam those two miss.
+
+    Coverage without interval merging: token position q sits inside a
+    duplicated n-gram iff some duplicated gram STARTS at p ∈
+    [q−n+1, q], so covered(q) is a windowed MAX of the dup-start flag
+    over the last n−1 rows — positions are dense per document, making
+    ROWS ≡ RANGE.  Three window families share one hash-partition by
+    document: gram assembly (lead), dup-start flags (count over
+    (doc, gram)), coverage (max over trailing rows).  Characters are
+    word characters (whitespace excluded — documented determinism
+    choice, both engines replicate it exactly).
+
+    Scale: everything is per-document windows — shuffle keys are the
+    document id (+ gram), partition size is bounded by document length,
+    never corpus size; no joins, no UDFs, no driver state.
+
+    Output per document: n_tokens, total_chars, dup{n}_chars and
+    dup{n}_pm (permille, floor) for each n.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    pos = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "w"))
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    out = pos
+    for n in ns:
+        parts = [F.col("w")] + [F.lead("w", i).over(wdoc) for i in range(1, n)]
+        out = out.withColumn(
+            f"_g{n}",
+            F.when(
+                F.lead("w", n - 1).over(wdoc).isNotNull(),
+                F.concat_ws(" ", *parts),
+            ),
+        )
+    for n in ns:
+        wg = Window.partitionBy(id_col, f"_g{n}")
+        out = out.withColumn(
+            f"_s{n}",
+            (
+                F.col(f"_g{n}").isNotNull()
+                & (F.count(F.lit(1)).over(wg) > 1)
+            ).cast("int"),
+        )
+    for n in ns:
+        out = out.withColumn(
+            f"_c{n}", F.max(f"_s{n}").over(wdoc.rowsBetween(-(n - 1), 0))
+        )
+    wlen = F.length("w")
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(wlen).cast("long").alias("total_chars"),
+    ]
+    for n in ns:
+        aggs.append(
+            F.sum(F.when(F.col(f"_c{n}") == 1, wlen).otherwise(0))
+            .cast("long")
+            .alias(f"dup{n}_chars")
+        )
+    agg = out.groupBy(id_col).agg(*aggs)
+    for n in ns:
+        agg = agg.withColumn(
+            f"dup{n}_pm",
+            F.expr(f"(dup{n}_chars * 1000) DIV total_chars").cast("long"),
+        )
+    return agg

@@ -915,6 +915,95 @@ LEFT JOIN top t USING (doc_id)
 """
 
 
+def q_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-aware duplicate n-gram character fractions (the
+    remaining Gopher §A1.2 rules at n=5 and n=10 — repetition_stats
+    covers dup-line + top-2-gram) through functions/textstats.py
+    dup_ngram_stats: dup-start flags from per-(doc, gram) window
+    counts, coverage as a trailing ROWS max, one doc-keyed sort shared
+    by all window families.  Fixture: every doc_id ≡ 0 (mod 3) appends
+    its own first 8 words, planting duplicate 5..8-grams (and the
+    coverage-union overlap case) in a third of the corpus; the other
+    two thirds pin the no-repetition zero path."""
+    from .functions.textstats import dup_ngram_stats
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    fixture = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat_ws(
+            " ", F.col("text"), F.array_join(F.slice(toks, 1, 8), " ")
+        ),
+    ).otherwise(F.col("text"))
+    return dup_ngram_stats(
+        d.select("doc_id", fixture.alias("text")), ns=(5, 10)
+    )
+
+
+ORACLE_DUP_NGRAM = r"""
+WITH fixture AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' ' || array_to_string(
+                 (list_filter(regexp_split_to_array(text, '\s+'),
+                              w -> w != ''))[1:8], ' ')
+              ELSE text END AS text
+  FROM documents
+), words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w != '') AS ws
+  FROM fixture
+), pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) + 1),
+                               i -> {'pos': i - 1, 'w': ws[i]}),
+                recursive := true)
+  FROM words
+), g AS (
+  SELECT doc_id, pos, w, length(w) AS wlen,
+    CASE WHEN lead(w, 4) OVER win IS NOT NULL THEN
+      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+        || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+    END AS g5,
+    CASE WHEN lead(w, 9) OVER win IS NOT NULL THEN
+      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+        || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+        || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+        || ' ' || lead(w, 7) OVER win || ' ' || lead(w, 8) OVER win
+        || ' ' || lead(w, 9) OVER win
+    END AS g10
+  FROM pos
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+), s AS (
+  SELECT *,
+    CASE WHEN g5 IS NOT NULL
+              AND count(*) OVER (PARTITION BY doc_id, g5) > 1
+         THEN 1 ELSE 0 END AS s5,
+    CASE WHEN g10 IS NOT NULL
+              AND count(*) OVER (PARTITION BY doc_id, g10) > 1
+         THEN 1 ELSE 0 END AS s10
+  FROM g
+), c AS (
+  SELECT *,
+    max(s5) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c5,
+    max(s10) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS c10
+  FROM s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(wlen) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN c5 = 1 THEN wlen ELSE 0 END) AS BIGINT)
+           AS dup5_chars,
+       CAST(sum(CASE WHEN c10 = 1 THEN wlen ELSE 0 END) AS BIGINT)
+           AS dup10_chars,
+       CAST((sum(CASE WHEN c5 = 1 THEN wlen ELSE 0 END) * 1000)
+            // sum(wlen) AS BIGINT) AS dup5_pm,
+       CAST((sum(CASE WHEN c10 = 1 THEN wlen ELSE 0 END) * 1000)
+            // sum(wlen) AS BIGINT) AS dup10_pm
+FROM c GROUP BY doc_id
+"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embeddings table (ANN baseline).
     Queries = vec_id < 5; k = 3; ordering on cosine rounded to 3 decimals
@@ -6640,6 +6729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_card": q_corpus_card,
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
+    "dup_ngram": q_dup_ngram,
     "url_quality": q_url_quality,
     "vocab_topk": q_vocab_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -6774,6 +6864,7 @@ ORACLES: dict[str, str] = {
     "corpus_card": ORACLE_CORPUS_CARD,
     "gopher_quality": ORACLE_GOPHER,
     "repetition_stats": ORACLE_REPETITION,
+    "dup_ngram": ORACLE_DUP_NGRAM,
     "url_quality": ORACLE_URL_QUALITY,
     "vocab_topk": ORACLE_VOCAB,
     "bpe_pair_counts": ORACLE_BPE,
