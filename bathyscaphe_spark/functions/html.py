@@ -428,3 +428,72 @@ def canonical_href_col(html: Column) -> Column:
     Java and RE2 agree on every construct used here."""
     hit = F.regexp_extract(html, CANONICAL_RE, 1)
     return F.when(hit != "", hit)
+
+
+# Published-date extraction (trafilatura-style cascade, public
+# convention): OpenGraph article:published_time (either attribute
+# order), JSON-LD datePublished, <time datetime=...>, then a
+# /YYYY/MM/DD/ or /YYYY-MM-DD URL path date.  Java∩RE2-safe patterns
+# (same discipline as PII_* / ANCHOR_RE) so the DuckDB oracle runs the
+# literal same strings; strict double-quoted attributes by the
+# CANONICAL_RE contract.
+DATE_OG_RE = (
+    '<meta [^>]*property="article:published_time"[^>]*'
+    ' content="([^"]+)"'
+)
+DATE_OG_REV_RE = (
+    '<meta [^>]*content="([^"]+)"[^>]*'
+    ' property="article:published_time"'
+)
+DATE_JSONLD_RE = '"datePublished"\\s*:\\s*"([^"]+)"'
+DATE_TIME_RE = '<time [^>]*datetime="([^"]+)"'
+DATE_URL_RE = (
+    "/((?:19|20)[0-9]{2})[/-](0[1-9]|1[0-2])[/-]"
+    "(0[1-9]|[12][0-9]|3[01])(?:[/?#]|$)"
+)
+
+
+def published_date_cols(html: Column, url: Column) -> dict[str, Column]:
+    """(published, date_source) — publication date as a 'YYYY-MM-DD'
+    string (NULL when nothing plausible) plus which cascade stage won
+    ('og' | 'jsonld' | 'time' | 'url' | NULL).
+
+    All pure codegen regexp + try_to_date: candidate strings truncate
+    to their first 10 chars (ISO timestamps keep the date part),
+    non-dates fall out as NULL via try semantics, and years clamp to
+    [1995, 2035] — a matched-but-implausible candidate does NOT fall
+    through to a later stage (the page SAID a date; a wrong claim is
+    not evidence for a weaker extractor).  Recency weighting at corpus
+    scale needs exactly this: a narrow map-stage projection, no parse,
+    no UDF, no shuffle.
+    """
+
+    def _hit(re_: str, src: Column) -> Column:
+        v = F.regexp_extract(src, re_, 1)
+        return F.when(v != "", v)
+
+    url_date = F.when(
+        F.regexp_extract(url, DATE_URL_RE, 1) != "",
+        F.concat_ws(
+            "-",
+            F.regexp_extract(url, DATE_URL_RE, 1),
+            F.regexp_extract(url, DATE_URL_RE, 2),
+            F.regexp_extract(url, DATE_URL_RE, 3),
+        ),
+    )
+    stages = [
+        ("og", F.coalesce(_hit(DATE_OG_RE, html), _hit(DATE_OG_REV_RE, html))),
+        ("jsonld", _hit(DATE_JSONLD_RE, html)),
+        ("time", _hit(DATE_TIME_RE, html)),
+        ("url", url_date),
+    ]
+    raw = F.coalesce(*(c for _, c in stages))
+    src = F.coalesce(
+        *(F.when(c.isNotNull(), F.lit(name)) for name, c in stages)
+    )
+    d = F.try_to_date(F.substring(raw, 1, 10))
+    d = F.when((F.year(d) >= 1995) & (F.year(d) <= 2035), d)
+    return {
+        "published": F.date_format(d, "yyyy-MM-dd"),
+        "date_source": F.when(d.isNotNull(), src),
+    }

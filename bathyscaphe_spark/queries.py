@@ -6464,6 +6464,134 @@ SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 
 
 # --------------------------------------------------------------------------
+# published-date extraction (recency metadata for corpus weighting)
+# --------------------------------------------------------------------------
+
+
+def q_published_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date cascade (functions/html.py published_date_cols:
+    OpenGraph either-attribute-order → JSON-LD → <time datetime> → URL
+    path date; matched-but-implausible does NOT fall through) over a
+    deterministic fixture exercising every stage: doc_id mod 6 picks
+    the carrier (0 og, 1 og-reversed, 2 json-ld, 3 time, 4 url-only,
+    5 none), with the date itself derived from doc_id so every row
+    pins the extraction arithmetic.  Pure codegen — no parse, no UDF,
+    no shuffle (a map-only projection at corpus scale)."""
+    from .functions.html import published_date_cols
+
+    d = _docs(spark, sf_dir)
+    y = (F.lit(2000) + F.col("doc_id") % 20).cast("string")
+    m = F.lpad((F.lit(1) + F.col("doc_id") % 12).cast("string"), 2, "0")
+    dy = F.lpad((F.lit(1) + F.col("doc_id") % 28).cast("string"), 2, "0")
+    iso = F.concat_ws("-", y, m, dy)
+    variant = F.col("doc_id") % 6
+    html = (
+        F.when(variant == 0, F.concat(
+            F.lit('<html><head><meta property="article:published_time"'
+                  ' content="'), iso, F.lit('T08:30:00Z"></head></html>')))
+        .when(variant == 1, F.concat(
+            F.lit('<html><head><meta content="'), iso,
+            F.lit('" property="article:published_time"></head></html>')))
+        .when(variant == 2, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Article","datePublished": "'), iso,
+            F.lit('T00:00:00"}</script>')))
+        .when(variant == 3, F.concat(
+            F.lit('<body><time class="entry" datetime="'), iso,
+            F.lit('">then</time></body>')))
+        .otherwise(F.lit("<p>no date markup</p>"))
+    )
+    url = F.when(
+        variant == 4,
+        F.concat(F.lit("https://example.com/blog/"), y, F.lit("/"), m,
+                 F.lit("/"), dy, F.lit("/post.html")),
+    ).otherwise(
+        F.concat(F.lit("https://example.com/p/"),
+                 F.col("doc_id").cast("string"))
+    )
+    src = d.select("doc_id", html.alias("html"), url.alias("url"))
+    c = published_date_cols(F.col("html"), F.col("url"))
+    return src.select(
+        "doc_id",
+        c["published"].alias("published"),
+        c["date_source"].alias("date_source"),
+    )
+
+
+ORACLE_PUBLISHED_DATE = r"""
+WITH fixture AS (
+  SELECT doc_id,
+         CAST(2000 + doc_id % 20 AS VARCHAR) || '-'
+           || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-'
+           || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS iso,
+         doc_id % 6 AS variant
+  FROM documents
+), pages AS (
+  SELECT doc_id,
+    CASE variant
+      WHEN 0 THEN '<html><head><meta property="article:published_time"'
+                  || ' content="' || iso || 'T08:30:00Z"></head></html>'
+      WHEN 1 THEN '<html><head><meta content="' || iso
+                  || '" property="article:published_time"></head></html>'
+      WHEN 2 THEN '<script type="application/ld+json">'
+                  || '{"@type":"Article","datePublished": "' || iso
+                  || 'T00:00:00"}</script>'
+      WHEN 3 THEN '<body><time class="entry" datetime="' || iso
+                  || '">then</time></body>'
+      ELSE '<p>no date markup</p>' END AS html,
+    CASE WHEN variant = 4
+         THEN 'https://example.com/blog/' || replace(iso, '-', '/')
+              || '/post.html'
+         ELSE 'https://example.com/p/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM fixture
+), hits AS (
+  SELECT doc_id,
+    nullif(regexp_extract(html,
+      '<meta [^>]*property="article:published_time"[^>]* content="([^"]+)"',
+      1), '') AS og1,
+    nullif(regexp_extract(html,
+      '<meta [^>]*content="([^"]+)"[^>]* property="article:published_time"',
+      1), '') AS og2,
+    nullif(regexp_extract(html, '"datePublished"\s*:\s*"([^"]+)"', 1), '')
+      AS jsonld,
+    nullif(regexp_extract(html, '<time [^>]*datetime="([^"]+)"', 1), '')
+      AS t,
+    nullif(regexp_extract(url,
+      '/((?:19|20)[0-9]{2})[/-](0[1-9]|1[0-2])[/-](0[1-9]|[12][0-9]|3[01])(?:[/?#]|$)',
+      1), '') AS uy,
+    regexp_extract(url,
+      '/((?:19|20)[0-9]{2})[/-](0[1-9]|1[0-2])[/-](0[1-9]|[12][0-9]|3[01])(?:[/?#]|$)',
+      2) AS um,
+    regexp_extract(url,
+      '/((?:19|20)[0-9]{2})[/-](0[1-9]|1[0-2])[/-](0[1-9]|[12][0-9]|3[01])(?:[/?#]|$)',
+      3) AS ud
+  FROM pages
+), cascade AS (
+  SELECT doc_id,
+    coalesce(coalesce(og1, og2), jsonld, t,
+             CASE WHEN uy IS NOT NULL
+                  THEN uy || '-' || um || '-' || ud END) AS raw,
+    CASE WHEN coalesce(og1, og2) IS NOT NULL THEN 'og'
+         WHEN jsonld IS NOT NULL THEN 'jsonld'
+         WHEN t IS NOT NULL THEN 'time'
+         WHEN uy IS NOT NULL THEN 'url' END AS src
+  FROM hits
+), parsed AS (
+  SELECT doc_id,
+    CASE WHEN year(try_cast(substr(raw, 1, 10) AS DATE))
+              BETWEEN 1995 AND 2035
+         THEN try_cast(substr(raw, 1, 10) AS DATE) END AS d,
+    src
+  FROM cascade
+)
+SELECT doc_id, strftime(d, '%Y-%m-%d') AS published,
+       CASE WHEN d IS NOT NULL THEN src END AS date_source
+FROM parsed
+"""
+
+
+# --------------------------------------------------------------------------
 # rel=canonical collapse (duplicate-URL folding the way big engines do)
 # --------------------------------------------------------------------------
 
@@ -6745,6 +6873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mirror_detect": q_mirror_detect,
     "frontier_forecast": q_frontier_forecast,
     "canonical_collapse": q_canonical_collapse,
+    "published_date": q_published_date,
     "registered_domain": q_registered_domain,
     "hits_scores": q_hits_scores,
     "dust_params": q_dust_params,
@@ -6880,6 +7009,7 @@ ORACLES: dict[str, str] = {
     "mirror_detect": ORACLE_MIRROR,
     "frontier_forecast": ORACLE_FORECAST,
     "canonical_collapse": _canonical_oracle_sql(),
+    "published_date": ORACLE_PUBLISHED_DATE,
     "registered_domain": _regdomain_oracle_sql(),
     "hits_scores": _hits_oracle_sql(),
     "dust_params": ORACLE_DUST,

@@ -226,3 +226,72 @@ class TestCanonicalHref:
 
     def test_empty_href_is_null(self, spark):
         assert self._one(spark, '<link rel="canonical" href="">') is None
+
+
+class TestPublishedDate:
+    def _run(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.functions.html import published_date_cols
+
+        df = spark.createDataFrame(rows, "i long, html string, url string")
+        c = published_date_cols(F.col("html"), F.col("url"))
+        out = df.select(
+            "i", c["published"].alias("d"), c["date_source"].alias("s")
+        )
+        return {r.i: (r.d, r.s) for r in out.collect()}
+
+    def test_cascade_priority_and_stages(self, spark):
+        u = "https://x.com/a"
+        got = self._run(spark, [
+            (1, '<meta property="article:published_time"'
+                ' content="2023-05-12T08:00:00Z">', u),
+            (2, '<meta content="2021-01-31"'
+                ' property="article:published_time">', u),
+            (3, '{"datePublished": "2019-07-04T00:00:00"}', u),
+            (4, '<time class="x" datetime="2020-02-29">x</time>', u),
+            (5, "<p>none</p>", "https://x.com/blog/2018/11/03/post"),
+            (6, "<p>none</p>", "https://x.com/blog/2018-11-03"),
+            # og outranks a time tag on the same page
+            (7, '<time a="b" datetime="2011-01-01">x</time>'
+                '<meta property="article:published_time"'
+                ' content="2023-05-12">', u),
+        ])
+        assert got[1] == ("2023-05-12", "og")
+        assert got[2] == ("2021-01-31", "og")
+        assert got[3] == ("2019-07-04", "jsonld")
+        assert got[4] == ("2020-02-29", "time")  # real leap day
+        assert got[5] == ("2018-11-03", "url")
+        assert got[6] == ("2018-11-03", "url")
+        assert got[7] == ("2023-05-12", "og")
+
+    def test_implausible_never_falls_through(self, spark):
+        got = self._run(spark, [
+            # matched og with ancient year: NULL, not the time tag below
+            (1, '<meta property="article:published_time"'
+                ' content="1492-01-01">'
+                '<time r="s" datetime="2015-06-01">x</time>',
+                "https://x.com/a"),
+            # unparsable time value with a perfectly good url date
+            (2, '<time q="r" datetime="notadate">x</time>',
+                "https://x.com/2017/05/05/"),
+            # Feb 30 passes the regex but fails the calendar
+            (3, "<p>x</p>", "https://x.com/2020/02/30/"),
+        ])
+        assert got[1] == (None, None)
+        assert got[2] == (None, None)
+        assert got[3] == (None, None)
+
+    def test_url_pattern_boundaries(self, spark):
+        got = self._run(spark, [
+            (1, "<p>x</p>", "https://x.com/p/2018/13/03/"),   # month 13
+            (2, "<p>x</p>", "https://x.com/2018-11-035"),      # no boundary
+            (3, "<p>x</p>", "https://x.com/2018/11/03?id=1"),  # ? boundary
+            (4, "<p>x</p>", "https://x.com/2018/11/03"),       # end anchor
+            (5, None, None),
+        ])
+        assert got[1] == (None, None)
+        assert got[2] == (None, None)
+        assert got[3] == ("2018-11-03", "url")
+        assert got[4] == ("2018-11-03", "url")
+        assert got[5] == (None, None)
