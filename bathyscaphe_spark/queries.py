@@ -3961,6 +3961,69 @@ FROM h
 """
 
 
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata-record framing (sources/warc.py wat_records): the
+    JSON sidecar link-graph/anchor consumers read instead of the 20×
+    heavier WARC — Envelope with the WARC header echo plus
+    HTML-Metadata (Head.Title, Head.Metas, outlink Links).  Fixture is
+    fully arithmetic (title/description/two outlinks derived from
+    doc_id, JSON-safe by construction) so the oracle replicates the
+    exact payload BYTES by string concatenation — pinning to_json's
+    field order and non-whitespace formatting, the md5 record id, and
+    the octet Content-Length."""
+    from .sources.warc import wat_records
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        "'http://h' || CAST(doc_id % 40 AS STRING) || '.onion/d'"
+        " || CAST(doc_id AS STRING) AS url",
+        "TIMESTAMP '2024-03-01 12:00:00' AS warc_ts",
+        "'<html><head><title>T' || CAST(doc_id AS STRING) || '</title>'"
+        " || '<meta name=\"description\" content=\"D'"
+        " || CAST(doc_id % 13 AS STRING) || '\"></head><body>'"
+        " || '<a href=\"https://out' || CAST(doc_id % 7 AS STRING)"
+        " || '.net/a\">x</a>'"
+        " || '<a href=\"/rel/' || CAST(doc_id AS STRING) || '\">y</a>'"
+        " || '</body></html>' AS html",
+    )
+    return wat_records(pages)
+
+
+ORACLE_WAT_EXPORT = """
+WITH p AS (
+  SELECT 'http://h' || CAST(doc_id % 40 AS STRING) || '.onion/d'
+             || CAST(doc_id AS STRING) AS url,
+         'T' || CAST(doc_id AS STRING) AS title,
+         'D' || CAST(doc_id % 13 AS STRING) AS descr,
+         'https://out' || CAST(doc_id % 7 AS STRING) || '.net/a' AS h1,
+         '/rel/' || CAST(doc_id AS STRING) AS h2
+  FROM documents
+), j AS (
+  SELECT url,
+    '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"' || url
+      || '","WARC-Date":"2024-03-01T12:00:00Z","WARC-Type":"response"},'
+      || '"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":"' || title
+      || '","Metas":[{"name":"description","content":"' || descr
+      || '"}]},"Links":[{"path":"A@/href","url":"' || h1
+      || '"},{"path":"A@/href","url":"' || h2
+      || '"}]}}}}' AS payload,
+    chr(13) || chr(10) AS crlf
+  FROM p
+)
+SELECT url, payload,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS content_length,
+       'WARC/1.0' || crlf || 'WARC-Type: metadata' || crlf
+         || 'WARC-Target-URI: ' || url || crlf
+         || 'WARC-Date: 2024-03-01T12:00:00Z' || crlf
+         || 'WARC-Record-ID: <urn:md5:' || md5(url) || '>' || crlf
+         || 'Content-Type: application/json' || crlf
+         || 'Content-Length: '
+         || CAST(octet_length(encode(payload)) AS VARCHAR)
+         || crlf || crlf || payload AS wat_record
+FROM j
+"""
+
+
 def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC EXPORT round-trip through the distributed writer: a
     resources-shaped frame goes out via ``write_warc`` (one gzip
@@ -6825,6 +6888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_ingest": q_warc_ingest,
     "warc_export": q_warc_export,
     "wet_export": q_wet_export,
+    "wat_export": q_wat_export,
     "frame_sample": q_frame_sample,
     "html_text": q_html_text,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -6961,6 +7025,7 @@ ORACLES: dict[str, str] = {
     "warc_ingest": ORACLE_WARC_INGEST,
     "warc_export": ORACLE_WARC_EXPORT,
     "wet_export": ORACLE_WET_EXPORT,
+    "wat_export": ORACLE_WAT_EXPORT,
     "frame_sample": ORACLE_FRAME_SAMPLE,
     "html_text": ORACLE_HTML_TEXT,
     "winnow_fingerprint": _winnow_oracle_sql(),

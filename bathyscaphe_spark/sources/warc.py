@@ -518,3 +518,94 @@ def write_wet(
 
     counts = df.select(*cols).mapInPandas(_write, schema="n long").collect()
     return int(sum(r["n"] for r in counts))
+
+
+# --- WAT (metadata JSON records, the Common Crawl link-graph sidecar) -------
+
+WAT_TITLE_RE = "<title>([^<]*)</title>"
+WAT_DESC_RE = '<meta [^>]*name="description"[^>]* content="([^"]*)"'
+
+
+def wat_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """Frame per-page metadata as WAT ``metadata`` records — the JSON
+    sidecar Common Crawl publishes beside WARC/WET (public format:
+    an ``Envelope`` with the WARC header echo plus ``HTML-Metadata``
+    carrying Head.Title, Head.Metas and the outlink list).  Link-graph
+    and anchor-text consumers read WAT, never the 20× heavier WARC.
+
+    Pure whole-stage-codegen: title/description by the strict
+    double-quoted-attribute contract (CANONICAL_RE discipline —
+    reference parity for tolerant parsing lives in functions/html.py
+    parse_doc; WAT stays shuffle-free codegen by design), outlinks via
+    ``anchor_pairs_col``, and the payload via ``to_json`` over a fixed
+    struct shape (field order = struct order, no whitespace —
+    deterministic bytes at any parallelism).  The record id is the md5
+    of the url, as in ``wet_records``; ``content_length`` counts
+    payload OCTETS.
+
+    Output: (url, payload, content_length, wat_record).
+    """
+    from ..functions.html import anchor_pairs_col
+
+    url = F.col(url_col)
+    html = F.col(html_col)
+    iso = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    links = F.transform(
+        anchor_pairs_col(html),
+        lambda a: F.struct(
+            F.lit("A@/href").alias("path"), a["href"].alias("url")
+        ),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    url.alias("WARC-Target-URI"),
+                    iso.alias("WARC-Date"),
+                    F.lit("response").alias("WARC-Type"),
+                ).alias("WARC-Header-Metadata"),
+                F.struct(
+                    F.struct(
+                        F.struct(
+                            F.regexp_extract(html, WAT_TITLE_RE, 1)
+                            .alias("Title"),
+                            F.array(
+                                F.struct(
+                                    F.lit("description").alias("name"),
+                                    F.regexp_extract(html, WAT_DESC_RE, 1)
+                                    .alias("content"),
+                                )
+                            ).alias("Metas"),
+                        ).alias("Head"),
+                        links.alias("Links"),
+                    ).alias("HTML-Metadata")
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+    n_octets = F.octet_length(payload).cast("long")
+    header = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "),
+        iso,
+        F.lit("\r\nWARC-Record-ID: <urn:md5:"),
+        F.md5(url),
+        F.lit(">\r\nContent-Type: application/json\r\nContent-Length: "),
+        n_octets.cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    return (
+        pages.where(url.isNotNull() & html.isNotNull())
+        .select(
+            url.alias("url"),
+            payload.alias("payload"),
+            n_octets.alias("content_length"),
+            F.concat(header, payload).alias("wat_record"),
+        )
+    )

@@ -356,3 +356,59 @@ class TestWet:
         out = str(tmp_path / "wet3")
         write_wet(df, out)
         assert read_warc(spark, out + "/*.warc.wet.gz").count() == 0
+
+
+class TestWatRecords:
+    def test_envelope_fields_and_framing(self, spark):
+        import datetime
+        import hashlib
+        import json
+
+        from bathyscaphe_spark.sources.warc import wat_records
+
+        rows = [
+            ("https://a.com/", datetime.datetime(2024, 1, 2, 3, 4, 5),
+             '<html><head><title>T1</title>'
+             '<meta name="description" content="D1"></head><body>'
+             '<a href="https://b.com/x">b</a>'
+             '<a href="/rel" class="z">r</a></body></html>'),
+            ("https://nohtml.com/", datetime.datetime(2024, 1, 1), None),
+            (None, datetime.datetime(2024, 1, 1), "<p>x</p>"),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html string")
+        out = {r.url: r for r in wat_records(df).collect()}
+        assert set(out) == {"https://a.com/"}  # null url/html dropped
+        r = out["https://a.com/"]
+        env = json.loads(r.payload)["Envelope"]
+        assert env["WARC-Header-Metadata"] == {
+            "WARC-Target-URI": "https://a.com/",
+            "WARC-Date": "2024-01-02T03:04:05Z",
+            "WARC-Type": "response",
+        }
+        hm = env["Payload-Metadata"]["HTML-Metadata"]
+        assert hm["Head"]["Title"] == "T1"
+        assert hm["Head"]["Metas"] == [{"name": "description", "content": "D1"}]
+        assert [x["url"] for x in hm["Links"]] == ["https://b.com/x", "/rel"]
+        # framing: content-length counts payload octets; id is md5(url)
+        assert r.content_length == len(r.payload.encode("utf-8"))
+        head, _, payload = r.wat_record.partition("\r\n\r\n")
+        assert payload == r.payload
+        assert "WARC-Type: metadata" in head
+        assert hashlib.md5(b"https://a.com/").hexdigest() in head
+        assert f"Content-Length: {r.content_length}" in head
+
+    def test_missing_title_desc_links_empty_not_null(self, spark):
+        import datetime
+        import json
+
+        from bathyscaphe_spark.sources.warc import wat_records
+
+        df = spark.createDataFrame(
+            [("https://c.com/", datetime.datetime(2024, 1, 1), "<p>bare</p>")],
+            "url string, warc_ts timestamp, html string",
+        )
+        [r] = wat_records(df).collect()
+        hm = json.loads(r.payload)["Envelope"]["Payload-Metadata"]["HTML-Metadata"]
+        assert hm["Head"]["Title"] == ""
+        assert hm["Head"]["Metas"][0]["content"] == ""
+        assert hm["Links"] == []
