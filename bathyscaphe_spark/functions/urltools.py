@@ -649,3 +649,94 @@ def dust_apply(
             F.coalesce(F.col("_canon"), url).alias("canonical_url"),
         )
     )
+
+
+# URL scheme://host/path splitters shared by template mining (strict,
+# Java∩RE2-safe so the DuckDB oracle runs the literal same patterns;
+# the crawl pipeline itself uses parse_url — these exist for operators
+# whose whole computation must be oracle-replicable).
+URL_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+URL_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def path_template_stats(
+    pages,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    min_urls: int = 8,
+    diversity_pm: int = 250,
+):
+    """Mine low-content-diversity URL path templates — the
+    infinite-URL-space complement to DUST param mining
+    (``dust_param_evidence`` learns junk QUERY params; this learns
+    junk PATH shapes): collapse every digit run in the path to ``N``
+    and group by (host, template).  A template spanning ≥ ``min_urls``
+    distinct URLs whose distinct content count stays at or under
+    ``diversity_pm``‰ of its URL count is a generated space — calendar
+    pages, session-id paths, print-view mirrors — that a crawler walks
+    forever for no new content (the public URL-pattern-learning
+    literature: Koppula et al. 2010).  Static ``trap_filter_col``
+    catches structural shapes; this learns per-site evidence the
+    static rules can't know.
+
+    Scale shape: one groupBy (host, template) with two count-distincts
+    (Catalyst expands to a two-level aggregate, map-side partials both
+    levels) — no joins, no windows; templates are bounded by sites'
+    path grammars, never corpus size.
+
+    Output: (host, template, n_urls, n_content, div_pm, trap).
+    """
+    from pyspark.sql import functions as F
+
+    url = F.col(url_col)
+    host = F.regexp_extract(url, URL_HOST_RE, 1)
+    path = F.regexp_extract(url, URL_PATH_RE, 1)
+    template = F.regexp_replace(path, "[0-9]+", "N")
+    agg = (
+        pages.select(
+            host.alias("host"),
+            template.alias("template"),
+            url.alias("_u"),
+            F.col(hash_col).alias("_h"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("_u").alias("n_urls"),
+            F.countDistinct("_h").alias("n_content"),
+        )
+    )
+    return agg.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_content",
+        F.expr("(n_content * 1000) DIV n_urls").cast("long").alias("div_pm"),
+        (
+            (F.col("n_urls") >= min_urls)
+            & (F.col("n_content") * 1000 <= diversity_pm * F.col("n_urls"))
+        ).alias("trap"),
+    )
+
+
+def path_template_filter(cand, templates, url_col: str = "url"):
+    """Drop frontier candidates whose (host, digit-collapsed path)
+    matches a mined trap template — a broadcast anti-join (the trap
+    table is per-site grammar, thousands of rows at web scale, never
+    corpus-sized)."""
+    from pyspark.sql import functions as F
+
+    url = F.col(url_col)
+    traps = templates.where("trap").select("host", "template")
+    keyed = cand.withColumn(
+        "_tpl_host", F.regexp_extract(url, URL_HOST_RE, 1)
+    ).withColumn(
+        "_tpl",
+        F.regexp_replace(F.regexp_extract(url, URL_PATH_RE, 1), "[0-9]+", "N"),
+    )
+    kept = keyed.join(
+        F.broadcast(traps),
+        (keyed["_tpl_host"] == traps["host"])
+        & (keyed["_tpl"] == traps["template"]),
+        "left_anti",
+    )
+    return kept.drop("_tpl_host", "_tpl")

@@ -6191,6 +6191,60 @@ _DUST_HASH_SQL = (
 )
 
 
+_TPL_FIXTURE_SQL = """
+SELECT doc_id,
+  CASE doc_id % 3
+    WHEN 0 THEN 'http://trap.example/cal/' || CAST(2000 + doc_id % 40 AS STRING)
+                || '/d/' || CAST(doc_id % 7 AS STRING)
+    WHEN 1 THEN 'http://blog.example/post/' || CAST(doc_id AS STRING)
+    ELSE 'http://shop.example/item/' || CAST(doc_id % 20 AS STRING)
+  END AS url,
+  CASE doc_id % 3
+    WHEN 0 THEN 'calendar-stub'
+    WHEN 1 THEN 'h' || CAST(doc_id AS STRING)
+    ELSE 'c' || CAST(doc_id % 3 AS STRING)
+  END AS content_hash
+FROM documents
+"""
+
+
+def q_path_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template mining (functions/urltools.py
+    path_template_stats — digit runs collapse to N; a template with
+    many URLs but few distinct contents is a generated space to stop
+    walking).  Fixture plants three grammars: a calendar trap (many
+    URLs, ONE content), a healthy blog (1:1 URL:content), and a
+    session-path shop (20 URLs, 3 contents — trips the 250‰ diversity
+    threshold without being fully degenerate)."""
+    from .functions.urltools import path_template_stats
+
+    _docs(spark, sf_dir)
+    pages = spark.sql(_TPL_FIXTURE_SQL)
+    return path_template_stats(pages)
+
+
+ORACLE_PATH_TEMPLATES = f"""
+WITH pages AS ({_TPL_FIXTURE_SQL}),
+keyed AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         regexp_replace(
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+             '[0-9]+', 'N', 'g') AS template,
+         url, content_hash
+  FROM pages
+)
+SELECT host, template,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT content_hash) AS BIGINT) AS n_content,
+       CAST((count(DISTINCT content_hash) * 1000) // count(DISTINCT url)
+            AS BIGINT) AS div_pm,
+       (count(DISTINCT url) >= 8
+        AND count(DISTINCT content_hash) * 1000
+            <= 250 * count(DISTINCT url)) AS trap
+FROM keyed GROUP BY host, template
+"""
+
+
 def q_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DUST rule mining (Bar-Yossef et al. 2007): which query params
     are content-irrelevant, learned from crawl evidence — URLs
@@ -6941,6 +6995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "registered_domain": q_registered_domain,
     "hits_scores": q_hits_scores,
     "dust_params": q_dust_params,
+    "path_templates": q_path_templates,
     "robots_wildcards": q_robots_wildcards,
     "robots_availability": q_robots_availability,
     "budget_apportion": q_budget_apportion,
@@ -7078,6 +7133,7 @@ ORACLES: dict[str, str] = {
     "registered_domain": _regdomain_oracle_sql(),
     "hits_scores": _hits_oracle_sql(),
     "dust_params": ORACLE_DUST,
+    "path_templates": ORACLE_PATH_TEMPLATES,
     "robots_wildcards": _robots_wild_oracle_sql(),
     "robots_availability": ORACLE_ROBOTS_AVAIL,
     "budget_apportion": ORACLE_BUDGET_APPORTION,

@@ -128,3 +128,70 @@ class TestDustApply:
         out = dust_apply(pages.select("url").distinct(), rem)
         canons = {r["canonical_url"] for r in out.collect()}
         assert canons == {"http://h/p?page=0", "http://h/p?page=1"}
+
+
+class TestPathTemplates:
+    """URL path-template mining (path_template_stats / _filter)."""
+
+    def _stats(self, spark, rows, parts=3, **kw):
+        from bathyscaphe_spark.functions.urltools import path_template_stats
+
+        df = spark.createDataFrame(rows, "url string, content_hash string")
+        out = path_template_stats(df.repartition(parts), **kw).collect()
+        return {(r.host, r.template): r.asDict() for r in out}
+
+    def test_trap_vs_healthy_vs_sparse(self, spark):
+        rows = (
+            [(f"http://t.ex/cal/{2000 + i}/d/{i % 7}", "SAME") for i in range(20)]
+            + [(f"http://b.ex/post/{i}", f"h{i}") for i in range(20)]
+            + [("http://b.ex/about", "habout")] * 3
+        )
+        got = self._stats(spark, rows)
+        assert got[("t.ex", "/cal/N/d/N")]["trap"] is True
+        assert got[("t.ex", "/cal/N/d/N")]["n_urls"] == 20
+        assert got[("t.ex", "/cal/N/d/N")]["n_content"] == 1
+        assert got[("b.ex", "/post/N")]["trap"] is False
+        assert got[("b.ex", "/post/N")]["div_pm"] == 1000
+        # repeated captures of one URL: below min_urls, never a trap
+        assert got[("b.ex", "/about")]["n_urls"] == 1
+        assert got[("b.ex", "/about")]["trap"] is False
+
+    def test_thresholds_bind_exactly(self, spark):
+        # 8 urls / 2 contents = 250‰: trap at the default boundary
+        rows = [(f"http://s.ex/i/{i}", f"c{i % 2}") for i in range(8)]
+        got = self._stats(spark, rows)
+        assert got[("s.ex", "/i/N")]["div_pm"] == 250
+        assert got[("s.ex", "/i/N")]["trap"] is True
+        # one fewer URL: under min_urls, not a trap however degenerate
+        got7 = self._stats(spark, rows[:7])
+        assert got7[("s.ex", "/i/N")]["trap"] is False
+        # one more distinct content: 375‰ > 250‰, not a trap
+        rows3 = [(f"http://s.ex/i/{i}", f"c{i % 3}") for i in range(8)]
+        assert self._stats(spark, rows3)[("s.ex", "/i/N")]["trap"] is False
+
+    def test_filter_drops_only_trap_templates(self, spark):
+        from bathyscaphe_spark.functions.urltools import (
+            path_template_filter,
+            path_template_stats,
+        )
+
+        rows = [(f"http://t.ex/cal/{i}", "SAME") for i in range(10)] + [
+            (f"http://b.ex/post/{i}", f"h{i}") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "url string, content_hash string")
+        t = path_template_stats(df)
+        kept = path_template_filter(df, t).collect()
+        assert len(kept) == 10
+        assert all(r.url.startswith("http://b.ex/") for r in kept)
+        assert sorted(r.url for r in kept) == sorted(
+            u for u, _ in rows if u.startswith("http://b.ex/")
+        )
+
+    def test_partition_invariance(self, spark):
+        rows = [
+            (f"http://h{i % 4}.ex/p/{i}/x/{i % 9}", f"c{i % 5}")
+            for i in range(60)
+        ]
+        assert self._stats(spark, rows, parts=1) == self._stats(
+            spark, rows, parts=13
+        )
