@@ -465,3 +465,76 @@ def link_reciprocity(
             & (recip_pm >= F.lit(min_recip_pm))
         ).alias("reciprocal"),
     )
+
+
+def focused_priority(
+    pages: DataFrame,
+    weights: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    score_col: str = "score_milli",
+    delta_pm: int = 800,
+) -> DataFrame:
+    """Focused-crawl frontier priorities (shark-search family —
+    Hersovici et al. 1998, Chakrabarti et al. 1999, public): a
+    discovered URL inherits its parent page's topical relevance,
+    tempered by the anchor text that points at it — priority =
+    (δ·parent + (1−δ)·anchor) with δ = ``delta_pm``‰, and a child
+    linked from several pages takes the MAX over its in-links (the
+    most promising path justifies the fetch).  This is the topical
+    third leg beside PageRank's authority ordering and OPIC's cash
+    flow: those rank by structure, this ranks by WHERE the content the
+    classifier wants is likely to live.
+
+    Inputs: ``pages`` carries the parent's integer milli relevance in
+    ``score_col`` (produced upstream by the linear classifier — see
+    q_quality_classifier's hashing-trick scorer); ``weights`` is the
+    (token, w_milli) table, broadcast onto anchor tokens (a vocabulary
+    at web scale, never corpus-sized).  Anchor score = Σ w over the
+    anchor's whitespace tokens, unknown tokens 0.
+
+    All integer arithmetic → bit-identical at any parallelism.  Scale
+    shape: anchors explode map-side from the extraction pass's pages;
+    one shuffle keys the per-link anchor sum on (parent, link ordinal),
+    one keys the per-child max on the child URL — both bounded by link
+    counts, with the same salting story as the scheduler's candidate
+    stream.
+
+    Output: (url, priority_milli, n_links, n_parents).
+    """
+    from ..functions.html import anchor_pairs_col
+
+    links = pages.select(
+        F.col(url_col).alias("_parent"),
+        F.col(score_col).alias("_pscore"),
+        F.posexplode(anchor_pairs_col(F.col(html_col))).alias("_ord", "_a"),
+    ).select(
+        "_parent", "_pscore", "_ord",
+        F.col("_a")["href"].alias("_child"),
+        F.col("_a")["anchor"].alias("_anchor"),
+    )
+    toks = links.select(
+        "_parent", "_pscore", "_ord", "_child",
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower("_anchor"), r"\s+"), lambda w: w != ""
+            )
+        ).alias("token"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "token", "left")
+        .groupBy("_parent", "_pscore", "_ord", "_child")
+        .agg(F.coalesce(F.sum("w_milli"), F.lit(0)).alias("_ascore"))
+    )
+    prio = F.expr(
+        f"({delta_pm} * _pscore + (1000 - {delta_pm}) * _ascore) DIV 1000"
+    )
+    return (
+        scored.select("_parent", "_child", prio.alias("_prio"))
+        .groupBy(F.col("_child").alias("url"))
+        .agg(
+            F.max("_prio").cast("long").alias("priority_milli"),
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("_parent").alias("n_parents"),
+        )
+    )

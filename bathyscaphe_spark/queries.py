@@ -5662,6 +5662,80 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_focused_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl frontier priorities (operators/graph.py
+    focused_priority — shark-search: δ·parent-relevance +
+    (1−δ)·anchor-relevance, MAX over in-links).  Fixture: every doc is
+    a parent page with a signed milli relevance from doc_id, carrying
+    one keyword-anchored link into a 50-URL child space (multiple
+    parents per child exercise the max) and one EMPTY-anchor link into
+    a 23-URL space (pins the zero-anchor path); anchor tokens weight
+    by the same FNV milli rule as the quality classifier.  Negative
+    odd-valued sums pin Spark DIV (trunc) vs DuckDB // (floor) — the
+    oracle divides via (v − v%1000)/1000 so both engines agree
+    exactly."""
+    from .functions.fnv import fnv1_64
+    from .operators.graph import focused_priority
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        "'http://p' || CAST(doc_id AS STRING) || '.ex/' AS url",
+        "CAST(doc_id % 2001 - 1000 AS BIGINT) AS score_milli",
+        "'<a href=\"http://c' || CAST(doc_id % 50 AS STRING)"
+        " || '.ex/a\">kw' || CAST(doc_id % 11 AS STRING)"
+        " || ' kw' || CAST(doc_id % 7 AS STRING) || '</a>'"
+        " || '<a href=\"http://c' || CAST(doc_id % 23 AS STRING)"
+        " || '.ex/b\"></a>' AS html",
+    )
+    weights = spark.createDataFrame(
+        [(f"kw{i}",) for i in range(11)], "token string"
+    ).select(
+        "token",
+        (F.pmod(fnv1_64(F.col("token")), F.lit(2001)) - F.lit(1000))
+        .cast("long")
+        .alias("w_milli"),
+    )
+    return focused_priority(pages, weights)
+
+
+def _focused_oracle_sql() -> str:
+    from .functions.fnv import duckdb_fnv_signed_sql
+
+    fnv = duckdb_fnv_signed_sql("token")
+    return rf"""
+WITH pages AS (
+  SELECT 'http://p' || CAST(doc_id AS STRING) || '.ex/' AS parent,
+         CAST(doc_id % 2001 - 1000 AS BIGINT) AS pscore,
+         'http://c' || CAST(doc_id % 50 AS STRING) || '.ex/a' AS c1,
+         'kw' || CAST(doc_id % 11 AS STRING) AS a1,
+         'kw' || CAST(doc_id % 7 AS STRING) AS a2,
+         'http://c' || CAST(doc_id % 23 AS STRING) || '.ex/b' AS c2
+  FROM documents
+), w AS (
+  SELECT token,
+         CAST((({fnv})::HUGEINT % 2001 + 2001) % 2001 - 1000 AS BIGINT)
+             AS w_milli
+  FROM (SELECT 'kw' || CAST(i AS VARCHAR) AS token FROM range(0, 11) t(i))
+), links AS (
+  SELECT parent, pscore, c1 AS child,
+         w1.w_milli + w2.w_milli AS ascore
+  FROM pages
+  JOIN w w1 ON w1.token = pages.a1
+  JOIN w w2 ON w2.token = pages.a2
+  UNION ALL
+  SELECT parent, pscore, c2, 0 FROM pages
+), prio AS (
+  SELECT child, parent, (v - (v % 1000)) // 1000 AS p
+  FROM (SELECT child, parent, 800 * pscore + 200 * ascore AS v FROM links)
+)
+SELECT child AS url,
+       CAST(max(p) AS BIGINT) AS priority_milli,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT parent) AS BIGINT) AS n_parents
+FROM prio GROUP BY child
+"""
+
+
 def _classifier_oracle_sql() -> str:
     from .functions.fnv import duckdb_fnv_signed_sql
 
@@ -6987,6 +7061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_ahash_pairs": q_image_ahash_pairs,
     "boilerplate_blocks": q_boilerplate_blocks,
     "quality_classifier": q_quality_classifier,
+    "focused_priority": q_focused_priority,
     "lm_perplexity": q_lm_perplexity,
     "mirror_detect": q_mirror_detect,
     "frontier_forecast": q_frontier_forecast,
@@ -7125,6 +7200,7 @@ ORACLES: dict[str, str] = {
     "image_ahash_pairs": ORACLE_IMAGE_AHASH,
     "boilerplate_blocks": ORACLE_BOILERPLATE,
     "quality_classifier": _classifier_oracle_sql(),
+    "focused_priority": _focused_oracle_sql(),
     "lm_perplexity": ORACLE_LM_PPL,
     "mirror_detect": ORACLE_MIRROR,
     "frontier_forecast": ORACLE_FORECAST,

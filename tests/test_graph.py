@@ -333,3 +333,58 @@ class TestOpic:
 
         df = spark.createDataFrame([], "src long, dst long")
         assert opic_fp(df, sweeps=2).collect() == []
+
+
+class TestFocusedPriority:
+    def _run(self, spark, pages, weights, parts=3, **kw):
+        from bathyscaphe_spark.operators.graph import focused_priority
+
+        p = spark.createDataFrame(
+            pages, "url string, score_milli long, html string"
+        )
+        w = spark.createDataFrame(weights, "token string, w_milli long")
+        out = focused_priority(p.repartition(parts), w, **kw).collect()
+        return {r.url: (r.priority_milli, r.n_links, r.n_parents) for r in out}
+
+    def test_hand_computed_blend_and_max(self, spark):
+        pages = [
+            ("p1", 900, '<a href="c1">great topic</a><a href="c2">junk</a>'),
+            ("p2", -500, '<a href="c1">great topic</a>'),
+            ("p3", 100, '<a href="c3"></a>'),
+        ]
+        w = [("great", 400), ("topic", 300), ("junk", -800)]
+        got = self._run(spark, pages, w)
+        # c1 via p1: (800*900 + 200*700)/1000 = 860; via p2: -260 → max 860
+        assert got["c1"] == (860, 2, 2)
+        # c2: (800*900 + 200*(-800))/1000 = 560
+        assert got["c2"] == (560, 1, 1)
+        # c3: empty anchor → anchor score 0 → 80
+        assert got["c3"] == (80, 1, 1)
+
+    def test_unknown_tokens_score_zero_and_repeat_tokens_sum(self, spark):
+        pages = [("p", 0, '<a href="c">topic topic unseen</a>')]
+        got = self._run(spark, pages, [("topic", 300)])
+        # 2×300 + 0, parent 0: (0 + 200*600)/1000 = 120
+        assert got["c"] == (120, 1, 1)
+
+    def test_duplicate_link_counts_links_but_one_parent(self, spark):
+        pages = [("p", 500, '<a href="c">x</a><a href="c">x</a>')]
+        got = self._run(spark, pages, [("x", 100)])
+        assert got["c"] == (420, 2, 1)
+
+    def test_negative_truncation_toward_zero(self, spark):
+        # (800*(-501) + 0) = -400800 → Spark DIV truncates to -400
+        pages = [("p", -501, '<a href="c"></a>')]
+        got = self._run(spark, pages, [("x", 1)])
+        assert got["c"] == (-400, 1, 1)
+
+    def test_partition_invariance(self, spark):
+        pages = [
+            (f"p{i}", (i * 37) % 2001 - 1000,
+             f'<a href="c{i % 9}">kw{i % 5} kw{i % 3}</a>')
+            for i in range(40)
+        ]
+        w = [(f"kw{i}", i * 97 - 200) for i in range(5)]
+        assert self._run(spark, pages, w, parts=1) == self._run(
+            spark, pages, w, parts=11
+        )
