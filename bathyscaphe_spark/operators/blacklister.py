@@ -133,3 +133,84 @@ def process_timeouts(
     )
     new_blacklist = blacklist.unionByName(crossed)
     return new_host_failures, new_blacklist
+
+
+def host_reputation(
+    pages: DataFrame,
+    reciprocity: DataFrame | None = None,
+    w_dup: int = 400,
+    w_err: int = 300,
+    w_soft404: int = 300,
+    farm_penalty: int = 300,
+) -> DataFrame:
+    """Composite per-host reputation — the domain-level down-rank that
+    sits between the binary blacklist (A1: dead hosts out) and the
+    per-URL priority queue (O1): a host serving mostly duplicated
+    content, hard errors, or soft-404 templates, or caught in a
+    reciprocal link farm, should have its WHOLE frontier demoted
+    before any single URL is judged.  Production crawlers all keep
+    such a score (the public spam/quality literature:
+    Fetterly/Gyöngyi); the reference's blacklister only knows
+    dead-or-alive.
+
+    Inputs: ``pages`` = one row per fetched capture with (host, url,
+    status, content_hash, soft404) — the flag comes from
+    ``crawler.soft404_flags`` in the pipeline; ``reciprocity`` =
+    ``graph.link_reciprocity`` output (or None to skip the farm
+    signal).  Demerits are integer permille shares, blended by the
+    ``w_*`` weights (themselves summing to ≤1000 by convention) and a
+    flat ``farm_penalty`` for link-farm membership:
+
+        reputation_pm = max(0, 1000 − (w_dup·dup_pm + w_err·err_pm
+                            + w_soft404·s404_pm) DIV 1000
+                            − farm_penalty·farm)
+
+    Scale shape: one groupBy(host) over captures (map-side combined);
+    the farm-host table is tiny (pairs of flagged hosts) and
+    broadcast; all integer arithmetic, bit-identical at any
+    parallelism.
+
+    Output: (host, n_urls, n_captures, dup_pm, err_pm, soft404_pm,
+    farm, reputation_pm).
+    """
+    agg = pages.groupBy("host").agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_captures"),
+        F.countDistinct("content_hash").alias("_n_content"),
+        F.sum(F.when(F.col("status") >= 400, 1).otherwise(0)).alias("_n_err"),
+        F.sum(F.when(F.col("soft404"), 1).otherwise(0)).alias("_n_s404"),
+    )
+    scored = agg.select(
+        "host",
+        "n_urls",
+        "n_captures",
+        F.expr("1000 - (_n_content * 1000) DIV n_urls").cast("long")
+        .alias("dup_pm"),
+        F.expr("(_n_err * 1000) DIV n_captures").cast("long")
+        .alias("err_pm"),
+        F.expr("(_n_s404 * 1000) DIV n_captures").cast("long")
+        .alias("soft404_pm"),
+    )
+    if reciprocity is not None:
+        farms = (
+            reciprocity.where("reciprocal")
+            .select(F.col("host_a").alias("host"))
+            .union(reciprocity.where("reciprocal").select("host_b"))
+            .distinct()
+            .withColumn("farm", F.lit(True))
+        )
+        scored = scored.join(F.broadcast(farms), "host", "left").withColumn(
+            "farm", F.coalesce("farm", F.lit(False))
+        )
+    else:
+        scored = scored.withColumn("farm", F.lit(False))
+    rep = F.greatest(
+        F.lit(0),
+        F.lit(1000)
+        - F.expr(
+            f"({w_dup} * dup_pm + {w_err} * err_pm"
+            f" + {w_soft404} * soft404_pm) DIV 1000"
+        )
+        - F.when(F.col("farm"), F.lit(int(farm_penalty))).otherwise(0),
+    )
+    return scored.withColumn("reputation_pm", rep.cast("long"))

@@ -467,6 +467,73 @@ FROM d WHERE doc_id % 4 != 0
 """
 
 
+_REPUTATION_FIXTURE_SQL = """
+SELECT 'h' || CAST(doc_id % 25 AS STRING) AS host,
+       'http://h' || CAST(doc_id % 25 AS STRING) || '.ex/u'
+           || CAST(doc_id AS STRING) AS url,
+       CASE WHEN doc_id % 25 IN (3, 7) AND doc_id % 4 = 0
+            THEN 500 ELSE 200 END AS status,
+       CASE WHEN doc_id % 25 = 5 THEN 'same-template'
+            ELSE 'c' || CAST(doc_id AS STRING) END AS content_hash,
+       (doc_id % 25 = 9 AND doc_id % 3 = 0) AS soft404
+FROM documents
+"""
+
+
+def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite host reputation (operators/blacklister.py
+    host_reputation): duplicate-content share, hard-error share,
+    soft-404 share and link-farm membership blend into one integer
+    demotion score.  Fixture profiles 25 hosts from doc_id arithmetic
+    — a full-mirror host (every capture one hash), two flaky-error
+    hosts, a soft-404 host, and two farm hosts via an explicit
+    reciprocity table; the rest pin the clean-1000 path."""
+    from .operators.blacklister import host_reputation
+
+    _docs(spark, sf_dir)
+    pages = spark.sql(_REPUTATION_FIXTURE_SQL)
+    recip = spark.createDataFrame(
+        [("h11", "h12", True), ("h13", "h14", False)],
+        "host_a string, host_b string, reciprocal boolean",
+    )
+    return host_reputation(pages, recip)
+
+
+ORACLE_HOST_REPUTATION = f"""
+WITH pages AS ({_REPUTATION_FIXTURE_SQL}),
+farms AS (
+  SELECT DISTINCT host FROM (
+    SELECT 'h11' AS host UNION ALL SELECT 'h12'
+  )
+),
+agg AS (
+  SELECT host,
+         count(DISTINCT url) AS n_urls,
+         count(*) AS n_captures,
+         count(DISTINCT content_hash) AS n_content,
+         sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS n_err,
+         sum(CASE WHEN soft404 THEN 1 ELSE 0 END) AS n_s404
+  FROM pages GROUP BY host
+),
+scored AS (
+  SELECT a.host,
+         CAST(n_urls AS BIGINT) AS n_urls,
+         CAST(n_captures AS BIGINT) AS n_captures,
+         CAST(1000 - (n_content * 1000) // n_urls AS BIGINT) AS dup_pm,
+         CAST((n_err * 1000) // n_captures AS BIGINT) AS err_pm,
+         CAST((n_s404 * 1000) // n_captures AS BIGINT) AS soft404_pm,
+         (f.host IS NOT NULL) AS farm
+  FROM agg a LEFT JOIN farms f ON f.host = a.host
+)
+SELECT host, n_urls, n_captures, dup_pm, err_pm, soft404_pm, farm,
+       CAST(greatest(0, 1000
+            - (400 * dup_pm + 300 * err_pm + 300 * soft404_pm) // 1000
+            - CASE WHEN farm THEN 300 ELSE 0 END) AS BIGINT)
+           AS reputation_pm
+FROM scored
+"""
+
+
 def q_a1_host_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 per-host timeout counting + threshold promotion
     (blacklister.go:143-186; threshold=5) over timeouts synthesized from
@@ -6996,6 +7063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_bloom_shardfiles": q_d1_bloom_shardfiles,
     "o1_priority_rank": q_o1_priority_rank,
     "a1_host_timeouts": q_a1_host_timeouts,
+    "host_reputation": q_host_reputation,
     "s4_fetch_join": q_s4_fetch_join,
     "x9_sink_path": q_x9_sink_path,
     "x8_resource_text": q_x8_resource_text,
@@ -7132,6 +7200,7 @@ ORACLES: dict[str, str] = {
     "d1_bloom_shardfiles": ORACLE_D1,
     "o1_priority_rank": ORACLE_O1,
     "a1_host_timeouts": ORACLE_A1,
+    "host_reputation": ORACLE_HOST_REPUTATION,
     "s4_fetch_join": ORACLE_S4,
     "x9_sink_path": ORACLE_X9,
     "x8_resource_text": ORACLE_X8,

@@ -123,3 +123,79 @@ def test_batch_counts_per_round(spark):
     )
     assert hf.head()["count"] == 5
     assert [r["hostname"] for r in bl.collect()] == ["down.onion"]
+
+
+class TestHostReputation:
+    SCHEMA = (
+        "host string, url string, status int,"
+        " content_hash string, soft404 boolean"
+    )
+
+    def _run(self, spark, pages, recip=None, parts=3, **kw):
+        from bathyscaphe_spark.operators.blacklister import host_reputation
+
+        df = spark.createDataFrame(pages, self.SCHEMA).repartition(parts)
+        r = (
+            spark.createDataFrame(
+                recip, "host_a string, host_b string, reciprocal boolean"
+            )
+            if recip is not None
+            else None
+        )
+        return {
+            x.host: x.asDict()
+            for x in host_reputation(df, r, **kw).collect()
+        }
+
+    def test_signal_isolation(self, spark):
+        pages = [
+            ("good", "u1", 200, "a", False), ("good", "u2", 200, "b", False),
+            ("dup", "u1", 200, "s", False), ("dup", "u2", 200, "s", False),
+            ("err", "u1", 500, "a", False), ("err", "u2", 200, "b", False),
+            ("s404", "u1", 200, "a", True), ("s404", "u2", 200, "b", False),
+            ("farm", "u1", 200, "a", False),
+        ]
+        recip = [("farm", "other", True), ("x", "y", False)]
+        got = self._run(spark, pages, recip)
+        assert got["good"]["reputation_pm"] == 1000
+        # dup: dup_pm 500 → 1000 - 400*500//1000 = 800
+        assert (got["dup"]["dup_pm"], got["dup"]["reputation_pm"]) == (500, 800)
+        # err: err_pm 500 → 1000 - 300*500//1000 = 850
+        assert (got["err"]["err_pm"], got["err"]["reputation_pm"]) == (500, 850)
+        assert got["s404"]["reputation_pm"] == 850
+        assert got["farm"]["farm"] is True
+        assert got["farm"]["reputation_pm"] == 700
+        # non-reciprocal pair must NOT mark its hosts
+        assert got["good"]["farm"] is False
+
+    def test_floor_at_zero_and_no_recip_table(self, spark):
+        pages = [("bad", f"u{i}", 500, "s", True) for i in range(4)]
+        got = self._run(spark, pages)  # reciprocity=None path
+        b = got["bad"]
+        # dup_pm = 1000-250 = 750, err = 1000, s404 = 1000
+        # 1000 - (400*750 + 300*1000 + 300*1000)//1000 = 1000-900 = 100
+        assert b["reputation_pm"] == 100
+        got2 = self._run(
+            spark, pages, recip=[("bad", "z", True)], farm_penalty=300
+        )
+        assert got2["bad"]["reputation_pm"] == 0  # clamped, not negative
+
+    def test_revisits_count_captures_not_urls(self, spark):
+        pages = [
+            ("h", "u1", 200, "a", False),
+            ("h", "u1", 200, "a", False),  # revisit, same content
+            ("h", "u2", 200, "b", False),
+        ]
+        got = self._run(spark, pages)
+        assert got["h"]["n_urls"] == 2 and got["h"]["n_captures"] == 3
+        assert got["h"]["dup_pm"] == 0  # 2 contents / 2 urls
+
+    def test_partition_invariance(self, spark):
+        pages = [
+            (f"h{i % 6}", f"u{i}", 500 if i % 7 == 0 else 200,
+             f"c{i % 4}", i % 5 == 0)
+            for i in range(60)
+        ]
+        assert self._run(spark, pages, parts=1) == self._run(
+            spark, pages, parts=13
+        )
