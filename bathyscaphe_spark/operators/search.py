@@ -218,3 +218,57 @@ def bm25_search(
         .orderBy(F.col("score6").desc(), F.col("url"))
         .limit(k)
     )
+
+
+SNIPPET_RADIUS = 40
+
+
+def with_snippets(
+    results: DataFrame,
+    terms: list[str],
+    body_col: str = "body",
+    radius: int = SNIPPET_RADIUS,
+) -> DataFrame:
+    """Attach a deterministic keyword-in-context snippet to search
+    results — the "highlight" every ES user of the reference's
+    ``resources`` index gets with their hits (elastic.go maps body as
+    analyzed text precisely so the UI can excerpt it).
+
+    Contract (fully codegen, replicated verbatim by the oracle): the
+    snippet centers on the EARLIEST occurrence of any query term
+    (case-insensitive, first-position-wins; ties impossible — two
+    terms can't start at the same offset unless one prefixes the
+    other, in which case the list order of ``terms`` breaks the tie
+    via least()), spans ``radius`` chars each side clamped to the body
+    bounds, and marks elided edges with '…'.  Rows where no term
+    occurs keep a NULL snippet (callers already filtered to matches;
+    NULL marks score-by-title-only hits).
+
+    Adds (snip_pos, snippet).  Pure column expressions — locate +
+    substring + boundary CASEs; no UDF, no shuffle, a map-only
+    decoration whatever the corpus size.
+    """
+    body = F.col(body_col)
+    low = F.lower(body)
+    positions = [F.locate(t.lower(), low) for t in terms]
+    # earliest positive position (0 = absent): min over positives
+    pos = F.least(
+        *(F.when(p > 0, p) for p in positions)
+    ) if len(terms) > 1 else F.when(positions[0] > 0, positions[0])
+    term_len = F.coalesce(
+        *(
+            F.when(p == pos, F.lit(len(t)))
+            for p, t in zip(positions, terms)
+        )
+    )
+    start = F.greatest(F.lit(1), pos - radius)
+    end = F.least(F.length(body), pos + term_len - 1 + radius)
+    core = F.substring(body, start.cast("int"), (end - start + 1).cast("int"))
+    snippet = F.concat(
+        F.when(start > 1, F.lit("…")).otherwise(F.lit("")),
+        core,
+        F.when(end < F.length(body), F.lit("…")).otherwise(F.lit("")),
+    )
+    return results.withColumn(
+        "snip_pos", pos.cast("long")
+    ).withColumn("snippet", F.when(pos.isNotNull(), snippet))

@@ -5331,6 +5331,68 @@ ORDER BY score DESC, url ASC LIMIT {_SEARCH_K}
 """
 
 
+_SNIPPET_TERMS = ["merge", "the"]  # distinct lengths pin the term-len pick
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets (operators/search.py with_snippets —
+    the ES "highlight" of the reference's resources index): earliest
+    case-insensitive occurrence of any query term wins, ±40 chars
+    clamped to body bounds, '…' marks elided edges.  Terms of
+    different lengths ('merge' 5, 'the' 3) pin the matched-term-length
+    arithmetic; start-of-body and short-body rows pin the boundary
+    CASEs.  Pure codegen locate/substring — a map-only decoration."""
+    from .operators.search import with_snippets
+
+    _docs(spark, sf_dir)
+    resources = spark.sql(
+        """
+        SELECT concat('https://site-', CAST(doc_id % 50 AS STRING),
+                      '.onion/doc/', CAST(doc_id AS STRING)) AS url,
+               text AS body
+        FROM documents
+        """
+    )
+    out = with_snippets(resources, _SNIPPET_TERMS)
+    return out.where(F.col("snip_pos").isNotNull()).select(
+        "url", "snip_pos", "snippet"
+    )
+
+
+def _snippet_oracle_sql() -> str:
+    t1, t2 = _SNIPPET_TERMS
+    return f"""
+WITH resources AS ({_RESOURCES_SQL}),
+p AS (
+  SELECT url, body,
+         strpos(lower(body), '{t1}') AS p1,
+         strpos(lower(body), '{t2}') AS p2
+  FROM resources
+), e AS (
+  SELECT url, body,
+         least(CASE WHEN p1 > 0 THEN p1 END,
+               CASE WHEN p2 > 0 THEN p2 END) AS pos,
+         p1, p2
+  FROM p
+), f AS (
+  SELECT url, body, pos,
+         CASE WHEN p1 = pos THEN {len(t1)}
+              WHEN p2 = pos THEN {len(t2)} END AS tl,
+         greatest(1, pos - 40) AS s
+  FROM e WHERE pos IS NOT NULL
+), g AS (
+  SELECT url, body, pos, s,
+         least(length(body), pos + tl - 1 + 40) AS en
+  FROM f
+)
+SELECT url, CAST(pos AS BIGINT) AS snip_pos,
+       (CASE WHEN s > 1 THEN '…' ELSE '' END)
+         || substr(body, CAST(s AS BIGINT), CAST(en - s + 1 AS BIGINT))
+         || (CASE WHEN en < length(body) THEN '…' ELSE '' END) AS snippet
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # URL-level quality filtering (training-data pipeline, URL stage)
 # --------------------------------------------------------------------------
@@ -7174,6 +7236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_filter": q_trap_filter,
     "text_normalize": q_text_normalize,
     "resources_search": q_resources_search,
+    "search_snippets": q_search_snippets,
     "bm25_search": q_bm25_search,
     "sequence_pack": q_sequence_pack,
     "doc_chunks": q_doc_chunks,
@@ -7316,6 +7379,7 @@ ORACLES: dict[str, str] = {
     "trap_filter": ORACLE_TRAP,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "resources_search": _search_oracle_sql(),
+    "search_snippets": _snippet_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "doc_chunks": ORACLE_DOC_CHUNKS,

@@ -169,3 +169,47 @@ class TestInvertedIndex:
         a = self._run(spark, docs, stop_df=20, parts=1)
         b = self._run(spark, docs, stop_df=20, parts=8)
         assert a == b
+
+
+class TestSnippets:
+    def _run(self, spark, rows, terms, radius=40):
+        from bathyscaphe_spark.operators.search import with_snippets
+
+        df = spark.createDataFrame(rows, "id long, body string")
+        out = with_snippets(df, terms, radius=radius).collect()
+        return {r.id: (r.snip_pos, r.snippet) for r in out}
+
+    def test_window_clamps_and_ellipsis(self, spark):
+        body = "x" * 100 + " the MERGE point " + "y" * 100
+        got = self._run(spark, [(1, body)], ["merge"], radius=10)
+        pos, snip = got[1]
+        assert pos == body.lower().index("merge") + 1  # 1-based
+        # pos is 1-based: window covers 0-based [pos-1-10, pos-1+5+10)
+        assert snip == "…" + body[pos - 11 : pos + 4 + 10] + "…"
+
+    def test_boundaries_no_ellipsis(self, spark):
+        got = self._run(spark, [
+            (1, "merge at the very start"),   # no leading …
+            (2, "ends with merge"),           # no trailing …
+            (3, "tiny merge"),                # both clamped
+        ], ["merge"], radius=100)
+        assert got[1] == (1, "merge at the very start")
+        assert got[2] == (11, "ends with merge")
+        assert got[3] == (6, "tiny merge")
+
+    def test_earliest_term_wins_and_case_insensitive(self, spark):
+        got = self._run(spark, [(1, "Batch before merge")], ["merge", "batch"])
+        assert got[1][0] == 1  # batch at 1 beats merge at 14
+
+    def test_absent_terms_null(self, spark):
+        got = self._run(spark, [(1, "nothing to see"), (2, None)], ["merge"])
+        assert got[1] == (None, None)
+        assert got[2] == (None, None)
+
+    def test_prefix_tie_takes_list_order_length(self, spark):
+        # both terms match at pos 1; 'mergesort' is listed first so its
+        # length drives the window end
+        got = self._run(spark, [(1, "mergesort " + "z" * 50)],
+                        ["mergesort", "merge"], radius=5)
+        assert got[1][0] == 1
+        assert got[1][1] == "mergesort zzzz" + "…"
