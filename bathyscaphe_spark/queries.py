@@ -3955,6 +3955,42 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, "doc_id", "text")
 
 
+def q_zipnum_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZipNum secondary index (sources/warc.py zipnum_index — pywb's
+    cluster.idx layer: one row per gzip block of the sharded, sorted
+    CDX; a petabyte CDX lookup binary-searches this and decompresses
+    one block).  Runs over the SAME cdx fixture as cdx_index with
+    8-line blocks so every shard spans several blocks plus a ragged
+    tail; the physical writer (write_zipnum, byte-true offsets)
+    round-trips in test_warc.py."""
+    from .sources.warc import cdx_index, zipnum_index
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        f"{_SURT_URL_SQL} AS url",
+        "to_timestamp(1714564800 + doc_id) AS warc_ts",
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS INT) AS status",
+        "regexp_replace(text, '[^ -~]', '') AS html",
+    )
+    return zipnum_index(cdx_index(pages), lines_per_block=8)
+
+
+ORACLE_ZIPNUM = f"""
+WITH cdx AS ({ORACLE_CDX}),
+numbered AS (
+  SELECT substr(surt, 1, 1) AS shard, surt, ts14, cdxj,
+         (row_number() OVER (PARTITION BY substr(surt, 1, 1)
+                             ORDER BY surt, ts14, cdxj) - 1) // 8 AS block
+  FROM cdx
+)
+SELECT shard, CAST(block AS BIGINT) AS block,
+       first(surt ORDER BY surt, ts14, cdxj) AS first_surt,
+       first(ts14 ORDER BY surt, ts14, cdxj) AS first_ts14,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM numbered GROUP BY shard, block
+"""
+
+
 def _winnow_oracle_sql() -> str:
     fnv = _DUCK_FNV.format(v="s2")
     signed = (
@@ -7152,6 +7188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "surt_key": q_surt_key,
     "cdx_index": q_cdx_index,
+    "zipnum_index": q_zipnum_index,
     "cdx_latest": q_cdx_latest,
     "corpus_sample": q_corpus_sample,
     "token_budget": q_token_budget,
@@ -7293,6 +7330,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprint": _winnow_oracle_sql(),
     "surt_key": ORACLE_SURT,
     "cdx_index": ORACLE_CDX,
+    "zipnum_index": ORACLE_ZIPNUM,
     "cdx_latest": ORACLE_CDX_LATEST,
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "token_budget": ORACLE_TOKEN_BUDGET,

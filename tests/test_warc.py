@@ -412,3 +412,59 @@ class TestWatRecords:
         assert hm["Head"]["Title"] == ""
         assert hm["Head"]["Metas"][0]["content"] == ""
         assert hm["Links"] == []
+
+
+class TestZipnum:
+    def test_logical_blocks_and_ragged_tail(self, spark):
+        from bathyscaphe_spark.sources.warc import zipnum_index
+
+        rows = [
+            (f"{c}site,x)/p{i:02d}", f"202401{1 + i % 9:02d}000000", "{}")
+            for c in "ab" for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "surt string, ts14 string, cdxj string")
+        got = {
+            (r.shard, r.block): (r.first_surt, r.n_lines)
+            for r in zipnum_index(df.repartition(7), lines_per_block=4).collect()
+        }
+        assert got[("a", 0)] == ("asite,x)/p00", 4)
+        assert got[("a", 1)] == ("asite,x)/p04", 4)
+        assert got[("a", 2)] == ("asite,x)/p08", 2)  # ragged tail
+        assert len(got) == 6
+
+    def test_writer_round_trip_byte_offsets(self, spark, tmp_path):
+        import gzip
+
+        from bathyscaphe_spark.sources.warc import write_zipnum
+
+        rows = [
+            (f"{c}host,x)/page{i:03d}", f"2024010{1 + i % 9}000000",
+             '{"s": %d}' % i)
+            for c in "abc" for i in range(11)
+        ]
+        df = spark.createDataFrame(rows, "surt string, ts14 string, cdxj string")
+        n = write_zipnum(df.repartition(5), str(tmp_path), lines_per_block=4)
+        assert n == 33
+        seen = []
+        for sh in "abc":
+            data = (tmp_path / f"{sh}.cdx.gz").read_bytes()
+            covered = 0
+            for ln in (tmp_path / f"{sh}.idx").read_text().splitlines():
+                key, fn, off, length, blk = ln.split("\t")
+                assert fn == f"{sh}.cdx.gz"
+                member = gzip.decompress(data[int(off) : int(off) + int(length)])
+                lines = member.decode().splitlines()
+                assert lines[0].startswith(key)  # idx key = block's first line
+                covered += int(off) + int(length) - int(off)
+                seen.extend(lines)
+            # members tile the shard file exactly: last offset+len = file size
+            last = (tmp_path / f"{sh}.idx").read_text().splitlines()[-1].split("\t")
+            assert int(last[2]) + int(last[3]) == len(data)
+        # every primary line survives, globally sorted within each shard
+        assert len(seen) == 33
+        keys = [tuple(l.split(" ", 2)[:2]) for l in seen]
+        by_shard = {}
+        for k in keys:
+            by_shard.setdefault(k[0][0], []).append(k)
+        for sh, ks in by_shard.items():
+            assert ks == sorted(ks)
