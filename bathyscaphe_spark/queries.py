@@ -1244,6 +1244,111 @@ FROM (
 """
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_topk —
+    Jégou et al. 2011): two 32-dim subspace codebooks of 8 fixed-point
+    k-means centroids, corpus encoded to 2 codes/vector, asymmetric
+    table-lookup distances, deterministic (adc ASC, n_id ASC) top-3.
+    Training, encoding, distance tables and ranking are ALL integer
+    relational steps — the oracle replicates every value (the third
+    ANN path beside LSH's recall contract and IVF's replication)."""
+    from .operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(
+        emb, "vec_id", "embedding", query_ids=range(5), k=3, dim=64,
+        m=2, n_cells=8, iters=1,
+    )
+
+
+def _pq_oracle_sql(dim: int = 64, m: int = 2, k: int = 8) -> str:
+    sub = dim // m
+    slices = ",\n         ".join(
+        f"list_transform(embedding[{j * sub + 1}:{(j + 1) * sub}],"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
+        f" AS vf{j}"
+        for j in range(m)
+    )
+    per_m = []
+    for j in range(m):
+        per_m.append(f"""
+c0_{j} AS (
+  SELECT row_number() OVER (ORDER BY bkt, vec_id) AS cell, vf{j} AS cf
+  FROM (SELECT * FROM pqb ORDER BY bkt, vec_id LIMIT {k})
+),
+a_{j} AS (
+  SELECT b.vec_id, b.vf{j} AS vf, c.cell,
+         CAST(list_sum(list_transform(list_zip(b.vf{j}, c.cf),
+              s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+  FROM pqb b, c0_{j} c
+),
+w_{j} AS (
+  SELECT vec_id, vf, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cell) AS rk FROM a_{j}
+  ) WHERE rk = 1
+),
+u_{j} AS (
+  SELECT cell, unnest(range(0, len(vf))) AS pos, unnest(vf) AS val
+  FROM w_{j}
+),
+c1_{j} AS (
+  SELECT p.cell, coalesce(x.cf_new, p.cf) AS cf
+  FROM c0_{j} p LEFT JOIN (
+    SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cf_new
+    FROM (SELECT cell, pos, sum(val) AS s, count(*) AS n
+          FROM u_{j} GROUP BY cell, pos) GROUP BY cell
+  ) x USING (cell)
+),
+enc_{j} AS (
+  SELECT vec_id, cell AS code FROM (
+    SELECT b.vec_id, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(b.vf{j}, c.cf),
+                  s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT), c.cell) AS rk
+    FROM pqb b, c1_{j} c
+  ) WHERE rk = 1
+),
+tab_{j} AS (
+  SELECT b.vec_id AS q_id, c.cell,
+         CAST(list_sum(list_transform(list_zip(b.vf{j}, c.cf),
+              s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS td2
+  FROM pqb b, c1_{j} c WHERE b.vec_id < 5
+)""")
+    adc = " + ".join(f"t{j}.td2" for j in range(m))
+    enc_joins = "enc_0 e0"
+    for j in range(1, m):
+        enc_joins += f" JOIN enc_{j} e{j} ON e{j}.vec_id = e0.vec_id"
+    tab_joins = " JOIN tab_0 t0 ON t0.cell = e0.code"
+    for j in range(1, m):
+        tab_joins += (
+            f" JOIN tab_{j} t{j} ON t{j}.cell = e{j}.code"
+            f" AND t{j}.q_id = t0.q_id"
+        )
+    return f"""
+WITH pqb AS (
+  SELECT vec_id,
+         {slices},
+         {_IVF_BUCKET_FOLD} AS bkt
+  FROM embeddings
+),
+{",".join(per_m)},
+dist AS (
+  SELECT t0.q_id, e0.vec_id AS n_id, CAST({adc} AS BIGINT) AS adc
+  FROM {enc_joins}{tab_joins}
+  WHERE t0.q_id != e0.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, adc,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc ASC, n_id ASC) AS rank
+  FROM dist
+)
+SELECT q_id, n_id, adc, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 ORACLE_KNN = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
  n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -7207,6 +7312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text": q_anchor_text,
     "ivf_topk": q_ivf_topk,
     "ivf_train": q_ivf_train,
+    "pq_topk": q_pq_topk,
     "semdedup_prune": q_semdedup_prune,
     "redirect_chains": q_redirect_chains,
     "o1_delay_budget": q_o1_delay_budget,
@@ -7351,6 +7457,7 @@ ORACLES: dict[str, str] = {
     "semdedup_prune": ORACLE_SEMDEDUP,
     "redirect_chains": ORACLE_REDIRECT_CHAINS,
     "ivf_train": ORACLE_IVF_TRAIN,
+    "pq_topk": _pq_oracle_sql(),
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
     "token_count": ORACLE_TOKEN_COUNT,

@@ -150,3 +150,83 @@ def test_ivf_topk_with_trained_centroids_matches_exact(spark):
     approx = ivf_topk(d, "vec_id", "embedding", qs, k=3,
                       centroids=trained).collect()
     assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))
+
+
+def test_pq_encode_total_and_in_range(spark):
+    from bathyscaphe_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_train,
+    )
+
+    d = _clustered(spark)  # 200 vectors, dim 16
+    cb = pq_codebooks(pq_train(d, "vec_id", "embedding", dim=16, m=2, n_cells=4))
+    codes = pq_encode(d, cb, "vec_id", "embedding", dim=16, m=2).collect()
+    assert len(codes) == 200 * 2  # every vector, every subspace
+    assert {r.m for r in codes} == {0, 1}
+    assert all(1 <= r.code <= 4 for r in codes)
+
+
+def test_pq_retrieves_same_cluster_on_separated_clusters(spark):
+    """Clusters live on distinct axes, so at least one subspace
+    separates them completely — ADC neighbors must come from the
+    query's own cluster."""
+    from bathyscaphe_spark.operators.similarity import pq_topk
+
+    d = _clustered(spark, n_clusters=4, per=30, dim=16)
+    out = pq_topk(
+        d, "vec_id", "embedding", query_ids=[0, 35, 70, 100], k=5,
+        dim=16, m=2, n_cells=8, iters=2,
+    ).collect()
+    assert len(out) == 4 * 5
+    for r in out:
+        assert r.q_id // 30 == r.n_id // 30, (r.q_id, r.n_id)
+
+
+def test_pq_bit_identical_across_partitionings(spark):
+    from bathyscaphe_spark.operators.similarity import pq_topk
+
+    d = _clustered(spark)
+    runs = []
+    for parts in (1, 13):
+        out = pq_topk(
+            d.repartition(parts), "vec_id", "embedding",
+            query_ids=[0, 50, 120], k=4, dim=16, m=2, n_cells=4,
+        ).collect()
+        runs.append(sorted((r.q_id, r.n_id, r.adc, r.rank) for r in out))
+    assert runs[0] == runs[1]
+
+
+def test_pq_adc_is_codebook_table_sum(spark):
+    """ADC must equal the sum over subspaces of the exact integer L2
+    between the query slice and the MATCHED CODE's centroid — mirror
+    the lookup in python for one query."""
+    from bathyscaphe_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    d = _clustered(spark)
+    cb_df = pq_codebooks(pq_train(d, "vec_id", "embedding", dim=16, m=2, n_cells=4))
+    cb = {(r.m, r.cell): list(r.cf) for r in cb_df.collect()}
+    codes = {
+        (r._id, r.m): r.code
+        for r in pq_encode(d, cb_df, "vec_id", "embedding", dim=16, m=2).collect()
+    }
+    vecs = {r.vec_id: list(r.embedding) for r in d.collect()}
+    out = pq_topk(
+        d, "vec_id", "embedding", query_ids=[7], k=3, dim=16, m=2,
+        n_cells=4, codebooks=cb_df,
+    ).collect()
+    import math
+
+    qf = [math.floor(x * (1 << 20)) for x in vecs[7]]
+    for r in out:
+        want = 0
+        for m in (0, 1):
+            c = cb[(m, codes[(r.n_id, m)])]
+            s = qf[m * 8 : (m + 1) * 8]
+            want += sum((a - b) ** 2 for a, b in zip(s, c))
+        assert r.adc == want
