@@ -121,6 +121,16 @@ class CrawlConfig:
     # queue has no importance ordering.
     link_rank_enabled: bool = False
     link_rank_iters: int = 3
+    # host-reputation demotion: each round appends per-capture evidence
+    # (status, content hash, soft-404 flag) to the host_repute state;
+    # at rank time operators/blacklister.host_reputation folds it into
+    # an integer score and the frontier priority drops by
+    # ((1000 − reputation_pm) · reputation_weight) DIV 1000 — rank-time
+    # only (leftovers restore their base priority, like the link boost).
+    # Off by default: an engine addition beyond the reference's
+    # dead-or-alive blacklister.
+    reputation_enabled: bool = False
+    reputation_weight: int = 1000
     # global per-round fetch cap: after the per-host politeness rank,
     # keep only the top-K rows in the deterministic cross-host priority
     # order (TakeOrdered — no full sort materializes).  This is the

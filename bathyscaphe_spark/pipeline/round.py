@@ -305,6 +305,52 @@ def run_round(
                 )
                 .drop("_lr_boost")
             )
+    # host-reputation demotion: prior rounds' capture evidence (dup
+    # content / errors / soft-404 templates, plus link-farm membership
+    # when the link graph is on) lowers a host's WHOLE frontier before
+    # any per-URL rank — rank-time only, same _base_priority
+    # save/restore contract as the link boost above.
+    if config.reputation_enabled:
+        rep_hist = catalog.read_deltas("host_repute")
+        if rep_hist is not None:
+            from ..operators.blacklister import host_reputation
+
+            recip = None
+            if config.link_rank_enabled:
+                rep_edges = catalog.read_deltas("link_edges")
+                if rep_edges is not None:
+                    from ..operators.graph import link_reciprocity
+
+                    recip = link_reciprocity(rep_edges.select("src", "dst"))
+            rep = host_reputation(
+                rep_hist.selectExpr(
+                    "host", "url", "status",
+                    "content_fnv AS content_hash", "soft404",
+                ),
+                recip,
+            )
+            dem = rep.select(
+                "host",
+                F.expr(
+                    f"((1000 - reputation_pm) * {config.reputation_weight})"
+                    " DIV 1000"
+                ).cast("int").alias("_rep_dem"),
+            )
+            if "_base_priority" not in frontier.columns:
+                frontier = frontier.withColumn(
+                    "_base_priority", F.col("priority")
+                )
+            frontier = (
+                frontier.join(dem, "host", "left")
+                .withColumn(
+                    "priority",
+                    (
+                        F.col("priority")
+                        - F.coalesce(F.col("_rep_dem"), F.lit(0))
+                    ).cast("int"),
+                )
+                .drop("_rep_dem")
+            )
     n_frontier_rows = catalog.rows_in_round("frontier", round_n)
     if config.round_fetch_budget:
         # global cross-host cap: the TakeOrdered cut is not a per-row
@@ -339,6 +385,26 @@ def run_round(
 
     fetched = fetch_join(scheduled, pages, blacklist_pred).persist()
     fetched_ok, timeouts = split_fetched(fetched, config)
+
+    # reputation evidence: one (host, url, status, content_fnv, soft404)
+    # row per capture THIS round, from the same persisted fetch cache —
+    # errors included (the error share is a signal), soft-404 flags via
+    # the relational template+phrase detector.
+    repute_delta = None
+    if config.reputation_enabled:
+        from ..operators.crawler import soft404_flags
+
+        repute_delta = soft404_flags(
+            fetched.select(
+                "url", "host", "status",
+                F.col("html").cast("string").alias("text"),
+            )
+        ).select(
+            "host", "url", "status",
+            F.xxhash64("text").alias("content_fnv"),
+            "soft404",
+            F.lit(round_n).alias("round"),
+        )
 
     # optional membership router over the current seen set (bloom or
     # the deletable cuckoo variant — identical exactness contract)
@@ -567,6 +633,14 @@ def run_round(
         catalog.stage_round("blacklist", new_bl, round_n, files=small_files)
         return True
 
+    def _write_repute():
+        if repute_delta is None:
+            return False
+        catalog.stage_round(
+            "host_repute", repute_delta, round_n, files=small_files
+        )
+        return True
+
     def _write_edges():
         if link_edges is None:
             return False
@@ -588,6 +662,7 @@ def run_round(
         f_bl = pool.submit(_write_blacklister)
         f_rob = pool.submit(_write_robots)
         f_edges = pool.submit(_write_edges)
+        f_rep = pool.submit(_write_repute)
         f_seen.result()
         f_res.result()
         if f_meta.result():
@@ -598,6 +673,8 @@ def run_round(
             committed_tables += ["robots"]
         if f_edges.result():
             committed_tables += ["link_edges"]
+        if f_rep.result():
+            committed_tables += ["host_repute"]
 
     stats = RoundStats(
         round=round_n,
