@@ -2328,6 +2328,58 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "exact_users", (err < 0.15).alias("err_ok"))
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald–Khanna approximate quantiles (percentile_approx, the
+    mergeable-sketch path a 100 TB profile pass actually runs) with an
+    IN-QUERY rank-error contract: per source, the p50/p90 doc token
+    length sketch values are rank-checked against the column itself in
+    the same plan — the driver hash-pins the exact rank positions'
+    bounds, not the sketch values (engine-specific), exactly like the
+    HLL err_ok pattern.  accuracy=100 ⇒ rank error ≤ n/100; the
+    contract allows ±2·n/100 ranks."""
+    d = _docs(spark, sf_dir)
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))
+    t = d.select("source", toks.cast("long").alias("n_tok"))
+    agg = t.groupBy("source").agg(
+        F.percentile_approx("n_tok", 0.5, 100).alias("p50_a"),
+        F.percentile_approx("n_tok", 0.9, 100).alias("p90_a"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    # rank of the sketch value within the group, via a self-join-free
+    # conditional count (broadcast of the tiny per-source sketch row)
+    ranks = (
+        t.join(F.broadcast(agg), "source")
+        .groupBy("source", "n_docs", "p50_a", "p90_a")
+        .agg(
+            F.sum(F.when(F.col("n_tok") <= F.col("p50_a"), 1).otherwise(0))
+            .alias("le50"),
+            F.sum(F.when(F.col("n_tok") < F.col("p50_a"), 1).otherwise(0))
+            .alias("lt50"),
+            F.sum(F.when(F.col("n_tok") <= F.col("p90_a"), 1).otherwise(0))
+            .alias("le90"),
+            F.sum(F.when(F.col("n_tok") < F.col("p90_a"), 1).otherwise(0))
+            .alias("lt90"),
+        )
+    )
+    tol = (F.col("n_docs") * 2) / 100
+    ok50 = (F.col("le50") >= F.col("n_docs") * 0.5 - tol) & (
+        F.col("lt50") <= F.col("n_docs") * 0.5 + tol
+    )
+    ok90 = (F.col("le90") >= F.col("n_docs") * 0.9 - tol) & (
+        F.col("lt90") <= F.col("n_docs") * 0.9 + tol
+    )
+    return ranks.select(
+        "source", "n_docs", ok50.alias("p50_ok"), ok90.alias("p90_ok")
+    )
+
+
+ORACLE_APPROX_QUANTILES = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS p50_ok, TRUE AS p90_ok
+FROM documents GROUP BY source
+"""
+
+
 ORACLE_ANN_RECALL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE vec_id < 2000),
@@ -7363,6 +7415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": q_distinct_agg,
     "set_ops": q_set_ops,
     "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
     "events_topk": q_events_topk,
     "events_pivot": q_events_pivot,
     "json_props": q_json_props,
@@ -7508,6 +7561,7 @@ ORACLES: dict[str, str] = {
     # approx_distinct: the HLL estimate is engine-specific, but the
     # exact count and the 15% error bound are oracle-pinned
     "approx_distinct": ORACLE_APPROX_DISTINCT,
+    "approx_quantiles": ORACLE_APPROX_QUANTILES,
     "events_topk": ORACLE_EVENTS_TOPK,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "json_props": ORACLE_JSON_PROPS,
