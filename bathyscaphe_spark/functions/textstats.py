@@ -243,3 +243,51 @@ def dup_ngram_stats(
             F.expr(f"(dup{n}_chars * 1000) DIV total_chars").cast("long"),
         )
     return agg
+
+
+# card-shaped digit runs (13-19 digits, space/dash separators allowed);
+# Java∩RE2-safe like the PII_* patterns, shared verbatim with the oracle
+PII_CARD = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid_col(cand: Column) -> Column:
+    """Luhn (mod-10) checksum over a card-shaped candidate — TRUE iff
+    the separator-stripped digits are 13-19 long and checksum to 0.
+    Pure codegen: reversed digit positions double every second digit
+    (9-subtract on overflow), one aggregate fold — the exact public
+    algorithm, no UDF."""
+    digits = F.regexp_replace(cand, "[ -]", "")
+    n = F.length(digits)
+    rev = F.reverse(digits)
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            i % 2 == 1, F.ascii(rev.substr(i, F.lit(1))) - 48
+        ).otherwise(
+            F.when(
+                (F.ascii(rev.substr(i, F.lit(1))) - 48) * 2 > 9,
+                (F.ascii(rev.substr(i, F.lit(1))) - 48) * 2 - 9,
+            ).otherwise((F.ascii(rev.substr(i, F.lit(1))) - 48) * 2)
+        ),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def card_scrub_cols(text: Column) -> dict[str, Column]:
+    """(scrubbed, n_cards) — payment-card redaction with CHECKSUM
+    validation, the step plain regex PII passes can't do: a 16-digit
+    order number that fails Luhn survives, a real PAN (any spacing)
+    redacts.  Candidates extract once, the Luhn fold filters them, and
+    a chained literal replace rewrites only validated matches — all
+    codegen, map-only, the same stage-order discipline as
+    ``pii_scrub_cols``."""
+    cands = F.regexp_extract_all(text, F.lit(PII_CARD), 0)
+    valid = F.filter(cands, luhn_valid_col)
+    scrubbed = F.aggregate(
+        valid, text, lambda acc, c: F.replace(acc, c, F.lit("<CARD>"))
+    )
+    return {
+        "scrubbed": scrubbed,
+        "n_cards": F.size(valid).cast("long"),
+    }

@@ -2328,6 +2328,67 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "exact_users", (err < 0.15).alias("err_ok"))
 
 
+def q_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card redaction (functions/textstats.py
+    card_scrub_cols): candidates are card-shaped digit runs, but only
+    checksum-VALID ones redact — the fixture plants a valid plain /
+    spaced / dashed PAN in three fifths of the corpus and a
+    Luhn-invalid 16-digit decoy in a fourth (it must survive).  The
+    oracle replicates the full mod-10 fold, not a hardcoded verdict."""
+    from .functions.textstats import card_scrub_cols
+
+    d = _docs(spark, sf_dir)
+    fixture = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" pay 4111111111111111 now"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" card 5500 0000 0000 0004 ok"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" via 4111-1111-1111-1111 end"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" order 4111111111111112 ref"))
+        .otherwise(F.lit("")),
+    )
+    c = card_scrub_cols(fixture)
+    return d.select(
+        "doc_id",
+        c["scrubbed"].alias("scrubbed"),
+        c["n_cards"].alias("n_cards"),
+    )
+
+
+def _card_oracle_sql() -> str:
+    dd = "regexp_replace(cand, '[ -]', '', 'g')"
+    digit = f"(ascii(substr(reverse({dd}), i, 1)) - 48)"
+    luhn = f"""(
+      length({dd}) BETWEEN 13 AND 19
+      AND list_sum(list_transform(range(1, length({dd}) + 1), i ->
+        CASE WHEN i % 2 = 1 THEN {digit}
+             ELSE CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9
+                       ELSE {digit} * 2 END END)) % 10 = 0
+    )"""
+    return rf"""
+WITH fixture AS (
+  SELECT doc_id, text ||
+    CASE doc_id % 5
+      WHEN 0 THEN ' pay 4111111111111111 now'
+      WHEN 1 THEN ' card 5500 0000 0000 0004 ok'
+      WHEN 2 THEN ' via 4111-1111-1111-1111 end'
+      WHEN 3 THEN ' order 4111111111111112 ref'
+      ELSE '' END AS text
+  FROM documents
+), v AS (
+  SELECT doc_id, text,
+         list_filter(
+             regexp_extract_all(text, '\b(?:\d[ -]?){{12,18}}\d\b'),
+             cand -> {luhn}) AS valid
+  FROM fixture
+)
+SELECT doc_id,
+       list_reduce(list_prepend(text, valid),
+                   (acc, x) -> replace(acc, x, '<CARD>')) AS scrubbed,
+       CAST(len(valid) AS BIGINT) AS n_cards
+FROM v
+"""
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald–Khanna approximate quantiles (percentile_approx, the
     mergeable-sketch path a 100 TB profile pass actually runs) with an
@@ -7350,6 +7411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": q_corpus_sample,
     "token_budget": q_token_budget,
     "pii_scrub": q_pii_scrub,
+    "card_scrub": q_card_scrub,
     "recrawl_priority": q_recrawl_priority,
     "adaptive_ttl": q_adaptive_ttl,
     "recrawl_due": q_recrawl_due,
@@ -7494,6 +7556,7 @@ ORACLES: dict[str, str] = {
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "token_budget": ORACLE_TOKEN_BUDGET,
     "pii_scrub": ORACLE_PII_SCRUB,
+    "card_scrub": _card_oracle_sql(),
     "recrawl_priority": ORACLE_RECRAWL,
     "adaptive_ttl": ORACLE_ADAPTIVE_TTL,
     "recrawl_due": ORACLE_RECRAWL_DUE,

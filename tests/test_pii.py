@@ -106,3 +106,51 @@ def test_randomized_corpus_agrees_with_re(spark):
     got = _run(spark, texts)
     for t, g in zip(texts, got):
         assert g == _mirror(t), repr(t)
+
+
+class TestCardScrub:
+    def _run(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.functions.textstats import card_scrub_cols
+
+        df = spark.createDataFrame(rows, "id long, text string")
+        c = card_scrub_cols(F.col("text"))
+        out = df.select("id", c["scrubbed"].alias("s"), c["n_cards"].alias("n"))
+        return {r.id: (r.n, r.s) for r in out.collect()}
+
+    @staticmethod
+    def _luhn(num):
+        d = [int(x) for x in num.replace(" ", "").replace("-", "")][::-1]
+        return sum(x if i % 2 == 0 else (x * 2 - 9 if x * 2 > 9 else x * 2)
+                   for i, x in enumerate(d)) % 10 == 0
+
+    def test_checksum_gates_redaction(self, spark):
+        assert self._luhn("4111111111111111") and not self._luhn("4111111111111112")
+        got = self._run(spark, [
+            (1, "pay 4111111111111111 now"),
+            (2, "or 5500 0000 0000 0004 spaced"),
+            (3, "dash 4111-1111-1111-1111 mix"),
+            (4, "order 4111111111111112 survives"),   # fails Luhn
+            (5, "short 411111111111 stays"),           # 12 digits
+            (6, "long 41111111111111111111111 stays"), # 23 digits
+            (7, None),
+        ])
+        assert got[1] == (1, "pay <CARD> now")
+        assert got[2] == (1, "or <CARD> spaced")
+        assert got[3] == (1, "dash <CARD> mix")
+        assert got[4] == (0, "order 4111111111111112 survives")
+        assert got[5][0] == 0 and got[6][0] == 0
+        assert got[7] == (None, None)
+
+    def test_multiple_and_13_19_digit_bounds(self, spark):
+        # 13-digit Visa-style test PAN and a 19-digit valid PAN
+        c13 = "4222222222222"
+        assert self._luhn(c13)
+        base = "401288888888188"  # build a valid 19-digit by check digit
+        for d in "0123456789":
+            if self._luhn(base + "188" + d):
+                c19 = base + "188" + d
+                break
+        got = self._run(spark, [(1, f"a {c13} b {c19} c")])
+        assert got[1] == (2, "a <CARD> b <CARD> c")
