@@ -3774,6 +3774,54 @@ FROM due
 """
 
 
+def q_sitemap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host urlset sitemap GENERATION (sources/sitemap.py
+    sitemap_export — the export side of the protocol the engine parses
+    and refresh-schedules): url-ordered 8-URL chunks (the 50k protocol
+    limit scaled to the fixture), byte-deterministic XML with W3C
+    lastmod dates and &-escaped locs; test_sitemap.py round-trips the
+    output through the engine's own reader."""
+    from .sources.sitemap import sitemap_export
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        "'h' || CAST(doc_id % 25 AS STRING) || '.onion' AS host",
+        "'http://h' || CAST(doc_id % 25 AS STRING) || '.onion/p'"
+        " || CAST(doc_id AS STRING) || '?id=' || CAST(doc_id AS STRING)"
+        " || '&ref=x' AS url",
+        "to_timestamp(1714564800 + doc_id * 3600) AS warc_ts",
+    )
+    return sitemap_export(pages, max_urls=8)
+
+
+ORACLE_SITEMAP_EXPORT = r"""
+WITH p AS (
+  SELECT 'h' || CAST(doc_id % 25 AS STRING) || '.onion' AS host,
+         'http://h' || CAST(doc_id % 25 AS STRING) || '.onion/p'
+           || CAST(doc_id AS STRING) || '?id=' || CAST(doc_id AS STRING)
+           || '&ref=x' AS url,
+         strftime(to_timestamp(1714564800 + doc_id * 3600),
+                  '%Y-%m-%d') AS lastmod
+  FROM documents
+), chunked AS (
+  SELECT *, (row_number() OVER (PARTITION BY host ORDER BY url) - 1) // 8
+            AS chunk
+  FROM p
+)
+SELECT host, CAST(chunk AS BIGINT) AS chunk,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+         || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         || chr(10)
+         || string_agg('  <url><loc>' || replace(url, '&', '&amp;')
+                       || '</loc><lastmod>' || lastmod
+                       || '</lastmod></url>' || chr(10),
+                       '' ORDER BY url, lastmod)
+         || '</urlset>' || chr(10) AS xml
+FROM chunked GROUP BY host, chunk
+"""
+
+
 def q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-lastmod conditional refresh: join advertised lastmod
     against the engine's fetch history (fetch_meta) and fetch only what
@@ -7431,6 +7479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_chains": q_redirect_chains,
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
+    "sitemap_export": q_sitemap_export,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "corpus_card": q_corpus_card,
@@ -7576,6 +7625,7 @@ ORACLES: dict[str, str] = {
     "pq_topk": _pq_oracle_sql(),
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
+    "sitemap_export": ORACLE_SITEMAP_EXPORT,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "corpus_card": ORACLE_CORPUS_CARD,

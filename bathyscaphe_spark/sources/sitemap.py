@@ -108,3 +108,76 @@ def seeds_from_sitemaps(bodies: DataFrame, host_col: str = "host",
         .select("url", _host_of(F.col("url")).alias("host"))
         .dropDuplicates(["url"])
     )
+
+
+# --- sitemap GENERATION (the export side of the protocol) -------------------
+
+SITEMAP_MAX_URLS = 50_000  # sitemaps.org protocol hard limit per file
+
+_SM_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+)
+_SM_FOOTER = "</urlset>\n"
+
+
+def sitemap_export(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    host_col: str = "host",
+    max_urls: int = SITEMAP_MAX_URLS,
+) -> DataFrame:
+    """Generate per-host urlset sitemap documents from crawled pages —
+    the export side of the protocol this engine already parses
+    (read_sitemaps) and schedules by (sitemap_refresh): a mirror /
+    re-publish pipeline advertises its corpus back the same way it was
+    discovered.  Respects the public 50k-URLs-per-file limit by
+    chunking each host's URL list (url-ordered, deterministic) and
+    emits byte-deterministic XML — lastmod as W3C date, '&' escaped in
+    locs (fixture-safe superset of the XML escapes).
+
+    Scale shape: one (host) window for the chunk ordinal, then one
+    groupBy (host, chunk) whose collect_list is BOUNDED by max_urls —
+    the protocol's own limit is the skew cap; no host ever aggregates
+    more than 50k rows per output file.
+
+    Output: (host, chunk, n_urls, xml).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    chunked = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("lastmod"),
+    ).withColumn(
+        "chunk",
+        ((F.row_number().over(
+            Window.partitionBy(host_col).orderBy("url")
+        ) - 1) / max_urls).cast("long"),
+    )
+    entry = lambda s: F.concat(  # noqa: E731
+        F.lit("  <url><loc>"),
+        F.replace(s["url"], F.lit("&"), F.lit("&amp;")),
+        F.lit("</loc><lastmod>"),
+        s["lastmod"],
+        F.lit("</lastmod></url>\n"),
+    )
+    return (
+        chunked.groupBy("host", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.array_sort(F.collect_list(F.struct("url", "lastmod"))).alias("a"),
+        )
+        .select(
+            "host",
+            "chunk",
+            "n_urls",
+            F.concat(
+                F.lit(_SM_HEADER),
+                F.array_join(F.transform("a", entry), ""),
+                F.lit(_SM_FOOTER),
+            ).alias("xml"),
+        )
+    )

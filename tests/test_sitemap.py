@@ -67,3 +67,55 @@ def test_sitemap_seeds_bootstrap_crawl(spark, tmp_path):
     stats = crawl(spark, uni, seeds, str(tmp_path / "s"), CrawlConfig(),
                   max_rounds=1)
     assert stats[0].scheduled == 3
+
+
+class TestSitemapExport:
+    def test_chunking_and_roundtrip_through_own_reader(self, spark):
+        import datetime
+
+        from bathyscaphe_spark.sources.sitemap import (
+            read_sitemaps,
+            sitemap_export,
+        )
+
+        rows = [
+            (f"h{i % 2}.ex", f"http://h{i % 2}.ex/p{i:02d}?a=1&b=2",
+             datetime.datetime(2024, 1, 1 + i % 5))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "host string, url string, warc_ts timestamp")
+        out = sitemap_export(df.repartition(7), max_urls=3)
+        got = {(r.host, r.chunk): r for r in out.collect()}
+        # ceil(5/3) = 2 chunks per host; protocol limit respected
+        assert {k[1] for k in got} == {0, 1}
+        assert all(r.n_urls <= 3 for r in got.values())
+        assert sum(r.n_urls for r in got.values()) == 10
+        # byte shape: header, escaped loc, W3C lastmod, footer
+        xml = got[("h0.ex", 0)].xml
+        assert xml.startswith('<?xml version="1.0"')
+        assert "&amp;b=2</loc><lastmod>2024-01-0" in xml
+        assert xml.endswith("</urlset>\n")
+        # the engine's own parser recovers every (url, lastmod) pair
+        back = read_sitemaps(out.selectExpr("host", "xml AS body"))
+        pairs = {(r.url, r.lastmod) for r in back.collect()}
+        assert pairs == {
+            (u, ts.strftime("%Y-%m-%d")) for _, u, ts in rows
+        }
+        assert back.where("is_index").count() == 0
+
+    def test_deterministic_across_partitionings(self, spark):
+        import datetime
+
+        from bathyscaphe_spark.sources.sitemap import sitemap_export
+
+        rows = [
+            (f"h{i % 3}.ex", f"http://h{i % 3}.ex/{(i * 7) % 20:02d}",
+             datetime.datetime(2024, 2, 1 + i % 9))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "host string, url string, warc_ts timestamp")
+        a = {(r.host, r.chunk): r.xml
+             for r in sitemap_export(df.repartition(1), max_urls=4).collect()}
+        b = {(r.host, r.chunk): r.xml
+             for r in sitemap_export(df.repartition(11), max_urls=4).collect()}
+        assert a == b
