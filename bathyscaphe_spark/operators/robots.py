@@ -22,16 +22,14 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, StringType
 
 
-def parse_robots_py(text: str, agent: str = "*") -> list[str]:
-    """Disallow prefixes applying to ``agent`` per the robots exclusion
-    standard: consecutive User-agent lines open a group; a group applies
-    when any of its agents is '*' or matches; empty Disallow values are
-    unrestricted (skipped); '#' starts a comment; Allow lines only
-    terminate the agent run (prefix semantics keep this engine
-    deny-only, like most minimal crawlers)."""
-    groups: list[tuple[list[str], list[str]]] = []
+def _split_groups(text: str) -> list[tuple[list[str], list[str], float | None]]:
+    """robots.txt → [(agents, disallow_prefixes, crawl_delay)] groups:
+    consecutive User-agent lines open a group, any rule line enters its
+    body, '#' starts a comment, empty Disallow values skip."""
+    groups: list[tuple[list[str], list[str], float | None]] = []
     agents: list[str] = []
     dis: list[str] = []
+    delay: float | None = None
     in_body = False
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -41,60 +39,78 @@ def parse_robots_py(text: str, agent: str = "*") -> list[str]:
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
             if in_body:
-                groups.append((agents, dis))
-                agents, dis, in_body = [], [], False
-            agents.append(val)
-        elif key in ("disallow", "allow"):
-            in_body = True
-            if key == "disallow" and val:
-                dis.append(val)
-    if agents or dis:
-        groups.append((agents, dis))
-    agent = agent.lower()
-    out: list[str] = []
-    for grp_agents, grp_dis in groups:
-        if any(a == "*" or a.lower() == agent for a in grp_agents):
-            out.extend(grp_dis)
-    return out
-
-
-def parse_crawl_delay_py(text: str, agent: str = "*") -> float | None:
-    """Crawl-delay seconds applying to ``agent`` (strictest — the MAX —
-    across applicable groups; de-facto extension honored by most
-    crawlers).  Invalid / negative values are ignored."""
-    delays: list[float] = []
-    agents: list[str] = []
-    grp_delay: float | None = None
-    in_body = False
-    agent = agent.lower()
-
-    def _flush() -> None:
-        if grp_delay is not None and any(
-            a == "*" or a.lower() == agent for a in agents
-        ):
-            delays.append(grp_delay)
-
-    for raw in (text or "").splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line:
-            continue
-        key, _, val = line.partition(":")
-        key, val = key.strip().lower(), val.strip()
-        if key == "user-agent":
-            if in_body:
-                _flush()
-                agents, grp_delay, in_body = [], None, False
+                groups.append((agents, dis, delay))
+                agents, dis, delay, in_body = [], [], None, False
             agents.append(val)
         elif key in ("disallow", "allow", "crawl-delay"):
             in_body = True
-            if key == "crawl-delay":
+            if key == "disallow" and val:
+                dis.append(val)
+            elif key == "crawl-delay":
                 try:
                     d = float(val)
                 except ValueError:
                     continue
                 if d > 0:
-                    grp_delay = max(grp_delay or 0.0, d)
-    _flush()
+                    delay = max(delay or 0.0, d)
+    if agents or dis or delay is not None:
+        groups.append((agents, dis, delay))
+    return groups
+
+
+def _select_groups(groups, agent: str) -> list[int]:
+    """RFC 9309 §2.2.1 group selection: the MOST SPECIFIC matching
+    product token wins — a token matches when it equals the crawler's
+    agent or prefixes it (the de-facto longest-prefix rule production
+    crawlers apply), longer tokens beat shorter, groups tying on the
+    winning length COMBINE, and the '*' groups apply only when no
+    specific token matched at all."""
+    agent = agent.lower()
+    best = -1
+    chosen: list[int] = []
+    for idx, grp in enumerate(groups):
+        toks = [a.lower() for a in grp[0]]
+        spec = [
+            len(t) for t in toks
+            if t != "*" and (agent == t or agent.startswith(t))
+        ]
+        if spec:
+            length = max(spec)
+            if length > best:
+                best, chosen = length, [idx]
+            elif length == best:
+                chosen.append(idx)
+    if chosen:
+        return chosen
+    return [i for i, g in enumerate(groups) if any(a == "*" for a in g[0])]
+
+
+def parse_robots_py(text: str, agent: str = "*") -> list[str]:
+    """Disallow prefixes applying to ``agent``: groups per the robots
+    exclusion grammar, group SELECTION per RFC 9309 §2.2.1 (most
+    specific matching product token wins, ties combine, '*' is the
+    no-specific-match fallback — a page allowed for googlebot by its
+    own group is NOT also subject to the '*' rules).  Allow lines only
+    terminate the agent run (prefix semantics keep this engine
+    deny-only, like most minimal crawlers)."""
+    groups = _split_groups(text)
+    out: list[str] = []
+    for i in _select_groups(groups, agent):
+        out.extend(groups[i][1])
+    return out
+
+
+def parse_crawl_delay_py(text: str, agent: str = "*") -> float | None:
+    """Crawl-delay seconds applying to ``agent``: the same RFC 9309
+    §2.2.1 group selection as ``parse_robots_py`` (most specific token,
+    ties combine, '*' fallback), then the strictest — the MAX — delay
+    across the SELECTED groups (de-facto extension honored by most
+    crawlers).  Invalid / negative values are ignored."""
+    groups = _split_groups(text)
+    delays = [
+        groups[i][2] for i in _select_groups(groups, agent)
+        if groups[i][2] is not None
+    ]
     return max(delays) if delays else None
 
 

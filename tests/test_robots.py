@@ -9,8 +9,8 @@ def test_parse_star_group_with_comments_and_allow():
         "User-agent: *\n# policy\nDisallow: /a\nAllow: /pub\nDisallow: /b\n"
     )
     assert parse_robots_py(txt) == ["/a", "/b"]
-    # named agent collects its own group AND the '*' group
-    assert parse_robots_py(txt, agent="GoogleBot") == ["/gb", "/a", "/b"]
+    # RFC 9309 §2.2.1: the specific group WINS — '*' rules do not stack
+    assert parse_robots_py(txt, agent="GoogleBot") == ["/gb"]
 
 
 def test_parse_shared_group_and_empty_disallow():
@@ -18,6 +18,24 @@ def test_parse_shared_group_and_empty_disallow():
     assert parse_robots_py(txt) == ["/x"]
     assert parse_robots_py("") == []
     assert parse_robots_py("User-agent: other\nDisallow: /y\n") == []
+
+
+def test_rfc9309_group_selection():
+    txt = (
+        "User-agent: googlebot-images\nDisallow: /img\n\n"
+        "User-agent: googlebot\nDisallow: /gb\n\n"
+        "User-agent: googlebot\nDisallow: /gb2\n\n"
+        "User-agent: *\nDisallow: /all\n"
+    )
+    # longest matching token wins (prefix match against the agent)
+    assert parse_robots_py(txt, agent="googlebot-images") == ["/img"]
+    # ...and equal-length winners COMBINE
+    assert parse_robots_py(txt, agent="googlebot-news") == ["/gb", "/gb2"]
+    assert parse_robots_py(txt, agent="googlebot") == ["/gb", "/gb2"]
+    # no specific match: the '*' fallback
+    assert parse_robots_py(txt, agent="bingbot") == ["/all"]
+    # case-insensitive selection
+    assert parse_robots_py(txt, agent="GoogleBot-Images") == ["/img"]
 
 
 def test_robots_table_from_fetch(spark):
@@ -43,7 +61,8 @@ def test_parse_crawl_delay():
         "User-agent: *\nDisallow: /a\nCrawl-delay: 10  # strict\n"
     )
     assert parse_crawl_delay_py(txt) == 10.0
-    assert parse_crawl_delay_py(txt, agent="GoogleBot") == 10.0  # max of both
+    # RFC group selection: googlebot's own group wins, '*' never stacks
+    assert parse_crawl_delay_py(txt, agent="GoogleBot") == 1.0
     assert parse_crawl_delay_py("User-agent: *\nDisallow: /a\n") is None
     assert parse_crawl_delay_py("User-agent: *\nCrawl-delay: nope\n") is None
     assert parse_crawl_delay_py("User-agent: *\nCrawl-delay: -3\n") is None
