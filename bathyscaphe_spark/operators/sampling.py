@@ -170,3 +170,55 @@ def token_budget_sample(
         )
         .select(*out_cols, "tok_before")
     )
+
+
+def isqrt_col(x: Column) -> Column:
+    """Exact integer square root of a nonnegative BIGINT column: the
+    float sqrt rounds, then at most ±1 integer correction pins the
+    exact floor — deterministic wherever doubles hold 53 bits of x,
+    and replicated verbatim by the oracle."""
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    s = F.when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
+    return F.when(s * s > x, s - 1).otherwise(s)
+
+
+def temperature_budgets(
+    docs: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    total_budget: int,
+    max_per_group: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing budgets — the α-sampling every
+    multilingual/multi-source LM run applies (public convention since
+    mBERT/XLM: sample source i ∝ tokens_i^α with α < 1 so small
+    sources up-weight and the head source stops dominating).  α = 1/2
+    here because it is the one nontrivial temperature with an EXACT
+    integer form: weight_i = isqrt(Σ tokens_i), then the total token
+    budget divides by largest-remainder (Hamilton) apportionment —
+    reusing ``politeness.allocate_budget``'s DECIMAL(38,0) exact-sum
+    machinery, with each group's budget clamped to what it actually
+    has.
+
+    Scale shape: one map-side-combinable groupBy over the corpus, then
+    the whole apportionment runs on the GROUP table (sources/langs —
+    tens of rows at any corpus size).
+
+    Output: (group, tokens, weight, uncapped, quota) — Σ uncapped ==
+    total_budget exactly.
+    """
+    from .politeness import allocate_budget
+
+    stats = (
+        docs.groupBy(F.col(group_col).alias("host"))
+        .agg(F.sum(tokens_col).cast("long").alias("pending"))
+        .withColumn("weight", isqrt_col(F.col("pending")))
+    )
+    out = allocate_budget(stats, total_budget, max_per_host=max_per_group)
+    return out.join(stats, "host").select(
+        F.col("host").alias("group"),
+        F.col("pending").alias("tokens"),
+        "weight",
+        "uncapped",
+        "quota",
+    )

@@ -6680,6 +6680,73 @@ FROM rk, lo
 """
 
 
+_MIX_BUDGET = 50_000
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing budgets (operators/sampling.py
+    temperature_budgets — the α-sampling of multilingual LM recipes at
+    the exact-integer temperature α = 1/2): per-source token totals →
+    exact isqrt weights → Hamilton division of a 50k-token budget,
+    Σ uncapped == budget precisely, quotas clamped to availability.
+    The oracle replicates the isqrt correction AND the HUGEINT
+    largest-remainder fold."""
+    from .operators.sampling import temperature_budgets
+
+    d = _docs(spark, sf_dir)
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))
+    docs = d.select("source", toks.cast("long").alias("n_tok"))
+    return temperature_budgets(docs, "source", "n_tok", _MIX_BUDGET)
+
+
+ORACLE_TEMPERATURE_MIX = rf"""
+WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              w -> w != '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+g AS (SELECT source, SUM(n_tok)::BIGINT AS tokens FROM d GROUP BY source),
+w0 AS (
+  SELECT source, tokens,
+         CAST(floor(sqrt(tokens::DOUBLE)) AS BIGINT) AS s0
+  FROM g
+),
+w1 AS (
+  SELECT source, tokens,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1 ELSE s0 END AS s1
+  FROM w0
+),
+wt AS (
+  SELECT source, tokens,
+         CASE WHEN s1 * s1 > tokens THEN s1 - 1 ELSE s1 END AS weight
+  FROM w1
+),
+e AS (SELECT source, tokens, weight, weight::HUGEINT AS w,
+             (tokens > 0 AND weight > 0) AS el FROM wt),
+t AS (SELECT SUM(w) AS wsum FROM e WHERE el),
+base AS (
+  SELECT source, tokens, weight, el,
+         CASE WHEN el THEN ({_MIX_BUDGET}::HUGEINT * w) // t.wsum
+              ELSE 0::HUGEINT END AS b,
+         CASE WHEN el
+              THEN {_MIX_BUDGET}::HUGEINT * w
+                   - (({_MIX_BUDGET}::HUGEINT * w) // t.wsum) * t.wsum
+              ELSE (-1)::HUGEINT END AS rem
+  FROM e, t
+),
+lo AS (SELECT {_MIX_BUDGET}::HUGEINT - SUM(b) AS r FROM base),
+rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+       FROM base)
+SELECT source AS "group", tokens, weight,
+       CAST(b + CASE WHEN el AND rn <= lo.r THEN 1 ELSE 0 END AS BIGINT)
+           AS uncapped,
+       CAST(LEAST(b + CASE WHEN el AND rn <= lo.r THEN 1 ELSE 0 END,
+                  tokens::HUGEINT) AS BIGINT) AS quota
+FROM rk, lo
+"""
+
+
 # --------------------------------------------------------------------------
 # DUST parameter mining (learn junk query params from duplicate evidence)
 # --------------------------------------------------------------------------
@@ -7510,6 +7577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_wildcards": q_robots_wildcards,
     "robots_availability": q_robots_availability,
     "budget_apportion": q_budget_apportion,
+    "temperature_mix": q_temperature_mix,
     "dust_apply": q_dust_apply,
     "link_reciprocity": q_link_reciprocity,
     "shard_balance": q_shard_balance,
@@ -7656,6 +7724,7 @@ ORACLES: dict[str, str] = {
     "robots_wildcards": _robots_wild_oracle_sql(),
     "robots_availability": ORACLE_ROBOTS_AVAIL,
     "budget_apportion": ORACLE_BUDGET_APPORTION,
+    "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "dust_apply": ORACLE_DUST_APPLY,
     "link_reciprocity": ORACLE_LINK_RECIPROCITY,
     "shard_balance": ORACLE_SHARD_BALANCE,

@@ -158,3 +158,51 @@ def test_token_budget_stable_under_partitioning(spark):
         ).collect()
     }
     assert a == b
+
+
+class TestTemperatureBudgets:
+    def _run(self, spark, rows, budget, parts=3, **kw):
+        from bathyscaphe_spark.operators.sampling import temperature_budgets
+
+        df = spark.createDataFrame(rows, "source string, id long, n_tok long")
+        out = temperature_budgets(
+            df.repartition(parts), "source", "n_tok", budget, **kw
+        ).collect()
+        return {r.group: r.asDict() for r in out}
+
+    def test_sqrt_temperature_upweights_small_sources(self, spark):
+        rows = (
+            [("web", i, 1000) for i in range(100)]     # 100k tokens
+            + [("code", i, 100) for i in range(10)]    # 1k tokens
+            + [("wiki", i, 10) for i in range(4)]      # 40 tokens
+        )
+        got = self._run(spark, rows, 10_000)
+        assert sum(r["uncapped"] for r in got.values()) == 10_000
+        # exact isqrt weights
+        assert got["web"]["weight"] == 316      # isqrt(100000)
+        assert got["code"]["weight"] == 31      # isqrt(1000)
+        assert got["wiki"]["weight"] == 6       # isqrt(40)
+        # α=1/2 compression: 2500× tokens → ~53× budget, not 2500×
+        assert got["web"]["uncapped"] < 100 * got["wiki"]["uncapped"]
+        # quota clamps to what the source actually has
+        assert got["wiki"]["quota"] == 40 and got["wiki"]["uncapped"] > 40
+        assert got["web"]["quota"] == got["web"]["uncapped"]
+
+    def test_isqrt_exact_at_square_boundaries(self, spark):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.operators.sampling import isqrt_col
+
+        vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 10**12 - 1, 10**12,
+                (10**6 + 1) ** 2 - 1, (10**6 + 1) ** 2]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {r.x: r.s for r in df.select("x", isqrt_col(F.col("x")).alias("s")).collect()}
+        import math
+
+        assert got == {v: math.isqrt(v) for v in vals}
+
+    def test_partition_invariance(self, spark):
+        rows = [(f"s{i % 7}", i, (i * 31) % 900 + 1) for i in range(140)]
+        assert self._run(spark, rows, 7777, parts=1) == self._run(
+            spark, rows, 7777, parts=13
+        )
