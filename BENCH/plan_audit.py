@@ -37,6 +37,8 @@ SCALAR_ATTACH_OK = {
     "corpus_release",
     # weight-total and leftover are 1-row aggregates attached back
     "budget_apportion",
+    # composes allocate_budget, inheriting its 1-row scalar attaches
+    "temperature_mix",
 }
 # bounded broadcast small-side expansion: IVF assignment is docs ×
 # broadcast(n_cells=16 centroid rows) — the documented O(n·cells)
