@@ -131,6 +131,13 @@ class CrawlConfig:
     # dead-or-alive blacklister.
     reputation_enabled: bool = False
     reputation_weight: int = 1000
+    # frontier priority AGING (starvation guard): under politeness /
+    # global-cap budgets a low-priority deep URL can requeue forever —
+    # with a boost > 0 its rank-time priority grows by
+    # age_boost_per_round for every full round since discovered_ts, so
+    # every deferred row eventually outranks fresh shallow ones.
+    # Rank-time only (_base_priority restore), default off.
+    age_boost_per_round: int = 0
     # global per-round fetch cap: after the per-host politeness rank,
     # keep only the top-K rows in the deterministic cross-host priority
     # order (TakeOrdered — no full sort materializes).  This is the

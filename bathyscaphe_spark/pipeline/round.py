@@ -351,6 +351,28 @@ def run_round(
                 )
                 .drop("_rep_dem")
             )
+    # starvation guard: rank-time priority grows with full rounds
+    # waited since discovery (discovered_ts survives every requeue —
+    # the `round` column does not), so budget-deferred rows cannot
+    # starve.  Same _base_priority contract as the boosts above.
+    if config.age_boost_per_round:
+        if "_base_priority" not in frontier.columns:
+            frontier = frontier.withColumn(
+                "_base_priority", F.col("priority")
+            )
+        age_rounds = F.expr(
+            f"CAST(({BASE_TS + round_n * ROUND_INTERVAL_S}"
+            f" - unix_seconds(discovered_ts)) DIV {ROUND_INTERVAL_S}"
+            " AS INT)"
+        )
+        frontier = frontier.withColumn(
+            "priority",
+            (
+                F.col("priority")
+                + F.greatest(F.lit(0), age_rounds)
+                * config.age_boost_per_round
+            ).cast("int"),
+        )
     n_frontier_rows = catalog.rows_in_round("frontier", round_n)
     if config.round_fetch_budget:
         # global cross-host cap: the TakeOrdered cut is not a per-row

@@ -141,3 +141,81 @@ def test_off_path_unchanged(spark, universe):
         ha = sorted(r["url_hash"] for r in fa.select("url_hash").collect())
         hb = sorted(r["url_hash"] for r in fb.select("url_hash").collect())
         assert ha == hb
+
+
+class TestPriorityAging:
+    """Starvation guard (config.age_boost_per_round)."""
+
+    def _one_round(self, spark, universe, cfg):
+        """run_round over a handcrafted round-0 frontier: an OLD deep
+        row (5 rounds waited) vs fresh shallow rows on other hosts —
+        the shape aging exists for (BFS universes are depth-monotone:
+        older is shallower there, so aging never binds; a recrawl pump
+        / link-boost frontier is not)."""
+        import tempfile
+
+        from bathyscaphe_spark.functions.fnv import fnv1_64
+        from bathyscaphe_spark.pipeline.round import (
+            BASE_TS,
+            ROUND_INTERVAL_S,
+            run_round,
+        )
+        from bathyscaphe_spark.pipeline.synth import build_host_status
+
+        pages, _, _ = universe
+        hosts = [r["host"] for r in pages.select("host").distinct().limit(4).collect()]
+        urls = [r["url"] for r in pages.select("url", "host").groupBy("host")
+                .agg(F.min("url").alias("url")).where(F.col("host").isin(hosts))
+                .select("url").collect()]
+        rows = []
+        for i, u in enumerate(urls):
+            old = i == 0
+            rows.append((
+                u, hosts[0] if False else None, 5 if old else 0,
+                950 if old else 1000,
+                BASE_TS - (5 * ROUND_INTERVAL_S if old else 0),
+            ))
+        df = spark.createDataFrame(
+            [(u, d, p, ts) for (u, _, d, p, ts) in rows],
+            "url string, depth int, priority int, ts long",
+        ).selectExpr(
+            "url", "depth", "priority",
+            "timestamp_seconds(ts) AS discovered_ts",
+        )
+        from bathyscaphe_spark.functions.urltools import url_host
+
+        delta = df.select(
+            "url",
+            fnv1_64(F.col("url")).alias("url_hash"),
+            url_host(F.col("url")).alias("host"),
+            "depth", "priority", "discovered_ts",
+            F.lit(0).alias("round"),
+        )
+        root = tempfile.mkdtemp(prefix="aging_round_")
+        cat = TableCatalog(spark, root)
+        cat.stage_round("frontier", delta, 0)
+        cat.commit_round(0, ["frontier"], extra={"bootstrap": True})
+        run_round(cat, pages, build_host_status(pages), cfg, 0)
+        # the fetched set IS the committed resources table
+        res = cat.read_round("resources", 0)
+        return {r["url"] for r in res.select("url").collect()}
+
+    def test_aged_deep_row_wins_only_with_boost(self, spark, universe):
+        base = dict(bloom_enabled=False, per_host_budget=1,
+                    round_fetch_budget=1)
+        on = self._one_round(
+            spark, universe, CrawlConfig(age_boost_per_round=50, **base)
+        )
+        off = self._one_round(spark, universe, CrawlConfig(**base))
+        assert len(on) == 1 and len(off) == 1
+        # with aging: 950 + 5*50 = 1200 beats the fresh 1000s;
+        # without: a fresh depth-0 priority-1000 row wins
+        assert on != off
+
+    def test_aging_is_deterministic(self, spark, universe):
+        base = dict(bloom_enabled=False, per_host_budget=3,
+                    round_fetch_budget=12, age_boost_per_round=50)
+        _, st_a = _run(spark, universe, CrawlConfig(**base), rounds=3)
+        _, st_b = _run(spark, universe, CrawlConfig(**base), rounds=3)
+        assert [s.scheduled for s in st_a] == [s.scheduled for s in st_b]
+        assert [s.discovered for s in st_a] == [s.discovered for s in st_b]
