@@ -291,3 +291,33 @@ def card_scrub_cols(text: Column) -> dict[str, Column]:
         "scrubbed": scrubbed,
         "n_cards": F.size(valid).cast("long"),
     }
+
+
+# Unicode script ranges in \x{...} form — the ONE range syntax Java
+# regex and RE2 read identically (Java's \p{IsCyrillic} vs RE2's
+# \p{Cyrillic} would silently diverge); shared verbatim with the oracle.
+_LATIN = "A-Za-z"
+_CYRILLIC = "\\x{0400}-\\x{04FF}"
+_GREEK = "\\x{0370}-\\x{03FF}"
+MIXED_TOKEN_RE = (
+    f"[{_LATIN}][^\\s]*[{_CYRILLIC}{_GREEK}]"
+    f"|[{_CYRILLIC}{_GREEK}][^\\s]*[{_LATIN}]"
+)
+
+
+def script_mix_cols(text: Column) -> dict[str, Column]:
+    """(latin_chars, cyrillic_chars, greek_chars, mixed_tokens,
+    clean) — the homoglyph-spoof signal: a token mixing Latin with
+    Cyrillic/Greek letters ('pаypal' with U+0430) is the classic
+    phishing / SEO-cloak tell that per-script character counts alone
+    miss (a legitimately bilingual page mixes scripts across tokens,
+    never inside one).  Pure codegen regexp counts, map-only."""
+    return {
+        "latin_chars": F.regexp_count(text, F.lit(f"[{_LATIN}]")).cast("long"),
+        "cyrillic_chars": F.regexp_count(
+            text, F.lit(f"[{_CYRILLIC}]")
+        ).cast("long"),
+        "greek_chars": F.regexp_count(text, F.lit(f"[{_GREEK}]")).cast("long"),
+        "mixed_tokens": F.regexp_count(text, F.lit(MIXED_TOKEN_RE)).cast("long"),
+        "clean": F.regexp_count(text, F.lit(MIXED_TOKEN_RE)) == 0,
+    }

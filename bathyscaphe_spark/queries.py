@@ -6680,6 +6680,59 @@ FROM rk, lo
 """
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph / mixed-script spam signal (functions/textstats.py
+    script_mix_cols): tokens mixing Latin with Cyrillic or Greek
+    letters flag; bilingual text with script-separated tokens stays
+    clean.  Fixture plants (by doc_id mod 4) a Cyrillic-а 'pаypal'
+    spoof, a Greek-α 'αpple' spoof, clean bilingual Russian, or
+    nothing — both engines run the literal same \\x{...}-range
+    patterns (the one script syntax Java regex and RE2 share)."""
+    from .functions.textstats import script_mix_cols
+
+    d = _docs(spark, sf_dir)
+    fixture = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" pаypal login"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" αpple store"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.lit(" русский and english"))
+        .otherwise(F.lit("")),
+    )
+    c = script_mix_cols(fixture)
+    return d.select("doc_id", *[v.alias(k) for k, v in c.items()])
+
+
+ORACLE_SCRIPT_MIX = (
+    """
+WITH fixture AS (
+  SELECT doc_id, text ||
+    CASE doc_id % 4
+      WHEN 0 THEN ' pаypal login'
+      WHEN 1 THEN ' αpple store'
+      WHEN 2 THEN ' русский and english'
+      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS latin_chars,
+  CAST(len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS BIGINT)
+      AS cyrillic_chars,
+  CAST(len(regexp_extract_all(text, '[\\x{0370}-\\x{03FF}]')) AS BIGINT)
+      AS greek_chars,
+  CAST(len(regexp_extract_all(text,
+      '[A-Za-z][^\\s]*[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]'
+      || '|[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}][^\\s]*[A-Za-z]'))
+      AS BIGINT) AS mixed_tokens,
+  len(regexp_extract_all(text,
+      '[A-Za-z][^\\s]*[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]'
+      || '|[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}][^\\s]*[A-Za-z]')) = 0
+      AS clean
+FROM fixture
+"""
+)
+
+
 _MIX_BUDGET = 50_000
 
 
@@ -7527,6 +7580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "pii_scrub": q_pii_scrub,
     "card_scrub": q_card_scrub,
+    "script_mix": q_script_mix,
     "recrawl_priority": q_recrawl_priority,
     "adaptive_ttl": q_adaptive_ttl,
     "recrawl_due": q_recrawl_due,
@@ -7674,6 +7728,7 @@ ORACLES: dict[str, str] = {
     "token_budget": ORACLE_TOKEN_BUDGET,
     "pii_scrub": ORACLE_PII_SCRUB,
     "card_scrub": _card_oracle_sql(),
+    "script_mix": ORACLE_SCRIPT_MIX,
     "recrawl_priority": ORACLE_RECRAWL,
     "adaptive_ttl": ORACLE_ADAPTIVE_TTL,
     "recrawl_due": ORACLE_RECRAWL_DUE,

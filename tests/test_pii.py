@@ -154,3 +154,31 @@ class TestCardScrub:
                 break
         got = self._run(spark, [(1, f"a {c13} b {c19} c")])
         assert got[1] == (2, "a <CARD> b <CARD> c")
+
+
+class TestScriptMix:
+    def test_intra_token_mix_flags_bilingual_clean(self, spark):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.functions.textstats import script_mix_cols
+
+        rows = [
+            (1, "normal latin text only"),
+            (2, "pаypal login here"),       # Cyrillic а inside token
+            (3, "рус text apart"),  # separated scripts: clean
+            (4, "αpple greek spoof"),        # Greek α leading token
+            (5, "end-mix logиn"),            # Cyrillic и at token end
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        c = script_mix_cols(F.col("text"))
+        got = {
+            r.id: (r.mixed_tokens, r.clean)
+            for r in df.select("id", *[v.alias(k) for k, v in c.items()]).collect()
+        }
+        assert got[1] == (0, True)
+        assert got[2] == (1, False)
+        assert got[3] == (0, True)
+        assert got[4] == (1, False)
+        assert got[5] == (1, False)
+        assert got[6] == (None, None)
