@@ -363,3 +363,18 @@ def aimd_delay(
     return fetch_rounds.select("host", "round", "timeouts").groupBy(
         "host"
     ).applyInPandas(_fold, schema="host string, round int, delay_ms long")
+
+
+def aged_priority_col(now_s: int, boost: int, interval_s: int = 3600):
+    """Rank-time aged priority (starvation guard): base priority plus
+    ``boost`` for every full ``interval_s`` since ``discovered_ts``
+    (clamped at zero for future timestamps).  Pure integer codegen —
+    the exact expression ``run_round`` applies under
+    ``config.age_boost_per_round``."""
+    age = F.expr(
+        f"CAST(({now_s} - unix_seconds(discovered_ts))"
+        f" DIV {interval_s} AS INT)"
+    )
+    return (
+        F.col("priority") + F.greatest(F.lit(0), age) * F.lit(int(boost))
+    ).cast("int")

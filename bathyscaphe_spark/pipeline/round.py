@@ -356,22 +356,19 @@ def run_round(
     # the `round` column does not), so budget-deferred rows cannot
     # starve.  Same _base_priority contract as the boosts above.
     if config.age_boost_per_round:
+        from ..operators.politeness import aged_priority_col
+
         if "_base_priority" not in frontier.columns:
             frontier = frontier.withColumn(
                 "_base_priority", F.col("priority")
             )
-        age_rounds = F.expr(
-            f"CAST(({BASE_TS + round_n * ROUND_INTERVAL_S}"
-            f" - unix_seconds(discovered_ts)) DIV {ROUND_INTERVAL_S}"
-            " AS INT)"
-        )
         frontier = frontier.withColumn(
             "priority",
-            (
-                F.col("priority")
-                + F.greatest(F.lit(0), age_rounds)
-                * config.age_boost_per_round
-            ).cast("int"),
+            aged_priority_col(
+                BASE_TS + round_n * ROUND_INTERVAL_S,
+                config.age_boost_per_round,
+                ROUND_INTERVAL_S,
+            ),
         )
     n_frontier_rows = catalog.rows_in_round("frontier", round_n)
     if config.round_fetch_budget:

@@ -358,6 +358,59 @@ FROM ranked WHERE fetch_rank <= 5
 """
 
 
+def q_aging_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Starvation-guard aged rank (operators/politeness.py
+    aged_priority_col — the exact expression run_round applies under
+    config.age_boost_per_round) through the REAL two-phase salted
+    rank: rows waited 1..6 rounds, boost 8/round (deliberately not a
+    multiple of the 10-point depth step so aging genuinely reorders),
+    per-host budget 5.  The oracle recomputes the aged priority and
+    the windowed rank arithmetically."""
+    from .operators.politeness import aged_priority_col, rank_frontier
+
+    base_s = 1603973049
+    f = _docs(spark, sf_dir).selectExpr(
+        f"{LINK1} AS url",
+        "'host' || CAST(doc_id % 23 AS STRING) || '.onion' AS host",
+        "CAST(doc_id % 8 AS INT) AS depth",
+        "CAST(1000 - (doc_id % 8) * 10 AS INT) AS priority",
+        f"timestamp_seconds({base_s} - (doc_id % 6) * 3600)"
+        " AS discovered_ts",
+    )
+    f = f.withColumn("url_hash", fnv1_64(F.col("url"))).withColumn(
+        "priority", aged_priority_col(base_s + 3600, 8)
+    )
+    out = rank_frontier(f, CrawlConfig(per_host_budget=5))
+    return out.select(
+        "url", "host",
+        F.col("priority").cast("long").alias("aged_priority"),
+        F.col("fetch_rank").cast("long").alias("fetch_rank"),
+    )
+
+
+ORACLE_AGING_RANK = f"""
+WITH f AS (
+  SELECT {LINK1} AS url,
+         'host' || CAST(doc_id % 23 AS STRING) || '.onion' AS host,
+         doc_id % 8 AS depth,
+         to_timestamp(1603973049 - (doc_id % 6) * 3600) AS discovered_ts,
+         1000 - (doc_id % 8) * 10 + (1 + doc_id % 6) * 8 AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT url, host, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY priority DESC, depth ASC, discovered_ts ASC, url ASC
+         ) AS fetch_rank
+  FROM f
+)
+SELECT url, host, CAST(priority AS BIGINT) AS aged_priority,
+       CAST(fetch_rank AS BIGINT) AS fetch_rank
+FROM ranked WHERE fetch_rank <= 5
+"""
+
+
 def q_o1_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots Crawl-delay → per-host politeness budgets through the REAL
     parser and rank: hosts ≡ 0 (mod 3) advertise Crawl-delay 30
@@ -7546,6 +7599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d1_bloom_incremental": q_d1_bloom_incremental,
     "d1_bloom_shardfiles": q_d1_bloom_shardfiles,
     "o1_priority_rank": q_o1_priority_rank,
+    "aging_rank": q_aging_rank,
     "a1_host_timeouts": q_a1_host_timeouts,
     "host_reputation": q_host_reputation,
     "s4_fetch_join": q_s4_fetch_join,
@@ -7691,6 +7745,7 @@ ORACLES: dict[str, str] = {
     "d1_bloom_incremental": ORACLE_D1,
     "d1_bloom_shardfiles": ORACLE_D1,
     "o1_priority_rank": ORACLE_O1,
+    "aging_rank": ORACLE_AGING_RANK,
     "a1_host_timeouts": ORACLE_A1,
     "host_reputation": ORACLE_HOST_REPUTATION,
     "s4_fetch_join": ORACLE_S4,
