@@ -587,6 +587,93 @@ FROM scored
 """
 
 
+def q_reputation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reputation DEMOTION applied — host_reputation over the
+    capture-evidence fixture, ((1000 − reputation_pm) · w) DIV 1000
+    subtracted from an arithmetic frontier's priorities (the exact
+    expression run_round applies under config.reputation_enabled),
+    then the REAL two-phase rank + global top-100 cut.  Pins the
+    demotion arithmetic and the cut the pipeline tests assert
+    behaviorally."""
+    from .operators.blacklister import host_reputation
+    from .operators.politeness import global_fetch_cap, rank_frontier
+
+    _docs(spark, sf_dir)
+    recip = spark.createDataFrame(
+        [("h11", "h12", True), ("h13", "h14", False)],
+        "host_a string, host_b string, reciprocal boolean",
+    )
+    rep = host_reputation(spark.sql(_REPUTATION_FIXTURE_SQL), recip)
+    frontier = spark.sql(
+        """
+        SELECT 'http://h' || CAST(doc_id % 25 AS STRING) || '.ex/f'
+                   || CAST(doc_id AS STRING) AS url,
+               'h' || CAST(doc_id % 25 AS STRING) AS host,
+               CAST(doc_id % 4 AS INT) AS depth,
+               CAST(1000 - (doc_id % 4) * 10 AS INT) AS priority,
+               to_timestamp(1603973049) AS discovered_ts
+        FROM documents
+        """
+    )
+    frontier = frontier.withColumn("url_hash", fnv1_64(F.col("url")))
+    dem = rep.select(
+        "host",
+        F.expr("((1000 - reputation_pm) * 1000) DIV 1000")
+        .cast("int")
+        .alias("_d"),
+    )
+    demoted = (
+        frontier.join(dem, "host", "left")
+        .withColumn(
+            "priority",
+            (F.col("priority") - F.coalesce(F.col("_d"), F.lit(0)))
+            .cast("int"),
+        )
+        .drop("_d")
+    )
+    out = global_fetch_cap(
+        rank_frontier(demoted, CrawlConfig(per_host_budget=3)), 100
+    )
+    return out.select(
+        "url", "host",
+        F.col("priority").cast("long").alias("demoted_priority"),
+        F.col("fetch_rank").cast("long").alias("fetch_rank"),
+    )
+
+
+ORACLE_REPUTATION_RANK = f"""
+WITH rep AS (SELECT * FROM ({ORACLE_HOST_REPUTATION}) t),
+frontier AS (
+  SELECT 'http://h' || CAST(doc_id % 25 AS STRING) || '.ex/f'
+             || CAST(doc_id AS STRING) AS url,
+         'h' || CAST(doc_id % 25 AS STRING) AS host,
+         doc_id % 4 AS depth,
+         1000 - (doc_id % 4) * 10 AS priority,
+         to_timestamp(1603973049) AS discovered_ts
+  FROM documents
+),
+demoted AS (
+  SELECT f.url, f.host, f.depth, f.discovered_ts,
+         f.priority - coalesce(
+             ((1000 - r.reputation_pm) * 1000) // 1000, 0) AS priority
+  FROM frontier f LEFT JOIN rep r USING (host)
+),
+ranked AS (
+  SELECT url, host, priority, depth, discovered_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY priority DESC, depth ASC, discovered_ts ASC, url ASC
+         ) AS fetch_rank
+  FROM demoted
+)
+SELECT url, host, CAST(priority AS BIGINT) AS demoted_priority,
+       CAST(fetch_rank AS BIGINT) AS fetch_rank
+FROM ranked WHERE fetch_rank <= 3
+ORDER BY priority DESC, depth ASC, discovered_ts ASC, url ASC
+LIMIT 100
+"""
+
+
 def q_a1_host_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 per-host timeout counting + threshold promotion
     (blacklister.go:143-186; threshold=5) over timeouts synthesized from
@@ -7602,6 +7689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aging_rank": q_aging_rank,
     "a1_host_timeouts": q_a1_host_timeouts,
     "host_reputation": q_host_reputation,
+    "reputation_rank": q_reputation_rank,
     "s4_fetch_join": q_s4_fetch_join,
     "x9_sink_path": q_x9_sink_path,
     "x8_resource_text": q_x8_resource_text,
@@ -7748,6 +7836,7 @@ ORACLES: dict[str, str] = {
     "aging_rank": ORACLE_AGING_RANK,
     "a1_host_timeouts": ORACLE_A1,
     "host_reputation": ORACLE_HOST_REPUTATION,
+    "reputation_rank": ORACLE_REPUTATION_RANK,
     "s4_fetch_join": ORACLE_S4,
     "x9_sink_path": ORACLE_X9,
     "x8_resource_text": ORACLE_X8,
