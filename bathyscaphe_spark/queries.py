@@ -4723,6 +4723,63 @@ def q_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank crawl-priority scores (operators/graph.py
+    trustrank_fp — teleportation restricted to a vetted seed set, the
+    anti-spam counterpart of pagerank_priority over the SAME host
+    graph): trusted seeds = hosts ≡ 0 (mod 7) in the primary range,
+    so the fixture's leaf hosts (97..127, reachable only via links)
+    earn trust strictly by propagation and any unreached node pins the
+    exact-zero contract.  3 iterations, integer micro-units,
+    bit-identical at any parallelism."""
+    from .operators.graph import trustrank_fp
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL)
+    trusted = spark.sql(
+        f"SELECT DISTINCT node FROM (SELECT src AS node FROM ({_EDGES_SQL})"
+        f" UNION SELECT dst FROM ({_EDGES_SQL})) t"
+        " WHERE node % 7 = 0 AND node < 97"
+    )
+    return trustrank_fp(edges, trusted, iters=3).select(
+        "node", F.col("trust_fp").cast("long").alias("trust_fp")
+    )
+
+
+def _trustrank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB reimplementation of trustrank_fp (same
+    discipline as _pagerank_oracle_sql; seed-restricted base term)."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "tagged AS (SELECT node,"
+        " CASE WHEN node % 7 = 0 AND node < 97 THEN 1 ELSE 0 END AS t"
+        " FROM nodes),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "params AS (SELECT SUM(t) AS nt FROM tagged),",
+        f"r0 AS (SELECT node, t * ({_PR_SCALE} // (SELECT nt FROM params))"
+        " AS trust_fp FROM tagged)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", r{i + 1} AS (
+  SELECT g.node,
+         g.t * ((15 * {_PR_SCALE}) // (100 * (SELECT nt FROM params)))
+         + COALESCE(SUM((r{i}.trust_fp * 85) // (100 * deg.outdeg)), 0)
+             AS trust_fp
+  FROM tagged g
+  LEFT JOIN edges e ON e.dst = g.node
+  LEFT JOIN r{i} ON r{i}.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY g.node, g.t
+)"""
+        )
+    parts.append(
+        f"SELECT node, CAST(trust_fp AS BIGINT) AS trust_fp FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
 def _pagerank_oracle_sql(iters: int = 3) -> str:
     """DuckDB reimplementation: the same fixed-point recurrence unrolled
     into one CTE per iteration (// is BIGINT floor division)."""
@@ -7798,6 +7855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_customers": q_rollup_customers,
     "supplier_topk": q_supplier_topk,
     "pagerank_priority": q_pagerank_priority,
+    "trustrank": q_trustrank,
     "corpus_build": q_corpus_build,
     "streaming_dedup": q_streaming_dedup,
     "streaming_dedup_native": q_streaming_dedup_native,
@@ -7950,6 +8008,7 @@ ORACLES: dict[str, str] = {
     "rollup_customers": ORACLE_ROLLUP,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "pagerank_priority": _pagerank_oracle_sql(),
+    "trustrank": _trustrank_oracle_sql(),
     "corpus_build": ORACLE_CORPUS_BUILD,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_dedup_native": ORACLE_STREAMING_DEDUP,

@@ -388,3 +388,43 @@ class TestFocusedPriority:
         assert self._run(spark, pages, w, parts=1) == self._run(
             spark, pages, w, parts=11
         )
+
+
+class TestTrustRank:
+    def _run(self, spark, edges, trusted, iters=3, parts=3):
+        from bathyscaphe_spark.operators.graph import trustrank_fp
+
+        e = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        t = spark.createDataFrame([(x,) for x in trusted], "node long")
+        return {
+            r.node: r.trust_fp for r in trustrank_fp(e, t, iters=iters).collect()
+        }
+
+    def test_trust_decays_and_spam_scores_zero(self, spark):
+        # trusted chain 1→2→3; farm 10↔11 also links INTO 2 but gets
+        # nothing back — the farm itself must score exactly 0
+        got = self._run(spark, [(1, 2), (2, 3), (10, 11), (11, 10), (10, 2)], [1])
+        assert got[1] > got[2] > got[3] > 0
+        assert got[10] == 0 and got[11] == 0
+        # node 1 holds the full teleport share: (15*SCALE)//(100*1)
+        from bathyscaphe_spark.operators.graph import SCALE
+
+        assert got[1] == (15 * SCALE) // 100
+
+    def test_empty_trusted_set_all_zero(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3)], [])
+        assert set(got.values()) == {0}
+
+    def test_trusted_outside_graph_ignored_in_base_but_counted(self, spark):
+        # a trusted node absent from the graph still dilutes |T| only if
+        # it intersects nodes — distinct+join means it does NOT appear
+        got = self._run(spark, [(1, 2)], [1, 99])
+        assert 99 not in got  # not a graph node → no row
+        assert got[1] > 0
+
+    def test_partition_invariance_bit_identical(self, spark):
+        edges = [((i * 7) % 23, (i * 5 + 1) % 23) for i in range(60)]
+        edges = [(a, b) for a, b in edges if a != b]
+        a = self._run(spark, edges, [0, 7, 14], parts=1)
+        b = self._run(spark, edges, [0, 7, 14], parts=13)
+        assert a == b
