@@ -4361,6 +4361,50 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, "doc_id", "text")
 
 
+def q_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record classification (sources/warc.py
+    mark_revisits — the identical-payload-digest storage dedup Common
+    Crawl/Heritrix apply: first capture of a (url, digest) stores the
+    body, later ones store a pointer).  Fixture: 100 URLs × 5 captures
+    each with bodies cycling mod 200, so every URL's 3rd-generation
+    captures revisit its 1st and the 'content changed then changed
+    BACK' case pins refers-to-the-ORIGINAL.  The engine groups by
+    xxhash64 digest; the digest value is engine-internal, so the
+    oracle groups on the body itself — same partition, same verdicts."""
+    from .sources.warc import mark_revisits
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        "'http://h.onion/p' || CAST(doc_id % 100 AS STRING) AS url",
+        "to_timestamp(1714564800 + doc_id) AS warc_ts",
+        "CAST('B' || CAST(doc_id % 200 AS STRING) AS BINARY) AS html",
+    )
+    return mark_revisits(pages).drop("digest")
+
+
+ORACLE_WARC_REVISITS = """
+WITH p AS (
+  SELECT 'http://h.onion/p' || CAST(doc_id % 100 AS STRING) AS url,
+         CAST(to_timestamp(1714564800 + doc_id) AS TIMESTAMP) AS warc_ts,
+         'B' || CAST(doc_id % 200 AS STRING) AS body
+  FROM documents
+), w AS (
+  SELECT url, warc_ts, body,
+         row_number() OVER (PARTITION BY url, body
+                            ORDER BY warc_ts, url) AS rn,
+         first(warc_ts) OVER (PARTITION BY url, body
+                              ORDER BY warc_ts, url) AS first_ts
+  FROM p
+)
+SELECT url, warc_ts,
+       CASE WHEN rn > 1 THEN 'revisit' ELSE 'response' END AS record_type,
+       CASE WHEN rn > 1 THEN first_ts END AS refers_to_ts,
+       CAST(CASE WHEN rn > 1 THEN octet_length(encode(body)) ELSE 0 END
+            AS BIGINT) AS saved_octets
+FROM w
+"""
+
+
 def q_zipnum_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZipNum secondary index (sources/warc.py zipnum_index — pywb's
     cluster.idx layer: one row per gzip block of the sharded, sorted
@@ -7774,6 +7818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surt_key": q_surt_key,
     "cdx_index": q_cdx_index,
     "zipnum_index": q_zipnum_index,
+    "warc_revisits": q_warc_revisits,
     "cdx_latest": q_cdx_latest,
     "corpus_sample": q_corpus_sample,
     "token_budget": q_token_budget,
@@ -7925,6 +7970,7 @@ ORACLES: dict[str, str] = {
     "surt_key": ORACLE_SURT,
     "cdx_index": ORACLE_CDX,
     "zipnum_index": ORACLE_ZIPNUM,
+    "warc_revisits": ORACLE_WARC_REVISITS,
     "cdx_latest": ORACLE_CDX_LATEST,
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "token_budget": ORACLE_TOKEN_BUDGET,

@@ -748,3 +748,47 @@ def write_zipnum(
         .collect()
     )
     return int(sum(r["n"] for r in counts))
+
+
+def mark_revisits(pages: DataFrame) -> DataFrame:
+    """Classify captures as ``response`` vs ``revisit`` records — the
+    web-archive storage dedup (WARC 1.1 ``revisit`` +
+    identical-payload-digest profile, the convention Common Crawl and
+    Heritrix apply): the FIRST capture of a payload digest per URL
+    stores the body; every later capture of the same (url, digest)
+    stores only a pointer to the original's (url, ts).  At recrawl
+    cadence this is most of an archive's bytes.
+
+    Relational contract: one window over (url, digest) ordered by
+    (warc_ts, url) — rows rank 1 are responses; later rows carry
+    ``refers_to_ts`` = the original's timestamp.  Cross-URL identical
+    bodies do NOT alias (the profile's url-scoped variant — the
+    deterministic choice that never needs a global digest registry at
+    write time).
+
+    One shuffle keyed on (url, digest) — bounded by captures-per-URL,
+    the same skew story as ``latest_captures``.  Output: (url, warc_ts,
+    digest, record_type, refers_to_ts, saved_octets).
+    """
+    from pyspark.sql import Window
+
+    digest = F.xxhash64(F.col("html"))
+    w = Window.partitionBy("url", "_d").orderBy("warc_ts", "url")
+    tagged = (
+        pages.withColumn("_d", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_first_ts", F.first("warc_ts").over(w))
+    )
+    is_rev = F.col("_rn") > 1
+    return tagged.select(
+        "url",
+        "warc_ts",
+        F.col("_d").alias("digest"),
+        F.when(is_rev, F.lit("revisit")).otherwise(F.lit("response"))
+        .alias("record_type"),
+        F.when(is_rev, F.col("_first_ts")).alias("refers_to_ts"),
+        F.when(is_rev, F.octet_length(F.col("html").cast("string")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("saved_octets"),
+    )

@@ -468,3 +468,49 @@ class TestZipnum:
             by_shard.setdefault(k[0][0], []).append(k)
         for sh, ks in by_shard.items():
             assert ks == sorted(ks)
+
+
+class TestRevisits:
+    def test_url_scoped_digest_dedup(self, spark):
+        import datetime
+
+        from bathyscaphe_spark.sources.warc import mark_revisits
+
+        rows = [
+            ("u1", datetime.datetime(2024, 1, 1), b"<p>same</p>"),
+            ("u1", datetime.datetime(2024, 1, 2), b"<p>same</p>"),
+            ("u1", datetime.datetime(2024, 1, 3), b"<p>changed</p>"),
+            ("u1", datetime.datetime(2024, 1, 4), b"<p>same</p>"),
+            ("u2", datetime.datetime(2024, 1, 1), b"<p>same</p>"),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+        got = {
+            (r.url, r.warc_ts.day): (r.record_type, r.refers_to_ts and r.refers_to_ts.day)
+            for r in mark_revisits(df.repartition(3)).collect()
+        }
+        assert got[("u1", 1)] == ("response", None)
+        assert got[("u1", 2)] == ("revisit", 1)
+        assert got[("u1", 3)] == ("response", None)   # new digest
+        # content changed BACK: refers to the ORIGINAL, not the latest
+        assert got[("u1", 4)] == ("revisit", 1)
+        # cross-URL identical bodies never alias (url-scoped profile)
+        assert got[("u2", 1)] == ("response", None)
+
+    def test_saved_octets_and_partition_invariance(self, spark):
+        import datetime
+
+        from bathyscaphe_spark.sources.warc import mark_revisits
+
+        rows = [
+            (f"u{i % 5}", datetime.datetime(2024, 1, 1 + i // 5),
+             f"body-{(i % 10) % 3}".encode())
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+        a = {(r.url, r.warc_ts): (r.record_type, r.refers_to_ts, r.saved_octets)
+             for r in mark_revisits(df.repartition(1)).collect()}
+        b = {(r.url, r.warc_ts): (r.record_type, r.refers_to_ts, r.saved_octets)
+             for r in mark_revisits(df.repartition(11)).collect()}
+        assert a == b
+        for (_, _), (t, _, octets) in a.items():
+            assert (octets > 0) == (t == "revisit")
