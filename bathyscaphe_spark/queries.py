@@ -3962,6 +3962,40 @@ FROM chunked GROUP BY host, chunk
 """
 
 
+def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host sitemapindex over the generated chunks (sources/
+    sitemap.py sitemap_index_export — the protocol's second level;
+    read_sitemaps recognizes the output as is_index on the parse
+    side).  Same fixture as sitemap_export; the oracle composes that
+    query's oracle as a CTE and replicates the index bytes."""
+    from .sources.sitemap import sitemap_export, sitemap_index_export
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        "'h' || CAST(doc_id % 25 AS STRING) || '.onion' AS host",
+        "'http://h' || CAST(doc_id % 25 AS STRING) || '.onion/p'"
+        " || CAST(doc_id AS STRING) || '?id=' || CAST(doc_id AS STRING)"
+        " || '&ref=x' AS url",
+        "to_timestamp(1714564800 + doc_id * 3600) AS warc_ts",
+    )
+    return sitemap_index_export(sitemap_export(pages, max_urls=8))
+
+
+ORACLE_SITEMAP_INDEX = f"""
+WITH chunks AS ({ORACLE_SITEMAP_EXPORT})
+SELECT host, CAST(count(*) AS BIGINT) AS n_sitemaps,
+       CAST(sum(n_urls) AS BIGINT) AS total_urls,
+       '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+         || '<sitemapindex xmlns='
+         || '"http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10)
+         || string_agg('  <sitemap><loc>https://' || host || '/sitemap-'
+                       || CAST(chunk AS STRING) || '.xml</loc></sitemap>'
+                       || chr(10), '' ORDER BY chunk)
+         || '</sitemapindex>' || chr(10) AS xml
+FROM chunks GROUP BY host
+"""
+
+
 def q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-lastmod conditional refresh: join advertised lastmod
     against the engine's fetch history (fetch_meta) and fetch only what
@@ -7845,6 +7879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o1_delay_budget": q_o1_delay_budget,
     "sitemap_parse": q_sitemap_parse,
     "sitemap_export": q_sitemap_export,
+    "sitemap_index": q_sitemap_index,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "corpus_card": q_corpus_card,
@@ -7997,6 +8032,7 @@ ORACLES: dict[str, str] = {
     "o1_delay_budget": ORACLE_O1_DELAY,
     "sitemap_parse": ORACLE_SITEMAP,
     "sitemap_export": ORACLE_SITEMAP_EXPORT,
+    "sitemap_index": ORACLE_SITEMAP_INDEX,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_stats": ORACLE_QUALITY,
     "corpus_card": ORACLE_CORPUS_CARD,

@@ -181,3 +181,48 @@ def sitemap_export(
             ).alias("xml"),
         )
     )
+
+
+_SMI_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+)
+_SMI_FOOTER = "</sitemapindex>\n"
+
+
+def sitemap_index_export(chunks: DataFrame) -> DataFrame:
+    """Generate the per-host ``sitemapindex`` over ``sitemap_export``'s
+    chunks — the protocol's second level: a host past the 50k-URL
+    limit advertises one index document pointing at its chunk files
+    (``https://<host>/sitemap-<chunk>.xml``, the conventional layout
+    ``read_sitemaps`` already recognizes as ``is_index`` on the parse
+    side).  One groupBy(host) over the CHUNK table (already tiny —
+    1/50k of the URL count), byte-deterministic XML.
+
+    Output: (host, n_sitemaps, total_urls, xml).
+    """
+    entry = lambda s: F.concat(  # noqa: E731
+        F.lit("  <sitemap><loc>https://"),
+        s["host"],
+        F.lit("/sitemap-"),
+        s["chunk"].cast("string"),
+        F.lit(".xml</loc></sitemap>\n"),
+    )
+    return (
+        chunks.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_sitemaps"),
+            F.sum("n_urls").alias("total_urls"),
+            F.array_sort(F.collect_list(F.struct("chunk", "host"))).alias("a"),
+        )
+        .select(
+            "host",
+            "n_sitemaps",
+            "total_urls",
+            F.concat(
+                F.lit(_SMI_HEADER),
+                F.array_join(F.transform("a", entry), ""),
+                F.lit(_SMI_FOOTER),
+            ).alias("xml"),
+        )
+    )

@@ -119,3 +119,31 @@ class TestSitemapExport:
         b = {(r.host, r.chunk): r.xml
              for r in sitemap_export(df.repartition(11), max_urls=4).collect()}
         assert a == b
+
+
+class TestSitemapIndexExport:
+    def test_index_lists_chunks_and_roundtrips(self, spark):
+        import datetime
+
+        from bathyscaphe_spark.sources.sitemap import (
+            read_sitemaps,
+            sitemap_export,
+            sitemap_index_export,
+        )
+
+        rows = [
+            (f"h{i % 2}.ex", f"http://h{i % 2}.ex/p{i:02d}",
+             datetime.datetime(2024, 1, 1))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "host string, url string, warc_ts timestamp")
+        idx = sitemap_index_export(sitemap_export(df.repartition(5), max_urls=3))
+        got = {r.host: r for r in idx.collect()}
+        assert got["h0.ex"].n_sitemaps == 2 and got["h0.ex"].total_urls == 5
+        assert "sitemap-0.xml" in got["h0.ex"].xml
+        assert "sitemap-1.xml" in got["h0.ex"].xml
+        assert got["h0.ex"].xml.endswith("</sitemapindex>\n")
+        # the engine's own parser reads every entry back as is_index
+        back = read_sitemaps(idx.selectExpr("host", "xml AS body"))
+        assert back.count() == 4
+        assert back.where("NOT is_index").count() == 0
