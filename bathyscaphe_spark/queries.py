@@ -7011,6 +7011,78 @@ FROM fixture
 _MIX_BUDGET = 50_000
 
 
+def q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard release manifest — the reproducibility artifact a
+    dataset release ships beside its shards: documents deal to 8
+    token-balanced shards (operators/packing.py shard_balance), and
+    each shard row carries (n_docs, n_tokens, content_digest) where
+    the digest is md5 over the shard's sorted doc-id list — a reader
+    re-derives it and verifies the shard byte-for-byte.  Digest inputs
+    are sorted ids, so the manifest is bit-identical at any
+    parallelism; md5 is the one digest both engines expose over the
+    same string."""
+    from .operators.packing import shard_balance
+
+    d = _docs(spark, sf_dir)
+    toks = F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))
+    docs = d.select("doc_id", toks.cast("long").alias("n_tok"))
+    sharded = shard_balance(docs, "doc_id", "n_tok", n_shards=8, n_buckets=64)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.col("doc_id").cast("string"))
+                    ),
+                    ",",
+                )
+            ).alias("content_digest"),
+        )
+        .select("shard", "n_docs", "n_tokens", "content_digest")
+    )
+
+
+def _release_manifest_oracle_sql() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              w -> w != '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+         CAST(list_reduce(list_prepend(0::HUGEINT, list_transform(
+             string_split_regex(
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+             c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+           (a, b2) -> a * 16 + b2
+         ) % 64 AS BIGINT) AS bucket
+  FROM d
+),
+sums AS (SELECT bucket, SUM(n_tok) AS btok FROM b GROUP BY bucket),
+assign AS (
+  SELECT bucket,
+         CASE WHEN (rn % 16) < 8 THEN rn % 16
+              ELSE 15 - (rn % 16) END AS shard
+  FROM (SELECT bucket,
+               row_number() OVER (ORDER BY btok DESC, bucket ASC) - 1 AS rn
+        FROM sums)
+),
+sharded AS (SELECT b.doc_id, b.n_tok, a.shard
+            FROM b JOIN assign a USING (bucket))
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR))) AS content_digest
+FROM sharded GROUP BY shard
+"""
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled corpus mixing budgets (operators/sampling.py
     temperature_budgets — the α-sampling of multilingual LM recipes at
@@ -7911,6 +7983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_availability": q_robots_availability,
     "budget_apportion": q_budget_apportion,
     "temperature_mix": q_temperature_mix,
+    "release_manifest": q_release_manifest,
     "dust_apply": q_dust_apply,
     "link_reciprocity": q_link_reciprocity,
     "shard_balance": q_shard_balance,
@@ -8064,6 +8137,7 @@ ORACLES: dict[str, str] = {
     "robots_availability": ORACLE_ROBOTS_AVAIL,
     "budget_apportion": ORACLE_BUDGET_APPORTION,
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
+    "release_manifest": _release_manifest_oracle_sql(),
     "dust_apply": ORACLE_DUST_APPLY,
     "link_reciprocity": ORACLE_LINK_RECIPROCITY,
     "shard_balance": ORACLE_SHARD_BALANCE,
