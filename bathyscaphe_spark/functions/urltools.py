@@ -740,3 +740,53 @@ def path_template_filter(cand, templates, url_col: str = "url"):
         "left_anti",
     )
     return kept.drop("_tpl_host", "_tpl")
+
+
+# Confusable-skeleton mapping (UTS #39 idea, bounded to the high-value
+# Cyrillic/Greek lookalikes of lowercase Latin — the pairs IDN spoofs
+# actually use; extend the two strings in lockstep to grow coverage).
+# translate() is positional char-for-char in BOTH engines, so the
+# oracle runs the literal same pair of strings.
+CONFUSABLE_FROM = "аеорсухіѕјԁโασνο"
+CONFUSABLE_TO = "aeopcyxisjdlaovo"
+
+
+def skeleton_col(host):
+    """UTS #39-style confusable skeleton of a hostname: lowercase, then
+    fold known lookalike codepoints onto their Latin targets — two
+    hosts sharing a skeleton while differing as strings are an IDN
+    spoof pair (paypal.com vs pаypal.com)."""
+    from pyspark.sql import functions as F
+
+    return F.translate(
+        F.lower(host), CONFUSABLE_FROM, CONFUSABLE_TO
+    )
+
+
+def spoof_pairs(hosts, host_col: str = "host"):
+    """Detect IDN homoglyph spoof candidates: group hosts by confusable
+    skeleton, emit (skeleton, n_variants, variants) for skeletons with
+    ≥ 2 DISTINCT spellings — the crawl-side defense against
+    lookalike-domain phishing (public UTS #39 skeleton method; script
+    mixing inside TOKENS is ``script_mix_cols``' job, this catches
+    whole-label substitution where every char is one script).
+
+    One groupBy(skeleton) — skeletons are host-cardinality, the
+    blacklister's scale.  Variant lists sort for determinism; the cap
+    at 16 spellings bounds the row (a skeleton with more is one spoof
+    campaign — the count says so).
+    """
+    from pyspark.sql import functions as F
+
+    sk = skeleton_col(F.col(host_col))
+    return (
+        hosts.select(sk.alias("skeleton"), F.col(host_col).alias("h"))
+        .distinct()
+        .groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.slice(F.array_sort(F.collect_list("h")), 1, 16)
+            .alias("variants"),
+        )
+        .where(F.col("n_variants") >= 2)
+    )

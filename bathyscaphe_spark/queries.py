@@ -7008,6 +7008,46 @@ FROM fixture
 )
 
 
+def q_spoof_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN homoglyph spoof candidates (functions/urltools.py
+    spoof_pairs — UTS #39-style confusable skeleton fold via a
+    positional translate both engines run on the literal same
+    character strings): every tenth doc's host spells 'site' with a
+    Cyrillic ѕ, so exactly the skeletons sharing a legit spelling
+    flag with both variants listed."""
+    from .functions.urltools import spoof_pairs
+
+    d = _docs(spark, sf_dir)
+    hosts = d.selectExpr(
+        "CASE WHEN doc_id % 10 = 0"
+        " THEN 'ѕite' || CAST(doc_id % 20 AS STRING) || '.onion'"
+        " ELSE 'site' || CAST(doc_id % 20 AS STRING) || '.onion'"
+        " END AS host"
+    )
+    return spoof_pairs(hosts)
+
+
+def _spoof_oracle_sql() -> str:
+    from .functions.urltools import CONFUSABLE_FROM, CONFUSABLE_TO
+
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT CASE WHEN doc_id % 10 = 0
+      THEN 'ѕite' || CAST(doc_id % 20 AS STRING) || '.onion'
+      ELSE 'site' || CAST(doc_id % 20 AS STRING) || '.onion'
+      END AS h
+  FROM documents
+), sk AS (
+  SELECT translate(lower(h), '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}')
+             AS skeleton, h
+  FROM hosts
+)
+SELECT skeleton, CAST(count(*) AS BIGINT) AS n_variants,
+       (list_sort(list(h)))[1:16] AS variants
+FROM sk GROUP BY skeleton HAVING count(*) >= 2
+"""
+
+
 _MIX_BUDGET = 50_000
 
 
@@ -7931,6 +7971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "card_scrub": q_card_scrub,
     "script_mix": q_script_mix,
+    "spoof_hosts": q_spoof_hosts,
     "recrawl_priority": q_recrawl_priority,
     "adaptive_ttl": q_adaptive_ttl,
     "recrawl_due": q_recrawl_due,
@@ -8085,6 +8126,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "card_scrub": _card_oracle_sql(),
     "script_mix": ORACLE_SCRIPT_MIX,
+    "spoof_hosts": _spoof_oracle_sql(),
     "recrawl_priority": ORACLE_RECRAWL,
     "adaptive_ttl": ORACLE_ADAPTIVE_TTL,
     "recrawl_due": ORACLE_RECRAWL_DUE,

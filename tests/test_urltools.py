@@ -285,3 +285,33 @@ class TestRegisteredDomain:
         assert got["x.y.facebookcorewwwi.onion"] == (
             "onion", "facebookcorewwwi.onion",
         )
+
+
+class TestSpoofPairs:
+    def test_skeleton_collisions_flag_spoofs(self, spark):
+        from bathyscaphe_spark.functions.urltools import spoof_pairs
+
+        rows = [
+            ("paypal.com",), ("pаypal.com",),          # Cyrillic а
+            ("google.com",), ("gооgle.com",),          # Cyrillic о ×2
+            ("example.org",),                           # no twin
+            ("paypal.com",),                            # duplicate row
+        ]
+        df = spark.createDataFrame(rows, "host string")
+        got = {r.skeleton: (r.n_variants, list(r.variants))
+               for r in spoof_pairs(df.repartition(3)).collect()}
+        assert got["paypal.com"][0] == 2
+        assert "pаypal.com" in got["paypal.com"][1]
+        assert got["google.com"][0] == 2
+        assert "example.org" not in got  # singletons never flag
+
+    def test_case_fold_and_all_latin_pair(self, spark):
+        from bathyscaphe_spark.functions.urltools import spoof_pairs
+
+        # case difference alone is NOT a spoof (skeleton lowercases both
+        # spellings into one distinct host set entry? no — distinct
+        # STRINGS with one skeleton DO flag; that is correct for hosts
+        # since DNS is case-insensitive only pre-normalization)
+        df = spark.createDataFrame([("Site.com",), ("site.com",)], "host string")
+        got = spoof_pairs(df).collect()
+        assert len(got) == 1 and got[0].n_variants == 2
