@@ -378,3 +378,47 @@ def aged_priority_col(now_s: int, boost: int, interval_s: int = 3600):
     return (
         F.col("priority") + F.greatest(F.lit(0), age) * F.lit(int(boost))
     ).cast("int")
+
+
+def retry_after_budgets(
+    fetched: DataFrame,
+    round_period_s: int,
+    host_col: str = "host",
+    headers_col: str = "headers",
+    status_col: str = "status",
+) -> DataFrame:
+    """(host, budget) from ``Retry-After`` response headers (RFC 9110
+    §10.2.3) — the SERVER-driven politeness signal beside robots
+    Crawl-delay (advertised policy) and AIMD (inferred from failures):
+    a 429/503 carrying Retry-After: d means the host asked for d
+    seconds of backoff, translating to ⌊round_period / d⌋ fetches next
+    round (≥ 1), exactly the Crawl-delay arithmetic.
+
+    Only the delta-seconds form parses (pure codegen try_cast; the
+    HTTP-date form needs the response clock and is ignored — the
+    conservative documented choice).  Only 429/503 responses count —
+    a 200 carrying the header is advisory noise.  Per host the
+    LARGEST advertised delay wins (strictest).  Case-insensitive
+    header lookup matches the engine's header conventions (X7 paths
+    lowercase, Go-style paths canonicalize).
+
+    One map-side-combinable groupBy over the round's fetches — host
+    cardinality output, broadcast-sized, feeds ``rank_frontier``'s
+    host_budgets overlay like ``budgets_from_robots``.
+    """
+    ra = F.coalesce(
+        F.element_at(F.col(headers_col), "Retry-After"),
+        F.element_at(F.col(headers_col), "retry-after"),
+    )
+    secs = ra.try_cast("bigint")
+    relevant = fetched.where(
+        F.col(status_col).isin(429, 503) & (secs > 0)
+    ).select(F.col(host_col).alias("host"), secs.alias("_d"))
+    return relevant.groupBy("host").agg(
+        F.greatest(
+            F.lit(1),
+            F.expr(f"{int(round_period_s)} DIV max(_d)"),
+        )
+        .cast("int")
+        .alias("budget")
+    )

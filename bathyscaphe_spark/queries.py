@@ -358,6 +358,50 @@ FROM ranked WHERE fetch_rank <= 5
 """
 
 
+def q_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-After politeness budgets (operators/politeness.py
+    retry_after_budgets — RFC 9110 server-driven backoff, the third
+    delay signal beside robots Crawl-delay and AIMD).  Fixture
+    exercises every rule: 503/429 with numeric delays (both header
+    casings), a 200 carrying the header (ignored), the HTTP-date form
+    (unparsable ⇒ ignored), zero/absent values, and per-host max-wins
+    across captures."""
+    from .operators.politeness import retry_after_budgets
+
+    d = _docs(spark, sf_dir)
+    fetched = d.selectExpr(
+        "'h' || CAST(doc_id % 20 AS STRING) AS host",
+        "CAST(CASE doc_id % 4 WHEN 0 THEN 503 WHEN 1 THEN 429"
+        " WHEN 2 THEN 200 ELSE 503 END AS INT) AS status",
+        "CASE doc_id % 5"
+        " WHEN 0 THEN map('Retry-After', CAST(10 + doc_id % 50 AS STRING))"
+        " WHEN 1 THEN map('retry-after', CAST(1 + doc_id % 9 AS STRING))"
+        " WHEN 2 THEN map('Retry-After', 'Fri, 01 Jan 2027 00:00:00 GMT')"
+        " WHEN 3 THEN map('Retry-After', '0')"
+        " ELSE map() END AS headers",
+    )
+    return retry_after_budgets(fetched, round_period_s=60)
+
+
+ORACLE_RETRY_AFTER = """
+WITH f AS (
+  SELECT 'h' || CAST(doc_id % 20 AS STRING) AS host,
+         CASE doc_id % 4 WHEN 0 THEN 503 WHEN 1 THEN 429
+              WHEN 2 THEN 200 ELSE 503 END AS status,
+         CASE doc_id % 5
+           WHEN 0 THEN CAST(10 + doc_id % 50 AS BIGINT)
+           WHEN 1 THEN CAST(1 + doc_id % 9 AS BIGINT)
+           ELSE NULL END AS secs
+  FROM documents
+)
+SELECT host,
+       CAST(greatest(1, 60 // max(secs)) AS INT) AS budget
+FROM f
+WHERE status IN (429, 503) AND secs > 0
+GROUP BY host
+"""
+
+
 def q_aging_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Starvation-guard aged rank (operators/politeness.py
     aged_priority_col — the exact expression run_round applies under
@@ -7990,6 +8034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": q_semdedup_prune,
     "redirect_chains": q_redirect_chains,
     "o1_delay_budget": q_o1_delay_budget,
+    "retry_after": q_retry_after,
     "sitemap_parse": q_sitemap_parse,
     "sitemap_export": q_sitemap_export,
     "sitemap_index": q_sitemap_index,
@@ -8145,6 +8190,7 @@ ORACLES: dict[str, str] = {
     "ivf_train": ORACLE_IVF_TRAIN,
     "pq_topk": _pq_oracle_sql(),
     "o1_delay_budget": ORACLE_O1_DELAY,
+    "retry_after": ORACLE_RETRY_AFTER,
     "sitemap_parse": ORACLE_SITEMAP,
     "sitemap_export": ORACLE_SITEMAP_EXPORT,
     "sitemap_index": ORACLE_SITEMAP_INDEX,

@@ -91,3 +91,37 @@ def test_quotas_feed_rank_frontier(spark):
         for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"big.onion": 9, "small.onion": 1}
+
+
+class TestRetryAfter:
+    def _run(self, spark, rows, period=60, parts=3):
+        from bathyscaphe_spark.operators.politeness import retry_after_budgets
+
+        df = spark.createDataFrame(
+            rows, "host string, status int, headers map<string,string>"
+        )
+        return {
+            r.host: r.budget
+            for r in retry_after_budgets(df.repartition(parts), period).collect()
+        }
+
+    def test_parse_rules(self, spark):
+        got = self._run(spark, [
+            ("h1", 503, {"Retry-After": "30"}),
+            ("h1", 503, {"Retry-After": "10"}),   # strictest (max) wins
+            ("h2", 429, {"retry-after": "7"}),    # lowercase casing
+            ("h3", 200, {"Retry-After": "100"}),  # 200: advisory, ignored
+            ("h4", 503, {"Retry-After": "Fri, 01 Jan 2027 00:00:00 GMT"}),
+            ("h5", 503, {}),                      # absent
+            ("h6", 503, {"Retry-After": "0"}),    # zero: ignored
+            ("h7", 503, {"Retry-After": "600"}),  # huge: floor at 1
+        ])
+        assert got == {"h1": 2, "h2": 8, "h7": 1}
+
+    def test_partition_invariance(self, spark):
+        rows = [
+            (f"h{i % 5}", 503 if i % 2 else 429,
+             {"Retry-After": str(1 + i % 13)})
+            for i in range(40)
+        ]
+        assert self._run(spark, rows, parts=1) == self._run(spark, rows, parts=11)
