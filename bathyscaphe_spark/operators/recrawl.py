@@ -247,3 +247,63 @@ def recrawl_due(
         rts.alias("discovered_ts"),
         F.lit(round_n).cast("int").alias("round"),
     )
+
+
+def conditional_fetch_plan(
+    captures: DataFrame,
+    url_col: str = "url",
+    headers_col: str = "headers",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Plan conditional refetches from each URL's LATEST capture — the
+    HTTP revalidation economizer (RFC 9110 §13.1: send If-None-Match
+    when the server gave an ETag, else If-Modified-Since from
+    Last-Modified; a 304 costs headers, not the body): at recrawl
+    cadence most URLs are unchanged, so the validator header is the
+    cheapest bandwidth lever a crawler has — cheaper than any
+    content-hash dedup because the byte never ships.
+
+    Relational shape: latest capture per url (one window, the
+    ``latest_captures`` pick), then a pure-codegen header projection —
+    ETag outranks Last-Modified (strong beats heuristic), weak ETags
+    (``W/"..."``) are kept verbatim (RFC allows weak validators for
+    If-None-Match), and URLs with neither validator fall back to an
+    unconditional fetch row.  Case-insensitive header lookup, like the
+    rest of the engine.
+
+    Output: (url, validator — 'etag' | 'last-modified' | NULL,
+    cond_header, cond_value, n_captures).
+    """
+    from pyspark.sql import Window
+
+    etag = F.coalesce(
+        F.element_at(F.col(headers_col), "ETag"),
+        F.element_at(F.col(headers_col), "etag"),
+    )
+    lastmod = F.coalesce(
+        F.element_at(F.col(headers_col), "Last-Modified"),
+        F.element_at(F.col(headers_col), "last-modified"),
+    )
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).desc(), F.col(url_col).asc()
+    )
+    latest = (
+        captures.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_captures", F.count(F.lit(1)).over(Window.partitionBy(url_col))
+        )
+        .where(F.col("_rn") == 1)
+    )
+    validator = (
+        F.when(etag.isNotNull(), F.lit("etag"))
+        .when(lastmod.isNotNull(), F.lit("last-modified"))
+    )
+    return latest.select(
+        F.col(url_col).alias("url"),
+        validator.alias("validator"),
+        F.when(etag.isNotNull(), F.lit("If-None-Match"))
+        .when(lastmod.isNotNull(), F.lit("If-Modified-Since"))
+        .alias("cond_header"),
+        F.coalesce(etag, lastmod).alias("cond_value"),
+        F.col("n_captures").cast("long").alias("n_captures"),
+    )

@@ -358,6 +358,61 @@ FROM ranked WHERE fetch_rank <= 5
 """
 
 
+def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-refetch planning (operators/recrawl.py
+    conditional_fetch_plan — RFC 9110 revalidation: If-None-Match from
+    ETag, else If-Modified-Since from Last-Modified, else
+    unconditional).  Fixture: 100 URLs × 5 captures; header presence
+    varies BY CAPTURE (doc_id rules, both casings, weak ETags) so the
+    latest-capture pick is load-bearing — the oracle replicates the
+    window and the validator hierarchy."""
+    from .operators.recrawl import conditional_fetch_plan
+
+    d = _docs(spark, sf_dir)
+    captures = d.selectExpr(
+        "'http://h.onion/c' || CAST(doc_id % 100 AS STRING) AS url",
+        "CAST(to_timestamp(1714564800 + doc_id) AS TIMESTAMP) AS warc_ts",
+        "CASE doc_id % 4"
+        " WHEN 0 THEN map('ETag', '\"e' || CAST(doc_id AS STRING) || '\"')"
+        " WHEN 1 THEN map('etag', 'W/\"w' || CAST(doc_id AS STRING) || '\"',"
+        "               'Last-Modified', 'lm' || CAST(doc_id AS STRING))"
+        " WHEN 2 THEN map('last-modified', 'lm' || CAST(doc_id AS STRING))"
+        " ELSE map() END AS headers",
+    )
+    return conditional_fetch_plan(captures)
+
+
+ORACLE_CONDITIONAL_FETCH = """
+WITH c AS (
+  SELECT 'http://h.onion/c' || CAST(doc_id % 100 AS STRING) AS url,
+         CAST(to_timestamp(1714564800 + doc_id) AS TIMESTAMP) AS warc_ts,
+         CASE doc_id % 4
+           WHEN 0 THEN '"e' || CAST(doc_id AS STRING) || '"'
+           WHEN 1 THEN 'W/"w' || CAST(doc_id AS STRING) || '"'
+           ELSE NULL END AS etag,
+         CASE doc_id % 4
+           WHEN 1 THEN 'lm' || CAST(doc_id AS STRING)
+           WHEN 2 THEN 'lm' || CAST(doc_id AS STRING)
+           ELSE NULL END AS lastmod
+  FROM documents
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY url
+                               ORDER BY warc_ts DESC, url ASC) AS rn,
+         count(*) OVER (PARTITION BY url) AS n_captures
+  FROM c
+)
+SELECT url,
+       CASE WHEN etag IS NOT NULL THEN 'etag'
+            WHEN lastmod IS NOT NULL THEN 'last-modified' END AS validator,
+       CASE WHEN etag IS NOT NULL THEN 'If-None-Match'
+            WHEN lastmod IS NOT NULL THEN 'If-Modified-Since'
+       END AS cond_header,
+       coalesce(etag, lastmod) AS cond_value,
+       CAST(n_captures AS BIGINT) AS n_captures
+FROM latest WHERE rn = 1
+"""
+
+
 def q_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retry-After politeness budgets (operators/politeness.py
     retry_after_budgets — RFC 9110 server-driven backoff, the third
@@ -8035,6 +8090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_chains": q_redirect_chains,
     "o1_delay_budget": q_o1_delay_budget,
     "retry_after": q_retry_after,
+    "conditional_fetch": q_conditional_fetch,
     "sitemap_parse": q_sitemap_parse,
     "sitemap_export": q_sitemap_export,
     "sitemap_index": q_sitemap_index,
@@ -8191,6 +8247,7 @@ ORACLES: dict[str, str] = {
     "pq_topk": _pq_oracle_sql(),
     "o1_delay_budget": ORACLE_O1_DELAY,
     "retry_after": ORACLE_RETRY_AFTER,
+    "conditional_fetch": ORACLE_CONDITIONAL_FETCH,
     "sitemap_parse": ORACLE_SITEMAP,
     "sitemap_export": ORACLE_SITEMAP_EXPORT,
     "sitemap_index": ORACLE_SITEMAP_INDEX,

@@ -65,3 +65,53 @@ def test_single_shuffle_plan(spark):
 
     shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
     assert shuffles == 1, plan
+
+
+class TestConditionalFetch:
+    def test_validator_hierarchy_and_latest_pick(self, spark):
+        import datetime
+
+        from bathyscaphe_spark.operators.recrawl import conditional_fetch_plan
+
+        rows = [
+            ("u1", datetime.datetime(2024, 1, 1), {"ETag": '"abc"'}),
+            # latest capture wins; weak etag kept verbatim; etag
+            # outranks last-modified on the same response
+            ("u1", datetime.datetime(2024, 1, 2),
+             {"etag": 'W/"xyz"', "Last-Modified": "Mon, 01 Jan 2024 00:00:00 GMT"}),
+            ("u2", datetime.datetime(2024, 1, 1),
+             {"last-modified": "Tue, 02 Jan 2024 00:00:00 GMT"}),
+            ("u3", datetime.datetime(2024, 1, 1), {}),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, headers map<string,string>"
+        )
+        got = {
+            r.url: (r.validator, r.cond_header, r.cond_value, r.n_captures)
+            for r in conditional_fetch_plan(df.repartition(3)).collect()
+        }
+        assert got["u1"] == ("etag", "If-None-Match", 'W/"xyz"', 2)
+        assert got["u2"] == (
+            "last-modified", "If-Modified-Since",
+            "Tue, 02 Jan 2024 00:00:00 GMT", 1,
+        )
+        assert got["u3"] == (None, None, None, 1)
+
+    def test_partition_invariance(self, spark):
+        import datetime
+
+        from bathyscaphe_spark.operators.recrawl import conditional_fetch_plan
+
+        rows = [
+            (f"u{i % 7}", datetime.datetime(2024, 1, 1 + i % 20),
+             {"ETag": f'"{i % 3}"'} if i % 2 else {})
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, headers map<string,string>"
+        )
+        a = {r.url: r.cond_value
+             for r in conditional_fetch_plan(df.repartition(1)).collect()}
+        b = {r.url: r.cond_value
+             for r in conditional_fetch_plan(df.repartition(11)).collect()}
+        assert a == b
