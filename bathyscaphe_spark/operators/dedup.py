@@ -1045,3 +1045,133 @@ def mirror_pairs(
         )
         .where(F.col("overlap_permille") >= min_permille)
     )
+
+
+def exact_substr_clean(
+    docs: DataFrame,
+    min_len: int = 40,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, arXiv:2107.06499 —
+    public): every substring of length ≥ ``min_len`` chars that occurs
+    ≥ ``min_count`` times anywhere in the corpus — across documents OR
+    repeated inside one — is removed from EVERY occurrence; the
+    surviving segments are reassembled in original order.
+
+    Exact at gram granularity, no suffix array needed: a duplicated
+    substring of length M ≥ L is the union of its M−L+1 duplicated
+    L-grams, and every duplicated L-gram is itself a duplicated
+    length-L substring — so the union of duplicated-L-gram cover spans
+    IS the union of all duplicated substrings of length ≥ L.  The
+    published implementation builds a single-node suffix array; one
+    distributed L-gram count replaces it.
+
+    Output: (id, clean_text, n_dup_spans, covered_chars) — one row per
+    input document (short/clean docs pass through, fully-covered docs
+    yield '').
+
+    Scale design: positions come from ``sequence``+``explode`` (pure
+    JVM, no UDF); each gram is reduced to a 16-byte binary md5 BEFORE
+    the shuffle so the text never ships; the occurrence count is a
+    map-side-combinable COUNT(*) and the duplicated-hash set returns
+    via one semi-join; span merge is one per-doc window over hit
+    positions (for fixed L the span end is monotone in pos, so a
+    single lag detects islands); reassembly joins the doc text back
+    once by id.  Total shuffle is O(total_chars × ~20 bytes) — the
+    same order as the suffix-array construction, but partitioned.
+    """
+    from pyspark.sql.window import Window
+
+    L = int(min_len)
+    d = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        F.length(text_col).cast("int").alias("_n"),
+    )
+    grams = (
+        d.where(F.col("_n") >= L)
+        .select(
+            "_id",
+            "_text",
+            F.explode(F.sequence(F.lit(1), F.col("_n") - L + 1)).alias("_pos"),
+        )
+        .select(
+            "_id",
+            "_pos",
+            F.unhex(F.md5(F.expr(f"substring(_text, _pos, {L})"))).alias("_h"),
+        )
+    )
+    dup = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= int(min_count))
+        .select("_h")
+    )
+    hits = grams.join(dup, "_h", "leftsemi").select("_id", "_pos")
+
+    w = Window.partitionBy("_id").orderBy("_pos")
+    spans = (
+        hits.withColumn(
+            "_new",
+            F.when(
+                F.col("_pos")
+                > F.coalesce(F.lag("_pos").over(w), F.lit(-(1 << 30))) + L,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+        .groupBy("_id", "_isl")
+        .agg(F.min("_pos").alias("_s"), (F.max("_pos") + L - 1).alias("_e"))
+    )
+    stats = spans.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_nsp"),
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("_cov"),
+    )
+    # one sentinel span past end-of-text per affected doc: every kept
+    # segment is then "the gap before a span" — no tail special case
+    sent = stats.join(d.select("_id", "_n"), "_id").select(
+        "_id", (F.col("_n") + 1).alias("_s"), F.col("_n").alias("_e")
+    )
+    w2 = Window.partitionBy("_id").orderBy("_s")
+    gaps = (
+        spans.select("_id", "_s", "_e")
+        .unionByName(sent)
+        .withColumn("_gs", F.coalesce(F.lag("_e").over(w2), F.lit(0)) + 1)
+        .withColumn("_ge", F.col("_s") - 1)
+        .where(F.col("_ge") >= F.col("_gs"))
+    )
+    agg = (
+        gaps.join(d.select("_id", "_text"), "_id")
+        .select(
+            "_id",
+            "_s",
+            F.expr("substring(_text, _gs, _ge - _gs + 1)").alias("_piece"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_s", "_piece"))),
+                    lambda s: s["_piece"],
+                ),
+                "",
+            ).alias("_clean")
+        )
+    )
+    return (
+        d.join(stats, "_id", "left")
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(
+                F.col("_clean"),
+                F.when(F.col("_nsp").isNull(), F.col("_text")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("clean_text"),
+            F.coalesce(F.col("_nsp"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(F.col("_cov"), F.lit(0)).cast("long").alias("covered_chars"),
+        )
+    )

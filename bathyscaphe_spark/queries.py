@@ -8009,6 +8009,110 @@ WHERE (1000 * p.shared) // least(sa.n_sh, sb.n_sh) >= 100
 """
 
 
+
+# --------------------------------------------------------------------------
+# ExactSubstr dedup: duplicated >=L-char substrings removed corpus-wide
+# --------------------------------------------------------------------------
+
+# plant (a) a shared syndicated footer on every 5th doc — a cross-doc
+# duplicate far longer than L — and (b) a copy of the doc's own first 60
+# chars on doc_id%11==3 — a WITHIN-doc repeat (both occurrences must be
+# covered); everything else is the raw corpus (natural >=40-char repeats,
+# if any, are computed identically by both sides)
+_XSUB_DOCS_SQL = """
+SELECT doc_id,
+  CASE
+    WHEN doc_id % 5 = 0 THEN text ||
+      ' Copyright 2026 Example Corp. All rights reserved worldwide - syndicated boilerplate footer row.'
+    WHEN doc_id % 11 = 3 THEN text || ' ' || substr(text, 1, 60)
+    ELSE text
+  END AS text
+FROM documents
+"""
+
+_XSUB_L = 40
+
+
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): every >=40-char substring
+    occurring twice anywhere in the corpus is removed from every
+    occurrence, survivors reassembled in order (operators/dedup.py
+    exact_substr_clean — sequence+explode grams, 16-byte md5 shuffle
+    keys, one window span-merge; zero UDFs).  Exact semantics via the
+    duplicated-L-gram span-union identity — no suffix array.  The
+    REMOVAL pass beside exact_substr_spans' word-gram span FINDER."""
+    from .operators.dedup import exact_substr_clean
+
+    _docs(spark, sf_dir)
+    d = spark.sql(_XSUB_DOCS_SQL)
+    return exact_substr_clean(d, min_len=_XSUB_L, min_count=2)
+
+
+ORACLE_XSUB_CLEAN = f"""
+WITH docs2 AS ({_XSUB_DOCS_SQL}),
+poss AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - {_XSUB_L} + 1)) AS pos
+  FROM docs2 WHERE length(text) >= {_XSUB_L}
+),
+grams AS (
+  SELECT p.doc_id, p.pos, substr(d.text, p.pos, {_XSUB_L}) AS gram
+  FROM poss p JOIN docs2 d USING (doc_id)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)
+),
+marks AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                             -1073741824) + {_XSUB_L}
+         THEN 1 ELSE 0 END AS nw
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS k
+  FROM marks
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_XSUB_L} - 1 AS e
+  FROM isl GROUP BY doc_id, k
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS nsp, SUM(e - s + 1) AS cov
+  FROM spans GROUP BY doc_id
+),
+sent AS (
+  SELECT d.doc_id, length(d.text) + 1 AS s, length(d.text) AS e
+  FROM docs2 d JOIN stats USING (doc_id)
+),
+allsp AS (SELECT * FROM spans UNION ALL SELECT * FROM sent),
+gaps AS (
+  SELECT doc_id, s AS ord,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+         s - 1 AS ge
+  FROM allsp
+),
+pieces AS (
+  SELECT g.doc_id, g.ord, substr(d.text, g.gs, g.ge - g.gs + 1) AS piece
+  FROM gaps g JOIN docs2 d USING (doc_id) WHERE g.ge >= g.gs
+),
+agg AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.clean_text,
+           CASE WHEN st.doc_id IS NULL THEN d.text ELSE '' END) AS clean_text,
+  CAST(COALESCE(st.nsp, 0) AS BIGINT) AS n_dup_spans,
+  CAST(COALESCE(st.cov, 0) AS BIGINT) AS covered_chars
+FROM docs2 d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN stats st USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8044,6 +8148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "exact_substr_dedup": q_exact_substr,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8198,6 +8303,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_clusters": _clusters_oracle_sql(),
+    "exact_substr_dedup": ORACLE_XSUB_CLEAN,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -463,3 +463,64 @@ class TestSemDeDup:
         a = sorted(map(tuple, semdedup_prune(df.repartition(1), "vec_id", "embedding", n_cells=4, threshold=0.95).collect()))
         b = sorted(map(tuple, semdedup_prune(df.repartition(7), "vec_id", "embedding", n_cells=4, threshold=0.95).collect()))
         assert a == b and len(a) == 60
+
+
+class TestExactSubstrClean:
+    """exact_substr_clean — Lee et al. 2022 ExactSubstr semantics at
+    char-gram granularity: duplicated >=L spans removed from EVERY
+    occurrence, survivors reassembled in order."""
+
+    def _run(self, spark, rows, **kw):
+        from bathyscaphe_spark.operators.dedup import exact_substr_clean
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_dup_spans"], r["covered_chars"])
+            for r in exact_substr_clean(df, **kw).collect()
+        }
+
+    def test_cross_doc_dup_removed_from_both(self, spark):
+        boiler = "B" * 12
+        rows = [(1, "aaa" + boiler + "zzz"), (2, "qq" + boiler + "ww")]
+        got = self._run(spark, rows, min_len=10)
+        # the shared 12-char run is covered in BOTH docs (union of the
+        # three duplicated 10-gram spans = the full 12 chars)
+        assert got[1] == ("aaazzz", 1, 12)
+        assert got[2] == ("qqww", 1, 12)
+
+    def test_within_doc_repeat_covered(self, spark):
+        seg = "0123456789AB"  # 12 chars, repeated inside ONE doc
+        rows = [(1, seg + "-x-" + seg)]
+        got = self._run(spark, rows, min_len=10)
+        clean, nsp, cov = got[1]
+        assert clean == "-x-" and nsp == 2 and cov == 24
+
+    def test_short_and_clean_docs_pass_through(self, spark):
+        rows = [(1, "tiny"), (2, "completely unique sentence here")]
+        got = self._run(spark, rows, min_len=10)
+        assert got[1] == ("tiny", 0, 0)
+        assert got[2] == ("completely unique sentence here", 0, 0)
+
+    def test_fully_covered_doc_yields_empty(self, spark):
+        t = "exactly the same text, both docs!"
+        got = self._run(spark, [(1, t), (2, t)], min_len=10)
+        assert got[1] == ("", 1, len(t))
+        assert got[2] == ("", 1, len(t))
+
+    def test_min_count_threshold(self, spark):
+        t = "exactly the same text, both docs!"
+        got = self._run(spark, [(1, t), (2, t)], min_len=10, min_count=3)
+        assert got[1] == (t, 0, 0)  # two copies < min_count=3
+
+    def test_partition_invariance(self, spark):
+        from bathyscaphe_spark.operators.dedup import exact_substr_clean
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (i, base[: 20 + (i % 17)] + f" tail{i} " + base[-(10 + i % 23):])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, exact_substr_clean(df.repartition(1), min_len=12).collect()))
+        b = sorted(map(tuple, exact_substr_clean(df.repartition(9), min_len=12).collect()))
+        assert a == b and len(a) == 40
