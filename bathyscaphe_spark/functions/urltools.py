@@ -267,6 +267,15 @@ def url_request_uri(s: pd.Series) -> pd.Series:
     return s.map(lambda v: _req(v) if v is not None else None)
 
 
+def surt_host_col(url):
+    """The host component of the SURT key alone (reversed, comma-joined,
+    lowercased) — the probe prefix for CDX host/domain match scopes."""
+    from pyspark.sql import functions as F
+
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+
+
 def surt_col(url):
     """SURT key (Sort-friendly URI Reordering Transform — the canonical
     key of web-archive CDX indexes, heritrix/pywb style, simplified and

@@ -8113,6 +8113,59 @@ LEFT JOIN stats st USING (doc_id)
 """
 
 
+
+# --------------------------------------------------------------------------
+# CDX-server match scopes: pywb exact/prefix/host/domain lookups
+# --------------------------------------------------------------------------
+
+def q_cdx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-server lookups with all four pywb matchType scopes over the
+    cdx_index fixture (sources/warc.py cdx_query): exact url, path
+    prefix, whole host, registrable domain incl. subdomains (+ a
+    from_ts bound on the domain scope).  Each probe key constant-folds
+    to a literal StartsWith on the index sort key — a contiguous,
+    partition-prunable range at archive scale."""
+    from .sources.warc import cdx_index, cdx_query
+
+    d = _docs(spark, sf_dir)
+    pages = d.selectExpr(
+        f"{_SURT_URL_SQL} AS url",
+        "to_timestamp(1714564800 + doc_id) AS warc_ts",
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS INT) AS status",
+        "regexp_replace(text, '[^ -~]', '') AS html",
+    )
+    cdx = cdx_index(pages)
+    scopes = [
+        ("exact", cdx_query(cdx, "http://sub1.host6.onion/Path6/x.php", "exact")),
+        ("prefix", cdx_query(cdx, "http://sub0.host5.onion/Path3/", "prefix")),
+        ("host", cdx_query(cdx, "http://sub2.host11.onion/", "host")),
+        ("domain", cdx_query(
+            cdx, "http://host3.onion/", "domain", from_ts="20240501120200")),
+    ]
+    out = None
+    for name, df in scopes:
+        tagged = df.select(F.lit(name).alias("scope"), "surt", "ts14", "cdxj")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+ORACLE_CDX_QUERY = f"""
+WITH cdx AS ({ORACLE_CDX})
+SELECT 'exact' AS scope, surt, ts14, cdxj FROM cdx
+WHERE surt = 'onion,host6,sub1)/path6/x.php'
+UNION ALL
+SELECT 'prefix', surt, ts14, cdxj FROM cdx
+WHERE surt LIKE 'onion,host5,sub0)/path3/%'
+UNION ALL
+SELECT 'host', surt, ts14, cdxj FROM cdx
+WHERE surt LIKE 'onion,host11,sub2)%'
+UNION ALL
+SELECT 'domain', surt, ts14, cdxj FROM cdx
+WHERE (surt LIKE 'onion,host3)%' OR surt LIKE 'onion,host3,%')
+  AND ts14 >= '20240501120200'
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8149,6 +8202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "exact_substr_dedup": q_exact_substr,
+    "cdx_query_scopes": q_cdx_query,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8304,6 +8358,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _minhash_oracle_sql(),
     "dedup_clusters": _clusters_oracle_sql(),
     "exact_substr_dedup": ORACLE_XSUB_CLEAN,
+    "cdx_query_scopes": ORACLE_CDX_QUERY,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -286,6 +286,57 @@ def cdx_index(pages: DataFrame) -> DataFrame:
     )
 
 
+def cdx_query(
+    cdx: DataFrame,
+    query_url: str,
+    match_type: str = "exact",
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+) -> DataFrame:
+    """CDX-server lookup with pywb matchType semantics over a CDXJ index
+    (the public pywb/OpenWayback query API archive users hit):
+
+    * ``exact``  — captures of exactly this url (canonicalized),
+    * ``prefix`` — every capture whose SURT key extends the query's
+      (path-prefix queries: ``/images/`` and everything under it),
+    * ``host``   — every capture on the query's host,
+    * ``domain`` — the host AND all its subdomains (the SURT trick:
+      ``com,example`` followed by ``)`` or ``,``).
+
+    ``from_ts``/``to_ts`` are inclusive 14-digit timestamp bounds
+    (string compare is correct on the fixed-width form).
+
+    The probe key is computed from ``query_url`` by the SAME surt
+    column expression the index was built with, applied to a literal —
+    Catalyst constant-folds it, so the executors see a literal
+    equality/StartsWith on the index's sort key: a contiguous key
+    range, partition-prunable on a surt-sorted/bucketed table, never a
+    scan-side recompute.  No UDFs, no collect.
+    """
+    from ..functions.urltools import surt_col, surt_host_col
+
+    u = F.lit(query_url)
+    if match_type == "exact":
+        cond = F.col("surt") == surt_col(u)
+    elif match_type == "prefix":
+        cond = F.col("surt").startswith(surt_col(u))
+    elif match_type == "host":
+        cond = F.col("surt").startswith(F.concat(surt_host_col(u), F.lit(")")))
+    elif match_type == "domain":
+        h = surt_host_col(u)
+        cond = F.col("surt").startswith(
+            F.concat(h, F.lit(")"))
+        ) | F.col("surt").startswith(F.concat(h, F.lit(",")))
+    else:
+        raise ValueError(f"unknown match_type: {match_type!r}")
+    out = cdx.where(cond)
+    if from_ts is not None:
+        out = out.where(F.col("ts14") >= F.lit(from_ts))
+    if to_ts is not None:
+        out = out.where(F.col("ts14") <= F.lit(to_ts))
+    return out
+
+
 def latest_captures(pages: DataFrame) -> DataFrame:
     """Latest capture per SURT key — the web-archive "current snapshot"
     view: Common-Crawl-style collections carry many captures (revisits)

@@ -514,3 +514,93 @@ class TestRevisits:
         assert a == b
         for (_, _), (t, _, octets) in a.items():
             assert (octets > 0) == (t == "revisit")
+
+
+class TestCdxQuery:
+    """pywb CDX-server matchType semantics over the CDXJ index."""
+
+    def _cdx(self, spark):
+        from bathyscaphe_spark.sources.warc import cdx_index
+
+        rows = [
+            ("http://a.example.onion/img/1.png", 200),
+            ("http://a.example.onion/img/2.png", 200),
+            ("http://a.example.onion/page", 200),
+            ("http://b.example.onion/page", 404),
+            ("http://example.onion/page?b=2&a=1", 200),
+            ("http://examples.onion/page", 200),  # domain near-miss
+        ]
+        df = spark.createDataFrame(
+            [(u, s, i) for i, (u, s) in enumerate(rows)],
+            "url string, status int, doc_id long",
+        ).selectExpr(
+            "url", "status",
+            "to_timestamp(1714564800 + doc_id * 60) AS warc_ts",
+            "'x' AS html",
+        )
+        return cdx_index(df)
+
+    def _surts(self, df):
+        return sorted(r["surt"] for r in df.collect())
+
+    def test_exact_canonicalizes_query_params(self, spark):
+        from bathyscaphe_spark.sources.warc import cdx_query
+
+        # unsorted params in the probe url hit the sorted index key
+        got = self._surts(cdx_query(
+            self._cdx(spark), "http://example.onion/page?b=2&a=1", "exact"))
+        assert got == ["onion,example)/page?a=1&b=2"]
+
+    def test_prefix_scope(self, spark):
+        from bathyscaphe_spark.sources.warc import cdx_query
+
+        got = self._surts(cdx_query(
+            self._cdx(spark), "http://a.example.onion/img/", "prefix"))
+        assert got == [
+            "onion,example,a)/img/1.png",
+            "onion,example,a)/img/2.png",
+        ]
+
+    def test_host_scope_excludes_subdomains_of_others(self, spark):
+        from bathyscaphe_spark.sources.warc import cdx_query
+
+        got = self._surts(cdx_query(
+            self._cdx(spark), "http://a.example.onion/", "host"))
+        assert got == [
+            "onion,example,a)/img/1.png",
+            "onion,example,a)/img/2.png",
+            "onion,example,a)/page",
+        ]
+
+    def test_domain_scope_includes_subdomains_not_lookalikes(self, spark):
+        from bathyscaphe_spark.sources.warc import cdx_query
+
+        got = self._surts(cdx_query(
+            self._cdx(spark), "http://example.onion/", "domain"))
+        # a./b. subdomains + apex, but NOT examples.onion
+        assert got == [
+            "onion,example)/page?a=1&b=2",
+            "onion,example,a)/img/1.png",
+            "onion,example,a)/img/2.png",
+            "onion,example,a)/page",
+            "onion,example,b)/page",
+        ]
+
+    def test_ts_bounds_inclusive(self, spark):
+        from bathyscaphe_spark.sources.warc import cdx_query
+
+        cdx = self._cdx(spark)
+        all_ts = sorted(r["ts14"] for r in cdx.collect())
+        got = cdx_query(
+            cdx, "http://example.onion/", "domain",
+            from_ts=all_ts[1], to_ts=all_ts[2],
+        ).collect()
+        assert sorted(r["ts14"] for r in got) == [all_ts[1], all_ts[2]]
+
+    def test_unknown_scope_raises(self, spark):
+        import pytest as _pytest
+
+        from bathyscaphe_spark.sources.warc import cdx_query
+
+        with _pytest.raises(ValueError):
+            cdx_query(self._cdx(spark), "http://x.onion/", "fuzzy")
