@@ -272,3 +272,58 @@ def with_snippets(
     return results.withColumn(
         "snip_pos", pos.cast("long")
     ).withColumn("snippet", F.when(pos.isNotNull(), snippet))
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Positional phrase match (the ES ``match_phrase`` surface of the
+    reference's resources index): documents where the phrase's tokens
+    appear CONSECUTIVELY under the shared tokenizer — which is not
+    substring match ("order agg, order!" tokenizes adjacent; a regex
+    over the raw body misses it), and not bag-of-words AND.
+
+    Output: (url, n_hits, first_pos) — occurrence count and the
+    0-based token position of the earliest occurrence.
+
+    Plan — the positional-postings evaluation, all codegen: tokenize
+    with positions (one ``posexplode``), broadcast-join the tiny
+    (slot, term) phrase table — a term REPEATED in the phrase fans out
+    to ALL its slots, which is exactly why the anchor trick is the
+    correct primitive — then one ``groupBy(url, pos − slot)`` counting
+    DISTINCT matched slots: an anchor with all n slots is a phrase
+    occurrence.  Token rows not in the phrase vocabulary die at the
+    broadcast join before any shuffle; the surviving anchor agg is
+    map-side combinable.  At index scale this is how a positional
+    postings index evaluates phrases — no document re-scan, no UDF.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    n = len(terms)
+    spark = docs.sparkSession
+    ph = spark.createDataFrame(
+        list(enumerate(terms)), "slot int, term string"
+    )
+    tok = docs.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(body_col)), TOKEN_SPLIT),
+                lambda x: x != "",
+            )
+        ).alias("p", "term"),
+    )
+    anchors = (
+        tok.join(F.broadcast(ph), "term")
+        .groupBy("url", (F.col("p") - F.col("slot")).alias("anchor"))
+        .agg(F.countDistinct("slot").alias("k"))
+        .where(F.col("k") == n)
+    )
+    return anchors.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )

@@ -8166,6 +8166,67 @@ WHERE (surt LIKE 'onion,host3)%' OR surt LIKE 'onion,host3,%')
 """
 
 
+
+# --------------------------------------------------------------------------
+# positional phrase search: match_phrase over the resources body
+# --------------------------------------------------------------------------
+
+_PHRASE = "order agg order"  # repeated term pins the multi-slot anchor fanout
+
+# plant a punctuation-separated occurrence on every 9th doc: it
+# tokenizes ADJACENT (phrase hit) though no raw substring matches —
+# the case that separates positional evaluation from a regex scan
+_PHRASE_DOCS_SQL = """
+SELECT 'https://site-' || CAST(doc_id % 50 AS STRING)
+           || '.onion/doc/' || CAST(doc_id AS STRING) AS url,
+       CASE WHEN doc_id % 9 = 0
+            THEN 'order agg, order! ' || text ELSE text END AS body
+FROM documents
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase match (operators/search.py phrase_search — the
+    ES match_phrase surface): consecutive-token occurrences under the
+    shared tokenizer via the postings anchor trick (posexplode +
+    broadcast slot join + one distinct-slot anchor agg; zero UDFs,
+    no document re-scan).  The phrase repeats a term and the fixture
+    plants punctuation-separated adjacencies — both cases a substring
+    regex gets wrong."""
+    from .operators.search import phrase_search
+
+    _docs(spark, sf_dir)
+    return phrase_search(spark.sql(_PHRASE_DOCS_SQL), _PHRASE)
+
+
+def _phrase_oracle_sql() -> str:
+    terms = _PHRASE.split()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return f"""
+WITH resources AS ({_PHRASE_DOCS_SQL}),
+tok AS (
+  SELECT url,
+         list_filter(string_split_regex(lower(body), '[^a-z0-9]+'),
+                     x -> x != '') AS ts
+  FROM resources
+),
+pos AS (
+  SELECT url, unnest(ts) AS term, generate_subscripts(ts, 1) - 1 AS p
+  FROM tok
+),
+ph(slot, t) AS (VALUES {vals}),
+anchors AS (
+  SELECT pos.url, pos.p - ph.slot AS anchor
+  FROM pos JOIN ph ON pos.term = ph.t
+  GROUP BY pos.url, pos.p - ph.slot
+  HAVING COUNT(DISTINCT ph.slot) = {len(terms)}
+)
+SELECT url, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(anchor) AS BIGINT) AS first_pos
+FROM anchors GROUP BY url
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8203,6 +8264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "exact_substr_dedup": q_exact_substr,
     "cdx_query_scopes": q_cdx_query,
+    "phrase_search": q_phrase_search,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8359,6 +8421,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": _clusters_oracle_sql(),
     "exact_substr_dedup": ORACLE_XSUB_CLEAN,
     "cdx_query_scopes": ORACLE_CDX_QUERY,
+    "phrase_search": _phrase_oracle_sql(),
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -213,3 +213,57 @@ class TestSnippets:
                         ["mergesort", "merge"], radius=5)
         assert got[1][0] == 1
         assert got[1][1] == "mergesort zzzz" + "…"
+
+
+class TestPhraseSearch:
+    """Positional phrase match — the anchor-trick postings evaluation."""
+
+    def _run(self, spark, rows, phrase):
+        from bathyscaphe_spark.operators.search import phrase_search
+
+        df = spark.createDataFrame(rows, "url string, body string")
+        return {
+            r["url"]: (r["n_hits"], r["first_pos"])
+            for r in phrase_search(df, phrase).collect()
+        }
+
+    def test_tokenized_adjacency_beats_substring(self, spark):
+        got = self._run(
+            spark,
+            [("u1", "big order agg, order! end"), ("u2", "order order agg")],
+            "order agg order",
+        )
+        # u1: punctuation between tokens still adjacent after tokenize
+        assert got == {"u1": (1, 1)}
+
+    def test_repeated_term_no_false_positive(self, spark):
+        # has all terms, right bag, wrong order — must NOT match
+        got = self._run(spark, [("u", "agg order order x")], "order agg order")
+        assert got == {}
+
+    def test_multiple_hits_and_first_pos(self, spark):
+        got = self._run(
+            spark, [("u", "a b c x a b c")], "a b c"
+        )
+        assert got == {"u": (2, 0)}
+
+    def test_overlapping_occurrences_counted(self, spark):
+        got = self._run(spark, [("u", "x a a a a")], "a a")
+        assert got == {"u": (3, 1)}
+
+    def test_single_term_phrase(self, spark):
+        got = self._run(spark, [("u", "q w q")], "q")
+        assert got == {"u": (2, 0)}
+
+    def test_case_insensitive(self, spark):
+        got = self._run(spark, [("u", "Order AGG order")], "order agg order")
+        assert got == {"u": (1, 0)}
+
+    def test_empty_phrase_raises(self, spark):
+        import pytest as _pytest
+
+        from bathyscaphe_spark.operators.search import phrase_search
+
+        df = spark.createDataFrame([("u", "x")], "url string, body string")
+        with _pytest.raises(ValueError):
+            phrase_search(df, "   ")
