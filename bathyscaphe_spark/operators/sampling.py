@@ -222,3 +222,105 @@ def temperature_budgets(
         "uncapped",
         "quota",
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    top_k: int = 100,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169 — public): score every raw document by how
+    much its hashed-n-gram distribution looks like a TARGET slice
+    (``is_target`` marks the exemplar docs, e.g. a trusted source),
+    then select the top scorers.  The importance weight is the paper's
+    bag-of-hashed-ngrams likelihood ratio
+
+        log w(x) = Σ_g  [ log p̂_target(bucket(g)) − log p̂_raw(bucket(g)) ]
+
+    over unigrams + bigrams, add-one smoothed, FNV-hashed into
+    ``n_buckets`` buckets.
+
+    Output: (id, score_micro, selected) — one row per input doc.
+
+    Determinism discipline: each BUCKET's log-ratio term is rounded to
+    an integer micro-nat ONCE (a ≤n_buckets-row table), and the
+    per-doc score is an exact BIGINT dot product of integer gram
+    counts with integer terms — so the score is bit-identical at any
+    parallelism (no float summation order anywhere), and the DuckDB
+    oracle replicates it exactly.
+
+    Scale design: grams explode JVM-side and immediately reduce to
+    (doc, bucket) integer counts (map-side combinable — the only
+    corpus-sized shuffle); both count histograms and the term table
+    are ≤n_buckets rows, broadcast back; the final top-k is a global
+    rank over one small (id, score) table (at petabyte scale swap the
+    rank for a sampled score-threshold cut — the scores themselves are
+    unchanged).  Zero UDFs outside FNV's Arrow kernel.
+    """
+    from ..functions.fnv import fnv1_64
+
+    B = int(n_buckets)
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    d = docs.select(
+        F.col(id_col).alias("_id"), is_target.alias("_tgt"), words.alias("_w")
+    )
+    uni = d.select("_id", "_tgt", F.explode("_w").alias("_g"))
+    bi = d.where(F.size("_w") >= 2).select(
+        "_id",
+        "_tgt",
+        F.explode(
+            F.expr(
+                "transform(slice(_w, 1, size(_w) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(_w, i + 2)))"
+            )
+        ).alias("_g"),
+    )
+    grams = uni.unionByName(bi).select(
+        "_id", "_tgt", F.pmod(fnv1_64(F.col("_g")), F.lit(B)).alias("_b")
+    )
+    dg = grams.groupBy("_id", "_tgt", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    cr = dg.groupBy("_b").agg(F.sum("_c").alias("_cr"))
+    ct = dg.where("_tgt").groupBy("_b").agg(F.sum("_c").alias("_ct"))
+    tot = cr.agg(F.sum("_cr").alias("_Tr")).crossJoin(
+        ct.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_Tt"))
+    )
+    term = (
+        cr.join(ct, "_b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            F.round(
+                F.lit(1_000_000.0)
+                * (
+                    F.log(F.coalesce(F.col("_ct"), F.lit(0)) + 1)
+                    - F.log(F.col("_Tt") + B)
+                    - F.log(F.col("_cr") + 1)
+                    + F.log(F.col("_Tr") + B)
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("_t"),
+        )
+    )
+    scores = (
+        dg.join(F.broadcast(term), "_b")
+        .groupBy("_id")
+        .agg(F.sum(F.col("_c") * F.col("_t")).alias("_sc"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col))
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(scores, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_sc", F.lit(0)).cast("long").alias("score_micro"),
+        )
+        .withColumn("selected", F.row_number().over(w) <= int(top_k))
+    )

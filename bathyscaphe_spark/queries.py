@@ -8227,6 +8227,77 @@ FROM anchors GROUP BY url
 """
 
 
+
+# --------------------------------------------------------------------------
+# DSIR: hashed-ngram importance-weighted data selection
+# --------------------------------------------------------------------------
+
+_DSIR_B = 1024
+_DSIR_K = 100
+_DSIR_TARGET = "src7"
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py dsir_select — Xie et
+    al. 2023): every doc scored by the hashed unigram+bigram
+    likelihood ratio against the src7 target slice, add-one smoothed,
+    1024 FNV buckets; per-bucket terms rounded to integer micro-nats
+    ONCE so the per-doc score is an exact BIGINT dot product —
+    bit-identical at any parallelism, exactly replicable in SQL."""
+    from .operators.sampling import dsir_select
+
+    d = _docs(spark, sf_dir)
+    return dsir_select(
+        d, F.col("source") == _DSIR_TARGET,
+        n_buckets=_DSIR_B, top_k=_DSIR_K,
+    )
+
+
+def _dsir_oracle_sql() -> str:
+    from .functions.fnv import DUCKDB_FNV1_64_SQL
+
+    fnv_g = DUCKDB_FNV1_64_SQL.format(col="g")
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text, (source = '{_DSIR_TARGET}') AS tgt FROM documents
+),
+w AS (SELECT doc_id, tgt, {_DUCK_WORDS} AS words FROM docs2),
+uni AS (SELECT doc_id, tgt, unnest(words) AS g FROM w),
+bi AS (
+  SELECT doc_id, tgt,
+         unnest(list_transform(range(1, len(words)),
+                i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS g
+  FROM w WHERE len(words) >= 2
+),
+grams AS (
+  SELECT doc_id, tgt, ({fnv_g}) % {_DSIR_B} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+dg AS (SELECT doc_id, tgt, b, COUNT(*) AS c FROM grams GROUP BY ALL),
+cr AS (SELECT b, SUM(c) AS crc FROM dg GROUP BY b),
+ct AS (SELECT b, SUM(c) AS ctc FROM dg WHERE tgt GROUP BY b),
+tot AS (
+  SELECT (SELECT SUM(crc) FROM cr) AS tr,
+         (SELECT COALESCE(SUM(ctc), 0) FROM ct) AS tt
+),
+term AS (
+  SELECT cr.b,
+         CAST(round(1000000.0 * (ln(COALESCE(ct.ctc, 0) + 1)
+              - ln(t.tt + {_DSIR_B}) - ln(cr.crc + 1)
+              + ln(t.tr + {_DSIR_B})), 0) AS BIGINT) AS trm
+  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot t
+),
+sc AS (
+  SELECT dg.doc_id, SUM(dg.c * term.trm) AS s
+  FROM dg JOIN term ON dg.b = term.b GROUP BY dg.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro,
+       (ROW_NUMBER() OVER (ORDER BY COALESCE(sc.s, 0) DESC, d.doc_id)
+        <= {_DSIR_K}) AS selected
+FROM docs2 d LEFT JOIN sc USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8265,6 +8336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substr_dedup": q_exact_substr,
     "cdx_query_scopes": q_cdx_query,
     "phrase_search": q_phrase_search,
+    "dsir_select": q_dsir_select,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8422,6 +8494,7 @@ ORACLES: dict[str, str] = {
     "exact_substr_dedup": ORACLE_XSUB_CLEAN,
     "cdx_query_scopes": ORACLE_CDX_QUERY,
     "phrase_search": _phrase_oracle_sql(),
+    "dsir_select": _dsir_oracle_sql(),
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -206,3 +206,51 @@ class TestTemperatureBudgets:
         assert self._run(spark, rows, 7777, parts=1) == self._run(
             spark, rows, 7777, parts=13
         )
+
+
+class TestDsirSelect:
+    """DSIR hashed-ngram importance selection — integer micro-nat
+    discipline, bit-identical at any parallelism."""
+
+    def _run(self, spark, rows, **kw):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.operators.sampling import dsir_select
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = dsir_select(df, F.col("source") == "tgt", **kw)
+        return {r["doc_id"]: (r["score_micro"], r["selected"]) for r in out.collect()}
+
+    def test_target_like_doc_outscores_dissimilar(self, spark):
+        rows = [
+            (1, "alpha beta gamma alpha beta", "tgt"),
+            (2, "alpha beta gamma", "raw"),       # matches target
+            (3, "zulu yankee xray whiskey", "raw"),  # disjoint vocab
+        ]
+        got = self._run(spark, rows, top_k=2)
+        assert got[2][0] > got[3][0]
+        assert got[3][1] is False  # lowest scorer not in top-2
+
+    def test_empty_doc_scores_zero(self, spark):
+        rows = [(1, "alpha beta", "tgt"), (2, "", "raw")]
+        got = self._run(spark, rows)
+        assert got[2][0] == 0
+
+    def test_one_row_per_doc_and_topk(self, spark):
+        rows = [(i, f"w{i % 5} w{(i + 1) % 5}", "tgt" if i % 4 == 0 else "raw")
+                for i in range(24)]
+        got = self._run(spark, rows, top_k=6)
+        assert len(got) == 24
+        assert sum(1 for s, sel in got.values() if sel) == 6
+
+    def test_partition_bit_identity(self, spark):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.operators.sampling import dsir_select
+
+        rows = [(i, " ".join(f"t{(i * j) % 13}" for j in range(1, 12)),
+                 "tgt" if i % 5 == 0 else "raw") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        a = sorted(map(tuple, dsir_select(df.repartition(1), F.col("source") == "tgt").collect()))
+        b = sorted(map(tuple, dsir_select(df.repartition(11), F.col("source") == "tgt").collect()))
+        assert a == b and len(a) == 60
