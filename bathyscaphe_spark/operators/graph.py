@@ -618,3 +618,58 @@ def trustrank_fp(
         tagged.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def domain_edges(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Collapse a host-level link graph to the registered-domain graph
+    — the construction behind Common Crawl's published domain-level
+    webgraph/ranks (public): every endpoint maps to its eTLD+1 (PSL
+    longest match), intra-domain edges (subdomain↔subdomain of one
+    site) become self-loops and are DROPPED, endpoints that are bare
+    public suffixes (no registered domain) are dropped, and the rest
+    distinct to one edge per (src_domain, dst_domain).
+
+    Output: (src, dst) string domain edges — feed ``pagerank_fp`` /
+    ``trustrank_fp`` / ``opic_fp`` unchanged (they are node-type
+    generic).
+
+    Scale design: the PSL argmax join runs ONCE on the DISTINCT host
+    table, never on the edge table (hosts ≪ edges by the mean site
+    size); the host→domain map then equi-joins each endpoint — AQE
+    broadcasts it while it fits, and at webgraph scale it is a plain
+    hash join keyed on host with no skew pathology (the map side is
+    unique per host).  The final DISTINCT is the one edge-sized
+    shuffle, exactly the output's own key.
+    """
+    from ..functions.urltools import registered_domain_cols
+
+    hosts = (
+        edges.select(F.col(src_col).alias("host"))
+        .union(edges.select(F.col(dst_col).alias("host")))
+        .distinct()
+    )
+    dmap = registered_domain_cols(hosts).select("host", "registered_domain")
+    return (
+        edges.join(
+            dmap.select(
+                F.col("host").alias(src_col),
+                F.col("registered_domain").alias("src"),
+            ),
+            src_col,
+        )
+        .join(
+            dmap.select(
+                F.col("host").alias(dst_col),
+                F.col("registered_domain").alias("dst"),
+            ),
+            dst_col,
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

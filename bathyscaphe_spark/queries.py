@@ -8298,6 +8298,121 @@ FROM docs2 d LEFT JOIN sc USING (doc_id)
 """
 
 
+
+# --------------------------------------------------------------------------
+# domain-level PageRank: the Common Crawl domain-graph rank artifact
+# --------------------------------------------------------------------------
+
+# host-level edges whose endpoints share registered domains: %4∈{0,1}
+# are two subdomains of the SAME site{…}.co.uk set (collapse + the
+# dropped intra-domain self-loop case), %4=2 is a PRIVATE registry
+# (each github.io user is its own registrable domain), %4=3 a .com set
+_DOMEDGE_HOST = """CASE {x} % 4
+  WHEN 0 THEN 'www.site' || CAST({x} % 12 AS STRING) || '.co.uk'
+  WHEN 1 THEN 'blog.site' || CAST({x} % 12 AS STRING) || '.co.uk'
+  WHEN 2 THEN 'user' || CAST({x} % 9 AS STRING) || '.github.io'
+  ELSE 'cdn.site' || CAST({x} % 7 AS STRING) || '.com'
+END"""
+
+_DOMEDGES_SQL = f"""
+SELECT {_DOMEDGE_HOST.format(x="doc_id")} AS src_host,
+       {_DOMEDGE_HOST.format(x="(doc_id * 5 + 3)")} AS dst_host
+FROM documents
+"""
+
+
+def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level PageRank (operators/graph.py domain_edges +
+    pagerank_fp): host edges collapse to eTLD+1 via the PSL argmax on
+    the DISTINCT host table, intra-domain self-loops drop, then the
+    3-iteration integer fixed-point rank — the Common Crawl published
+    domain-rank artifact, bit-identical at any parallelism."""
+    from .operators.graph import domain_edges, pagerank_fp
+
+    _docs(spark, sf_dir)
+    hedges = spark.sql(_DOMEDGES_SQL)
+    return pagerank_fp(domain_edges(hedges), iters=3).select(
+        F.col("node").alias("domain"),
+        F.col("rank_fp").cast("long").alias("rank_fp"),
+    )
+
+
+def _domain_rank_oracle_sql(iters: int = 3) -> str:
+    """Host→eTLD+1 map (the regdomain oracle CTEs over the edge hosts),
+    distinct domain-edge collapse, then the unrolled fixed-point
+    PageRank recurrence (same discipline as _pagerank_oracle_sql)."""
+    from .functions.urltools import PUBLIC_SUFFIXES
+
+    values = ", ".join(
+        f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES
+    )
+    parts = [
+        f"WITH hedges AS ({_DOMEDGES_SQL}),",
+        "hosts AS (SELECT src_host AS host FROM hedges"
+        " UNION SELECT dst_host FROM hedges),",
+        f"sfx(sfx, k) AS (VALUES {values}),",
+        "labs AS (SELECT host, string_split(host, '.') AS ls FROM hosts),",
+        """cand AS (
+  SELECT host, ls, kk.k AS k,
+         array_to_string(list_slice(ls, len(ls) - kk.k + 1, len(ls)), '.')
+           AS csfx
+  FROM labs, (SELECT unnest(range(1, 5)) AS k) kk
+  WHERE kk.k <= len(ls)
+),
+hit AS (
+  SELECT host, max(c.k) AS bk, max_by(c.csfx, c.k) AS bsfx,
+         max_by(c.ls, c.k) AS ls
+  FROM cand c JOIN sfx s ON c.csfx = s.sfx AND c.k = s.k
+  GROUP BY host
+),
+hmap AS (
+  SELECT host,
+         CASE WHEN len(ls) > bk
+              THEN ls[CAST(len(ls) - bk AS INT)] || '.' || bsfx END
+           AS registered_domain
+  FROM hit
+  UNION ALL
+  SELECT host,
+         CASE WHEN len(ls) > 1
+              THEN ls[CAST(len(ls) - 1 AS INT)] || '.'
+                   || ls[CAST(len(ls) AS INT)] END AS registered_domain
+  FROM labs WHERE host NOT IN (SELECT host FROM hit)
+),
+edges AS (
+  SELECT DISTINCT ms.registered_domain AS src, md.registered_domain AS dst
+  FROM hedges e
+  JOIN hmap ms ON e.src_host = ms.host
+  JOIN hmap md ON e.dst_host = md.host
+  WHERE ms.registered_domain IS NOT NULL
+    AND md.registered_domain IS NOT NULL
+    AND ms.registered_domain != md.registered_domain
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+params AS (SELECT COUNT(*) AS n FROM nodes),""",
+        f"r0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM params)"
+        " AS rank_fp FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", r{i + 1} AS (
+  SELECT n2.node,
+         (15 * {_PR_SCALE}) // (100 * (SELECT n FROM params))
+         + COALESCE(SUM((r{i}.rank_fp * 85) // (100 * deg.outdeg)), 0) AS rank_fp
+  FROM nodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN r{i} ON r{i}.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n2.node
+)"""
+        )
+    parts.append(
+        f"SELECT node AS domain, CAST(rank_fp AS BIGINT) AS rank_fp"
+        f" FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8337,6 +8452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_query_scopes": q_cdx_query,
     "phrase_search": q_phrase_search,
     "dsir_select": q_dsir_select,
+    "domain_rank": q_domain_rank,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8495,6 +8611,7 @@ ORACLES: dict[str, str] = {
     "cdx_query_scopes": ORACLE_CDX_QUERY,
     "phrase_search": _phrase_oracle_sql(),
     "dsir_select": _dsir_oracle_sql(),
+    "domain_rank": _domain_rank_oracle_sql(),
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -428,3 +428,41 @@ class TestTrustRank:
         a = self._run(spark, edges, [0, 7, 14], parts=1)
         b = self._run(spark, edges, [0, 7, 14], parts=13)
         assert a == b
+
+
+class TestDomainEdges:
+    """Host graph → registered-domain graph collapse."""
+
+    def _run(self, spark, rows):
+        from bathyscaphe_spark.operators.graph import domain_edges
+
+        df = spark.createDataFrame(rows, "src_host string, dst_host string")
+        return sorted(map(tuple, domain_edges(df).collect()))
+
+    def test_subdomains_collapse_and_self_loops_drop(self, spark):
+        rows = [
+            ("www.a.co.uk", "blog.b.co.uk"),
+            ("cdn.a.co.uk", "b.co.uk"),        # same domain edge → dedup
+            ("www.a.co.uk", "blog.a.co.uk"),   # intra-domain → dropped
+        ]
+        assert self._run(spark, rows) == [("a.co.uk", "b.co.uk")]
+
+    def test_private_registry_users_stay_distinct(self, spark):
+        rows = [("u1.github.io", "u2.github.io")]
+        assert self._run(spark, rows) == [("u1.github.io", "u2.github.io")]
+
+    def test_bare_suffix_endpoint_dropped(self, spark):
+        rows = [("www.a.com", "co.uk"), ("www.a.com", "b.net")]
+        assert self._run(spark, rows) == [("a.com", "b.net")]
+
+    def test_partition_invariance_through_pagerank(self, spark):
+        from bathyscaphe_spark.operators.graph import domain_edges, pagerank_fp
+
+        rows = [
+            (f"s{i % 4}.site{i % 6}.com", f"w.site{(i * 3 + 1) % 6}.com")
+            for i in range(48)
+        ]
+        df = spark.createDataFrame(rows, "src_host string, dst_host string")
+        a = sorted(map(tuple, pagerank_fp(domain_edges(df.repartition(1)), iters=2).collect()))
+        b = sorted(map(tuple, pagerank_fp(domain_edges(df.repartition(7)), iters=2).collect()))
+        assert a == b and len(a) > 0
