@@ -39,6 +39,9 @@ SCALAR_ATTACH_OK = {
     "budget_apportion",
     # composes allocate_budget, inheriting its 1-row scalar attaches
     "temperature_mix",
+    # the two corpus-total normalizers (T_target, T_raw) are 1-row
+    # aggregates attached back onto the ≤n_buckets-row term table
+    "dsir_select",
 }
 # bounded broadcast small-side expansion: IVF assignment is docs ×
 # broadcast(n_cells=16 centroid rows) — the documented O(n·cells)

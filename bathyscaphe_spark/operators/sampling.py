@@ -286,7 +286,7 @@ def dsir_select(
     cr = dg.groupBy("_b").agg(F.sum("_c").alias("_cr"))
     ct = dg.where("_tgt").groupBy("_b").agg(F.sum("_c").alias("_ct"))
     tot = cr.agg(F.sum("_cr").alias("_Tr")).crossJoin(
-        ct.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_Tt"))
+        F.broadcast(ct.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_Tt")))
     )
     term = (
         cr.join(ct, "_b", "left")
