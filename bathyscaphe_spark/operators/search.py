@@ -327,3 +327,92 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.min("anchor").cast("long").alias("first_pos"),
     )
+
+
+def more_like_this(
+    docs: DataFrame,
+    seed_id,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_terms: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``more_like_this``: rank documents by similarity to one seed
+    document — the seed's ``m_terms`` highest-tf·idf terms become the
+    query, candidates are docs sharing at least one of them, scored by
+    the sum of their own tf · idf over the MATCHED terms (the Lucene
+    MLT formulation, public), seed excluded, top ``k`` kept.
+
+    Output: (id, score_micro, n_shared_terms) — the k most similar.
+
+    Determinism discipline: idf is rounded to integer micro-nats ONCE
+    per term (idf_micro = round(1e6·ln((N+1)/(df+1)))); every score
+    after that is an exact BIGINT dot product — bit-identical at any
+    parallelism, exactly replicable in SQL.
+
+    Scale design: one tokenize→(doc, term, tf) map-combinable agg (the
+    only corpus-sized shuffle — shared shape with the inverted index),
+    a per-term (df) agg, the seed's term ranking on a seed-sized slice,
+    and the m query terms broadcast back: non-query tokens die at the
+    broadcast join, so candidate scoring touches only the m postings
+    lists.  Top-k is a global rank over the candidate table (swap for
+    a threshold cut at webgraph scale).  Ties break by id.  Zero UDFs.
+    """
+    from pyspark.sql.window import Window
+
+    m, kk = int(m_terms), int(k)
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda x: x != "",
+            )
+        ).alias("_term"),
+    )
+    tf = tok.groupBy("_id", "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_N"))
+    idf = (
+        tf.groupBy("_term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_term",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log((F.col("_N") + 1) / (F.col("_df") + 1)),
+                0,
+            )
+            .cast("long")
+            .alias("_idf"),
+        )
+    )
+    wq = Window.orderBy(
+        (F.col("_tf") * F.col("_idf")).desc(), F.col("_term")
+    )
+    qterms = (
+        tf.where(F.col("_id") == seed_id)
+        .join(idf, "_term")
+        .withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= m)
+        .select("_term", "_idf")
+    )
+    cand = (
+        tf.where(F.col("_id") != seed_id)
+        .join(F.broadcast(qterms), "_term")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("_tf") * F.col("_idf")).alias("_sc"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+    )
+    wk = Window.orderBy(F.col("_sc").desc(), F.col("_id"))
+    return (
+        cand.withColumn("_r", F.row_number().over(wk))
+        .where(F.col("_r") <= kk)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_sc").cast("long").alias("score_micro"),
+            F.col("_nt").cast("long").alias("n_shared_terms"),
+        )
+    )

@@ -8413,6 +8413,64 @@ params AS (SELECT COUNT(*) AS n FROM nodes),""",
     return "\n".join(parts)
 
 
+
+# --------------------------------------------------------------------------
+# more-like-this: tf-idf related-document retrieval
+# --------------------------------------------------------------------------
+
+_MLT_SEED = 7
+_MLT_M = 10
+_MLT_K = 10
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this (operators/search.py more_like_this): doc 7's
+    top-10 tf·idf terms query the corpus, candidates scored by their
+    own tf·idf over the matched terms, top-10 by (score, id).  idf
+    rounds to integer micro-nats once per term; scores are exact
+    BIGINT dot products — bit-identical at any parallelism."""
+    from .operators.search import more_like_this
+
+    d = _docs(spark, sf_dir)
+    return more_like_this(d, _MLT_SEED, m_terms=_MLT_M, k=_MLT_K)
+
+
+_MLT_ORACLE = f"""
+WITH docs2 AS (SELECT doc_id, text FROM documents),
+tok AS (
+  SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+  FROM docs2
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY ALL),
+n AS (SELECT COUNT(*) AS nd FROM docs2),
+idf AS (
+  SELECT term,
+         CAST(round(1000000.0 * ln((t.nd + 1.0) / (COUNT(*) + 1.0)), 0)
+              AS BIGINT) AS idf
+  FROM tf, n t GROUP BY term, t.nd
+),
+qterms AS (
+  SELECT term, idf FROM (
+    SELECT tf.term, idf.idf,
+           ROW_NUMBER() OVER (ORDER BY tf.tf * idf.idf DESC, tf.term) AS r
+    FROM tf JOIN idf USING (term) WHERE tf.doc_id = {_MLT_SEED}
+  ) WHERE r <= {_MLT_M}
+),
+cand AS (
+  SELECT tf.doc_id, SUM(tf.tf * q.idf) AS sc, COUNT(*) AS nt
+  FROM tf JOIN qterms q USING (term)
+  WHERE tf.doc_id != {_MLT_SEED}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(sc AS BIGINT) AS score_micro,
+       CAST(nt AS BIGINT) AS n_shared_terms
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS r FROM cand
+) WHERE r <= {_MLT_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8453,6 +8511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "dsir_select": q_dsir_select,
     "domain_rank": q_domain_rank,
+    "more_like_this": q_more_like_this,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8612,6 +8671,7 @@ ORACLES: dict[str, str] = {
     "phrase_search": _phrase_oracle_sql(),
     "dsir_select": _dsir_oracle_sql(),
     "domain_rank": _domain_rank_oracle_sql(),
+    "more_like_this": _MLT_ORACLE,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -267,3 +267,54 @@ class TestPhraseSearch:
         df = spark.createDataFrame([("u", "x")], "url string, body string")
         with _pytest.raises(ValueError):
             phrase_search(df, "   ")
+
+
+class TestMoreLikeThis:
+    """tf-idf related-document retrieval (Lucene MLT formulation)."""
+
+    def _run(self, spark, rows, seed, **kw):
+        from bathyscaphe_spark.operators.search import more_like_this
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return [
+            (r["doc_id"], r["score_micro"], r["n_shared_terms"])
+            for r in more_like_this(df, seed, **kw).collect()
+        ]
+
+    def test_shared_rare_terms_rank_first(self, spark):
+        rows = [
+            (1, "quantum flux capacitor theory"),
+            (2, "quantum flux capacitor experiments"),  # 3 rare shared
+            (3, "quantum mechanics overview"),          # 1 rare shared
+            (4, "cooking pasta recipes tonight"),       # disjoint
+        ]
+        got = self._run(spark, rows, 1, m_terms=4, k=3)
+        assert [d for d, _, _ in got[:2]] == [2, 3]
+        assert all(d != 4 for d, _, _ in got)  # no shared query terms
+        assert got[0][2] == 3 and got[1][2] == 1
+
+    def test_seed_excluded_and_k_respected(self, spark):
+        rows = [(i, "alpha beta gamma") for i in range(8)]
+        got = self._run(spark, rows, 3, k=4)
+        assert len(got) == 4 and all(d != 3 for d, _, _ in got)
+
+    def test_m_terms_limits_query(self, spark):
+        # seed's highest tf*idf term is the rare one it repeats
+        rows = [
+            (1, "zzyx zzyx zzyx common common"),
+            (2, "zzyx common"),
+            (3, "common common"),
+        ]
+        got = self._run(spark, rows, 1, m_terms=1, k=5)
+        # only 'zzyx' queries ('common' has low idf): doc 3 unmatched
+        assert [d for d, _, _ in got] == [2]
+
+    def test_partition_bit_identity(self, spark):
+        from bathyscaphe_spark.operators.search import more_like_this
+
+        rows = [(i, " ".join(f"w{(i * j) % 17}" for j in range(1, 10)))
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = [tuple(r) for r in more_like_this(df.repartition(1), 5).collect()]
+        b = [tuple(r) for r in more_like_this(df.repartition(9), 5).collect()]
+        assert a == b and len(a) == 10
