@@ -1073,8 +1073,11 @@ def exact_substr_clean(
     yield '').
 
     Scale design: positions come from ``sequence``+``explode`` (pure
-    JVM, no UDF); each gram is reduced to a 16-byte binary md5 BEFORE
-    the shuffle so the text never ships; the occurrence count is a
+    JVM, no UDF); each gram is reduced to an 8-byte ``xxhash64`` key
+    BEFORE the shuffle so the text never ships (collision odds are
+    ~n²/2⁶⁵ — negligible here and swap in a 128-bit hash at corpus
+    scale; the oracle groups on the gram itself, so the hash identity
+    is itself under test); the occurrence count is a
     map-side-combinable COUNT(*) and the duplicated-hash set returns
     via one semi-join; span merge is one per-doc window over hit
     positions (for fixed L the span end is monotone in pos, so a
@@ -1100,7 +1103,7 @@ def exact_substr_clean(
         .select(
             "_id",
             "_pos",
-            F.unhex(F.md5(F.expr(f"substring(_text, _pos, {L})"))).alias("_h"),
+            F.xxhash64(F.expr(f"substring(_text, _pos, {L})")).alias("_h"),
         )
     )
     dup = (
