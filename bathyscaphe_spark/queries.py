@@ -8471,6 +8471,56 @@ FROM (
 """
 
 
+
+# --------------------------------------------------------------------------
+# Memento TimeMap: RFC 7089 capture listing per SURT key
+# --------------------------------------------------------------------------
+
+# multi-capture fixture: 100 urls x 5 captures (the warc_revisits shape)
+_TIMEMAP_PAGES_SQL = """
+SELECT 'http://h' || CAST(doc_id % 20 AS STRING) || '.onion/p'
+         || CAST(doc_id % 100 AS STRING) AS url,
+       to_timestamp(1714564800 + doc_id * 37) AS warc_ts,
+       CAST(200 AS INT) AS status,
+       'b' AS html
+FROM documents
+"""
+
+
+def q_timemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memento TimeMap relations (sources/warc.py timemap — RFC 7089):
+    per-SURT capture chains with first/last flags and prev/next
+    neighbor timestamps, one window over the CDX index's own sort
+    order.  Fixture: 100 urls × 5 captures."""
+    from .sources.warc import cdx_index, timemap
+
+    _docs(spark, sf_dir)
+    return timemap(
+        cdx_index(spark.sql(_TIMEMAP_PAGES_SQL)).select("surt", "ts14")
+    )
+
+
+ORACLE_TIMEMAP = f"""
+WITH pages AS ({_TIMEMAP_PAGES_SQL}),
+cdx AS (
+  SELECT
+    lower('onion,h' || CAST(
+        CAST(regexp_extract(url, 'p([0-9]+)$', 1) AS BIGINT) % 20 AS STRING)
+      || ')/p' || regexp_extract(url, 'p([0-9]+)$', 1)) AS surt,
+    strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14
+  FROM pages
+)
+SELECT surt, ts14,
+       CAST(COUNT(*) OVER (PARTITION BY surt) AS BIGINT) AS n_mementos,
+       (ROW_NUMBER() OVER (PARTITION BY surt ORDER BY ts14) = 1) AS is_first,
+       (ROW_NUMBER() OVER (PARTITION BY surt ORDER BY ts14 DESC) = 1)
+         AS is_last,
+       LAG(ts14) OVER (PARTITION BY surt ORDER BY ts14) AS prev_ts14,
+       LEAD(ts14) OVER (PARTITION BY surt ORDER BY ts14) AS next_ts14
+FROM cdx
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8512,6 +8562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "domain_rank": q_domain_rank,
     "more_like_this": q_more_like_this,
+    "timemap": q_timemap,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8672,6 +8723,7 @@ ORACLES: dict[str, str] = {
     "dsir_select": _dsir_oracle_sql(),
     "domain_rank": _domain_rank_oracle_sql(),
     "more_like_this": _MLT_ORACLE,
+    "timemap": ORACLE_TIMEMAP,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

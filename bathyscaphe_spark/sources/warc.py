@@ -843,3 +843,32 @@ def mark_revisits(pages: DataFrame) -> DataFrame:
         .cast("long")
         .alias("saved_octets"),
     )
+
+
+def timemap(cdx: DataFrame) -> DataFrame:
+    """Memento TimeMap rows (RFC 7089, the public web-archive
+    ``/timemap/link/<url>`` API): per SURT key, every capture ordered
+    by timestamp with its ``first memento`` / ``last memento`` flags
+    and prev/next neighbor timestamps — exactly the link-format
+    relations a TimeMap serializes.
+
+    Output: (surt, ts14, n_mementos, is_first, is_last, prev_ts14,
+    next_ts14).
+
+    One window over (surt, ts14) — the index's own sort order, so on a
+    surt-sorted/bucketed CDX table the partitioning is free and the
+    window never re-shuffles.  Pure codegen.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("surt").orderBy("ts14")
+    ws = Window.partitionBy("surt")
+    return cdx.select(
+        "surt",
+        "ts14",
+        F.count(F.lit(1)).over(ws).cast("long").alias("n_mementos"),
+        (F.row_number().over(w) == 1).alias("is_first"),
+        (F.row_number().over(Window.partitionBy("surt").orderBy(F.desc("ts14"))) == 1).alias("is_last"),
+        F.lag("ts14").over(w).alias("prev_ts14"),
+        F.lead("ts14").over(w).alias("next_ts14"),
+    )

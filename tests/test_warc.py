@@ -604,3 +604,30 @@ class TestCdxQuery:
 
         with _pytest.raises(ValueError):
             cdx_query(self._cdx(spark), "http://x.onion/", "fuzzy")
+
+
+class TestTimemap:
+    """RFC 7089 TimeMap relations over the CDX index."""
+
+    def test_chain_relations(self, spark):
+        from bathyscaphe_spark.sources.warc import timemap
+
+        cdx = spark.createDataFrame(
+            [("a)/", "20240101000000"), ("a)/", "20240102000000"),
+             ("a)/", "20240103000000"), ("b)/", "20240105000000")],
+            "surt string, ts14 string",
+        )
+        got = {(r["surt"], r["ts14"]): r for r in timemap(cdx).collect()}
+        a1 = got[("a)/", "20240101000000")]
+        a2 = got[("a)/", "20240102000000")]
+        a3 = got[("a)/", "20240103000000")]
+        b = got[("b)/", "20240105000000")]
+        assert a1["is_first"] and not a1["is_last"] and a1["prev_ts14"] is None
+        assert a1["next_ts14"] == "20240102000000"
+        assert not a2["is_first"] and not a2["is_last"]
+        assert a2["prev_ts14"] == "20240101000000"
+        assert a2["next_ts14"] == "20240103000000"
+        assert a3["is_last"] and a3["next_ts14"] is None
+        assert a1["n_mementos"] == 3
+        # single capture is both first and last
+        assert b["is_first"] and b["is_last"] and b["n_mementos"] == 1
