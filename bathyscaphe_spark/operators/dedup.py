@@ -1178,3 +1178,43 @@ def exact_substr_clean(
             F.coalesce(F.col("_cov"), F.lit(0)).cast("long").alias("covered_chars"),
         )
     )
+
+
+def canonical_pick(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-weighted canonical selection: per duplicate cluster keep
+    the member with the HIGHEST score (ties → lowest id) — the "keep
+    the best copy" rule production dedup applies (keep-longest /
+    keep-highest-quality) instead of keep-min-id, so deduplication
+    never throws away the cleanest capture of a page.
+
+    Input: ``members`` (id, cluster_id) — e.g. connected components of
+    verified near-dup pairs — and ``scores`` (id, score).
+
+    Output: (id, cluster_id, score, keep).
+
+    Plan: one id-keyed join to attach scores, one cluster-keyed
+    ``max(struct(score, −id))`` argmax (map-side combinable — no
+    window, no per-cluster sort), one cluster-keyed join back.  Skew
+    bound is the largest duplicate cluster, same as the component
+    computation that produced ``members``.
+    """
+    j = members.join(scores, id_col)
+    best = j.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+            )
+        ).alias("_b")
+    )
+    return j.join(best, cluster_col).select(
+        id_col,
+        cluster_col,
+        score_col,
+        (F.col(id_col) == -F.col("_b.nid")).alias("keep"),
+    )

@@ -8521,6 +8521,66 @@ FROM cdx
 """
 
 
+
+# --------------------------------------------------------------------------
+# quality-weighted canonical pick: keep the best copy, not the first
+# --------------------------------------------------------------------------
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-the-BEST-copy dedup (operators/dedup.py canonical_pick over
+    the MinHash-LSH connected components): per duplicate cluster the
+    longest member survives (ties → lowest id) — the keep-longest /
+    keep-highest-quality rule production pipelines apply instead of
+    keep-min-id.  One cluster-keyed argmax agg, no windows."""
+    from .operators.dedup import canonical_pick, minhash_dedup_pairs
+    from .operators.graph import connected_components
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.6
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    members = corpus.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster_id")
+    )
+    scores = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    return canonical_pick(members, scores)
+
+
+def _canonical_oracle_sql() -> str:
+    # the clusters closure (already oracle-pinned) + keep-longest argmax
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) mh),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+),
+members AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(length(d.text) AS BIGINT) AS score
+  FROM ({NEARDUP_CORPUS_SQL}) d
+  LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id, score,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY score DESC, doc_id) = 1) AS keep
+FROM members
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8563,6 +8623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_rank": q_domain_rank,
     "more_like_this": q_more_like_this,
     "timemap": q_timemap,
+    "dedup_canonical": q_dedup_canonical,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8724,6 +8785,7 @@ ORACLES: dict[str, str] = {
     "domain_rank": _domain_rank_oracle_sql(),
     "more_like_this": _MLT_ORACLE,
     "timemap": ORACLE_TIMEMAP,
+    "dedup_canonical": _canonical_oracle_sql(),
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

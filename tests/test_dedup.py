@@ -524,3 +524,37 @@ class TestExactSubstrClean:
         a = sorted(map(tuple, exact_substr_clean(df.repartition(1), min_len=12).collect()))
         b = sorted(map(tuple, exact_substr_clean(df.repartition(9), min_len=12).collect()))
         assert a == b and len(a) == 40
+
+
+class TestCanonicalPick:
+    """Keep-the-best-copy canonical selection per duplicate cluster."""
+
+    def _run(self, spark, members, scores):
+        from bathyscaphe_spark.operators.dedup import canonical_pick
+
+        m = spark.createDataFrame(members, "doc_id long, cluster_id long")
+        s = spark.createDataFrame(scores, "doc_id long, score long")
+        return {r["doc_id"]: r["keep"] for r in canonical_pick(m, s).collect()}
+
+    def test_highest_score_wins_not_min_id(self, spark):
+        got = self._run(
+            spark,
+            [(1, 1), (2, 1), (3, 1), (9, 9)],
+            [(1, 10), (2, 50), (3, 30), (9, 5)],
+        )
+        assert got == {1: False, 2: True, 3: False, 9: True}
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        got = self._run(spark, [(4, 4), (7, 4)], [(4, 10), (7, 10)])
+        assert got == {4: True, 7: False}
+
+    def test_partition_invariance(self, spark):
+        from bathyscaphe_spark.operators.dedup import canonical_pick
+
+        members = [(i, i % 6) for i in range(36)]
+        scores = [(i, (i * 7) % 11) for i in range(36)]
+        m = spark.createDataFrame(members, "doc_id long, cluster_id long")
+        s = spark.createDataFrame(scores, "doc_id long, score long")
+        a = sorted(map(tuple, canonical_pick(m.repartition(1), s).collect()))
+        b = sorted(map(tuple, canonical_pick(m.repartition(9), s.repartition(5)).collect()))
+        assert a == b and sum(1 for r in a if r[3]) == 6
