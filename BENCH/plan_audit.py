@@ -42,6 +42,10 @@ SCALAR_ATTACH_OK = {
     # the two corpus-total normalizers (T_target, T_raw) are 1-row
     # aggregates attached back onto the ≤n_buckets-row term table
     "dsir_select",
+    # seed-doc corpus-N scalar attach (more_like_this idf) and the
+    # per-iteration 1-row dangling-mass scalar (pagerank_dangling)
+    "more_like_this",
+    "pagerank_dangling",
 }
 # bounded broadcast small-side expansion: IVF assignment is docs ×
 # broadcast(n_cells=16 centroid rows) — the documented O(n·cells)

@@ -673,3 +673,81 @@ def domain_edges(
         .select("src", "dst")
         .distinct()
     )
+
+
+def pagerank_dangling_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-point PageRank WITH dangling-mass redistribution — the
+    Brin/Page fix ``pagerank_fp`` omits.  At web-frontier scale the
+    no-outlink nodes are the MAJORITY (every discovered-but-unfetched
+    URL is dangling), and the plain recurrence silently leaks their
+    entire rank mass each iteration; here it is re-spread uniformly:
+
+        r_{i+1}(v) = (15·SCALE) div (100·N)
+                     + Σ_{(u→v)} (r_i(u)·85) div (100·outdeg(u))
+                     + (85·D_i) div (100·N),   D_i = Σ_{u dangling} r_i(u)
+
+    Integer micro-units throughout — bit-identical at any parallelism.
+
+    Plan: same persisted node set / edges⋈outdeg as ``pagerank_fp``;
+    the dangling set is one anti-join computed ONCE and persisted;
+    each iteration adds one 1-row mass aggregate attached back as a
+    broadcast scalar (never a collect).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        df = nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+        nodes.unpersist()
+        return df
+    base = (15 * SCALE) // (100 * n)
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
+    dang = nodes.join(
+        edges.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    try:
+        ranks = nodes.withColumn("rank_fp", F.lit(SCALE // n).cast("long"))
+        for _ in range(iters):
+            dmass = (
+                ranks.join(dang, "node", "leftsemi")
+                .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("_dm"))
+            )
+            contrib = (
+                ed.join(ranks, ed["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(
+                        f"(rank_fp * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)"
+                    ).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.coalesce(F.col("contrib"), F.lit(0))
+                        + F.expr(
+                            f"(_dm * {DAMP_NUM}) div ({DAMP_DEN} * {n})"
+                        )
+                    )
+                    .cast("long")
+                    .alias("rank_fp"),
+                )
+            )
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        ed.unpersist()
+        dang.unpersist()
+        nodes.unpersist()
+    return ranks

@@ -8581,6 +8581,64 @@ FROM members
 """
 
 
+
+# --------------------------------------------------------------------------
+# dangling-mass PageRank: the no-outlink majority keeps its rank mass
+# --------------------------------------------------------------------------
+
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution (operators/graph.py
+    pagerank_dangling_fp) over the SAME host graph as
+    pagerank_priority — whose 31 leaf hosts (97..127) are exactly the
+    dangling set, so the two queries' rank difference IS the leaked
+    mass.  Integer micro-units, one 1-row mass scalar per iteration,
+    bit-identical at any parallelism."""
+    from .operators.graph import pagerank_dangling_fp
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL)
+    return pagerank_dangling_fp(edges, iters=3).select(
+        "node", F.col("rank_fp").cast("long").alias("rank_fp")
+    )
+
+
+def _pagerank_dangling_oracle_sql(iters: int = 3) -> str:
+    """The _pagerank_oracle_sql recurrence plus one dangling-mass CTE
+    per iteration."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "dang AS (SELECT node FROM nodes"
+        " WHERE node NOT IN (SELECT src FROM edges)),",
+        "params AS (SELECT COUNT(*) AS n FROM nodes),",
+        f"r0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM params)"
+        " AS rank_fp FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", d{i} AS (
+  SELECT COALESCE(SUM(rank_fp), 0) AS dm FROM r{i}
+  WHERE node IN (SELECT node FROM dang)
+), r{i + 1} AS (
+  SELECT n2.node,
+         (15 * {_PR_SCALE}) // (100 * (SELECT n FROM params))
+         + COALESCE(SUM((r{i}.rank_fp * 85) // (100 * deg.outdeg)), 0)
+         + ((SELECT dm FROM d{i}) * 85) // (100 * (SELECT n FROM params))
+           AS rank_fp
+  FROM nodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN r{i} ON r{i}.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n2.node
+)"""
+        )
+    parts.append(
+        f"SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8624,6 +8682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "more_like_this": q_more_like_this,
     "timemap": q_timemap,
     "dedup_canonical": q_dedup_canonical,
+    "pagerank_dangling": q_pagerank_dangling,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8786,6 +8845,7 @@ ORACLES: dict[str, str] = {
     "more_like_this": _MLT_ORACLE,
     "timemap": ORACLE_TIMEMAP,
     "dedup_canonical": _canonical_oracle_sql(),
+    "pagerank_dangling": _pagerank_dangling_oracle_sql(),
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -466,3 +466,52 @@ class TestDomainEdges:
         a = sorted(map(tuple, pagerank_fp(domain_edges(df.repartition(1)), iters=2).collect()))
         b = sorted(map(tuple, pagerank_fp(domain_edges(df.repartition(7)), iters=2).collect()))
         assert a == b and len(a) > 0
+
+
+class TestPagerankDangling:
+    """Dangling-mass redistribution vs the plain recurrence."""
+
+    def test_mass_conserved_with_redistribution(self, spark):
+        from bathyscaphe_spark.operators.graph import (
+            SCALE,
+            pagerank_dangling_fp,
+            pagerank_fp,
+        )
+
+        # star into a sink: node 9 has no outlinks (dangling)
+        edges = spark.createDataFrame(
+            [(1, 9), (2, 9), (3, 9), (1, 2)], "src long, dst long"
+        )
+        plain = sum(r["rank_fp"] for r in pagerank_fp(edges, iters=3).collect())
+        fixed = sum(
+            r["rank_fp"] for r in pagerank_dangling_fp(edges, iters=3).collect()
+        )
+        # plain leaks the sink's mass; the fix keeps total ≈ SCALE
+        # (floor-div truncation only — bounded by iterations × nodes)
+        assert fixed > plain
+        assert abs(fixed - SCALE) < SCALE * 0.01
+
+    def test_no_dangling_means_identical(self, spark):
+        from bathyscaphe_spark.operators.graph import (
+            pagerank_dangling_fp,
+            pagerank_fp,
+        )
+
+        # a cycle: every node has outdeg ≥ 1 → dangling mass is 0
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        a = sorted(map(tuple, pagerank_fp(edges, iters=3).collect()))
+        b = sorted(map(tuple, pagerank_dangling_fp(edges, iters=3).collect()))
+        assert a == b
+
+    def test_partition_bit_identity(self, spark):
+        from bathyscaphe_spark.operators.graph import pagerank_dangling_fp
+
+        edges = spark.createDataFrame(
+            [(i % 7, (i * 3 + 1) % 11) for i in range(40) if i % 7 != (i * 3 + 1) % 11],
+            "src long, dst long",
+        ).distinct()
+        a = sorted(map(tuple, pagerank_dangling_fp(edges.repartition(1), iters=2).collect()))
+        b = sorted(map(tuple, pagerank_dangling_fp(edges.repartition(7), iters=2).collect()))
+        assert a == b
