@@ -497,3 +497,55 @@ def published_date_cols(html: Column, url: Column) -> dict[str, Column]:
         "published": F.date_format(d, "yyyy-MM-dd"),
         "date_source": F.when(d.isNotNull(), src),
     }
+
+
+# --- robots meta directives (page-level noindex/nofollow) -------------------
+
+# <meta name="robots" content="..."> with the attributes in either
+# order; (?i) inline flag is the one case-insensitivity syntax Java
+# regex and RE2 share, so the DuckDB oracle runs these VERBATIM
+_ROBOTS_META_NC = (
+    "(?i)<meta[^>]*\\bname\\s*=\\s*[\"']robots[\"']"
+    "[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']"
+)
+_ROBOTS_META_CN = (
+    "(?i)<meta[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']"
+    "[^>]*\\bname\\s*=\\s*[\"']robots[\"']"
+)
+
+
+def _directive(combined, name: str):
+    from pyspark.sql import functions as F
+
+    return combined.rlike(f"(?i)(^|[,\\s]){name}([,\\s]|$)") | combined.rlike(
+        "(?i)(^|[,\\s])none([,\\s]|$)"
+    )
+
+
+def robots_meta_cols(html, xrobots):
+    """Page-level robots directives (the Robots Exclusion Protocol's
+    per-page half, public: Google/Bing REP docs): ``<meta
+    name="robots" content="...">`` in either attribute order, UNIONED
+    with the ``X-Robots-Tag`` response header (pass the already
+    lowercase-keyed headers map's value), token-matched
+    case-insensitively on comma/space boundaries; ``none`` implies
+    both noindex and nofollow.
+
+    Returns dict of columns: ``meta_robots`` (raw meta content or
+    NULL), ``noindex`` — drop from the resources sink, ``nofollow`` —
+    skip link extraction for the page.  Pure codegen regexp — a
+    map-only projection; the regexes are shared VERBATIM with the
+    DuckDB oracle.
+    """
+    from pyspark.sql import functions as F
+
+    meta = F.coalesce(
+        F.nullif(F.regexp_extract(html, _ROBOTS_META_NC, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _ROBOTS_META_CN, 1), F.lit("")),
+    )
+    combined = F.concat_ws(",", meta, xrobots)
+    return {
+        "meta_robots": meta,
+        "noindex": _directive(combined, "noindex"),
+        "nofollow": _directive(combined, "nofollow"),
+    }

@@ -8639,6 +8639,89 @@ def _pagerank_dangling_oracle_sql(iters: int = 3) -> str:
     return "\n".join(parts)
 
 
+
+# --------------------------------------------------------------------------
+# robots meta directives: page-level noindex/nofollow
+# --------------------------------------------------------------------------
+
+# every variant: both attribute orders, header-only, meta+header union,
+# 'none' implying both, mixed case, a name="description" decoy, plain
+_RMETA_HTML_SQL = """
+SELECT doc_id,
+  CASE doc_id % 7
+    WHEN 0 THEN '<html><head><meta name="robots" content="noindex">'
+                || '</head><body>x</body></html>'
+    WHEN 1 THEN '<html><head><meta content="nofollow" name="robots">'
+                || '</head><body>x</body></html>'
+    WHEN 2 THEN '<html><head><meta name="ROBOTS" content="NONE">'
+                || '</head><body>x</body></html>'
+    WHEN 5 THEN '<html><head><meta name="description" content="noindex">'
+                || '</head><body>decoy</body></html>'
+    WHEN 6 THEN '<html><head><meta name="robots"'
+                || ' content="noindex, nofollow"></head><body>x</body></html>'
+    ELSE '<html><body>plain</body></html>'
+  END AS html,
+  CASE doc_id % 7
+    WHEN 3 THEN 'noindex'
+    WHEN 4 THEN 'nofollow, noarchive'
+    WHEN 0 THEN 'nofollow'
+  END AS x_robots
+FROM documents
+"""
+
+
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives (functions/html.py robots_meta_cols
+    — the REP's per-page half beside robots.txt): meta tag in either
+    attribute order UNIONED with the X-Robots-Tag header, token-matched
+    case-insensitively, 'none' ⇒ both.  noindex gates the resources
+    sink, nofollow gates link extraction.  Pure codegen regexp, shared
+    verbatim with the oracle."""
+    from .functions.html import robots_meta_cols
+
+    _docs(spark, sf_dir)
+    d = spark.sql(_RMETA_HTML_SQL)
+    c = robots_meta_cols(F.col("html"), F.col("x_robots"))
+    return d.select(
+        "doc_id",
+        c["meta_robots"].alias("meta_robots"),
+        c["noindex"].alias("noindex"),
+        c["nofollow"].alias("nofollow"),
+    )
+
+
+def _robots_meta_oracle_sql() -> str:
+    from .functions.html import _ROBOTS_META_CN, _ROBOTS_META_NC
+
+    nc = _ROBOTS_META_NC.replace("'", "''")
+    cn = _ROBOTS_META_CN.replace("'", "''")
+
+    def tok(name: str) -> str:
+        return (
+            f"(regexp_matches(combined, '(?i)(^|[,\\s]){name}([,\\s]|$)')"
+            f" OR regexp_matches(combined, '(?i)(^|[,\\s])none([,\\s]|$)'))"
+        )
+
+    return f"""
+WITH d AS ({_RMETA_HTML_SQL}),
+m AS (
+  SELECT doc_id,
+         COALESCE(nullif(regexp_extract(html, '{nc}', 1), ''),
+                  nullif(regexp_extract(html, '{cn}', 1), '')) AS meta_robots,
+         x_robots
+  FROM d
+),
+c AS (
+  SELECT doc_id, meta_robots,
+         concat_ws(',', meta_robots, x_robots) AS combined
+  FROM m
+)
+SELECT doc_id, meta_robots, {tok("noindex")} AS noindex,
+       {tok("nofollow")} AS nofollow
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8683,6 +8766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "timemap": q_timemap,
     "dedup_canonical": q_dedup_canonical,
     "pagerank_dangling": q_pagerank_dangling,
+    "robots_meta": q_robots_meta,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8846,6 +8930,7 @@ ORACLES: dict[str, str] = {
     "timemap": ORACLE_TIMEMAP,
     "dedup_canonical": _canonical_oracle_sql(),
     "pagerank_dangling": _pagerank_dangling_oracle_sql(),
+    "robots_meta": _robots_meta_oracle_sql(),
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -295,3 +295,43 @@ class TestPublishedDate:
         assert got[3] == ("2018-11-03", "url")
         assert got[4] == ("2018-11-03", "url")
         assert got[5] == (None, None)
+
+
+class TestRobotsMeta:
+    """Page-level robots directives: meta tag + X-Robots-Tag union."""
+
+    def _run(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.functions.html import robots_meta_cols
+
+        df = spark.createDataFrame(rows, "id long, html string, xr string")
+        c = robots_meta_cols(F.col("html"), F.col("xr"))
+        out = df.select("id", c["noindex"].alias("ni"), c["nofollow"].alias("nf"))
+        return {r["id"]: (r["ni"], r["nf"]) for r in out.collect()}
+
+    def test_attribute_orders_case_and_none(self, spark):
+        got = self._run(spark, [
+            (1, '<meta name="robots" content="noindex">', None),
+            (2, '<meta content="nofollow" name="robots">', None),
+            (3, '<meta name="ROBOTS" content="NONE">', None),
+            (4, "<body>plain</body>", None),
+        ])
+        assert got == {1: (True, False), 2: (False, True),
+                       3: (True, True), 4: (False, False)}
+
+    def test_header_unions_with_meta(self, spark):
+        got = self._run(spark, [
+            (1, '<meta name="robots" content="noindex">', "nofollow"),
+            (2, "<body>x</body>", "noindex, noarchive"),
+        ])
+        assert got == {1: (True, True), 2: (True, False)}
+
+    def test_decoy_and_token_boundaries(self, spark):
+        got = self._run(spark, [
+            # name="description" must not match
+            (1, '<meta name="description" content="noindex">', None),
+            # 'noindexing' is NOT the noindex token
+            (2, '<meta name="robots" content="noindexing">', None),
+        ])
+        assert got == {1: (False, False), 2: (False, False)}
