@@ -158,6 +158,13 @@ class CrawlConfig:
     # the parity oracles replay reference semantics exactly.
     trap_guard_enabled: bool = False
 
+    # page-level robots directives (functions/html.py robots_meta_cols):
+    # <meta name="robots"> ∪ X-Robots-Tag — nofollow pages contribute no
+    # links, noindex pages never reach the resources sink.  Off by
+    # default — the reference ignores page-level directives, and the
+    # parity oracles replay reference semantics exactly.
+    robots_meta_enabled: bool = False
+
     @property
     def allowed_extensions(self) -> tuple[str, ...]:
         return tuple(

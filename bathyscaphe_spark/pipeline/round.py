@@ -452,17 +452,35 @@ def run_round(
                 num_shards=config.bloom_shards,
             )
 
+    # page-level robots directives (REP meta tag ∪ X-Robots-Tag):
+    # nofollow gates the extract input, noindex gates the index input.
+    # Flag-gated — the default path is byte-identical (no extra columns,
+    # no extra scan: both branches filter the SAME persisted fetch cache)
+    extract_src = index_src = fetched_ok
+    if config.robots_meta_enabled:
+        from ..functions.html import robots_meta_cols
+
+        rm = robots_meta_cols(
+            F.col("html").cast("string"),
+            F.expr(
+                "element_at(transform_keys(headers, (k, v) -> lower(k)),"
+                " 'x-robots-tag')"
+            ),
+        )
+        extract_src = fetched_ok.where(~rm["nofollow"])
+        index_src = fetched_ok.where(~rm["noindex"])
+
     # scheduler — discover next frontier (robots state is optional: a
     # committed `robots` table gates candidates by disallow prefix)
     link_edges = cand_cache = None
     if config.link_rank_enabled:
         new_urls, link_edges, cand_cache = discover_new_urls(
-            fetched_ok, config, seen, blacklist_pred, round_n, bloom=bloom,
+            extract_src, config, seen, blacklist_pred, round_n, bloom=bloom,
             robots=robots_df, emit_edges=True,
         )
     else:
         new_urls = discover_new_urls(
-            fetched_ok, config, seen, blacklist_pred, round_n, bloom=bloom,
+            extract_src, config, seen, blacklist_pred, round_n, bloom=bloom,
             robots=robots_df,
         )
     if config.fetch_robots:
@@ -477,7 +495,7 @@ def run_round(
 
     # indexer — resources output
     resources = build_resources(
-        fetched_ok.select("url", "host", "html", "headers", "warc_ts"),
+        index_src.select("url", "host", "html", "headers", "warc_ts"),
         blacklist_pred,
     )
 
