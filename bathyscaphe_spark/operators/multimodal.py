@@ -452,3 +452,103 @@ def synth_family_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         _run, schema="item_id long, payload binary"
     )
+
+
+# --- content-defined chunking (LBFS/CDC storage dedup) ---------------------
+
+CDC_WINDOW = 32       # rolling window, bytes
+CDC_MASK = 511        # boundary when h % 512 == 0 (~512 B mean chunk)
+CDC_GEAR_MULT = 2654435761  # Knuth multiplicative hash for the gear table
+
+
+def _cdc_boundaries_np(data: "np.ndarray") -> "np.ndarray":
+    """0-based END indices (inclusive) of content-defined boundaries.
+
+    The gear rolling hash has a CLOSED FORM over a fixed window —
+    h_i = (Σ_{j=0..W−1} G[b_{i−j}]·2^j) mod 2^32 — so it vectorizes as
+    one sliding-window integer dot product (no per-byte Python loop),
+    and the DuckDB oracle can replicate it as a windowed SQL sum.
+    """
+    import numpy as np
+
+    n = data.shape[0]
+    if n < CDC_WINDOW:
+        return np.empty(0, dtype=np.int64)
+    g = ((data.astype(np.int64) * CDC_GEAR_MULT) % 65536).astype(np.int64)
+    w = (1 << np.arange(CDC_WINDOW, dtype=np.int64))  # 2^j, j = offset
+    # window ending at byte i covers b[i-W+1 .. i]; weight 2^j for the
+    # byte j positions BEFORE i  ⇒ reverse the weight vector
+    win = np.lib.stride_tricks.sliding_window_view(g, CDC_WINDOW)
+    h = (win @ w[::-1]) % (1 << 32)
+    ends = np.nonzero(h % (CDC_MASK + 1) == 0)[0] + CDC_WINDOW - 1
+    return ends.astype(np.int64)
+
+
+def cdc_chunks(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Content-defined chunking (LBFS, Muthitacharoen et al. 2001,
+    SOSP — public): split each payload at positions where a rolling
+    gear hash of the trailing 32 bytes hits ``h % 512 == 0``, so chunk
+    boundaries follow CONTENT, not offsets — an insertion early in a
+    page shifts every fixed-block boundary but leaves all later CDC
+    chunks (and their digests) intact.  The storage-dedup primitive
+    below WARC revisit records: shared chunks across captures /
+    mirrors / boilerplate store once.
+
+    Output: (id, chunk_idx, start, chunk_len, chunk_md5, reuse) — one
+    row per chunk, ``reuse`` = how many chunks corpus-wide share the
+    digest.
+
+    Scale design: boundary detection is ONE Arrow kernel per doc (a
+    vectorized sliding-window dot product — the closed form above —
+    never per-byte Python); chunk rows carry (start, len) + a digest,
+    not the bytes; the reuse count is a map-combinable groupBy on the
+    16-byte digest joined back (the same shape as exact_substr's
+    duplicated-gram count).  Payloads never re-shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out_schema = f"{id_col} long, chunk_idx long, start long, chunk_len long, chunk_txt string"
+
+    def _run(batches):
+        for pdf in batches:
+            ids, idxs, starts, lens, txts = [], [], [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                ends = _cdc_boundaries_np(b)
+                prev = 0
+                ci = 0
+                cuts = [int(e) + 1 for e in ends] + (
+                    [len(b)] if (len(b) and (not len(ends) or ends[-1] != len(b) - 1)) else []
+                )
+                for cut in cuts:
+                    ids.append(did)
+                    idxs.append(ci)
+                    starts.append(prev)
+                    lens.append(cut - prev)
+                    txts.append(t[prev:cut])
+                    ci += 1
+                    prev = cut
+            yield pd.DataFrame(
+                {id_col: ids, "chunk_idx": idxs, "start": starts,
+                 "chunk_len": lens, "chunk_txt": txts}
+            )
+
+    chunks = docs.select(id_col, text_col).mapInPandas(_run, schema=out_schema)
+    chunks = chunks.select(
+        id_col, "chunk_idx", "start", "chunk_len",
+        F.md5("chunk_txt").alias("chunk_md5"),
+    )
+    reuse = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("reuse")
+    )
+    return chunks.join(reuse, "chunk_md5").select(
+        id_col, "chunk_idx", "start", "chunk_len", "chunk_md5",
+        F.col("reuse").cast("long").alias("reuse"),
+    )

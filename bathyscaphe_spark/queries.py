@@ -8722,6 +8722,82 @@ FROM c
 """
 
 
+
+# --------------------------------------------------------------------------
+# content-defined chunking: LBFS/CDC storage dedup below revisit records
+# --------------------------------------------------------------------------
+
+# append a shared footer to every 4th doc: CDC must give the footer
+# IDENTICAL chunk digests across docs even though each doc's preceding
+# bytes (hence any fixed-block boundaries) differ — the CDC property
+_CDC_DOCS_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN text
+       || ' ==== standard mirror footer appended to every fourth page'
+       || ' of this corpus, long enough to span chunk boundaries ===='
+       ELSE text END AS text
+FROM documents
+"""
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/multimodal.py cdc_chunks —
+    LBFS gear-hash boundaries at h%512==0 over a 32-byte window): the
+    storage-dedup layer below WARC revisit records; chunk digests of a
+    shared footer match across documents regardless of preceding
+    bytes.  The rolling hash's closed form makes the kernel ONE
+    vectorized sliding dot product and the oracle ONE windowed SQL
+    sum — bit-identical boundaries."""
+    from .operators.multimodal import cdc_chunks
+
+    _docs(spark, sf_dir)
+    return cdc_chunks(spark.sql(_CDC_DOCS_SQL))
+
+
+ORACLE_CDC = f"""
+WITH d AS ({_CDC_DOCS_SQL}),
+pos AS (
+  SELECT doc_id, i AS p,
+         (ord(substr(text, i, 1)) * 2654435761) % 65536 AS g
+  FROM d, unnest(generate_series(1, length(text))) AS t(i)
+),
+h AS (
+  SELECT a.doc_id, a.p,
+         SUM(b.g * (1::BIGINT << (a.p - b.p))) % 4294967296 AS hv
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND b.p BETWEEN a.p - 31 AND a.p
+  WHERE a.p >= 32
+  GROUP BY a.doc_id, a.p
+),
+cuts AS (
+  SELECT doc_id, p AS cut FROM h WHERE hv % 512 = 0
+  UNION
+  SELECT doc_id, length(text) AS cut FROM d WHERE length(text) > 0
+),
+chunks AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY c.cut) - 1
+           AS chunk_idx,
+         COALESCE(LAG(c.cut) OVER (PARTITION BY c.doc_id ORDER BY c.cut), 0)
+           AS start,
+         c.cut AS cut
+  FROM cuts c
+),
+rows_ AS (
+  SELECT ch.doc_id, ch.chunk_idx, ch.start,
+         ch.cut - ch.start AS chunk_len,
+         md5(substr(d.text, ch.start + 1, ch.cut - ch.start)) AS chunk_md5
+  FROM chunks ch JOIN d USING (doc_id)
+)
+SELECT r.doc_id, r.chunk_idx, CAST(r.start AS BIGINT) AS start,
+       CAST(r.chunk_len AS BIGINT) AS chunk_len, r.chunk_md5,
+       CAST(u.reuse AS BIGINT) AS reuse
+FROM rows_ r
+JOIN (SELECT chunk_md5, COUNT(*) AS reuse FROM rows_ GROUP BY chunk_md5) u
+  USING (chunk_md5)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8767,6 +8843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical": q_dedup_canonical,
     "pagerank_dangling": q_pagerank_dangling,
     "robots_meta": q_robots_meta,
+    "cdc_chunks": q_cdc_chunks,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8931,6 +9008,7 @@ ORACLES: dict[str, str] = {
     "dedup_canonical": _canonical_oracle_sql(),
     "pagerank_dangling": _pagerank_dangling_oracle_sql(),
     "robots_meta": _robots_meta_oracle_sql(),
+    "cdc_chunks": ORACLE_CDC,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

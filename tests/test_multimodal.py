@@ -157,3 +157,60 @@ class TestAHash:
         assert a == b and len(a) == 60
         with _pytest.raises(ValueError):
             ahash_fingerprints(None, grid_h=8, grid_w=8)
+
+
+class TestCdcChunks:
+    """LBFS content-defined chunking — boundaries follow content."""
+
+    def _run(self, spark, rows):
+        from bathyscaphe_spark.operators.multimodal import cdc_chunks
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {}
+        for r in cdc_chunks(df).collect():
+            out.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["start"], r["chunk_len"], r["chunk_md5"], r["reuse"])
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    def test_insertion_preserves_later_chunk_digests(self, spark):
+        import random
+
+        rng = random.Random(42)
+        base = "".join(chr(rng.randint(33, 122)) for _ in range(8000))
+        shifted = "XYZZY-" + base  # 6-byte insertion at the front
+        got = self._run(spark, [(1, base), (2, shifted)])
+        d1 = {m for _, _, _, m, _ in got[1]}
+        d2 = {m for _, _, _, m, _ in got[2]}
+        # most chunks re-synchronize after the insertion
+        shared = d1 & d2
+        assert len(shared) >= len(d1) * 0.6, (len(shared), len(d1), len(d2))
+
+    def test_short_doc_is_one_whole_chunk(self, spark):
+        got = self._run(spark, [(1, "tiny doc")])
+        assert got[1] == [(0, 0, 8, got[1][0][3], 1)]
+
+    def test_empty_doc_no_rows(self, spark):
+        got = self._run(spark, [(1, ""), (2, "x" * 40)])
+        assert 1 not in got and 2 in got
+
+    def test_chunks_tile_the_doc_and_reuse_counts(self, spark):
+        t = "abcdefgh" * 100
+        got = self._run(spark, [(1, t), (2, t)])
+        for d in (1, 2):
+            pos = 0
+            for _, start, ln, _, reuse in got[d]:
+                assert start == pos
+                pos += ln
+                assert reuse == 2  # identical docs: every chunk shared
+            assert pos == len(t)
+
+    def test_partition_invariance(self, spark):
+        from bathyscaphe_spark.operators.multimodal import cdc_chunks
+
+        rows = [(i, "".join(chr(33 + ((i * 7 + j * 13) % 90)) for j in range(600)))
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, cdc_chunks(df.repartition(1)).collect()))
+        b = sorted(map(tuple, cdc_chunks(df.repartition(7)).collect()))
+        assert a == b
