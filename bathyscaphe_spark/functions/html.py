@@ -549,3 +549,54 @@ def robots_meta_cols(html, xrobots):
         "noindex": _directive(combined, "noindex"),
         "nofollow": _directive(combined, "nofollow"),
     }
+
+
+def anchor_rel_cols(html_col: str = "html"):
+    """Per-anchor (href, rel) extraction with REL SEMANTICS — the
+    link-graph half of the Robots Exclusion Protocol's page-level
+    rules: links carrying ``rel="nofollow"`` (or its ``ugc`` /
+    ``sponsored`` refinements — Google's public link-attribute spec)
+    convey NO endorsement and must not feed PageRank/OPIC edges or
+    anchor-text aggregation.
+
+    Returns an array<struct<href, rel, follow>> column: every
+    ``<a …>`` open tag parses attribute-order-independently (the whole
+    attribute list extracts once, href/rel pick out of it), ``follow``
+    is false iff rel token-contains nofollow/ugc/sponsored.  Pure
+    codegen — regexp_extract_all + transform, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    tags = F.expr(
+        rf"""transform(
+  regexp_extract_all({html_col}, '(?i)<a\\s([^>]*)>', 1),
+  t -> named_struct(
+    'href', regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1),
+    'rel',  regexp_extract(t, '(?i)rel\\s*=\\s*"([^"]*)"', 1),
+    'follow', NOT regexp_extract(t, '(?i)rel\\s*=\\s*"([^"]*)"', 1)
+              rlike '(?i)(^| )(nofollow|ugc|sponsored)( |$)'
+  ))"""
+    )
+    return tags
+
+
+def anchor_endorsements(pages, id_col: str = "doc_id"):
+    """Per-target endorsement rollup over :func:`anchor_rel_cols`:
+    (href, n_follow, n_nofollow) — the edge-weight table a rank pass
+    consumes (follow-only edges) and the spam analyst reads (a target
+    whose inlinks are overwhelmingly nofollow earns no rank from its
+    volume).  One explode + one target-keyed agg; in-degree skew is
+    bounded exactly like anchor_text's rollup."""
+    from pyspark.sql import functions as F
+
+    a = pages.select(
+        F.col(id_col).alias("_id"), F.explode(anchor_rel_cols()).alias("a")
+    ).where(F.col("a.href") != "")
+    return a.groupBy(F.col("a.href").alias("href")).agg(
+        F.sum(F.when(F.col("a.follow"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_follow"),
+        F.sum(F.when(F.col("a.follow"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_nofollow"),
+    )

@@ -8798,6 +8798,70 @@ JOIN (SELECT chunk_md5, COUNT(*) AS reuse FROM rows_ GROUP BY chunk_md5) u
 """
 
 
+
+# --------------------------------------------------------------------------
+# link endorsement: rel=nofollow/ugc/sponsored per-link semantics
+# --------------------------------------------------------------------------
+
+# anchors with deterministic rel variants: plain, nofollow, ugc+noopener,
+# SPONSORED uppercase, noopener-only (follow), near-miss token, href-less
+_REL_HTML_SQL = """
+SELECT doc_id,
+  '<html><body>'
+  || '<a href="/t' || CAST(doc_id % 25 AS STRING) || '">plain</a>'
+  || CASE doc_id % 6
+       WHEN 0 THEN '<a rel="nofollow" href="/t'
+                   || CAST(doc_id % 25 AS STRING) || '">nf</a>'
+       WHEN 1 THEN '<a href="/u' || CAST(doc_id % 10 AS STRING)
+                   || '" rel="ugc noopener">u</a>'
+       WHEN 2 THEN '<A HREF="/s" REL="SPONSORED">s</A>'
+       WHEN 3 THEN '<a rel="noopener" href="/ok">k</a>'
+       WHEN 4 THEN '<a href="/near" rel="nofollowX">x</a>'
+       ELSE '<a name="no-href">n</a>'
+     END
+  || '</body></html>' AS html
+FROM documents
+"""
+
+
+def q_link_endorsement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-link REP rel semantics (functions/html.py anchor_rel_cols /
+    anchor_endorsements): rel="nofollow"/"ugc"/"sponsored" links convey
+    no endorsement — the (href, n_follow, n_nofollow) rollup a rank
+    pass consumes follow-only.  Attribute-order-independent tag parse,
+    space-token matching, near-miss tokens stay follow.  Pure codegen
+    regexp_extract_all + transform, shared verbatim with the oracle."""
+    from .functions.html import anchor_endorsements
+
+    _docs(spark, sf_dir)
+    return anchor_endorsements(spark.sql(_REL_HTML_SQL))
+
+
+ORACLE_LINK_ENDORSEMENT = rf"""
+WITH d AS ({_REL_HTML_SQL}),
+tags AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, '(?i)<a\s([^>]*)>', 1)) AS t
+  FROM d
+),
+a AS (
+  SELECT doc_id,
+         regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1) AS href,
+         regexp_extract(t, '(?i)rel\s*=\s*"([^"]*)"', 1) AS rel
+  FROM tags
+)
+SELECT href,
+       CAST(SUM(CASE WHEN NOT regexp_matches(rel,
+            '(?i)(^| )(nofollow|ugc|sponsored)( |$)') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_follow,
+       CAST(SUM(CASE WHEN regexp_matches(rel,
+            '(?i)(^| )(nofollow|ugc|sponsored)( |$)') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nofollow
+FROM a WHERE href != ''
+GROUP BY href
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8844,6 +8908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_dangling": q_pagerank_dangling,
     "robots_meta": q_robots_meta,
     "cdc_chunks": q_cdc_chunks,
+    "link_endorsement": q_link_endorsement,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9009,6 +9074,7 @@ ORACLES: dict[str, str] = {
     "pagerank_dangling": _pagerank_dangling_oracle_sql(),
     "robots_meta": _robots_meta_oracle_sql(),
     "cdc_chunks": ORACLE_CDC,
+    "link_endorsement": ORACLE_LINK_ENDORSEMENT,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

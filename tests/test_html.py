@@ -335,3 +335,23 @@ class TestRobotsMeta:
             (2, '<meta name="robots" content="noindexing">', None),
         ])
         assert got == {1: (False, False), 2: (False, False)}
+
+
+class TestAnchorEndorsements:
+    """rel=nofollow/ugc/sponsored per-link semantics."""
+
+    def test_rel_variants(self, spark):
+        from bathyscaphe_spark.functions.html import anchor_endorsements
+
+        rows = [(1,
+            '<a href="/a">x</a><a rel="nofollow" href="/a">y</a>'
+            '<a href="/b" rel="ugc noopener">z</a>'
+            '<A HREF="/c" REL="SPONSORED">s</A>'
+            '<a rel="noopener" href="/d">k</a>'
+            '<a href="/e" rel="nofollowX">near-miss</a>'
+            '<a name="no-href">dropped</a>')]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        got = {r["href"]: (r["n_follow"], r["n_nofollow"])
+               for r in anchor_endorsements(df).collect()}
+        assert got == {"/a": (1, 1), "/b": (0, 1), "/c": (0, 1),
+                       "/d": (1, 0), "/e": (1, 0)}
