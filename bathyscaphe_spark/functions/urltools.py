@@ -799,3 +799,79 @@ def spoof_pairs(hosts, host_col: str = "host"):
         )
         .where(F.col("n_variants") >= 2)
     )
+
+
+# --- RFC 3986 §5.2 relative-reference resolution ----------------------------
+
+def _rm_dots(path, passes: int = 4):
+    """RFC 3986 §5.2.4 remove_dot_segments as a bounded regexp unroll
+    (pure codegen): '/./' collapses, then up to ``passes`` rounds of
+    '/segment/../' removal — the segment alternation enumerates
+    "anything but exactly '..'" because RE2 (the oracle's engine) has
+    no lookahead.  Bounded nesting is the documented contract (deeper
+    ../ chains than ``passes`` are crawl-trap shapes the trap filter
+    rejects anyway)."""
+    from pyspark.sql import functions as F
+
+    seg = r"(?:[^/]|\.[^/.]|[^/.][^/]|[^/][^/][^/]+)"
+    p = path
+    for _ in range(2):
+        p = F.regexp_replace(p, r"/\./", "/")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    for _ in range(passes):
+        p = F.regexp_replace(p, f"/{seg}/\\.\\./", "/")
+        p = F.regexp_replace(p, f"/{seg}/\\.\\.$", "/")
+    for _ in range(passes):
+        p = F.regexp_replace(p, r"^/\.\./", "/")
+    p = F.regexp_replace(p, r"^/\.\.$", "/")
+    return p
+
+
+def resolve_reference_col(base, ref):
+    """RFC 3986 §5.2 reference resolution — the step between anchor
+    extraction and normalization a real crawler cannot skip: pages
+    link with ``/abs/path``, ``rel/path``, ``../up``, ``//host/x``,
+    ``?q`` and ``#frag`` references, and every one must resolve
+    against the page URL before hashing/dedup.  (The reference's
+    xurls.Strict extraction only ever yields absolute URLs —
+    /root/reference/internal/crawler/crawler.go extracts from raw
+    bytes — so this is a north-rule addition, not a parity surface.)
+
+    ``base`` must be an absolute http(s) URL (the crawl frontier
+    guarantees it).  Pure codegen CASE over the grammar: scheme'd refs
+    pass through, ``//`` takes the base scheme, ``/`` roots at the
+    authority, ``?``/``#``/empty edit the base, relative paths merge
+    with the base directory; dot segments collapse via the bounded
+    §5.2.4 unroll.  No UDFs — at extraction scale this is a map-only
+    projection fused into the candidate kernel's output side.
+    """
+    from pyspark.sql import functions as F
+
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    auth = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    bpath = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    bquery = F.regexp_extract(base, r"(\?[^#]*)", 1)
+    root = F.concat(scheme, F.lit("://"), auth)
+
+    rpath = F.regexp_extract(ref, r"^([^?#]*)", 1)
+    rtail = F.regexp_extract(ref, r"^[^?#]*([?#].*)", 1)
+
+    bdir = F.when(bpath == "", F.lit("/")).otherwise(
+        F.regexp_replace(bpath, r"[^/]*$", "")
+    )
+    merged = F.concat(bdir, rpath)
+
+    return (
+        F.when(ref.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(
+            ref.startswith("/"),
+            F.concat(root, _rm_dots(rpath), rtail),
+        )
+        .when(ref == "", F.concat(root, bpath, bquery))
+        .when(ref.startswith("?"), F.concat(root, bpath, ref))
+        .when(ref.startswith("#"), F.concat(root, bpath, bquery, ref))
+        .otherwise(F.concat(root, _rm_dots(merged), rtail))
+    )

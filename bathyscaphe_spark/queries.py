@@ -8862,6 +8862,87 @@ GROUP BY href
 """
 
 
+
+# --------------------------------------------------------------------------
+# RFC 3986 relative-reference resolution
+# --------------------------------------------------------------------------
+
+_RESOLVE_CASES_SQL = """
+SELECT doc_id,
+  'http://h' || CAST(doc_id % 9 AS STRING) || '.onion/d1/d2/page'
+    || CAST(doc_id % 5 AS STRING) || '.html?q=' || CAST(doc_id % 3 AS STRING)
+    AS base,
+  CASE doc_id % 12
+    WHEN 0 THEN 'g'             WHEN 1 THEN './g'
+    WHEN 2 THEN '/abs/x'        WHEN 3 THEN '//mirror.onion/z'
+    WHEN 4 THEN '?y=2'          WHEN 5 THEN '#frag'
+    WHEN 6 THEN ''              WHEN 7 THEN '../up'
+    WHEN 8 THEN '../../g?k=1'   WHEN 9 THEN 'http://other.onion/x'
+    WHEN 10 THEN 'a/b/../c'     ELSE 'g/./h#s'
+  END AS ref
+FROM documents
+"""
+
+
+def q_resolve_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 §5.2 reference resolution (functions/urltools.py
+    resolve_reference_col — the extract→normalize bridge every real
+    crawler needs for relative hrefs): all grammar branches — scheme'd
+    pass-through, network-path //, rooted /, ?query, #fragment, empty,
+    dotted relative merges — validated 72/72 against urllib urljoin
+    and value-replicated by the oracle.  Pure codegen CASE + bounded
+    §5.2.4 dot-segment unroll; map-only at extraction scale."""
+    from .functions.urltools import resolve_reference_col
+
+    _docs(spark, sf_dir)
+    d = spark.sql(_RESOLVE_CASES_SQL)
+    return d.select(
+        "doc_id", "base", "ref",
+        resolve_reference_col(F.col("base"), F.col("ref")).alias("resolved"),
+    )
+
+
+def _resolve_oracle_sql() -> str:
+    def rm_dots(expr: str) -> str:
+        seg = r"(?:[^/]|\.[^/.]|[^/.][^/]|[^/][^/][^/]+)"
+        p = expr
+        for _ in range(2):
+            p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
+        for _ in range(4):
+            p = f"regexp_replace({p}, '/{seg}/\\.\\./', '/', 'g')"
+            p = f"regexp_replace({p}, '/{seg}/\\.\\.$', '/', 'g')"
+        for _ in range(4):
+            p = f"regexp_replace({p}, '^/\\.\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '^/\\.\\.$', '/', 'g')"
+        return p
+
+    sch = "regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
+    auth = "regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    bpath = ("regexp_extract(base,"
+             " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    bq = "regexp_extract(base, '(\\?[^#]*)', 1)"
+    rpath = "regexp_extract(ref, '^([^?#]*)', 1)"
+    rtail = "regexp_extract(ref, '^[^?#]*([?#].*)', 1)"
+    root = f"({sch} || '://' || {auth})"
+    bdir = (f"CASE WHEN {bpath} = '' THEN '/'"
+            f" ELSE regexp_replace({bpath}, '[^/]*$', '') END")
+    return f"""
+WITH d AS ({_RESOLVE_CASES_SQL})
+SELECT doc_id, base, ref,
+  CASE
+    WHEN regexp_matches(ref, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN ref
+    WHEN ref LIKE '//%' THEN {sch} || ':' || ref
+    WHEN ref LIKE '/%' THEN {root} || {rm_dots(rpath)} || {rtail}
+    WHEN ref = '' THEN {root} || {bpath} || {bq}
+    WHEN ref LIKE '?%' THEN {root} || {bpath} || ref
+    WHEN ref LIKE '#%' THEN {root} || {bpath} || {bq} || ref
+    ELSE {root} || {rm_dots(f"({bdir} || {rpath})")} || {rtail}
+  END AS resolved
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8909,6 +8990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_meta": q_robots_meta,
     "cdc_chunks": q_cdc_chunks,
     "link_endorsement": q_link_endorsement,
+    "resolve_reference": q_resolve_reference,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9075,6 +9157,7 @@ ORACLES: dict[str, str] = {
     "robots_meta": _robots_meta_oracle_sql(),
     "cdc_chunks": ORACLE_CDC,
     "link_endorsement": ORACLE_LINK_ENDORSEMENT,
+    "resolve_reference": _resolve_oracle_sql(),
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

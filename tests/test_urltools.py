@@ -315,3 +315,37 @@ class TestSpoofPairs:
         df = spark.createDataFrame([("Site.com",), ("site.com",)], "host string")
         got = spoof_pairs(df).collect()
         assert len(got) == 1 and got[0].n_variants == 2
+
+
+class TestResolveReference:
+    """RFC 3986 §5.2 resolution — engine vs stdlib urljoin."""
+
+    def test_full_grammar_matrix_matches_urljoin(self, spark):
+        from urllib.parse import urljoin
+
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.functions.urltools import resolve_reference_col
+
+        bases = [
+            "http://a.onion/b/c/d;p?q",
+            "https://x.onion/",
+            "http://h.onion/p1/p2/file.html?z=1",
+        ]
+        refs = [
+            "g", "./g", "g/", "/g", "//y.onion/z", "?y", "#s", "", "g?y",
+            "g#s", "../", "../g", "../../g", "../../../g", ".", "./", "..",
+            "g/../h", "a/b/../../c", "http://other.onion/x", "g;x?y#s",
+            "/../g", "g/./h", "./../g",
+        ]
+        rows = [(b, r) for b in bases for r in refs]
+        df = spark.createDataFrame(rows, "base string, ref string")
+        got = df.select(
+            "base", "ref",
+            resolve_reference_col(F.col("base"), F.col("ref")).alias("r"),
+        ).collect()
+        for row in got:
+            assert row["r"] == urljoin(row["base"], row["ref"]), (
+                row["base"], row["ref"], row["r"],
+                urljoin(row["base"], row["ref"]),
+            )
