@@ -8902,6 +8902,46 @@ def q_resolve_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_resolve_expr(base: str, ref: str) -> str:
+    """DuckDB SQL expression resolving ``ref`` against ``base`` — the
+    same RFC 3986 §5.2 CASE grammar as resolve_reference_col, reused by
+    every oracle that composes resolution."""
+
+    def rm_dots(expr: str) -> str:
+        seg = r"(?:[^/]|\.[^/.]|[^/.][^/]|[^/][^/][^/]+)"
+        p = expr
+        for _ in range(2):
+            p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
+        for _ in range(4):
+            p = f"regexp_replace({p}, '/{seg}/\\.\\./', '/', 'g')"
+            p = f"regexp_replace({p}, '/{seg}/\\.\\.$', '/', 'g')"
+        for _ in range(4):
+            p = f"regexp_replace({p}, '^/\\.\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '^/\\.\\.$', '/', 'g')"
+        return p
+
+    sch = f"regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
+    auth = f"regexp_extract({base}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    bpath = (f"regexp_extract({base},"
+             f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    bq = f"regexp_extract({base}, '(\\?[^#]*)', 1)"
+    rpath = f"regexp_extract({ref}, '^([^?#]*)', 1)"
+    rtail = f"regexp_extract({ref}, '^[^?#]*([?#].*)', 1)"
+    root = f"({sch} || '://' || {auth})"
+    bdir = (f"CASE WHEN {bpath} = '' THEN '/'"
+            f" ELSE regexp_replace({bpath}, '[^/]*$', '') END")
+    return f"""CASE
+    WHEN regexp_matches({ref}, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN {ref}
+    WHEN {ref} LIKE '//%' THEN {sch} || ':' || {ref}
+    WHEN {ref} LIKE '/%' THEN {root} || {rm_dots(rpath)} || {rtail}
+    WHEN {ref} = '' THEN {root} || {bpath} || {bq}
+    WHEN {ref} LIKE '?%' THEN {root} || {bpath} || {ref}
+    WHEN {ref} LIKE '#%' THEN {root} || {bpath} || {bq} || {ref}
+    ELSE {root} || {rm_dots(f"({bdir} || {rpath})")} || {rtail}
+  END"""
+
+
 def _resolve_oracle_sql() -> str:
     def rm_dots(expr: str) -> str:
         seg = r"(?:[^/]|\.[^/.]|[^/.][^/]|[^/][^/][^/]+)"
@@ -8940,6 +8980,94 @@ SELECT doc_id, base, ref,
     ELSE {root} || {rm_dots(f"({bdir} || {rpath})")} || {rtail}
   END AS resolved
 FROM d
+"""
+
+
+
+# --------------------------------------------------------------------------
+# link harvest: the full anchor → absolute follow-only edge pipeline
+# --------------------------------------------------------------------------
+
+# pages with relative/rooted/protocol-relative/dotted anchors, a
+# nofollow, and (every 3rd page) a <base href> that re-roots them
+_HARVEST_PAGES_SQL = """
+SELECT 'http://h' || CAST(doc_id % 8 AS STRING) || '.onion/sec'
+         || CAST(doc_id % 4 AS STRING) || '/page.html' AS url,
+  '<html>'
+  || CASE WHEN doc_id % 3 = 0
+          THEN '<head><base href="/cdn/v' || CAST(doc_id % 2 AS STRING)
+               || '/"></head>' ELSE '' END
+  || '<body>'
+  || '<a href="rel' || CAST(doc_id % 5 AS STRING) || '.html">r</a>'
+  || '<a href="/rooted/x' || CAST(doc_id % 7 AS STRING) || '">a</a>'
+  || '<a href="../up' || CAST(doc_id % 3 AS STRING) || '">u</a>'
+  || '<a href="//mirror.onion/m">m</a>'
+  || '<a rel="nofollow" href="/paid">n</a>'
+  || '</body></html>' AS html
+FROM documents
+"""
+
+
+def q_link_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE anchor-harvest pipeline a real crawler runs between
+    fetch and frontier (composing three oracled primitives in one
+    Catalyst plan): parse anchors with rel semantics
+    (anchor_rel_cols), honor <base href> — itself resolved against the
+    page URL — then resolve every followed href via RFC 3986 §5.2
+    (resolve_reference_col), and DISTINCT the (src, dst) edge set.
+    nofollow links never become edges; a base tag re-roots relative
+    AND rooted-relative references exactly as browsers do."""
+    from .functions.html import anchor_rel_cols
+    from .functions.urltools import resolve_reference_col
+
+    _docs(spark, sf_dir)
+    pages = spark.sql(_HARVEST_PAGES_SQL)
+    base_href = F.regexp_extract(
+        F.col("html"), r'(?i)<base\s[^>]*href\s*=\s*"([^"]*)"', 1
+    )
+    eff = F.when(base_href == "", F.col("url")).otherwise(
+        resolve_reference_col(F.col("url"), base_href)
+    )
+    a = pages.select(
+        F.col("url").alias("src"),
+        eff.alias("_base"),
+        F.explode(anchor_rel_cols()).alias("a"),
+    ).where(F.col("a.follow") & (F.col("a.href") != ""))
+    return a.select(
+        "src",
+        resolve_reference_col(F.col("_base"), F.col("a.href")).alias("dst"),
+    ).distinct()
+
+
+def _harvest_oracle_sql() -> str:
+    eff = ("CASE WHEN bh = '' THEN url ELSE "
+           + _duck_resolve_expr("url", "bh") + " END")
+    return f"""
+WITH d AS ({_HARVEST_PAGES_SQL}),
+b AS (
+  SELECT url, html,
+         regexp_extract(html, '(?i)<base\\s[^>]*href\\s*=\\s*"([^"]*)"', 1)
+           AS bh
+  FROM d
+),
+eb AS (SELECT url, html, {eff} AS base FROM b),
+tags AS (
+  SELECT url, base,
+         unnest(regexp_extract_all(html, '(?i)<a\\s([^>]*)>', 1)) AS t
+  FROM eb
+),
+a AS (
+  SELECT url AS src, base,
+         regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1) AS href,
+         regexp_extract(t, '(?i)rel\\s*=\\s*"([^"]*)"', 1) AS rel
+  FROM tags
+),
+flw AS (
+  SELECT src, base, href FROM a
+  WHERE href != '' AND NOT regexp_matches(rel,
+        '(?i)(^| )(nofollow|ugc|sponsored)( |$)')
+)
+SELECT DISTINCT src, {_duck_resolve_expr("base", "href")} AS dst FROM flw
 """
 
 
@@ -8991,6 +9119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunks": q_cdc_chunks,
     "link_endorsement": q_link_endorsement,
     "resolve_reference": q_resolve_reference,
+    "link_harvest": q_link_harvest,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9158,6 +9287,7 @@ ORACLES: dict[str, str] = {
     "cdc_chunks": ORACLE_CDC,
     "link_endorsement": ORACLE_LINK_ENDORSEMENT,
     "resolve_reference": _resolve_oracle_sql(),
+    "link_harvest": _harvest_oracle_sql(),
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -355,3 +355,42 @@ class TestAnchorEndorsements:
                for r in anchor_endorsements(df).collect()}
         assert got == {"/a": (1, 1), "/b": (0, 1), "/c": (0, 1),
                        "/d": (1, 0), "/e": (1, 0)}
+
+
+class TestLinkHarvest:
+    """Anchors + rel + <base href> + RFC 3986 resolution, end-to-end."""
+
+    def test_base_tag_reroots_and_nofollow_drops(self, spark):
+        from pyspark.sql import functions as F
+
+        from bathyscaphe_spark.functions.html import anchor_rel_cols
+        from bathyscaphe_spark.functions.urltools import resolve_reference_col
+
+        rows = [(
+            "http://h.onion/sec/page.html",
+            '<head><base href="/cdn/"></head>'
+            '<a href="img.png">i</a><a href="/rooted">r</a>'
+            '<a href="//m.onion/z">m</a><a rel="nofollow" href="/paid">n</a>',
+        )]
+        pages = spark.createDataFrame(rows, "url string, html string")
+        bh = F.regexp_extract(
+            F.col("html"), r'(?i)<base\s[^>]*href\s*=\s*"([^"]*)"', 1
+        )
+        eff = F.when(bh == "", F.col("url")).otherwise(
+            resolve_reference_col(F.col("url"), bh)
+        )
+        a = pages.select(
+            "url", eff.alias("b"), F.explode(anchor_rel_cols()).alias("a")
+        ).where(F.col("a.follow") & (F.col("a.href") != ""))
+        got = sorted(
+            r["dst"]
+            for r in a.select(
+                resolve_reference_col(F.col("b"), F.col("a.href")).alias("dst")
+            ).collect()
+        )
+        # relative href resolves against the BASE TAG dir, not the page
+        assert got == [
+            "http://h.onion/cdn/img.png",
+            "http://h.onion/rooted",
+            "http://m.onion/z",
+        ]
