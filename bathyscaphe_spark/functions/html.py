@@ -600,3 +600,48 @@ def anchor_endorsements(pages, id_col: str = "doc_id"):
         .cast("long")
         .alias("n_nofollow"),
     )
+
+
+def hreflang_pairs(pages, url_col: str = "url", html_col: str = "html"):
+    """hreflang alternate extraction + the RECIPROCITY validity rule
+    (Google's public hreflang spec: annotations only count when the
+    alternate page links back) — the language-variant mapping that
+    exempts translations from near-dup collapse and aligns
+    multilingual corpora.
+
+    Output: (src, lang, alt, reciprocal) — one row per
+    ``<link rel="alternate" hreflang="…" href="…">``, attribute-order
+    independent; ``reciprocal`` = the alternate declares ANY hreflang
+    back to src.
+
+    Plan: codegen tag parse (regexp_extract_all + transform over
+    ``<link …>`` attribute lists), one explode, and ONE self-join on
+    the (alt, src) url pair for reciprocity — an equi-join on the
+    output's own key, no windows, no UDFs.
+    """
+    from pyspark.sql import functions as F
+
+    tags = F.expr(
+        rf"""filter(transform(
+  regexp_extract_all({html_col}, '(?i)<link\\s([^>]*)>', 1),
+  t -> named_struct(
+    'rel',  regexp_extract(t, '(?i)rel\\s*=\\s*"([^"]*)"', 1),
+    'lang', regexp_extract(t, '(?i)hreflang\\s*=\\s*"([^"]*)"', 1),
+    'href', regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1)
+  )),
+  s -> s.rel rlike '(?i)(^| )alternate( |$)'
+       AND s.lang != '' AND s.href != '')"""
+    )
+    e = pages.select(
+        F.col(url_col).alias("src"), F.explode(tags).alias("t")
+    ).select(
+        "src", F.lower(F.col("t.lang")).alias("lang"),
+        F.col("t.href").alias("alt"),
+    )
+    back = e.select(F.col("src").alias("alt"), F.col("alt").alias("src"))
+    return (
+        e.join(back.distinct().withColumn("_r", F.lit(True)), ["src", "alt"], "left")
+        .select(
+            "src", "lang", "alt", F.coalesce("_r", F.lit(False)).alias("reciprocal")
+        )
+    )

@@ -9071,6 +9071,76 @@ SELECT DISTINCT src, {_duck_resolve_expr("base", "href")} AS dst FROM flw
 """
 
 
+
+# --------------------------------------------------------------------------
+# hreflang alternates: language-variant mapping with reciprocity
+# --------------------------------------------------------------------------
+
+# 40 page groups × {en, de, fr}: en and de declare both others, fr
+# declares ONLY en — so en↔de and en↔fr are reciprocal while de→fr is
+# not (fr never links back to de): every validity case in one fixture
+_HREFLANG_SQL = """
+SELECT doc_id,
+  'http://x.onion/g' || CAST(doc_id % 40 AS STRING) || '/'
+    || CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+    AS url,
+  CASE doc_id % 3
+    WHEN 0 THEN
+      '<link rel="alternate" hreflang="de" href="http://x.onion/g'
+      || CAST(doc_id % 40 AS STRING) || '/de">'
+      || '<link hreflang="fr" rel="alternate stylesheet" href="http://x.onion/g'
+      || CAST(doc_id % 40 AS STRING) || '/fr">'
+    WHEN 1 THEN
+      '<link rel="alternate" hreflang="EN" href="http://x.onion/g'
+      || CAST(doc_id % 40 AS STRING) || '/en">'
+      || '<link rel="alternate" hreflang="fr" href="http://x.onion/g'
+      || CAST(doc_id % 40 AS STRING) || '/fr">'
+    ELSE
+      '<link rel="alternate" hreflang="en" href="http://x.onion/g'
+      || CAST(doc_id % 40 AS STRING) || '/en">'
+      || '<link rel="stylesheet" href="/style.css">'
+  END AS html
+FROM documents
+"""
+
+
+def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate clusters (functions/html.py hreflang_pairs):
+    language-variant declarations with the reciprocity validity rule —
+    annotations count only when the alternate links back.  The fixture
+    pins: both attribute orders, rel token lists ('alternate
+    stylesheet'), uppercase lang folding, a stylesheet-link decoy, and
+    the de→fr one-way case that must come back reciprocal=false."""
+    from .functions.html import hreflang_pairs
+
+    _docs(spark, sf_dir)
+    return hreflang_pairs(spark.sql(_HREFLANG_SQL)).distinct()
+
+
+ORACLE_HREFLANG = rf"""
+WITH d AS ({_HREFLANG_SQL}),
+tags AS (
+  SELECT url AS src,
+         unnest(regexp_extract_all(html, '(?i)<link\s([^>]*)>', 1)) AS t
+  FROM d
+),
+e0 AS (
+  SELECT DISTINCT src,
+         lower(regexp_extract(t, '(?i)hreflang\s*=\s*"([^"]*)"', 1)) AS lang,
+         regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1) AS alt
+  FROM tags
+  WHERE regexp_matches(regexp_extract(t, '(?i)rel\s*=\s*"([^"]*)"', 1),
+                       '(?i)(^| )alternate( |$)')
+    AND regexp_extract(t, '(?i)hreflang\s*=\s*"([^"]*)"', 1) != ''
+    AND regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1) != ''
+)
+SELECT e.src, e.lang, e.alt,
+       (EXISTS (SELECT 1 FROM e0 b WHERE b.src = e.alt AND b.alt = e.src))
+         AS reciprocal
+FROM e0 e
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9120,6 +9190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_endorsement": q_link_endorsement,
     "resolve_reference": q_resolve_reference,
     "link_harvest": q_link_harvest,
+    "hreflang_pairs": q_hreflang,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9288,6 +9359,7 @@ ORACLES: dict[str, str] = {
     "link_endorsement": ORACLE_LINK_ENDORSEMENT,
     "resolve_reference": _resolve_oracle_sql(),
     "link_harvest": _harvest_oracle_sql(),
+    "hreflang_pairs": ORACLE_HREFLANG,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -394,3 +394,29 @@ class TestLinkHarvest:
             "http://h.onion/rooted",
             "http://m.onion/z",
         ]
+
+
+class TestHreflangPairs:
+    """hreflang alternates with the reciprocity validity rule."""
+
+    def test_reciprocity_and_decoys(self, spark):
+        from bathyscaphe_spark.functions.html import hreflang_pairs
+
+        rows = [
+            ("http://s/en",
+             '<link rel="alternate" hreflang="DE" href="http://s/de">'
+             '<link rel="stylesheet" href="/css">'
+             '<link hreflang="fr" rel="alternate x" href="http://s/fr">'),
+            ("http://s/de",
+             '<link rel="alternate" hreflang="en" href="http://s/en">'),
+            # fr page declares nothing back
+            ("http://s/fr", "<p>no links</p>"),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        got = {(r["src"], r["lang"], r["alt"]): r["reciprocal"]
+               for r in hreflang_pairs(df).collect()}
+        assert got == {
+            ("http://s/en", "de", "http://s/de"): True,
+            ("http://s/en", "fr", "http://s/fr"): False,
+            ("http://s/de", "en", "http://s/en"): True,
+        }
