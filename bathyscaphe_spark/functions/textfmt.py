@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -76,3 +77,68 @@ def with_sink_path(df, url_col: str = "url", ts_col: str = "time"):
 def lowercase_header_keys(headers: Column) -> Column:
     """Indexer header normalization (elastic.go:171-175) as a column expr."""
     return F.transform_keys(headers, lambda k, _v: F.lower(k))
+
+
+# --- charset sniffing + decode (html:binary → text) -------------------------
+
+def sniff_decode(df, bytes_col: str, ctype_col: str, out_col: str = "text"):
+    """Charset sniffing + decode for ``html: binary`` — the step a real
+    crawler cannot skip because the web is not UTF-8.  Precedence is
+    the HTML5 prefix of the encoding-sniffing algorithm (WHATWG,
+    public): a UTF-8 BOM wins (and is stripped), else a ``charset=``
+    parameter on the Content-Type header, else a ``<meta charset>`` /
+    ``http-equiv`` declaration in the first bytes, else the HTML5
+    legacy default windows-1252.  Unknown labels fall back to the
+    default; undecodable bytes replace (U+FFFD) rather than poison the
+    batch.
+
+    One Arrow-batched kernel (python codecs does the actual decode —
+    the label→bytes→str mapping is exactly what the JVM lacks
+    built-in); the sniff itself reads only a bounded 1024-byte prefix
+    per document.  Adds ``out_col`` (string) and ``charset`` (the label
+    chosen) to the frame.
+    """
+    import codecs
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    meta_re = _re.compile(
+        rb"""(?i)<meta\s[^>]*charset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
+    )
+    ct_re = _re.compile(r"(?i)charset\s*=\s*\"?([A-Za-z0-9_.:-]+)")
+
+    def _norm(label: str) -> str:
+        try:
+            return codecs.lookup(label).name
+        except LookupError:
+            return "cp1252"
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("text", StringType()),
+                StructField("charset", StringType()),
+            ]
+        )
+    )
+    def _dec(b: pd.Series, ct: pd.Series) -> pd.DataFrame:
+        texts, charsets = [], []
+        for raw, c in zip(b, ct):
+            raw = bytes(raw) if raw is not None else b""
+            if raw.startswith(b"\xef\xbb\xbf"):
+                enc, raw = "utf-8", raw[3:]
+            else:
+                m = ct_re.search(c or "")
+                if m:
+                    enc = _norm(m.group(1))
+                else:
+                    mm = meta_re.search(raw[:1024])
+                    enc = _norm(mm.group(1).decode("ascii")) if mm else "cp1252"
+            texts.append(raw.decode(enc, errors="replace"))
+            charsets.append(enc)
+        return pd.DataFrame({"text": texts, "charset": charsets})
+
+    s = _dec(F.col(bytes_col), F.col(ctype_col))
+    return df.withColumn(out_col, s["text"]).withColumn("charset", s["charset"])

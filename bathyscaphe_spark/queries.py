@@ -8549,7 +8549,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_pick(members, scores)
 
 
-def _canonical_oracle_sql() -> str:
+def _dedup_canonical_oracle_sql() -> str:
     # the clusters closure (already oracle-pinned) + keep-longest argmax
     return f"""
 WITH RECURSIVE
@@ -9141,6 +9141,65 @@ FROM e0 e
 """
 
 
+
+# --------------------------------------------------------------------------
+# charset sniff + decode: html bytes → text (the web is not UTF-8)
+# --------------------------------------------------------------------------
+
+# engine input: REAL bytes in each encoding (Spark encode()); oracle
+# expected output: the same string built arithmetically — the decode
+# itself is what is under test.  'caf' || 'é' keeps the literal NFC.
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing + decode (functions/textfmt.py sniff_decode —
+    the WHATWG precedence prefix: UTF-8 BOM > Content-Type charset >
+    <meta charset> > windows-1252 default).  Five fixture classes:
+    BOM'd UTF-8 (header lies ISO-8859-1 — BOM must win), header-driven
+    ISO-8859-1 bytes, meta-driven UTF-8, an unknown label falling back,
+    and bare ASCII under the cp1252 default."""
+    from .functions.textfmt import sniff_decode
+
+    d = _docs(spark, sf_dir)
+    fx = d.selectExpr(
+        "doc_id",
+        """CASE doc_id % 5
+             WHEN 0 THEN concat(X'EFBBBF', encode('café bom ' || text, 'UTF-8'))
+             WHEN 1 THEN encode('café hdr ' || text, 'ISO-8859-1')
+             WHEN 2 THEN encode('<meta charset="utf-8">café meta ' || text,
+                                'UTF-8')
+             WHEN 3 THEN encode('plain ' || text, 'UTF-8')
+             ELSE encode('café dflt ' || text, 'ISO-8859-1')
+           END AS html_bytes""",
+        """CASE doc_id % 5
+             WHEN 0 THEN 'text/html; charset=ISO-8859-1'
+             WHEN 1 THEN 'text/html; charset=ISO-8859-1'
+             WHEN 3 THEN 'text/html; charset=klingon-9'
+             ELSE 'text/html'
+           END AS content_type""",
+    )
+    out = sniff_decode(fx, "html_bytes", "content_type")
+    return out.select("doc_id", "text", "charset")
+
+
+ORACLE_CHARSET = """
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN 'caf' || chr(233) || ' bom ' || text
+    WHEN 1 THEN 'caf' || chr(233) || ' hdr ' || text
+    WHEN 2 THEN '<meta charset="utf-8">caf' || chr(233) || ' meta ' || text
+    WHEN 3 THEN 'plain ' || text
+    ELSE 'caf' || chr(233) || ' dflt ' || text
+  END AS text,
+  CASE doc_id % 5
+    WHEN 0 THEN 'utf-8'
+    WHEN 1 THEN 'iso8859-1'
+    WHEN 2 THEN 'utf-8'
+    WHEN 3 THEN 'cp1252'
+    ELSE 'cp1252'
+  END AS charset
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9191,6 +9250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resolve_reference": q_resolve_reference,
     "link_harvest": q_link_harvest,
     "hreflang_pairs": q_hreflang,
+    "charset_decode": q_charset_decode,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9352,7 +9412,7 @@ ORACLES: dict[str, str] = {
     "domain_rank": _domain_rank_oracle_sql(),
     "more_like_this": _MLT_ORACLE,
     "timemap": ORACLE_TIMEMAP,
-    "dedup_canonical": _canonical_oracle_sql(),
+    "dedup_canonical": _dedup_canonical_oracle_sql(),
     "pagerank_dangling": _pagerank_dangling_oracle_sql(),
     "robots_meta": _robots_meta_oracle_sql(),
     "cdc_chunks": ORACLE_CDC,
@@ -9360,6 +9420,7 @@ ORACLES: dict[str, str] = {
     "resolve_reference": _resolve_oracle_sql(),
     "link_harvest": _harvest_oracle_sql(),
     "hreflang_pairs": ORACLE_HREFLANG,
+    "charset_decode": ORACLE_CHARSET,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -59,3 +59,21 @@ def test_parity(spark, name):
     if not g.equals(w):
         diff = pd.concat([g, w]).drop_duplicates(keep=False)
         raise AssertionError(f"{name}: value mismatch, sample diff:\n{diff.head(10)}")
+
+
+def test_no_shadowed_top_level_names():
+    """queries.py is big enough that a new helper can silently shadow an
+    earlier oracle builder (it has happened twice); fail fast instead."""
+    import ast
+    from collections import Counter
+
+    tree = ast.parse(open("/root/repo/bathyscaphe_spark/queries.py").read())
+    names = [
+        n.name for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    ] + [
+        t.id for n in tree.body if isinstance(n, ast.Assign)
+        for t in n.targets if isinstance(t, ast.Name)
+    ]
+    dupes = [n for n, c in Counter(names).items() if c > 1]
+    assert not dupes, f"shadowed top-level names in queries.py: {dupes}"

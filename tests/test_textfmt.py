@@ -66,3 +66,37 @@ def test_lowercase_headers(spark):
     )
     out = df.select(lowercase_header_keys(F.col("headers")).alias("h")).head()[0]
     assert out == {"content-type": "application/json", "x-foo": "Bar"}
+
+
+class TestSniffDecode:
+    """WHATWG charset precedence: BOM > header > meta > cp1252."""
+
+    def _run(self, spark, rows):
+        from bathyscaphe_spark.functions.textfmt import sniff_decode
+
+        df = spark.createDataFrame(rows, "id long, b binary, ct string")
+        out = sniff_decode(df, "b", "ct")
+        return {r["id"]: (r["text"], r["charset"]) for r in out.collect()}
+
+    def test_precedence_matrix(self, spark):
+        got = self._run(spark, [
+            # BOM wins over a lying header, and is stripped
+            (1, b"\xef\xbb\xbfcaf\xc3\xa9", "text/html; charset=ISO-8859-1"),
+            # header drives latin-1 bytes
+            (2, b"caf\xe9", "text/html; charset=ISO-8859-1"),
+            # meta charset inside the prefix
+            (3, '<meta charset="utf-8">café'.encode(), "text/html"),
+            # unknown label → cp1252 default
+            (4, b"caf\xe9", "text/html; charset=klingon-9"),
+            # bare default
+            (5, b"plain", None),
+        ])
+        assert got[1] == ("café", "utf-8")
+        assert got[2] == ("café", "iso8859-1")
+        assert got[3] == ('<meta charset="utf-8">café', "utf-8")
+        assert got[4] == ("café", "cp1252")  # 0xE9 = é in cp1252 too
+        assert got[5] == ("plain", "cp1252")
+
+    def test_undecodable_replaces_not_raises(self, spark):
+        got = self._run(spark, [(1, b"ok \xff\xfe then", "charset=utf-8")])
+        assert "�" in got[1][0] and got[1][0].startswith("ok ")
