@@ -307,3 +307,63 @@ def conditional_fetch_plan(
         F.coalesce(etag, lastmod).alias("cond_value"),
         F.col("n_captures").cast("long").alias("n_captures"),
     )
+
+
+def revalidation_merge(
+    captures: DataFrame,
+    responses: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """The RESPONSE half of HTTP revalidation (RFC 9110 §15.4.5 — the
+    pair of conditional_fetch_plan): a ``304 Not Modified`` carries no
+    body, so the effective capture is the STORED one carried forward
+    (the bytes the validator saved are exactly the stored body's), a
+    ``200`` replaces it, and anything else keeps the store untouched
+    but records the failure.
+
+    ``responses``: (url, status, html) — html non-null only for 200s.
+
+    Output: (url, status, effective_html, source — 'fresh' | 'cache' |
+    'none', bytes_saved).
+
+    Plan: ONE latest-capture window over the store (shared shape with
+    conditional_fetch_plan) + one url-keyed equi-join; 304 rows never
+    ship a body anywhere — the carry-forward is a column pick, not a
+    copy.  Pure codegen.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).desc(), F.col(url_col).asc()
+    )
+    latest = (
+        captures.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(url_col).alias("url"), F.col("html").alias("_stored"))
+    )
+    r = responses.join(latest, "url", "left")
+    eff = (
+        F.when(F.col("status") == 200, F.col("html"))
+        .when(F.col("status") == 304, F.col("_stored"))
+        .otherwise(F.lit(None))
+    )
+    return r.select(
+        "url",
+        "status",
+        eff.alias("effective_html"),
+        F.when(F.col("status") == 200, F.lit("fresh"))
+        .when(
+            (F.col("status") == 304) & F.col("_stored").isNotNull(),
+            F.lit("cache"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("source"),
+        F.when(
+            F.col("status") == 304,
+            F.coalesce(F.length("_stored"), F.lit(0)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bytes_saved"),
+    )

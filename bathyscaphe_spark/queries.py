@@ -9200,6 +9200,67 @@ FROM documents
 """
 
 
+
+# --------------------------------------------------------------------------
+# 304 revalidation merge: the response half of conditional refetch
+# --------------------------------------------------------------------------
+
+# store: 100 urls × 5 captures (only the LATEST body may carry forward);
+# responses: 200 with a new body / 304 / 500 / 304-without-store
+_REVAL_STORE_SQL = """
+SELECT 'http://h.onion/c' || CAST(doc_id % 100 AS STRING) AS url,
+       to_timestamp(1714564800 + doc_id) AS warc_ts,
+       'body-v' || CAST(doc_id AS STRING) AS html
+FROM documents
+"""
+
+_REVAL_RESP_SQL = """
+SELECT 'http://h.onion/c' || CAST(x AS STRING) AS url,
+       CASE x % 4 WHEN 0 THEN 200 WHEN 1 THEN 304
+                  WHEN 2 THEN 500 ELSE 304 END AS status,
+       CASE WHEN x % 4 = 0 THEN 'fresh-' || CAST(x AS STRING) END AS html
+FROM (SELECT DISTINCT doc_id % 110 AS x FROM documents)
+"""
+
+
+def q_revalidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """304 Not Modified handling (operators/recrawl.py
+    revalidation_merge — RFC 9110 §15.4.5, the response half of
+    conditional_fetch): 200 replaces, 304 carries the LATEST stored
+    capture forward and banks its byte length as saved bandwidth,
+    errors/store-misses yield source='none'.  Responses for urls
+    100..109 have no store row — the 304-without-cache edge."""
+    from .operators.recrawl import revalidation_merge
+
+    _docs(spark, sf_dir)
+    return revalidation_merge(
+        spark.sql(_REVAL_STORE_SQL), spark.sql(_REVAL_RESP_SQL)
+    )
+
+
+ORACLE_REVALIDATION = f"""
+WITH store AS ({_REVAL_STORE_SQL}),
+resp AS ({_REVAL_RESP_SQL}),
+latest AS (
+  SELECT url, html AS stored FROM (
+    SELECT url, html,
+           ROW_NUMBER() OVER (PARTITION BY url
+                              ORDER BY warc_ts DESC, url ASC) AS rn
+    FROM store
+  ) WHERE rn = 1
+)
+SELECT r.url, r.status,
+  CASE WHEN r.status = 200 THEN r.html
+       WHEN r.status = 304 THEN l.stored END AS effective_html,
+  CASE WHEN r.status = 200 THEN 'fresh'
+       WHEN r.status = 304 AND l.stored IS NOT NULL THEN 'cache'
+       ELSE 'none' END AS source,
+  CAST(CASE WHEN r.status = 304 THEN COALESCE(length(l.stored), 0)
+            ELSE 0 END AS BIGINT) AS bytes_saved
+FROM resp r LEFT JOIN latest l USING (url)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9251,6 +9312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_harvest": q_link_harvest,
     "hreflang_pairs": q_hreflang,
     "charset_decode": q_charset_decode,
+    "revalidation_merge": q_revalidation_merge,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9421,6 +9483,7 @@ ORACLES: dict[str, str] = {
     "link_harvest": _harvest_oracle_sql(),
     "hreflang_pairs": ORACLE_HREFLANG,
     "charset_decode": ORACLE_CHARSET,
+    "revalidation_merge": ORACLE_REVALIDATION,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -115,3 +115,26 @@ class TestConditionalFetch:
         b = {r.url: r.cond_value
              for r in conditional_fetch_plan(df.repartition(11)).collect()}
         assert a == b
+
+
+class TestRevalidationMerge:
+    """304 carry-forward — the response half of conditional refetch."""
+
+    def test_matrix(self, spark):
+        from bathyscaphe_spark.operators.recrawl import revalidation_merge
+
+        store = spark.createDataFrame(
+            [("u1", 1, "old-v1"), ("u1", 2, "old-v2"), ("u2", 1, "kept")],
+            "url string, t long, html string",
+        ).selectExpr("url", "to_timestamp(t) AS warc_ts", "html")
+        resp = spark.createDataFrame(
+            [("u1", 304, None), ("u2", 200, "new"), ("u3", 304, None),
+             ("u2b", 500, None)],
+            "url string, status int, html string",
+        )
+        got = {r["url"]: (r["effective_html"], r["source"], r["bytes_saved"])
+               for r in revalidation_merge(store, resp).collect()}
+        assert got["u1"] == ("old-v2", "cache", 6)   # LATEST capture
+        assert got["u2"] == ("new", "fresh", 0)
+        assert got["u3"] == (None, "none", 0)        # 304 w/o store
+        assert got["u2b"] == (None, "none", 0)       # error
