@@ -751,3 +751,57 @@ def pagerank_dangling_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
         dang.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def lpa_communities(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007,
+    arXiv:0709.2938 — public) over an undirected view of
+    ``edges(src, dst)``: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors, ties
+    → SMALLEST label.  Synchronous updates + the min tie-break make
+    the result deterministic at any parallelism (the usual async LPA
+    is run-order dependent — useless under a correctness oracle).
+    The community-discovery pass behind mirror farms, link alliances,
+    and template clusters that pairwise signals miss.
+
+    Output: (node, label) after ``iters`` rounds.
+
+    Plan: edges symmetrize once (persisted); each iteration is ONE
+    join (neighbor labels) + ONE two-level aggregation — count per
+    (node, label), then max(struct(count, −label)) per node — both
+    map-side combinable, no windows.  Isolated nodes keep their own
+    label via the left join.
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct().persist()
+    nodes.count()
+    try:
+        labels = nodes.withColumn("label", F.col("node"))
+        for _ in range(iters):
+            neigh = sym.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            ).select(F.col("a").alias("node"), "label")
+            votes = neigh.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("_c")
+            )
+            best = votes.groupBy("node").agg(
+                F.max(
+                    F.struct(F.col("_c").alias("c"), (-F.col("label")).alias("nl"))
+                ).alias("_b")
+            )
+            labels = nodes.join(best, "node", "left").select(
+                "node",
+                F.coalesce(-F.col("_b.nl"), F.col("node")).alias("label"),
+            )
+        labels = labels.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
+        nodes.unpersist()
+    return labels

@@ -9261,6 +9261,55 @@ FROM resp r LEFT JOIN latest l USING (url)
 """
 
 
+
+# --------------------------------------------------------------------------
+# label-propagation communities over the host graph
+# --------------------------------------------------------------------------
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (operators/graph.py
+    lpa_communities) over the SAME host graph as pagerank_priority —
+    community discovery for mirror farms / link alliances.  3 rounds,
+    min-label tie-break: deterministic at any parallelism, which is
+    what lets a SQL oracle exist at all (async LPA is run-order
+    dependent)."""
+    from .operators.graph import lpa_communities
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL)
+    return lpa_communities(edges, iters=3).select(
+        "node", F.col("label").cast("long").alias("label")
+    )
+
+
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    parts = [
+        f"WITH e0 AS ({_EDGES_SQL}),",
+        "sym AS (SELECT src AS a, dst AS b FROM e0"
+        " UNION SELECT dst, src FROM e0),",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym),",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", v{i} AS (
+  SELECT s.a AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l{i} l ON l.node = s.b
+  GROUP BY s.a, l.label
+), b{i} AS (
+  SELECT node, max_by(label, c * 2147483648 - label) AS label
+  FROM v{i} GROUP BY node
+), l{i + 1} AS (
+  SELECT n.node, COALESCE(b.label, n.node) AS label
+  FROM nodes n LEFT JOIN b{i} b USING (node)
+)"""
+        )
+    parts.append(
+        f"SELECT node, CAST(label AS BIGINT) AS label FROM l{iters}"
+    )
+    return "\n".join(parts)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9313,6 +9362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hreflang_pairs": q_hreflang,
     "charset_decode": q_charset_decode,
     "revalidation_merge": q_revalidation_merge,
+    "lpa_communities": q_lpa_communities,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9484,6 +9534,7 @@ ORACLES: dict[str, str] = {
     "hreflang_pairs": ORACLE_HREFLANG,
     "charset_decode": ORACLE_CHARSET,
     "revalidation_merge": ORACLE_REVALIDATION,
+    "lpa_communities": _lpa_oracle_sql(),
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
