@@ -422,3 +422,36 @@ def retry_after_budgets(
         .cast("int")
         .alias("budget")
     )
+
+
+def merge_host_budgets(**sources: DataFrame) -> DataFrame:
+    """Merge per-host politeness budgets from independent signals —
+    robots Crawl-delay (advertised policy), Retry-After (server-driven
+    backoff), AIMD (inferred from distress) — under the one sane rule:
+    the STRICTEST signal wins (min budget).  A host missing from a
+    source is unconstrained by it; a host missing from all sources is
+    absent (the rank's default budget applies).
+
+    ``sources``: name → (host, budget) frame.  Output: (host,
+    <name>_budget … one column per source, NULL when silent,
+    effective_budget = least of the present ones).
+
+    Plan: a full-outer fold keyed on host — every input is
+    host-cardinality (broadcast-sized at any corpus scale), so the
+    merge never touches frontier-sized data; ``least()`` skips NULLs
+    identically in Spark and DuckDB.
+    """
+    out = None
+    names = []
+    for name, df in sources.items():
+        names.append(name)
+        d = df.select("host", F.col("budget").alias(f"{name}_budget"))
+        out = d if out is None else out.join(d, "host", "full")
+    if out is None:
+        raise ValueError("no budget sources")
+    eff = F.least(*[F.col(f"{n}_budget") for n in names]) if len(names) > 1 \
+        else F.col(f"{names[0]}_budget")
+    return out.select(
+        "host", *[f"{n}_budget" for n in names],
+        eff.cast("long").alias("effective_budget"),
+    )

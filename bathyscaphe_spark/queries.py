@@ -9310,6 +9310,134 @@ def _lpa_oracle_sql(iters: int = 3) -> str:
     return "\n".join(parts)
 
 
+
+# --------------------------------------------------------------------------
+# politeness merge: strictest of robots / Retry-After / AIMD wins
+# --------------------------------------------------------------------------
+
+_PMERGE_PERIOD_S = 60
+
+# three independent signals over overlapping host sets: robots delay on
+# h%4==0, a 503 Retry-After on h%5==0, AIMD evidence on h%3==0 — some
+# hosts carry one signal, some two, h0 all three (min must win there)
+_PMERGE_ROBOTS_SQL = """
+SELECT DISTINCT 'h' || CAST(doc_id % 20 AS STRING) AS host,
+       CAST(doc_id % 20 AS BIGINT) % 7 + 2 AS crawl_delay_s
+FROM documents WHERE doc_id % 20 % 4 = 0
+"""
+
+# scalar form shared by both dialects; the engine wraps `ra` into the
+# headers map (Spark map() vs DuckDB MAP{} syntax differs)
+_PMERGE_RETRY_SQL = """
+SELECT DISTINCT 'h' || CAST(doc_id % 20 AS STRING) AS host,
+       CAST(503 AS INT) AS status,
+       CAST(doc_id % 20 % 9 + 1 AS STRING) AS ra
+FROM documents WHERE doc_id % 20 % 5 = 0
+"""
+
+_PMERGE_AIMD_SQL = """
+SELECT DISTINCT 'h' || CAST(doc_id % 20 AS STRING) AS host,
+       CAST(doc_id % 3 AS BIGINT) AS round,
+       CAST((doc_id % 20 + doc_id % 3) % 2 AS BIGINT) AS timeouts
+FROM documents WHERE doc_id % 20 % 3 = 0
+"""
+
+
+def q_politeness_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three politeness signals composed (operators/politeness.py
+    merge_host_budgets): robots Crawl-delay budgets, RFC 9110
+    Retry-After budgets, and the AIMD controller's latest delay
+    (→ ⌊period/delay⌋ budget) full-outer-merged per host — strictest
+    wins.  Hosts carry 1, 2, or all 3 signals; h0 carries all three so
+    the min is load-bearing."""
+    from types import SimpleNamespace
+
+    from .operators.politeness import (
+        aimd_delay,
+        merge_host_budgets,
+        retry_after_budgets,
+    )
+    from .operators.robots import budgets_from_robots
+
+    _docs(spark, sf_dir)
+    robots_b = budgets_from_robots(
+        spark.sql(_PMERGE_ROBOTS_SQL),
+        SimpleNamespace(round_period_s=_PMERGE_PERIOD_S),
+    )
+    retry_b = retry_after_budgets(
+        spark.sql(_PMERGE_RETRY_SQL).selectExpr(
+            "host", "status", "map('Retry-After', ra) AS headers"
+        ),
+        _PMERGE_PERIOD_S,
+    )
+    aimd = aimd_delay(spark.sql(_PMERGE_AIMD_SQL), dmin_ms=500)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.desc("round"))
+    aimd_b = (
+        aimd.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                (F.lit(_PMERGE_PERIOD_S * 1000) / F.col("delay_ms")).cast("long"),
+            ).alias("budget"),
+        )
+    )
+    return merge_host_budgets(robots=robots_b, retry=retry_b, aimd=aimd_b)
+
+
+ORACLE_PMERGE = f"""
+WITH RECURSIVE
+rb AS (
+  SELECT host, greatest(1, CAST(floor(
+           {_PMERGE_PERIOD_S}.0 / crawl_delay_s) AS BIGINT)) AS b
+  FROM ({_PMERGE_ROBOTS_SQL})
+),
+rt AS (
+  SELECT host, greatest(1, {_PMERGE_PERIOD_S} // CAST(ra AS BIGINT)) AS b
+  FROM ({_PMERGE_RETRY_SQL})
+  WHERE status IN (429, 503) AND try_cast(ra AS BIGINT) > 0
+  QUALIFY row_number() OVER (PARTITION BY host
+            ORDER BY CAST(ra AS BIGINT) DESC) = 1
+),
+f AS ({_PMERGE_AIMD_SQL}),
+r AS (
+  SELECT host, round, timeouts,
+         row_number() OVER (PARTITION BY host ORDER BY round) AS rn
+  FROM f
+),
+fold(host, rn, round, delay_ms) AS (
+  SELECT host, rn, round,
+         CASE WHEN timeouts > 0 THEN least(1000 * 2, 60000)
+              ELSE greatest(1000 - 100, 500) END
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT n.host, n.rn, n.round,
+         CASE WHEN n.timeouts > 0 THEN least(p.delay_ms * 2, 60000)
+              ELSE greatest(p.delay_ms - 100, 500) END
+  FROM r n JOIN fold p ON p.host = n.host AND n.rn = p.rn + 1
+),
+am AS (
+  SELECT host, greatest(1, ({_PMERGE_PERIOD_S} * 1000) // delay_ms) AS b
+  FROM fold
+  QUALIFY row_number() OVER (PARTITION BY host ORDER BY round DESC) = 1
+),
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT host FROM rb UNION ALL SELECT host FROM rt
+    UNION ALL SELECT host FROM am
+  )
+)
+SELECT h.host,
+       rb.b AS robots_budget, rt.b AS retry_budget, am.b AS aimd_budget,
+       CAST(least(rb.b, rt.b, am.b) AS BIGINT) AS effective_budget
+FROM hosts h
+LEFT JOIN rb USING (host) LEFT JOIN rt USING (host) LEFT JOIN am USING (host)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9363,6 +9491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_decode": q_charset_decode,
     "revalidation_merge": q_revalidation_merge,
     "lpa_communities": q_lpa_communities,
+    "politeness_merge": q_politeness_merge,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9535,6 +9664,7 @@ ORACLES: dict[str, str] = {
     "charset_decode": ORACLE_CHARSET,
     "revalidation_merge": ORACLE_REVALIDATION,
     "lpa_communities": _lpa_oracle_sql(),
+    "politeness_merge": ORACLE_PMERGE,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -125,3 +125,27 @@ class TestRetryAfter:
             for i in range(40)
         ]
         assert self._run(spark, rows, parts=1) == self._run(spark, rows, parts=11)
+
+
+class TestMergeHostBudgets:
+    """Strictest-wins merge of independent politeness signals."""
+
+    def test_min_wins_and_nulls_skip(self, spark):
+        from bathyscaphe_spark.operators.politeness import merge_host_budgets
+
+        a = spark.createDataFrame([("h1", 10), ("h2", 5)], "host string, budget long")
+        b = spark.createDataFrame([("h1", 3), ("h3", 7)], "host string, budget long")
+        got = {r["host"]: (r["a_budget"], r["b_budget"], r["effective_budget"])
+               for r in merge_host_budgets(a=a, b=b).collect()}
+        assert got == {"h1": (10, 3, 3), "h2": (5, None, 5), "h3": (None, 7, 7)}
+
+    def test_single_source_and_empty_raises(self, spark):
+        import pytest as _pytest
+
+        from bathyscaphe_spark.operators.politeness import merge_host_budgets
+
+        a = spark.createDataFrame([("h1", 4)], "host string, budget long")
+        got = merge_host_budgets(only=a).collect()
+        assert got[0]["effective_budget"] == 4
+        with _pytest.raises(ValueError):
+            merge_host_budgets()
