@@ -543,12 +543,46 @@ def robots_meta_cols(html, xrobots):
         F.nullif(F.regexp_extract(html, _ROBOTS_META_NC, 1), F.lit("")),
         F.nullif(F.regexp_extract(html, _ROBOTS_META_CN, 1), F.lit("")),
     )
-    combined = F.concat_ws(",", meta, xrobots)
+    # X-Robots-Tag may be user-agent scoped ("googlebot: noindex" —
+    # Google's REP docs): a leading token+colon that is NOT itself a
+    # known directive addresses a different agent, so the value must
+    # not apply to this crawler (the conservative documented choice;
+    # unavailable_after's own colon stays a directive)
+    xr_prefix = F.regexp_extract(
+        F.coalesce(xrobots, F.lit("")), r"^\s*([A-Za-z0-9_-]+)\s*:", 1
+    )
+    xr_eff = F.when(
+        (xr_prefix != "")
+        & ~F.lower(xr_prefix).isin(
+            "noindex", "nofollow", "none", "noarchive", "nosnippet",
+            "notranslate", "noimageindex", "unavailable_after",
+        ),
+        F.lit(None),
+    ).otherwise(xrobots)
+    combined = F.concat_ws(",", meta, xr_eff)
     return {
         "meta_robots": meta,
         "noindex": _directive(combined, "noindex"),
         "nofollow": _directive(combined, "nofollow"),
     }
+
+
+def _attr_sql(name: str) -> str:
+    """SQL expression extracting attribute ``name`` from a tag's
+    attribute-list string ``t`` in any HTML quoting form — double-
+    quoted, single-quoted, or unquoted (all three are ubiquitous in
+    real markup; a double-quote-only pattern silently drops the rest).
+    Quote characters appear only as \\x22/\\x27 escapes so the same
+    pattern text survives Spark SQL, Java regex, and RE2 quoting.
+    Returns '' when absent.  Mirrored by queries._duck_attr."""
+
+    def ex(pat: str) -> str:
+        return f"nullif(regexp_extract(t, '{pat}', 1), '')"
+
+    dq = ex(rf"(?i){name}\\s*=\\s*\\x22([^\\x22]*)\\x22")
+    sq = ex(rf"(?i){name}\\s*=\\s*\\x27([^\\x27]*)\\x27")
+    un = ex(rf"(?i){name}\\s*=\\s*([^\\s>\\x27\\x22]+)")
+    return f"coalesce({dq}, {sq}, {un}, '')"
 
 
 def anchor_rel_cols(html_col: str = "html"):
@@ -571,28 +605,43 @@ def anchor_rel_cols(html_col: str = "html"):
         rf"""transform(
   regexp_extract_all({html_col}, '(?i)<a\\s([^>]*)>', 1),
   t -> named_struct(
-    'href', regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1),
-    'rel',  regexp_extract(t, '(?i)rel\\s*=\\s*"([^"]*)"', 1),
-    'follow', NOT regexp_extract(t, '(?i)rel\\s*=\\s*"([^"]*)"', 1)
+    'href', {_attr_sql("href")},
+    'rel',  {_attr_sql("rel")},
+    'follow', NOT {_attr_sql("rel")}
               rlike '(?i)(^| )(nofollow|ugc|sponsored)( |$)'
   ))"""
     )
     return tags
 
 
-def anchor_endorsements(pages, id_col: str = "doc_id"):
+def anchor_endorsements(pages, id_col: str = "doc_id", url_col: str | None = None):
     """Per-target endorsement rollup over :func:`anchor_rel_cols`:
     (href, n_follow, n_nofollow) — the edge-weight table a rank pass
     consumes (follow-only edges) and the spam analyst reads (a target
     whose inlinks are overwhelmingly nofollow earns no rank from its
     volume).  One explode + one target-keyed agg; in-degree skew is
-    bounded exactly like anchor_text's rollup."""
+    bounded exactly like anchor_text's rollup.
+
+    Pass ``url_col`` (the page URL) to RESOLVE each href via RFC 3986
+    before grouping — without it, identical relative paths from
+    unrelated hosts ('/about' everywhere) merge into one meaningless
+    key; with it the rollup keys on absolute target URLs, which is the
+    only form a rank pass may consume."""
     from pyspark.sql import functions as F
 
-    a = pages.select(
-        F.col(id_col).alias("_id"), F.explode(anchor_rel_cols()).alias("a")
-    ).where(F.col("a.href") != "")
-    return a.groupBy(F.col("a.href").alias("href")).agg(
+    cols = [F.col(id_col).alias("_id")]
+    if url_col is not None:
+        cols.append(F.col(url_col).alias("_url"))
+    a = pages.select(*cols, F.explode(anchor_rel_cols()).alias("a")).where(
+        F.col("a.href") != ""
+    )
+    if url_col is not None:
+        from ..functions.urltools import resolve_reference_col
+
+        target = resolve_reference_col(F.col("_url"), F.col("a.href"))
+    else:
+        target = F.col("a.href")
+    return a.groupBy(target.alias("href")).agg(
         F.sum(F.when(F.col("a.follow"), 1).otherwise(0))
         .cast("long")
         .alias("n_follow"),
@@ -625,9 +674,9 @@ def hreflang_pairs(pages, url_col: str = "url", html_col: str = "html"):
         rf"""filter(transform(
   regexp_extract_all({html_col}, '(?i)<link\\s([^>]*)>', 1),
   t -> named_struct(
-    'rel',  regexp_extract(t, '(?i)rel\\s*=\\s*"([^"]*)"', 1),
-    'lang', regexp_extract(t, '(?i)hreflang\\s*=\\s*"([^"]*)"', 1),
-    'href', regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1)
+    'rel',  {_attr_sql("rel")},
+    'lang', {_attr_sql("hreflang")},
+    'href', {_attr_sql("href")}
   )),
   s -> s.rel rlike '(?i)(^| )alternate( |$)'
        AND s.lang != '' AND s.href != '')"""

@@ -129,6 +129,10 @@ def sniff_decode(df, bytes_col: str, ctype_col: str, out_col: str = "text"):
             raw = bytes(raw) if raw is not None else b""
             if raw.startswith(b"\xef\xbb\xbf"):
                 enc, raw = "utf-8", raw[3:]
+            elif raw.startswith(b"\xff\xfe"):
+                enc, raw = "utf-16-le", raw[2:]
+            elif raw.startswith(b"\xfe\xff"):
+                enc, raw = "utf-16-be", raw[2:]
             else:
                 m = ct_re.search(c or "")
                 if m:

@@ -1205,16 +1205,19 @@ def canonical_pick(
     computation that produced ``members``.
     """
     j = members.join(scores, id_col)
-    best = j.groupBy(cluster_col).agg(
-        F.max(
-            F.struct(
-                F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
-            )
-        ).alias("_b")
+    # type-generic argmax (document ids are urls/digests in production):
+    # max score per cluster, then MIN id among the top scorers — two
+    # map-combinable aggs, no id arithmetic
+    mx = j.groupBy(cluster_col).agg(F.max(score_col).alias("_mx"))
+    best = (
+        j.join(mx, cluster_col)
+        .where(F.col(score_col) == F.col("_mx"))
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias("_bid"))
     )
     return j.join(best, cluster_col).select(
         id_col,
         cluster_col,
         score_col,
-        (F.col(id_col) == -F.col("_b.nid")).alias("keep"),
+        (F.col(id_col) == F.col("_bid")).alias("keep"),
     )

@@ -791,14 +791,19 @@ def lpa_communities(edges: DataFrame, iters: int = 3) -> DataFrame:
             votes = neigh.groupBy("node", "label").agg(
                 F.count(F.lit(1)).alias("_c")
             )
-            best = votes.groupBy("node").agg(
-                F.max(
-                    F.struct(F.col("_c").alias("c"), (-F.col("label")).alias("nl"))
-                ).alias("_b")
+            # type-generic argmax (node ids are host/domain STRINGS in
+            # this engine): max count per node, then MIN label among
+            # the labels achieving it — two map-combinable aggs
+            mx = votes.groupBy("node").agg(F.max("_c").alias("_mx"))
+            best = (
+                votes.join(mx, "node")
+                .where(F.col("_c") == F.col("_mx"))
+                .groupBy("node")
+                .agg(F.min("label").alias("_bl"))
             )
             labels = nodes.join(best, "node", "left").select(
                 "node",
-                F.coalesce(-F.col("_b.nl"), F.col("node")).alias("label"),
+                F.coalesce(F.col("_bl"), F.col("node")).alias("label"),
             )
         labels = labels.localCheckpoint(eager=True)
     finally:

@@ -513,14 +513,14 @@ def cdc_chunks(
     import pandas as pd
     from pyspark.sql import functions as F
 
-    out_schema = f"{id_col} long, chunk_idx long, start long, chunk_len long, chunk_txt string"
+    out_schema = f"{id_col} long, chunk_idx long, start long, chunk_len long, chunk_bytes binary"
 
     def _run(batches):
         for pdf in batches:
-            ids, idxs, starts, lens, txts = [], [], [], [], []
+            ids, idxs, starts, lens, chs = [], [], [], [], []
             for did, t in zip(pdf[id_col], pdf[text_col]):
-                t = t or ""
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                raw = (t or "").encode("utf-8")
+                b = np.frombuffer(raw, dtype=np.uint8)
                 ends = _cdc_boundaries_np(b)
                 prev = 0
                 ci = 0
@@ -532,18 +532,21 @@ def cdc_chunks(
                     idxs.append(ci)
                     starts.append(prev)
                     lens.append(cut - prev)
-                    txts.append(t[prev:cut])
+                    # slice BYTES, not chars: boundaries live in byte
+                    # space and the storage digest is over bytes — a
+                    # multibyte char never splits a digest's identity
+                    chs.append(raw[prev:cut])
                     ci += 1
                     prev = cut
             yield pd.DataFrame(
                 {id_col: ids, "chunk_idx": idxs, "start": starts,
-                 "chunk_len": lens, "chunk_txt": txts}
+                 "chunk_len": lens, "chunk_bytes": chs}
             )
 
     chunks = docs.select(id_col, text_col).mapInPandas(_run, schema=out_schema)
     chunks = chunks.select(
         id_col, "chunk_idx", "start", "chunk_len",
-        F.md5("chunk_txt").alias("chunk_md5"),
+        F.md5("chunk_bytes").alias("chunk_md5"),
     )
     reuse = chunks.groupBy("chunk_md5").agg(
         F.count(F.lit(1)).alias("reuse")

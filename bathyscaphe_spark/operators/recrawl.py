@@ -284,8 +284,15 @@ def conditional_fetch_plan(
         F.element_at(F.col(headers_col), "Last-Modified"),
         F.element_at(F.col(headers_col), "last-modified"),
     )
+    # equal-timestamp captures tie-break on the validators themselves
+    # (the partition key cannot order within its own partition)
     w = Window.partitionBy(url_col).orderBy(
-        F.col(ts_col).desc(), F.col(url_col).asc()
+        F.col(ts_col).desc(),
+        F.md5(
+            F.concat_ws(
+                "|", F.coalesce(etag, F.lit("")), F.coalesce(lastmod, F.lit(""))
+            )
+        ).asc(),
     )
     latest = (
         captures.withColumn("_rn", F.row_number().over(w))
@@ -334,8 +341,11 @@ def revalidation_merge(
     """
     from pyspark.sql import Window
 
+    # tie-break on exact-equal timestamps must be CONTENT-derived
+    # (ordering by the partition key is a no-op): md5(html) is stable
+    # across runs and partitionings
     w = Window.partitionBy(url_col).orderBy(
-        F.col(ts_col).desc(), F.col(url_col).asc()
+        F.col(ts_col).desc(), F.md5(F.col("html")).asc()
     )
     latest = (
         captures.withColumn("_rn", F.row_number().over(w))

@@ -397,7 +397,9 @@ WITH c AS (
   FROM documents
 ), latest AS (
   SELECT *, row_number() OVER (PARTITION BY url
-                               ORDER BY warc_ts DESC, url ASC) AS rn,
+             ORDER BY warc_ts DESC,
+                      md5(coalesce(etag, '') || '|' || coalesce(lastmod, ''))
+             ASC) AS rn,
          count(*) OVER (PARTITION BY url) AS n_captures
   FROM c
 )
@@ -3635,7 +3637,7 @@ WITH pages AS ({_CAPTURES_SQL}),
  r AS (
   SELECT surt, url, warc_ts, status,
          row_number() OVER (PARTITION BY surt
-                            ORDER BY warc_ts DESC, url ASC) AS rn,
+                            ORDER BY warc_ts DESC, url ASC, status ASC) AS rn,
          count(*) OVER (PARTITION BY surt) AS n_captures
   FROM s
  )
@@ -8037,8 +8039,8 @@ def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr dedup (Lee et al. 2022): every >=40-char substring
     occurring twice anywhere in the corpus is removed from every
     occurrence, survivors reassembled in order (operators/dedup.py
-    exact_substr_clean — sequence+explode grams, 16-byte md5 shuffle
-    keys, one window span-merge; zero UDFs).  Exact semantics via the
+    exact_substr_clean — sequence+explode grams, 8-byte xxhash64
+    shuffle keys, one window span-merge; zero UDFs).  Exact semantics via the
     duplicated-L-gram span-union identity — no suffix array.  The
     REMOVAL pass beside exact_substr_spans' word-gram span FINDER."""
     from .operators.dedup import exact_substr_clean
@@ -8513,8 +8515,8 @@ cdx AS (
 SELECT surt, ts14,
        CAST(COUNT(*) OVER (PARTITION BY surt) AS BIGINT) AS n_mementos,
        (ROW_NUMBER() OVER (PARTITION BY surt ORDER BY ts14) = 1) AS is_first,
-       (ROW_NUMBER() OVER (PARTITION BY surt ORDER BY ts14 DESC) = 1)
-         AS is_last,
+       (ROW_NUMBER() OVER (PARTITION BY surt ORDER BY ts14)
+        = COUNT(*) OVER (PARTITION BY surt)) AS is_last,
        LAG(ts14) OVER (PARTITION BY surt ORDER BY ts14) AS prev_ts14,
        LEAD(ts14) OVER (PARTITION BY surt ORDER BY ts14) AS next_ts14
 FROM cdx
@@ -8664,6 +8666,7 @@ SELECT doc_id,
   CASE doc_id % 7
     WHEN 3 THEN 'noindex'
     WHEN 4 THEN 'nofollow, noarchive'
+    WHEN 5 THEN 'googlebot: noindex'
     WHEN 0 THEN 'nofollow'
   END AS x_robots
 FROM documents
@@ -8713,7 +8716,15 @@ m AS (
 ),
 c AS (
   SELECT doc_id, meta_robots,
-         concat_ws(',', meta_robots, x_robots) AS combined
+         concat_ws(',', meta_robots,
+           CASE WHEN regexp_extract(coalesce(x_robots, ''),
+                       '^\s*([A-Za-z0-9_-]+)\s*:', 1) != ''
+                 AND lower(regexp_extract(coalesce(x_robots, ''),
+                       '^\s*([A-Za-z0-9_-]+)\s*:', 1)) NOT IN
+                     ('noindex', 'nofollow', 'none', 'noarchive',
+                      'nosnippet', 'notranslate', 'noimageindex',
+                      'unavailable_after')
+                THEN NULL ELSE x_robots END) AS combined
   FROM m
 )
 SELECT doc_id, meta_robots, {tok("noindex")} AS noindex,
@@ -8807,6 +8818,7 @@ JOIN (SELECT chunk_md5, COUNT(*) AS reuse FROM rows_ GROUP BY chunk_md5) u
 # SPONSORED uppercase, noopener-only (follow), near-miss token, href-less
 _REL_HTML_SQL = """
 SELECT doc_id,
+  'http://h' || CAST(doc_id % 8 AS STRING) || '.onion/d/page.html' AS url,
   '<html><body>'
   || '<a href="/t' || CAST(doc_id % 25 AS STRING) || '">plain</a>'
   || CASE doc_id % 6
@@ -8815,8 +8827,9 @@ SELECT doc_id,
        WHEN 1 THEN '<a href="/u' || CAST(doc_id % 10 AS STRING)
                    || '" rel="ugc noopener">u</a>'
        WHEN 2 THEN '<A HREF="/s" REL="SPONSORED">s</A>'
-       WHEN 3 THEN '<a rel="noopener" href="/ok">k</a>'
-       WHEN 4 THEN '<a href="/near" rel="nofollowX">x</a>'
+       WHEN 3 THEN '<a rel=' || chr(39) || 'nofollow' || chr(39)
+                   || ' href=' || chr(39) || '/sq' || chr(39) || '>q</a>'
+       WHEN 4 THEN '<a href=/unq rel=ugc>x</a>'
        ELSE '<a name="no-href">n</a>'
      END
   || '</body></html>' AS html
@@ -8824,31 +8837,95 @@ FROM documents
 """
 
 
+def _duck_resolve_expr(base: str, ref: str) -> str:
+    """DuckDB SQL expression resolving ``ref`` against ``base`` — the
+    same RFC 3986 §5.2 CASE grammar as resolve_reference_col, reused by
+    every oracle that composes resolution."""
+
+    def rm_dots(expr: str) -> str:
+        seg = r"(?:[^/]|\.[^/.]|[^/.][^/]|[^/][^/][^/]+)"
+        p = expr
+        for _ in range(2):
+            p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
+        for _ in range(4):
+            p = f"regexp_replace({p}, '/{seg}/\\.\\./', '/', 'g')"
+            p = f"regexp_replace({p}, '/{seg}/\\.\\.$', '/', 'g')"
+        for _ in range(4):
+            p = f"regexp_replace({p}, '^/\\.\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '^/\\.\\.$', '/', 'g')"
+        return p
+
+    sch = f"regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
+    auth = f"regexp_extract({base}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    bpath = (f"regexp_extract({base},"
+             f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    bq = f"regexp_extract({base}, '(\\?[^#]*)', 1)"
+    rpath = f"regexp_extract({ref}, '^([^?#]*)', 1)"
+    rtail = f"regexp_extract({ref}, '^[^?#]*([?#].*)', 1)"
+    root = f"({sch} || '://' || {auth})"
+    bdir = (f"CASE WHEN {bpath} = '' THEN '/'"
+            f" ELSE regexp_replace({bpath}, '[^/]*$', '') END")
+    return f"""CASE
+    WHEN regexp_matches({ref}, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN {ref}
+    WHEN {ref} LIKE '//%' THEN {sch} || ':' || {ref}
+    WHEN {ref} LIKE '/%' THEN {root} || {rm_dots(rpath)} || {rtail}
+    WHEN {ref} = '' THEN {root} || {bpath} || {bq}
+    WHEN {ref} LIKE '?%' THEN {root} || {bpath} || {ref}
+    WHEN {ref} LIKE '#%' THEN {root} || {bpath} || {bq} || {ref}
+    ELSE {root} || {rm_dots(f"({bdir} || {rpath})")} || {rtail}
+  END"""
+
+
+def _duck_attr(name: str, t: str = "t") -> str:
+    """DuckDB mirror of functions.html._attr_sql: attribute extraction
+    in all three HTML quoting forms, quote chars only as \x22/\x27
+    regex escapes (RE2-safe)."""
+
+    def ex(pat: str) -> str:
+        return f"nullif(regexp_extract({t}, '{pat}', 1), '')"
+
+    dq = ex(rf"(?i){name}\s*=\s*\x22([^\x22]*)\x22")
+    sq = ex(rf"(?i){name}\s*=\s*\x27([^\x27]*)\x27")
+    un = ex(rf"(?i){name}\s*=\s*([^\s>\x27\x22]+)")
+    return f"coalesce({dq}, {sq}, {un}, '')"
+
+
+
 def q_link_endorsement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-link REP rel semantics (functions/html.py anchor_rel_cols /
     anchor_endorsements): rel="nofollow"/"ugc"/"sponsored" links convey
     no endorsement — the (href, n_follow, n_nofollow) rollup a rank
-    pass consumes follow-only.  Attribute-order-independent tag parse,
+    pass consumes follow-only, keyed on RFC-3986-RESOLVED absolute
+    target urls (raw relative hrefs from unrelated hosts must not
+    merge).  Attribute-order-independent tag parse,
     space-token matching, near-miss tokens stay follow.  Pure codegen
     regexp_extract_all + transform, shared verbatim with the oracle."""
     from .functions.html import anchor_endorsements
 
     _docs(spark, sf_dir)
-    return anchor_endorsements(spark.sql(_REL_HTML_SQL))
+    return anchor_endorsements(spark.sql(_REL_HTML_SQL), url_col="url")
 
 
 ORACLE_LINK_ENDORSEMENT = rf"""
 WITH d AS ({_REL_HTML_SQL}),
 tags AS (
-  SELECT doc_id,
+  SELECT doc_id, url,
          unnest(regexp_extract_all(html, '(?i)<a\s([^>]*)>', 1)) AS t
   FROM d
 ),
+a0 AS (
+  SELECT doc_id, url,
+         {_duck_attr("href")} AS ref,
+         {_duck_attr("rel")} AS rel
+  FROM tags
+),
 a AS (
   SELECT doc_id,
-         regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1) AS href,
-         regexp_extract(t, '(?i)rel\s*=\s*"([^"]*)"', 1) AS rel
-  FROM tags
+         CASE WHEN ref = '' THEN ''
+              ELSE {_duck_resolve_expr("url", "ref")} END AS href,
+         rel
+  FROM a0
 )
 SELECT href,
        CAST(SUM(CASE WHEN NOT regexp_matches(rel,
@@ -8900,46 +8977,6 @@ def q_resolve_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "base", "ref",
         resolve_reference_col(F.col("base"), F.col("ref")).alias("resolved"),
     )
-
-
-def _duck_resolve_expr(base: str, ref: str) -> str:
-    """DuckDB SQL expression resolving ``ref`` against ``base`` — the
-    same RFC 3986 §5.2 CASE grammar as resolve_reference_col, reused by
-    every oracle that composes resolution."""
-
-    def rm_dots(expr: str) -> str:
-        seg = r"(?:[^/]|\.[^/.]|[^/.][^/]|[^/][^/][^/]+)"
-        p = expr
-        for _ in range(2):
-            p = f"regexp_replace({p}, '/\\./', '/', 'g')"
-        p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
-        for _ in range(4):
-            p = f"regexp_replace({p}, '/{seg}/\\.\\./', '/', 'g')"
-            p = f"regexp_replace({p}, '/{seg}/\\.\\.$', '/', 'g')"
-        for _ in range(4):
-            p = f"regexp_replace({p}, '^/\\.\\./', '/', 'g')"
-        p = f"regexp_replace({p}, '^/\\.\\.$', '/', 'g')"
-        return p
-
-    sch = f"regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
-    auth = f"regexp_extract({base}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
-    bpath = (f"regexp_extract({base},"
-             f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
-    bq = f"regexp_extract({base}, '(\\?[^#]*)', 1)"
-    rpath = f"regexp_extract({ref}, '^([^?#]*)', 1)"
-    rtail = f"regexp_extract({ref}, '^[^?#]*([?#].*)', 1)"
-    root = f"({sch} || '://' || {auth})"
-    bdir = (f"CASE WHEN {bpath} = '' THEN '/'"
-            f" ELSE regexp_replace({bpath}, '[^/]*$', '') END")
-    return f"""CASE
-    WHEN regexp_matches({ref}, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN {ref}
-    WHEN {ref} LIKE '//%' THEN {sch} || ':' || {ref}
-    WHEN {ref} LIKE '/%' THEN {root} || {rm_dots(rpath)} || {rtail}
-    WHEN {ref} = '' THEN {root} || {bpath} || {bq}
-    WHEN {ref} LIKE '?%' THEN {root} || {bpath} || {ref}
-    WHEN {ref} LIKE '#%' THEN {root} || {bpath} || {bq} || {ref}
-    ELSE {root} || {rm_dots(f"({bdir} || {rpath})")} || {rtail}
-  END"""
 
 
 def _resolve_oracle_sql() -> str:
@@ -9058,8 +9095,8 @@ tags AS (
 ),
 a AS (
   SELECT url AS src, base,
-         regexp_extract(t, '(?i)href\\s*=\\s*"([^"]*)"', 1) AS href,
-         regexp_extract(t, '(?i)rel\\s*=\\s*"([^"]*)"', 1) AS rel
+         {_duck_attr("href")} AS href,
+         {_duck_attr("rel")} AS rel
   FROM tags
 ),
 flw AS (
@@ -9096,8 +9133,10 @@ SELECT doc_id,
       || '<link rel="alternate" hreflang="fr" href="http://x.onion/g'
       || CAST(doc_id % 40 AS STRING) || '/fr">'
     ELSE
-      '<link rel="alternate" hreflang="en" href="http://x.onion/g'
-      || CAST(doc_id % 40 AS STRING) || '/en">'
+      '<link rel=' || chr(39) || 'alternate' || chr(39)
+      || ' hreflang=' || chr(39) || 'en' || chr(39)
+      || ' href=' || chr(39) || 'http://x.onion/g'
+      || CAST(doc_id % 40 AS STRING) || '/en' || chr(39) || '>'
       || '<link rel="stylesheet" href="/style.css">'
   END AS html
 FROM documents
@@ -9126,13 +9165,12 @@ tags AS (
 ),
 e0 AS (
   SELECT DISTINCT src,
-         lower(regexp_extract(t, '(?i)hreflang\s*=\s*"([^"]*)"', 1)) AS lang,
-         regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1) AS alt
+         lower({_duck_attr("hreflang")}) AS lang,
+         {_duck_attr("href")} AS alt
   FROM tags
-  WHERE regexp_matches(regexp_extract(t, '(?i)rel\s*=\s*"([^"]*)"', 1),
-                       '(?i)(^| )alternate( |$)')
-    AND regexp_extract(t, '(?i)hreflang\s*=\s*"([^"]*)"', 1) != ''
-    AND regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1) != ''
+  WHERE regexp_matches({_duck_attr("rel")}, '(?i)(^| )alternate( |$)')
+    AND {_duck_attr("hreflang")} != ''
+    AND {_duck_attr("href")} != ''
 )
 SELECT e.src, e.lang, e.alt,
        (EXISTS (SELECT 1 FROM e0 b WHERE b.src = e.alt AND b.alt = e.src))
@@ -9245,7 +9283,7 @@ latest AS (
   SELECT url, html AS stored FROM (
     SELECT url, html,
            ROW_NUMBER() OVER (PARTITION BY url
-                              ORDER BY warc_ts DESC, url ASC) AS rn
+                              ORDER BY warc_ts DESC, md5(html) ASC) AS rn
     FROM store
   ) WHERE rn = 1
 )

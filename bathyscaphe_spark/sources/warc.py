@@ -355,7 +355,7 @@ def latest_captures(pages: DataFrame) -> DataFrame:
     from ..functions.urltools import surt_col
 
     w = Window.partitionBy("surt").orderBy(
-        F.col("warc_ts").desc(), F.col("url").asc()
+        F.col("warc_ts").desc(), F.col("url").asc(), F.col("status").asc()
     )
     return (
         pages.withColumn("surt", surt_col(F.col("url")))
@@ -863,12 +863,17 @@ def timemap(cdx: DataFrame) -> DataFrame:
 
     w = Window.partitionBy("surt").orderBy("ts14")
     ws = Window.partitionBy("surt")
+    n = F.count(F.lit(1)).over(ws).cast("long")
+    rn = F.row_number().over(w)
+    # is_last = rn == n over the SAME ascending window: one sort per
+    # partition, not a second descending re-sort, and first/last stay
+    # consistent under equal-ts14 ties
     return cdx.select(
         "surt",
         "ts14",
-        F.count(F.lit(1)).over(ws).cast("long").alias("n_mementos"),
-        (F.row_number().over(w) == 1).alias("is_first"),
-        (F.row_number().over(Window.partitionBy("surt").orderBy(F.desc("ts14"))) == 1).alias("is_last"),
+        n.alias("n_mementos"),
+        (rn == 1).alias("is_first"),
+        (rn == n).alias("is_last"),
         F.lag("ts14").over(w).alias("prev_ts14"),
         F.lead("ts14").over(w).alias("next_ts14"),
     )

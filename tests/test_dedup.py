@@ -558,3 +558,18 @@ class TestCanonicalPick:
         a = sorted(map(tuple, canonical_pick(m.repartition(1), s).collect()))
         b = sorted(map(tuple, canonical_pick(m.repartition(9), s.repartition(5)).collect()))
         assert a == b and sum(1 for r in a if r[3]) == 6
+
+
+def test_canonical_pick_string_ids(spark):
+    """canonical_pick over url/digest string ids — production keys."""
+    from bathyscaphe_spark.operators.dedup import canonical_pick
+
+    m = spark.createDataFrame(
+        [("http://a/1", "c1"), ("http://a/2", "c1")],
+        "doc_id string, cluster_id string",
+    )
+    s = spark.createDataFrame(
+        [("http://a/1", 5), ("http://a/2", 9)], "doc_id string, score long"
+    )
+    got = {r["doc_id"]: r["keep"] for r in canonical_pick(m, s).collect()}
+    assert got == {"http://a/1": False, "http://a/2": True}

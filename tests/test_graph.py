@@ -550,3 +550,18 @@ class TestLpaCommunities:
         a = sorted(map(tuple, lpa_communities(df.repartition(1), iters=3).collect()))
         b = sorted(map(tuple, lpa_communities(df.repartition(7), iters=3).collect()))
         assert a == b
+
+
+def test_lpa_string_nodes(spark):
+    """LPA over string host ids — the engine's actual graph keys."""
+    from bathyscaphe_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("a.com", "c.com"),
+         ("x.org", "y.org"), ("y.org", "z.org"), ("x.org", "z.org")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["label"] for r in lpa_communities(edges, iters=3).collect()}
+    assert got["x.org"] == got["y.org"] == got["z.org"]
+    assert got["a.com"] == got["b.com"] == got["c.com"]
+    assert got["a.com"] != got["x.org"]

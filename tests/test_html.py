@@ -420,3 +420,31 @@ class TestHreflangPairs:
             ("http://s/en", "fr", "http://s/fr"): False,
             ("http://s/de", "en", "http://s/en"): True,
         }
+
+
+def test_robots_meta_ua_scoped_header(spark):
+    """UA-scoped X-Robots-Tag values address a DIFFERENT agent and must
+    not apply; directive-colon forms (unavailable_after:) still pass."""
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.functions.html import robots_meta_cols
+
+    rows = [(1, "<p>x</p>", "googlebot: noindex"),
+            (2, "<p>x</p>", "unavailable_after: 25 Jun 2030, noindex"),
+            (3, "<p>x</p>", "noindex")]
+    df = spark.createDataFrame(rows, "id long, html string, xr string")
+    c = robots_meta_cols(F.col("html"), F.col("xr"))
+    got = {r["id"]: r["ni"] for r in df.select("id", c["noindex"].alias("ni")).collect()}
+    assert got == {1: False, 2: True, 3: True}
+
+
+def test_anchor_endorsements_resolved_mode(spark):
+    """With url_col, identical relative hrefs on different hosts must
+    NOT merge (the reviewed defect)."""
+    from bathyscaphe_spark.functions.html import anchor_endorsements
+
+    rows = [(1, "http://a.onion/x/p.html", '<a href="/about">t</a>'),
+            (2, "http://b.onion/y/p.html", '<a href="/about">t</a>')]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = sorted(r["href"] for r in anchor_endorsements(df, url_col="url").collect())
+    assert got == ["http://a.onion/about", "http://b.onion/about"]

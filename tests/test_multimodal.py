@@ -214,3 +214,26 @@ class TestCdcChunks:
         a = sorted(map(tuple, cdc_chunks(df.repartition(1)).collect()))
         b = sorted(map(tuple, cdc_chunks(df.repartition(7)).collect()))
         assert a == b
+
+
+def test_cdc_nonascii_digest_sharing(spark):
+    """Byte-space chunking: a shared footer behind DIFFERENT non-ASCII
+    prefixes must yield identical chunk digests (the reviewed defect:
+    char-sliced chunks diverged from byte boundaries)."""
+    import random
+
+    from bathyscaphe_spark.operators.multimodal import cdc_chunks
+
+    rng = random.Random(7)
+    footer = "".join(chr(rng.randint(33, 122)) for _ in range(4000))
+    rows = [(1, "é" * 50 + footer), (2, "漢字テスト" * 25 + footer)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in cdc_chunks(df).collect():
+        out.setdefault(r["doc_id"], []).append((r["start"], r["chunk_len"], r["chunk_md5"]))
+        # invariant: chunk_len is the BYTE length md5 was computed over
+    d1 = {m for _, _, m in out[1]}
+    d2 = {m for _, _, m in out[2]}
+    assert len(d1 & d2) >= max(len(d1), len(d2)) * 0.5, (len(d1 & d2), len(d1), len(d2))
+    # byte tiling: lens sum to the utf-8 byte length
+    assert sum(ln for _, ln, _ in out[1]) == len(rows[0][1].encode())

@@ -100,3 +100,18 @@ class TestSniffDecode:
     def test_undecodable_replaces_not_raises(self, spark):
         got = self._run(spark, [(1, b"ok \xff\xfe then", "charset=utf-8")])
         assert "�" in got[1][0] and got[1][0].startswith("ok ")
+
+
+def test_sniff_decode_utf16_boms(spark):
+    from bathyscaphe_spark.functions.textfmt import sniff_decode
+
+    rows = [(1, "café16".encode("utf-16-le"), None),
+            (2, "café16".encode("utf-16-be"), None)]
+    # prepend BOMs
+    rows = [(1, b"\xff\xfe" + rows[0][1], None),
+            (2, b"\xfe\xff" + rows[1][1], None)]
+    df = spark.createDataFrame(rows, "id long, b binary, ct string")
+    got = {r["id"]: (r["text"], r["charset"])
+           for r in sniff_decode(df, "b", "ct").collect()}
+    assert got[1] == ("café16", "utf-16-le")
+    assert got[2] == ("café16", "utf-16-be")
