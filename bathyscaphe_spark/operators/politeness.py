@@ -386,6 +386,7 @@ def retry_after_budgets(
     host_col: str = "host",
     headers_col: str = "headers",
     status_col: str = "status",
+    now: str | None = None,
 ) -> DataFrame:
     """(host, budget) from ``Retry-After`` response headers (RFC 9110
     §10.2.3) — the SERVER-driven politeness signal beside robots
@@ -394,9 +395,10 @@ def retry_after_budgets(
     seconds of backoff, translating to ⌊round_period / d⌋ fetches next
     round (≥ 1), exactly the Crawl-delay arithmetic.
 
-    Only the delta-seconds form parses (pure codegen try_cast; the
-    HTTP-date form needs the response clock and is ignored — the
-    conservative documented choice).  Only 429/503 responses count —
+    Both RFC forms parse: delta-seconds via try_cast, and — when the
+    replayable ``now`` clock is passed — the IMF-fixdate form as
+    (date − now) seconds; without ``now`` the date form is ignored
+    (the conservative choice, no hidden wall clock).  Only 429/503 responses count —
     a 200 carrying the header is advisory noise.  Per host the
     LARGEST advertised delay wins (strictest).  Case-insensitive
     header lookup matches the engine's header conventions (X7 paths
@@ -411,6 +413,24 @@ def retry_after_budgets(
         F.element_at(F.col(headers_col), "retry-after"),
     )
     secs = ra.try_cast("bigint")
+    if now is not None:
+        # RFC 9110 also allows the HTTP-date form ("Wed, 21 Oct 2026
+        # 07:28:00 GMT"): delay = date − now, replayable via the
+        # explicit `now` (the robots_availability clock discipline).
+        # IMF-fixdate only — the obsolete RFC 850 / asctime forms
+        # try_cast to NULL and are ignored, like any unparseable value.
+        # Spark's post-3.0 parser cannot PARSE day-of-week ("EEE"), so
+        # the weekday prefix strips before the match (it is redundant)
+        dt = F.try_to_timestamp(
+            F.regexp_replace(
+                F.regexp_replace(ra, r"^[A-Za-z]{3}, ", ""), r" GMT$", ""
+            ),
+            F.lit("dd MMM yyyy HH:mm:ss"),
+        )
+        date_secs = (
+            F.unix_timestamp(dt) - F.unix_timestamp(F.lit(now).cast("timestamp"))
+        )
+        secs = F.coalesce(secs, date_secs)
     relevant = fetched.where(
         F.col(status_col).isin(429, 503) & (secs > 0)
     ).select(F.col(host_col).alias("host"), secs.alias("_d"))

@@ -9476,6 +9476,52 @@ LEFT JOIN rb USING (host) LEFT JOIN rt USING (host) LEFT JOIN am USING (host)
 """
 
 
+
+# --------------------------------------------------------------------------
+# Retry-After HTTP-date form: the replayable-clock variant
+# --------------------------------------------------------------------------
+
+def q_retry_after_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-After IMF-fixdate form (operators/politeness.py
+    retry_after_budgets with the replayable ``now`` clock): the engine
+    FORMATS each host's backoff deadline as an RFC 9110 date header and
+    must parse it back to delay = date − now; the oracle never touches
+    a date — it knows the planted delay arithmetically, so the string
+    round-trip itself is under test.  Past-date headers (delay ≤ 0)
+    and 200s are excluded."""
+    from .operators.politeness import retry_after_budgets
+
+    d = _docs(spark, sf_dir)
+    # delay planted = doc_id % 90 + 10 seconds after `now` (epoch
+    # 1714564800, UTC session); every 7th doc gets a PAST date
+    fetched = d.selectExpr(
+        "'h' || CAST(doc_id % 15 AS STRING) AS host",
+        "CAST(CASE WHEN doc_id % 6 = 5 THEN 200 ELSE 503 END AS INT) AS status",
+        "map('Retry-After', date_format(to_timestamp("
+        "  1714564800 + CASE WHEN doc_id % 7 = 0 THEN -50"
+        "                    ELSE doc_id % 90 + 10 END),"
+        "  'EEE, dd MMM yyyy HH:mm:ss') || ' GMT') AS headers",
+    )
+    return retry_after_budgets(
+        fetched, round_period_s=60, now="2024-05-01 12:00:00"
+    )
+
+
+ORACLE_RETRY_DATES = """
+WITH f AS (
+  SELECT 'h' || CAST(doc_id % 15 AS STRING) AS host,
+         CASE WHEN doc_id % 6 = 5 THEN 200 ELSE 503 END AS status,
+         CASE WHEN doc_id % 7 = 0 THEN -50
+              ELSE doc_id % 90 + 10 END AS secs
+  FROM documents
+)
+SELECT host, CAST(greatest(1, 60 // max(secs)) AS INT) AS budget
+FROM f
+WHERE status = 503 AND secs > 0
+GROUP BY host
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9530,6 +9576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revalidation_merge": q_revalidation_merge,
     "lpa_communities": q_lpa_communities,
     "politeness_merge": q_politeness_merge,
+    "retry_after_dates": q_retry_after_dates,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9703,6 +9750,7 @@ ORACLES: dict[str, str] = {
     "revalidation_merge": ORACLE_REVALIDATION,
     "lpa_communities": _lpa_oracle_sql(),
     "politeness_merge": ORACLE_PMERGE,
+    "retry_after_dates": ORACLE_RETRY_DATES,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

@@ -149,3 +149,28 @@ class TestMergeHostBudgets:
         assert got[0]["effective_budget"] == 4
         with _pytest.raises(ValueError):
             merge_host_budgets()
+
+
+class TestRetryAfterDates:
+    """IMF-fixdate Retry-After with the replayable now clock."""
+
+    def test_date_form_and_guards(self, spark):
+        from bathyscaphe_spark.operators.politeness import retry_after_budgets
+
+        rows = [
+            ("h1", 503, {"Retry-After": "30"}),
+            ("h2", 503, {"Retry-After": "Wed, 01 May 2024 12:02:00 GMT"}),
+            ("h3", 503, {"Retry-After": "Mon, 06 May 2019 00:00:00 GMT"}),
+            ("h4", 200, {"Retry-After": "Wed, 01 May 2024 12:02:00 GMT"}),
+            ("h5", 503, {"Retry-After": "not a date"}),
+        ]
+        df = spark.createDataFrame(
+            rows, "host string, status int, headers map<string,string>"
+        )
+        got = dict(map(tuple, retry_after_budgets(
+            df, 60, now="2024-05-01 12:00:00").collect()))
+        # h2: 120s away -> budget 1; h1 delta still parses; past/200/bad drop
+        assert got == {"h1": 2, "h2": 1}
+        # without a clock the date form is conservatively ignored
+        got2 = dict(map(tuple, retry_after_budgets(df, 60).collect()))
+        assert got2 == {"h1": 2}
