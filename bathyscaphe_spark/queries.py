@@ -603,20 +603,23 @@ WITH d AS (SELECT doc_id, 'h' || CAST(doc_id % 23 AS STRING) || '.onion' AS host
 SELECT host,
        'http://s' || CAST(doc_id % 23 AS STRING) || '.onion/sm'
            || CAST(doc_id AS STRING) || '.xml' AS url,
-       CAST(NULL AS VARCHAR) AS lastmod, TRUE AS is_index
+       CAST(NULL AS VARCHAR) AS lastmod, TRUE AS is_index,
+       CAST(NULL AS VARCHAR) AS changefreq, CAST(NULL AS INT) AS priority_milli
 FROM d WHERE doc_id % 4 = 0
 UNION ALL
 SELECT host,
        'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/p'
            || CAST(doc_id AS STRING) || '.html' AS url,
        '2024-01-0' || CAST(1 + doc_id % 9 AS STRING) AS lastmod,
-       FALSE AS is_index
+       FALSE AS is_index,
+       CAST(NULL AS VARCHAR) AS changefreq, CAST(NULL AS INT) AS priority_milli
 FROM d WHERE doc_id % 4 != 0
 UNION ALL
 SELECT host,
        'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/q'
            || CAST(doc_id AS STRING) AS url,
-       CAST(NULL AS VARCHAR) AS lastmod, FALSE AS is_index
+       CAST(NULL AS VARCHAR) AS lastmod, FALSE AS is_index,
+       CAST(NULL AS VARCHAR) AS changefreq, CAST(NULL AS INT) AS priority_milli
 FROM d WHERE doc_id % 4 != 0
 """
 
@@ -9522,6 +9525,70 @@ GROUP BY host
 """
 
 
+
+# --------------------------------------------------------------------------
+# sitemap scheduling: priority/changefreq → refetch plan
+# --------------------------------------------------------------------------
+
+# full changefreq vocabulary + priority cycling + absent-field defaults,
+# through the REAL XML parser (fields synthesized per doc_id)
+_SMS_BODY_SQL = """
+'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url>'
+|| '<loc>http://h' || CAST(doc_id % 23 AS STRING) || '.onion/p'
+|| CAST(doc_id AS STRING) || '</loc>'
+|| CASE doc_id % 8
+     WHEN 0 THEN '<changefreq>always</changefreq>'
+     WHEN 1 THEN '<changefreq>hourly</changefreq>'
+     WHEN 2 THEN '<changefreq>daily</changefreq>'
+     WHEN 3 THEN '<changefreq>weekly</changefreq>'
+     WHEN 4 THEN '<changefreq>monthly</changefreq>'
+     WHEN 5 THEN '<changefreq>yearly</changefreq>'
+     WHEN 6 THEN '<changefreq>never</changefreq>'
+     ELSE ''
+   END
+|| CASE doc_id % 5
+     WHEN 0 THEN '<priority>0.' || CAST(doc_id % 10 AS STRING) || '</priority>'
+     WHEN 1 THEN '<priority>1.0</priority>'
+     WHEN 2 THEN '<priority>7.5</priority>'
+     ELSE ''
+   END
+|| '</url></urlset>'
+"""
+
+
+def q_sitemap_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap scheduling fields (sources/sitemap.py read_sitemaps +
+    sitemap_schedule): <changefreq> maps to the protocol's refetch
+    interval (always floors at hourly for a batch crawler; never and
+    absent → NULL, the adaptive policy owns those), <priority> parses
+    to integer milli with the 0.0–1.0 range gate (7.5 is ignored) and
+    defaults 500.  Every vocabulary value is exercised through the
+    REAL XML parser; the oracle recomputes all fields arithmetically."""
+    from .sources.sitemap import read_sitemaps, sitemap_schedule
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "'h' || CAST(doc_id % 23 AS STRING) || '.onion' AS host",
+        f"{_SMS_BODY_SQL} AS body",
+    )
+    return sitemap_schedule(read_sitemaps(d))
+
+
+ORACLE_SITEMAP_SCHEDULE = """
+SELECT 'h' || CAST(doc_id % 23 AS STRING) || '.onion' AS host,
+       'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/p'
+         || CAST(doc_id AS STRING) AS url,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN (doc_id % 10) * 100
+         WHEN 1 THEN 1000
+         ELSE 500 END AS INT) AS priority_milli,
+       CAST(CASE doc_id % 8
+         WHEN 0 THEN 3600 WHEN 1 THEN 3600 WHEN 2 THEN 86400
+         WHEN 3 THEN 604800 WHEN 4 THEN 2592000 WHEN 5 THEN 31536000
+         ELSE NULL END AS BIGINT) AS interval_s
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9577,6 +9644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lpa_communities": q_lpa_communities,
     "politeness_merge": q_politeness_merge,
     "retry_after_dates": q_retry_after_dates,
+    "sitemap_schedule": q_sitemap_schedule,
     "exact_substr_spans": q_exact_substr_spans,
     "simhash_fingerprint": q_simhash_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
@@ -9751,6 +9819,7 @@ ORACLES: dict[str, str] = {
     "lpa_communities": _lpa_oracle_sql(),
     "politeness_merge": ORACLE_PMERGE,
     "retry_after_dates": ORACLE_RETRY_DATES,
+    "sitemap_schedule": ORACLE_SITEMAP_SCHEDULE,
     "exact_substr_spans": ORACLE_EXACT_SUBSTR,
     "simhash_fingerprint": _simhash_oracle_sql(),
     "embedding_near_dup": ORACLE_EMB_NEAR_DUP,

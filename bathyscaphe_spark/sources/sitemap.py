@@ -25,12 +25,29 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SITEMAP_SCHEMA = "host string, url string, lastmod string, is_index boolean"
+SITEMAP_SCHEMA = ("host string, url string, lastmod string, is_index boolean,"
+                  " changefreq string, priority_milli int")
 
 
-def parse_sitemap_py(body: str | bytes | None) -> list[tuple[str, str | None, bool]]:
-    """One sitemap body → [(loc, lastmod, is_index)].  Malformed XML or
-    a non-sitemap root yields []."""
+def _priority_milli(text: str | None) -> int | None:
+    """<priority> 0.0–1.0 → integer milli (deterministic; out-of-range
+    or unparseable → None, per the protocol's 'ignore' guidance)."""
+    if text is None:
+        return None
+    try:
+        v = float(text.strip())
+    except ValueError:
+        return None
+    if not 0.0 <= v <= 1.0:
+        return None
+    return int(round(v * 1000))
+
+
+def parse_sitemap_py(
+    body: str | bytes | None,
+) -> list[tuple[str, str | None, bool, str | None, int | None]]:
+    """One sitemap body → [(loc, lastmod, is_index, changefreq,
+    priority_milli)].  Malformed XML or a non-sitemap root yields []."""
     if body is None:
         return []
     if isinstance(body, (bytes, bytearray)):
@@ -43,17 +60,21 @@ def parse_sitemap_py(body: str | bytes | None) -> list[tuple[str, str | None, bo
     if tag not in ("urlset", "sitemapindex"):
         return []
     is_index = tag == "sitemapindex"
-    out: list[tuple[str, str | None, bool]] = []
+    out: list[tuple[str, str | None, bool, str | None, int | None]] = []
     for entry in root:
         loc = entry.find("{*}loc")
         if loc is None or not (loc.text or "").strip():
             continue
         lastmod = entry.find("{*}lastmod")
+        cf = entry.find("{*}changefreq")
+        pr = entry.find("{*}priority")
         out.append(
             (
                 loc.text.strip(),
                 (lastmod.text or "").strip() if lastmod is not None else None,
                 is_index,
+                (cf.text or "").strip().lower() if cf is not None else None,
+                _priority_milli(pr.text if pr is not None else None),
             )
         )
     return out
@@ -68,18 +89,14 @@ def read_sitemaps(bodies: DataFrame, host_col: str = "host",
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hosts: list[str] = []
-            locs: list[str] = []
-            mods: list[str | None] = []
-            idxs: list[bool] = []
+            rows: list[tuple] = []
             for host, body in zip(pdf[host_col], pdf[body_col]):
-                for loc, mod, is_idx in parse_sitemap_py(body):
-                    hosts.append(host)
-                    locs.append(loc)
-                    mods.append(mod)
-                    idxs.append(is_idx)
+                for loc, mod, is_idx, cf, pm in parse_sitemap_py(body):
+                    rows.append((host, loc, mod, is_idx, cf, pm))
             yield pd.DataFrame(
-                {"host": hosts, "url": locs, "lastmod": mods, "is_index": idxs}
+                rows,
+                columns=["host", "url", "lastmod", "is_index",
+                         "changefreq", "priority_milli"],
             )
 
     out = bodies.select(
@@ -225,4 +242,35 @@ def sitemap_index_export(chunks: DataFrame) -> DataFrame:
                 F.lit(_SMI_FOOTER),
             ).alias("xml"),
         )
+    )
+
+
+# the sitemaps-protocol changefreq vocabulary → refetch interval seconds
+# ("always" floors at hourly — a batch crawler cannot refetch mid-round;
+# "never" and absent → NULL: no protocol-driven schedule, the adaptive
+# recrawl policy owns the URL)
+CHANGEFREQ_S = {
+    "always": 3600, "hourly": 3600, "daily": 86400, "weekly": 604800,
+    "monthly": 2592000, "yearly": 31536000,
+}
+
+
+def sitemap_schedule(entries: DataFrame) -> DataFrame:
+    """Scheduling view of parsed sitemap entries — the protocol's whole
+    point: (host, url, priority_milli defaulting 500, interval_s from
+    the changefreq table).  Pure codegen CASE over ``read_sitemaps``
+    output; sitemapindex rows are excluded (they are fetch targets,
+    not schedulable pages).  Feed the priority into the frontier boost
+    and the interval into recrawl_due's per-URL TTL."""
+    cf = F.lower(F.col("changefreq"))
+    interval = F.when(F.lit(False), F.lit(None).cast("long"))
+    for k, v in CHANGEFREQ_S.items():
+        interval = interval.when(cf == k, F.lit(v).cast("long"))
+    return entries.where(~F.col("is_index")).select(
+        "host",
+        "url",
+        F.coalesce(F.col("priority_milli"), F.lit(500))
+        .cast("int")
+        .alias("priority_milli"),
+        interval.alias("interval_s"),
     )

@@ -21,11 +21,11 @@ INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
 def test_parse_sitemap_golden():
     got = parse_sitemap_py(URLSET)
     assert got == [
-        ("HTTP://A.onion/Page.html#frag", "2024-05-01", False),
-        ("http://a.onion/two", None, False),
+        ("HTTP://A.onion/Page.html#frag", "2024-05-01", False, None, None),
+        ("http://a.onion/two", None, False, None, None),
     ]
     assert parse_sitemap_py(INDEX) == [
-        ("http://a.onion/sitemap2.xml", None, True)
+        ("http://a.onion/sitemap2.xml", None, True, None, None)
     ]
     assert parse_sitemap_py("<html>not a sitemap</html>") == []
     assert parse_sitemap_py("junk <<<") == []
@@ -147,3 +147,34 @@ class TestSitemapIndexExport:
         back = read_sitemaps(idx.selectExpr("host", "xml AS body"))
         assert back.count() == 4
         assert back.where("NOT is_index").count() == 0
+
+
+class TestSitemapSchedule:
+    """changefreq/priority → scheduling view."""
+
+    def test_vocabulary_and_gates(self, spark):
+        from bathyscaphe_spark.sources.sitemap import (
+            read_sitemaps,
+            sitemap_schedule,
+        )
+
+        def urlset(inner):
+            return ('<urlset xmlns="http://www.sitemaps.org/schemas/'
+                    f'sitemap/0.9">{inner}</urlset>')
+
+        rows = [
+            ("h.onion", urlset(
+                '<url><loc>http://h.onion/a</loc>'
+                '<changefreq>daily</changefreq>'
+                '<priority>0.8</priority></url>'
+                '<url><loc>http://h.onion/b</loc>'
+                '<changefreq>never</changefreq></url>'
+                '<url><loc>http://h.onion/c</loc>'
+                '<priority>7.5</priority></url>')),
+        ]
+        df = spark.createDataFrame(rows, "host string, body string")
+        got = {r["url"]: (r["priority_milli"], r["interval_s"])
+               for r in sitemap_schedule(read_sitemaps(df)).collect()}
+        assert got["http://h.onion/a"] == (800, 86400)
+        assert got["http://h.onion/b"] == (500, None)   # never → adaptive
+        assert got["http://h.onion/c"] == (500, None)   # out-of-range gate
