@@ -138,3 +138,34 @@ class TestRevalidationMerge:
         assert got["u2"] == ("new", "fresh", 0)
         assert got["u3"] == (None, "none", 0)        # 304 w/o store
         assert got["u2b"] == (None, "none", 0)       # error
+
+
+def test_latest_capture_tie_determinism(spark):
+    """Equal-timestamp captures must pick deterministically at any
+    partitioning (content-derived tie key, not the partition column)."""
+    from bathyscaphe_spark.operators.recrawl import (
+        conditional_fetch_plan,
+        revalidation_merge,
+    )
+
+    store = spark.createDataFrame(
+        [("u", 5, "body-A"), ("u", 5, "body-B"), ("u", 5, "body-C")],
+        "url string, t long, html string",
+    ).selectExpr("url", "to_timestamp(t) AS warc_ts", "html")
+    resp = spark.createDataFrame([("u", 304, None)],
+                                 "url string, status int, html string")
+    picks = {
+        revalidation_merge(store.repartition(n), resp).collect()[0]["effective_html"]
+        for n in (1, 3, 7)
+    }
+    assert len(picks) == 1  # same pick at every parallelism
+
+    caps = spark.createDataFrame(
+        [("u", 5, {"ETag": '"e1"'}), ("u", 5, {"ETag": '"e2"'})],
+        "url string, t long, headers map<string,string>",
+    ).selectExpr("url", "to_timestamp(t) AS warc_ts", "headers")
+    vals = {
+        conditional_fetch_plan(caps.repartition(n)).collect()[0]["cond_value"]
+        for n in (1, 4)
+    }
+    assert len(vals) == 1
