@@ -810,3 +810,55 @@ def lpa_communities(edges: DataFrame, iters: int = 3) -> DataFrame:
         sym.unpersist()
         nodes.unpersist()
     return labels
+
+
+def seed_distance(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Minimum link distance (hops) from a seed set over the directed
+    host graph — BFS as batch-iterative relaxation.
+
+    Why a crawler wants this: crawl DEPTH in the frontier is the depth
+    at which a URL happened to be discovered, which drifts from the
+    graph-theoretic distance as links from shallower pages arrive
+    later.  The true min-distance is the quantity depth-bounded crawl
+    policies and focused-crawl audits are defined over ("everything
+    within 3 clicks of the seeds"), and its complement — nodes
+    UNREACHED within the bound — is the orphan set a seed-list review
+    looks at.  The reference has no batch view of this at all; its
+    depth field inherits the AMQP arrival order
+    (internal/scheduler/scheduler.go extrapolates depth from the
+    parent message).
+
+    Algorithm: dist_0 = 0 on seeds; hop h joins ONLY the h−1 frontier
+    (rows whose dist == h−1) against edges on src and folds
+    min(dist) — each hop is one edge-side hash join + one
+    map-combinable min-agg, the loop-invariant edge set is persisted,
+    and state is one row per *reached* node.  min over BIGINT is
+    associative/commutative ⇒ bit-identical at any parallelism (the
+    same discipline as pagerank_fp/connected_components).
+
+    Output: (node, dist) for nodes reached within ``max_hops``;
+    unreached nodes are absent by construction.
+    """
+    ed = edges.select("src", "dst").distinct().persist()
+    dist = (
+        seeds.select("node").distinct().withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for h in range(1, max_hops + 1):
+            frontier = dist.where(F.col("dist") == h - 1).select("node")
+            reached = (
+                ed.join(frontier, ed["src"] == frontier["node"])
+                .select(ed["dst"].alias("node"), F.lit(h).alias("dist"))
+            )
+            dist = (
+                dist.unionByName(reached)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        ed.unpersist()
+    return dist

@@ -70,6 +70,42 @@ def weighted_sample(
     )
 
 
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    val_per_10k: int = 100,
+    test_per_10k: int = 100,
+    salt: str = "split:",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the release-time split
+    every training corpus ships with, as a pure column expression.
+
+    split(key) = 'train' | 'val' | 'test' by the salted md5 bucket of
+    the KEY (not the row): re-runs, retries, different cluster sizes,
+    and incremental corpus growth never move a document between splits
+    (the leakage mode random splits have), and the salt decorrelates
+    the split from every sampling decision made with the unsalted
+    bucket upstream.  Integer per-10k rates make the boundaries exact;
+    strata need no per-stratum logic — a uniform hash of the key is
+    uniform within every stratum, so per-language fractions converge to
+    the same rates (a driver-checked property of the split query).
+
+    Map-only: zero shuffles, zero UDFs — at 100 TB the split is free,
+    riding whatever scan already touches the corpus.
+    """
+    if val_per_10k + test_per_10k >= SAMPLE_BUCKETS:
+        raise ValueError("val+test rates must leave room for train")
+    b = sample_bucket(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    train_hi = SAMPLE_BUCKETS - val_per_10k - test_per_10k
+    val_hi = SAMPLE_BUCKETS - test_per_10k
+    return df.withColumn("split_bucket", b).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_hi, "train")
+        .when(F.col("split_bucket") < val_hi, "val")
+        .otherwise("test"),
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     key_col: str,

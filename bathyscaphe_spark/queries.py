@@ -8708,7 +8708,7 @@ def _robots_meta_oracle_sql() -> str:
             f" OR regexp_matches(combined, '(?i)(^|[,\\s])none([,\\s]|$)'))"
         )
 
-    return f"""
+    return rf"""
 WITH d AS ({_RMETA_HTML_SQL}),
 m AS (
   SELECT doc_id,
@@ -9590,6 +9590,170 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# count-min sketch heavy hitters (operators/sketch.py)
+# --------------------------------------------------------------------------
+
+# Skewed host mix: 3 hot hosts own ~75% of the frontier mass, the tail
+# spreads over 50 — the mega-host shape the salted rank has to detect.
+_HH_HOSTS_SQL = """
+SELECT doc_id,
+       'h' || CAST(CASE WHEN doc_id % 4 < 3 THEN doc_id % 3
+                        ELSE 3 + (doc_id % 50) END AS STRING)
+           || '.onion' AS host
+FROM documents
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketch.py): per-host
+    frontier frequencies estimated through a 4×1024 integer counter
+    grid (Cormode–Muthukrishnan 2005), keys with est ≥ ceil(N/20)
+    returned — the deterministic no-false-negative hot-host set the
+    skew salting consumes without ever grouping by raw host.  The
+    in-query contract columns (cnt_exact, overestimate ≥ 0) pin the
+    one-sided guarantee; the oracle replicates every grid cell, probe
+    min, and threshold exactly."""
+    from .operators.sketch import heavy_hitters
+
+    _docs(spark, sf_dir)
+    hosts = spark.sql(_HH_HOSTS_SQL)
+    return heavy_hitters(hosts, "host", phi=20).select(
+        "host",
+        F.col("est").cast("long").alias("est"),
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("cnt_exact").cast("long").alias("cnt_exact"),
+        "overestimate",
+    )
+
+
+def _heavy_hitters_oracle_sql() -> str:
+    from .operators.sketch import CMS_DEPTH, CMS_WIDTH, duckdb_cms_bucket_sql
+
+    grid_arms = " UNION ALL ".join(
+        f"SELECT {r} AS row, {duckdb_cms_bucket_sql('host', r, CMS_WIDTH)} "
+        f"AS bucket FROM hosts"
+        for r in range(CMS_DEPTH)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT host, {r} AS row, "
+        f"{duckdb_cms_bucket_sql('host', r, CMS_WIDTH)} AS bucket FROM keys"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH hosts AS ({_HH_HOSTS_SQL}),
+cells AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM ({grid_arms}) GROUP BY row, bucket
+),
+n AS (SELECT COUNT(*) AS total FROM hosts),
+keys AS (SELECT DISTINCT host FROM hosts),
+probes AS ({probe_arms}),
+est AS (
+  SELECT host, MIN(COALESCE(cells.cnt, 0)) AS est
+  FROM probes LEFT JOIN cells USING (row, bucket)
+  GROUP BY host
+),
+exact AS (SELECT host, COUNT(*) AS cnt_exact FROM hosts GROUP BY host)
+SELECT est.host,
+       CAST(est.est AS BIGINT) AS est,
+       CAST((n.total + 19) // 20 AS BIGINT) AS threshold,
+       CAST(exact.cnt_exact AS BIGINT) AS cnt_exact,
+       CAST(est.est - exact.cnt_exact AS BIGINT) AS overestimate
+FROM est, n
+JOIN exact ON est.host = exact.host
+WHERE est.est >= (n.total + 19) // 20
+"""
+
+
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (operators/
+    sampling.py assign_split): salted md5-bucket assignment, 98/1/1 in
+    exact per-10k integer rates, rolled up per (lang, split) with an
+    id-sum membership fingerprint — counts alone can't tell two splits
+    apart; the id sum pins WHICH documents landed where.  Map-only
+    assignment: the split rides the scan, no shuffle until the audit
+    rollup.  The oracle replicates the salted bucket arithmetic."""
+    from .operators.sampling import assign_split
+
+    d = _docs(spark, sf_dir)
+    return (
+        assign_split(d, "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+ORACLE_DATA_SPLIT = """
+WITH b AS (
+  SELECT doc_id, lang,
+         list_reduce(list_prepend(0::HUGEINT, list_transform(
+             string_split_regex(
+               substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8), ''),
+             c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+           (a, b2) -> a * 16 + b2
+         ) % 10000 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_link_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed BFS min link-distance (operators/graph.py seed_distance):
+    hops from the vetted seed set (the trustrank fixture's seeds) over
+    the host graph, 3 hops — the graph-theoretic depth a depth-bounded
+    crawl policy is actually defined over, vs the arrival-order depth
+    the frontier carries.  min-fold per hop ⇒ bit-identical at any
+    parallelism; the oracle unrolls the three relaxations as CTEs."""
+    from .operators.graph import seed_distance
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL)
+    seeds = spark.sql(
+        f"SELECT DISTINCT node FROM (SELECT src AS node FROM ({_EDGES_SQL})"
+        f" UNION SELECT dst FROM ({_EDGES_SQL})) t"
+        " WHERE node % 7 = 0 AND node < 97"
+    )
+    return seed_distance(edges, seeds, max_hops=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def _link_distance_oracle_sql(hops: int = 3) -> str:
+    parts = [
+        f"edges AS ({_EDGES_SQL})",
+        "seeds AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION SELECT dst FROM edges) t "
+        "WHERE node % 7 = 0 AND node < 97)",
+        "d0 AS (SELECT node, 0 AS dist FROM seeds)",
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f"r{h} AS (SELECT e.dst AS node, {h} AS dist FROM edges e "
+            f"JOIN (SELECT node FROM d{h-1} WHERE dist = {h-1}) f "
+            f"ON e.src = f.node)"
+        )
+        parts.append(
+            f"d{h} AS (SELECT node, MIN(dist) AS dist FROM "
+            f"(SELECT * FROM d{h-1} UNION ALL SELECT * FROM r{h}) u "
+            f"GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, "
+        f"CAST(dist AS BIGINT) AS dist FROM d{hops}"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -9765,6 +9929,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "sequence_pack": q_sequence_pack,
     "doc_chunks": q_doc_chunks,
+    "heavy_hitters": q_heavy_hitters,
+    "data_split": q_data_split,
+    "link_distance": q_link_distance,
 }
 
 ORACLES: dict[str, str] = {
@@ -9945,4 +10112,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": _bm25_oracle_sql(),
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "doc_chunks": ORACLE_DOC_CHUNKS,
+    "heavy_hitters": _heavy_hitters_oracle_sql(),
+    "data_split": ORACLE_DATA_SPLIT,
+    "link_distance": _link_distance_oracle_sql(),
 }

@@ -565,3 +565,37 @@ def test_lpa_string_nodes(spark):
     assert got["x.org"] == got["y.org"] == got["z.org"]
     assert got["a.com"] == got["b.com"] == got["c.com"]
     assert got["a.com"] != got["x.org"]
+
+
+class TestSeedDistance:
+    def _run(self, spark, edges, seeds, hops=3, parts=1):
+        from bathyscaphe_spark.operators.graph import seed_distance
+
+        e = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {
+            r["node"]: r["dist"]
+            for r in seed_distance(e, s, max_hops=hops).collect()
+        }
+
+    def test_chain_and_unreached(self, spark):
+        # 0→1→2→3→4: within 3 hops node 4 is unreached
+        edges = [(i, i + 1) for i in range(4)]
+        got = self._run(spark, edges, [0])
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_min_over_paths_and_multi_seed(self, spark):
+        # 0→1→2 and 5→2: node 2 is 1 hop from seed 5, not 2 from seed 0
+        got = self._run(spark, [(0, 1), (1, 2), (5, 2)], [0, 5])
+        assert got == {0: 0, 5: 0, 1: 1, 2: 1}
+
+    def test_seed_wins_over_incoming_edge(self, spark):
+        # an edge INTO a seed never raises its distance above 0
+        got = self._run(spark, [(0, 1), (1, 0)], [0])
+        assert got[0] == 0 and got[1] == 1
+
+    def test_partition_invariance(self, spark):
+        edges = [((i * 7) % 23, (i * 11 + 3) % 23) for i in range(60)]
+        a = self._run(spark, edges, [0, 7], parts=1)
+        b = self._run(spark, edges, [0, 7], parts=9)
+        assert a == b

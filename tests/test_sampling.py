@@ -254,3 +254,66 @@ class TestDsirSelect:
         a = sorted(map(tuple, dsir_select(df.repartition(1), F.col("source") == "tgt").collect()))
         b = sorted(map(tuple, dsir_select(df.repartition(11), F.col("source") == "tgt").collect()))
         assert a == b and len(a) == 60
+
+
+class TestAssignSplit:
+    def _df(self, spark, n=4000):
+        return spark.range(n).selectExpr(
+            "id AS doc_id", "'l' || CAST(id % 3 AS STRING) AS lang"
+        )
+
+    def test_partition_and_rerun_stability(self, spark):
+        from bathyscaphe_spark.operators.sampling import assign_split
+
+        df = self._df(spark)
+        a = {r["doc_id"]: r["split"] for r in assign_split(df.coalesce(1), "doc_id").collect()}
+        b = {r["doc_id"]: r["split"] for r in assign_split(df.repartition(9), "doc_id").collect()}
+        assert a == b and len(a) == 4000
+
+    def test_incremental_growth_never_moves_a_doc(self, spark):
+        """A doc's split is a function of its key alone — growing the
+        corpus cannot reassign earlier docs (the leakage mode)."""
+        from bathyscaphe_spark.operators.sampling import assign_split
+
+        small = {r["doc_id"]: r["split"]
+                 for r in assign_split(self._df(spark, 500), "doc_id").collect()}
+        big = {r["doc_id"]: r["split"]
+               for r in assign_split(self._df(spark, 4000), "doc_id").collect()}
+        assert all(big[k] == v for k, v in small.items())
+
+    def test_rates_and_stratum_uniformity(self, spark):
+        from bathyscaphe_spark.operators.sampling import assign_split
+
+        rows = assign_split(self._df(spark, 9000), "doc_id").groupBy(
+            "lang", "split").count().collect()
+        frac = {(r["lang"], r["split"]): r["count"] / 3000 for r in rows}
+        for lang in ("l0", "l1", "l2"):
+            assert 0.96 < frac[(lang, "train")] < 1.0
+            assert frac.get((lang, "val"), 0) < 0.03
+            assert frac.get((lang, "test"), 0) < 0.03
+
+    def test_salt_decorrelates_from_sample_bucket(self, spark):
+        """The split must not align with unsalted sampling buckets —
+        otherwise 'keep 1%' samples would be all-test or all-train."""
+        from bathyscaphe_spark.operators.sampling import (
+            assign_split,
+            sample_bucket,
+        )
+
+        df = assign_split(self._df(spark, 4000), "doc_id").withColumn(
+            "samp", sample_bucket(F.col("doc_id").cast("string"))
+        )
+        test_rows = df.where("split = 'test'")
+        # if correlated, test rows would cluster in the top sample buckets
+        lo = test_rows.where("samp < 5000").count()
+        hi = test_rows.where("samp >= 5000").count()
+        assert lo > 0 and hi > 0
+
+    def test_rate_validation(self, spark):
+        import pytest
+
+        from bathyscaphe_spark.operators.sampling import assign_split
+
+        with pytest.raises(ValueError):
+            assign_split(self._df(spark, 10), "doc_id",
+                         val_per_10k=5000, test_per_10k=5000)
