@@ -121,6 +121,13 @@ def build_inverted_index(
         ).alias("term"),
     )
     tf = tok.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    return _assemble_index(tf, stop_df)
+
+
+def _assemble_index(tf: DataFrame, stop_df: int) -> DataFrame:
+    """(term, doc, tf) rows → the materialized index layout.  Shared by
+    the from-scratch build and the segment merge; see
+    build_inverted_index for the two-phase stop-term discipline."""
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
     )
@@ -142,6 +149,69 @@ def build_inverted_index(
     return stats.join(posted, "term", "left").select(
         "term", "df", "total_tf", "deltas", "tfs"
     )
+
+
+def explode_index(idx: DataFrame) -> DataFrame:
+    """Materialized index → (term, doc, tf) rows: absolute doc ids
+    reconstructed from the gap encoding by one O(n) array scan.  Terms
+    with NULL postings (stop terms in the source index) have no
+    recoverable postings and are dropped — see merge_index."""
+    docs = F.expr(
+        "aggregate(deltas, "
+        "struct(CAST(0 AS BIGINT) AS s, CAST(array() AS array<bigint>) AS a), "
+        "(acc, x) -> struct(acc.s + x, array_append(acc.a, acc.s + x)), "
+        "acc -> acc.a)"
+    )
+    return (
+        idx.where(F.col("deltas").isNotNull())
+        .select(
+            "term",
+            F.explode(
+                F.arrays_zip(docs.alias("doc"), F.col("tfs").alias("tf"))
+            ).alias("z"),
+        )
+        .select("term", F.col("z.doc").alias("doc"), F.col("z.tf").alias("tf"))
+    )
+
+
+def merge_index(
+    base: DataFrame,
+    delta: DataFrame,
+    tombstones: DataFrame | None = None,
+    stop_df: int = 10**9,
+) -> DataFrame:
+    """LSM-style segment merge — the incremental index maintenance a
+    crawler's search sink needs at recrawl cadence (Lucene's segment
+    merge, relationally): ``base`` is the standing index, ``delta`` the
+    index built over this round's (re)fetched pages, ``tombstones`` a
+    (doc) set of removals (blacklisted hosts, noindex flips, expiries).
+
+    Semantics: a doc present in ``delta`` REPLACES all its base
+    postings (recrawled content wins, even for terms the new capture
+    no longer contains); tombstoned docs vanish from both sides; df /
+    total_tf are recomputed from the surviving postings, so the merged
+    index is bit-identical to a from-scratch build over the effective
+    corpus — the identity the driver-contract oracle pins.
+
+    Scale design: both indexes explode back to (term, doc, tf) rows —
+    the same cardinality the from-scratch build shuffles, but ONLY the
+    two segments being merged, never the corpus text (tokenization,
+    the expensive part, is never repeated); the delta-doc and
+    tombstone sets are doc-cardinality broadcasts, and reassembly
+    reuses the stop-term-safe two-phase build.  Precondition: segments
+    being merged must carry materialized postings (built with stop_df
+    = ∞); stop terms in the INPUTS have NULL postings that cannot be
+    reconstructed and are dropped.
+    """
+    b = explode_index(base)
+    d = explode_index(delta)
+    delta_docs = d.select("doc").distinct()
+    b = b.join(F.broadcast(delta_docs), "doc", "left_anti")
+    if tombstones is not None:
+        t = tombstones.select("doc").distinct()
+        b = b.join(F.broadcast(t), "doc", "left_anti")
+        d = d.join(F.broadcast(t), "doc", "left_anti")
+    return _assemble_index(b.unionByName(d), stop_df)
 
 BM25_K1 = 1.2
 BM25_B = 0.75

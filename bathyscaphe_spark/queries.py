@@ -9753,6 +9753,66 @@ def _link_distance_oracle_sql(hops: int = 3) -> str:
     )
 
 
+def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM segment merge of the inverted index (operators/search.py
+    merge_index): base = index over the standing corpus, delta = index
+    over this round's recrawls (docs %10∈{0,1}, content changed — %10=1
+    REPLACES its base postings, %10=0 is new), tombstones = docs %7=3.
+    The merge never re-tokenizes; the oracle rebuilds from scratch over
+    the effective corpus — equality proves the merge is lossless."""
+    from .operators.search import build_inverted_index, merge_index
+
+    d = _docs(spark, sf_dir)
+    base = build_inverted_index(d.where("doc_id % 5 != 0"), "doc_id", "text")
+    delta = build_inverted_index(
+        d.where("doc_id % 10 IN (0, 1)").withColumn(
+            "text", F.concat(F.col("text"), F.lit(" updated"))
+        ),
+        "doc_id",
+        "text",
+    )
+    tombs = d.where("doc_id % 7 = 3").select(F.col("doc_id").alias("doc"))
+    idx = merge_index(base, delta, tombstones=tombs)
+    return idx.select(
+        "term",
+        "df",
+        "total_tf",
+        F.concat_ws(",", F.col("deltas")).alias("deltas_csv"),
+        F.concat_ws(",", F.col("tfs")).alias("tfs_csv"),
+    )
+
+
+ORACLE_INDEX_MERGE = """
+WITH docs_eff AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 5 != 0 AND doc_id % 10 NOT IN (0, 1) AND doc_id % 7 != 3
+  UNION ALL
+  SELECT doc_id, text || ' updated' FROM documents
+  WHERE doc_id % 10 IN (0, 1) AND doc_id % 7 != 3
+),
+tok AS (
+  SELECT doc_id AS doc, t.term
+  FROM docs_eff,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x != '')) AS t(term)
+),
+tf AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY term, doc),
+stats AS (SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf
+          FROM tf GROUP BY term),
+d AS (SELECT term, doc, tf,
+             doc - COALESCE(lag(doc) OVER (PARTITION BY term ORDER BY doc),
+                            0) AS delta
+      FROM tf),
+posted AS (SELECT term,
+                  array_to_string(list(delta ORDER BY doc), ',') AS deltas_csv,
+                  array_to_string(list(tf ORDER BY doc), ',') AS tfs_csv
+           FROM d GROUP BY term)
+SELECT s.term, s.df, CAST(s.total_tf AS BIGINT) AS total_tf,
+       p.deltas_csv, p.tfs_csv
+FROM stats s LEFT JOIN posted p USING (term)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9932,6 +9992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "data_split": q_data_split,
     "link_distance": q_link_distance,
+    "index_merge": q_index_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -10115,4 +10176,5 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": _heavy_hitters_oracle_sql(),
     "data_split": ORACLE_DATA_SPLIT,
     "link_distance": _link_distance_oracle_sql(),
+    "index_merge": ORACLE_INDEX_MERGE,
 }

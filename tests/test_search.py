@@ -318,3 +318,73 @@ class TestMoreLikeThis:
         a = [tuple(r) for r in more_like_this(df.repartition(1), 5).collect()]
         b = [tuple(r) for r in more_like_this(df.repartition(9), 5).collect()]
         assert a == b and len(a) == 10
+
+
+class TestMergeIndex:
+    def _idx(self, spark, rows):
+        from bathyscaphe_spark.operators.search import build_inverted_index
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return build_inverted_index(df, "doc_id", "text")
+
+    def _postings(self, idx):
+        from bathyscaphe_spark.operators.search import explode_index
+
+        return {
+            (r["term"], r["doc"]): r["tf"] for r in explode_index(idx).collect()
+        }
+
+    def test_explode_roundtrip(self, spark):
+        idx = self._idx(spark, [(1, "a b a"), (5, "b c"), (9, "a")])
+        assert self._postings(idx) == {
+            ("a", 1): 2, ("a", 9): 1, ("b", 1): 1, ("b", 5): 1, ("c", 5): 1,
+        }
+
+    def test_replacement_removes_stale_terms(self, spark):
+        """A recrawled doc's OLD terms must vanish, even terms the new
+        capture no longer contains."""
+        from bathyscaphe_spark.operators.search import merge_index
+
+        base = self._idx(spark, [(1, "old stale"), (2, "keep")])
+        delta = self._idx(spark, [(1, "fresh")])
+        got = self._postings(merge_index(base, delta))
+        assert got == {("fresh", 1): 1, ("keep", 2): 1}
+
+    def test_tombstones_hit_both_sides(self, spark):
+        from bathyscaphe_spark.operators.search import merge_index
+
+        base = self._idx(spark, [(1, "a"), (2, "b")])
+        delta = self._idx(spark, [(2, "b2"), (3, "c")])
+        tombs = spark.createDataFrame([(2,), (3,)], "doc long")
+        got = self._postings(merge_index(base, delta, tombstones=tombs))
+        assert got == {("a", 1): 1}
+
+    def test_stats_match_from_scratch_build(self, spark):
+        from bathyscaphe_spark.operators.search import merge_index
+
+        base = self._idx(spark, [(i, f"w{i % 3} common") for i in range(1, 9)])
+        delta = self._idx(spark, [(4, "w0 common common"), (20, "w9")])
+        merged = merge_index(base, delta)
+        rebuilt = self._idx(
+            spark,
+            [(i, f"w{i % 3} common") for i in range(1, 9) if i != 4]
+            + [(4, "w0 common common"), (20, "w9")],
+        )
+        canon = lambda idx: sorted(
+            map(tuple, idx.selectExpr(
+                "term", "df", "total_tf",
+                "concat_ws(',', deltas)", "concat_ws(',', tfs)").collect())
+        )
+        assert canon(merged) == canon(rebuilt)
+
+    def test_partition_invariance(self, spark):
+        from bathyscaphe_spark.operators.search import merge_index
+
+        rows = [(i, f"t{i % 7} t{i % 5} x") for i in range(40)]
+        base = self._idx(spark, rows)
+        delta = self._idx(spark, [(i, "t0 y") for i in range(0, 40, 6)])
+        a = self._postings(merge_index(base.coalesce(1), delta.coalesce(1)))
+        b = self._postings(
+            merge_index(base.repartition(7), delta.repartition(3))
+        )
+        assert a == b
