@@ -46,6 +46,9 @@ SCALAR_ATTACH_OK = {
     # per-iteration 1-row dangling-mass scalar (pagerank_dangling)
     "more_like_this",
     "pagerank_dangling",
+    # the CMS threshold ceil(N/phi) is a 1-row corpus-count scalar
+    # attached onto the ≤distinct-host estimate table
+    "heavy_hitters",
 }
 # bounded broadcast small-side expansion: IVF assignment is docs ×
 # broadcast(n_cells=16 centroid rows) — the documented O(n·cells)
