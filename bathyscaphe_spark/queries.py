@@ -9814,6 +9814,117 @@ FROM stats s LEFT JOIN posted p USING (term)
 
 
 # --------------------------------------------------------------------------
+# RSS/Atom feed ingestion (sources/feeds.py)
+# --------------------------------------------------------------------------
+
+# Per-doc feed bodies from doc_id arithmetic: every 7th is junk, every
+# 3rd (surviving) is Atom, the rest RSS.  Publish ages are planted
+# relative to now = 2024-05-01 12:00:00 UTC (epoch 1714564800): 0–9
+# days (exercising the 7-day-horizon clamp to 0), every 11th doc
+# FUTURE-dated (a real feed pathology — clamps to the full boost).
+_FEED_NOW_EPOCH = 1714564800
+_FEED_AGE1_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN -3600 ELSE (doc_id % 10) * 86400 END"
+)
+_FEED_AGE2_SQL = "(doc_id % 5) * 172800"
+_FEED_BODY_SQL = f"""
+CASE WHEN doc_id % 7 = 0 THEN 'not a feed <<<'
+WHEN doc_id % 3 = 0 THEN
+  '<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+  || '<title>t' || CAST(doc_id AS STRING) || '</title>'
+  || '<link rel="self" href="http://h' || CAST(doc_id % 23 AS STRING)
+  || '.onion/self' || CAST(doc_id AS STRING) || '"/>'
+  || '<link href="http://h' || CAST(doc_id % 23 AS STRING) || '.onion/b'
+  || CAST(doc_id AS STRING) || '"/>'
+  || '<published>' || date_format(to_timestamp({_FEED_NOW_EPOCH} -
+       ({_FEED_AGE1_SQL})), 'yyyy-MM-dd''T''HH:mm:ss') || 'Z</published>'
+  || '</entry><entry>'
+  || '<link rel="alternate" href="http://h' || CAST(doc_id % 23 AS STRING)
+  || '.onion/c' || CAST(doc_id AS STRING) || '"/>'
+  || '<updated>' || date_format(to_timestamp({_FEED_NOW_EPOCH} -
+       ({_FEED_AGE2_SQL})), 'yyyy-MM-dd''T''HH:mm:ss') || 'Z</updated>'
+  || '</entry><entry><title>nolink</title></entry></feed>'
+ELSE
+  '<rss version="2.0"><channel>'
+  || '<item><title>t' || CAST(doc_id AS STRING) || '</title>'
+  || '<link>http://h' || CAST(doc_id % 23 AS STRING) || '.onion/p'
+  || CAST(doc_id AS STRING) || '</link>'
+  || '<pubDate>' || date_format(to_timestamp({_FEED_NOW_EPOCH} -
+       ({_FEED_AGE1_SQL})), 'EEE, dd MMM yyyy HH:mm:ss') || ' GMT</pubDate>'
+  || '</item>'
+  || '<item><link>http://h' || CAST(doc_id % 23 AS STRING) || '.onion/q'
+  || CAST(doc_id AS STRING) || '</link></item>'
+  || '<item><description>no link</description></item>'
+  || '</channel></rss>'
+END
+"""
+
+
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 / Atom feed ingestion + recency boost (sources/feeds.py
+    read_feeds + feed_recency): per-doc RSS / Atom / junk bodies
+    synthesized from doc_id, parsed by the REAL ElementTree kernel
+    (RSS <link>/<pubDate>, Atom alternate-link selection per RFC 4287
+    §4.2.7.2 incl. the rel-absent form, link-less entries dropped),
+    both date grammars parsed JVM-side, and the 7-day linear recency
+    ramp (future-dated clamps to full boost, stale/absent to 0) — all
+    integer arithmetic.  The oracle never parses a date: it knows the
+    planted ages arithmetically, so the format→parse round-trip itself
+    is under test (same discipline as retry_after_dates)."""
+    from .sources.feeds import feed_recency, read_feeds
+
+    d = _docs(spark, sf_dir).selectExpr(
+        "'h' || CAST(doc_id % 23 AS STRING) || '.onion' AS host",
+        f"{_FEED_BODY_SQL} AS body",
+    )
+    out = feed_recency(read_feeds(d), now="2024-05-01 12:00:00")
+    return out.select(
+        "host", "url", "title", "kind",
+        F.col("pub_epoch").cast("long").alias("pub_epoch"),
+        F.col("boost").cast("int").alias("boost"),
+    )
+
+
+_FEED_BOOST_SQL = (
+    "CAST(500 * (604800 - LEAST(GREATEST({age}, 0), 604800)) // 604800"
+    " AS INT)"
+)
+
+ORACLE_FEED_PARSE = f"""
+WITH d AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 23 AS STRING) || '.onion' AS host,
+         {_FEED_AGE1_SQL} AS age1, {_FEED_AGE2_SQL} AS age2
+  FROM documents WHERE doc_id % 7 != 0
+)
+SELECT host,
+       'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/'
+         || CASE WHEN doc_id % 3 = 0 THEN 'b' ELSE 'p' END
+         || CAST(doc_id AS STRING) AS url,
+       't' || CAST(doc_id AS STRING) AS title,
+       CASE WHEN doc_id % 3 = 0 THEN 'atom' ELSE 'rss' END AS kind,
+       CAST({_FEED_NOW_EPOCH} - age1 AS BIGINT) AS pub_epoch,
+       {_FEED_BOOST_SQL.format(age="age1")} AS boost
+FROM d
+UNION ALL
+SELECT host,
+       'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/c'
+         || CAST(doc_id AS STRING) AS url,
+       CAST(NULL AS VARCHAR) AS title, 'atom' AS kind,
+       CAST({_FEED_NOW_EPOCH} - age2 AS BIGINT) AS pub_epoch,
+       {_FEED_BOOST_SQL.format(age="age2")} AS boost
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT host,
+       'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/q'
+         || CAST(doc_id AS STRING) AS url,
+       CAST(NULL AS VARCHAR) AS title, 'rss' AS kind,
+       CAST(NULL AS BIGINT) AS pub_epoch, CAST(0 AS INT) AS boost
+FROM d WHERE doc_id % 3 != 0
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -9993,6 +10104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_split": q_data_split,
     "link_distance": q_link_distance,
     "index_merge": q_index_merge,
+    "feed_parse": q_feed_parse,
 }
 
 ORACLES: dict[str, str] = {
@@ -10177,4 +10289,5 @@ ORACLES: dict[str, str] = {
     "data_split": ORACLE_DATA_SPLIT,
     "link_distance": _link_distance_oracle_sql(),
     "index_merge": ORACLE_INDEX_MERGE,
+    "feed_parse": ORACLE_FEED_PARSE,
 }
