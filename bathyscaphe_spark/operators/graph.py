@@ -862,3 +862,151 @@ def seed_distance(
     finally:
         ed.unpersist()
     return dist
+
+
+# --------------------------------------------------------------------------
+# HyperBall harmonic centrality (Boldi & Vigna 2013, arXiv:1308.2144)
+# --------------------------------------------------------------------------
+
+HB_M = 16  # HLL registers per node (2^4 buckets)
+HB_MAX_RHO = 28  # register clamp: 2^(32-rho) stays an exact BIGINT
+# alpha_m numerators (milli) for the raw HLL estimator, Flajolet 2007
+_HB_ALPHA_MILLI = {16: 673, 32: 697, 64: 709}
+
+
+def hb_rho_case_sql(var: str, max_rho: int = HB_MAX_RHO) -> str:
+    """Position of the lowest set bit of nonnegative ``var`` as a CASE
+    chain (1-based, clamped at ``max_rho``) — portable SQL that parses
+    identically in Spark and DuckDB, so the oracle replicates the
+    register value bit-for-bit."""
+    arms = " ".join(
+        f"WHEN ({var}) % {1 << p} >= {1 << (p - 1)} THEN {p}"
+        for p in range(1, max_rho)
+    )
+    return f"(CASE {arms} ELSE {max_rho} END)"
+
+
+def hb_est_sql(s_var: str, m: int = HB_M) -> str:
+    """Raw HLL cardinality estimate from the 2^-32-unit register sum
+    ``s_var`` (integer; missing buckets contribute 2^32 each):
+    est = alpha_m · m² / Σ 2^(−M_j), floored — portable SQL.
+
+    No small-range (linear counting) or large-range corrections: the
+    operator's regime is web-scale neighborhood balls where the raw
+    estimator is the accurate branch; the corrections' log/float math
+    would break the integer determinism contract.  Small-scale tests
+    pin the ARITHMETIC (oracle equality), accuracy is pinned separately
+    by a statistical test against exact ball sizes.
+    """
+    alpha = _HB_ALPHA_MILLI[m]
+    num = alpha * m * m * 4294967296  # alpha_milli · m² · 2^32
+    return f"(({num}) DIV (1000 * ({s_var})))"
+
+
+def hyperball_harmonic(
+    edges: DataFrame, iters: int = 3, m: int = HB_M
+) -> DataFrame:
+    """Approximate harmonic centrality H(v) = Σ_u 1/d(u→v) for every
+    node of the directed host graph — the rank Common Crawl actually
+    publishes for hosts (its harmonic-centrality host ranking, computed
+    with exactly this algorithm in WebGraph) and the complement to the
+    flow-based ranks beside it (pagerank_fp, trustrank_fp, hits_fp).
+
+    HyperBall (Boldi & Vigna 2013): track, per node, a HyperLogLog
+    counter of the incoming ball B_t(v) = {u : d(u→v) ≤ t}; one
+    relaxation merges each node's counter with its in-neighbors'
+    (elementwise register max) so |B_t| estimates cost O(m) state per
+    node instead of the O(n) exact set.  H(v) folds the ball growth:
+    Σ_t (|B_t| − |B_(t−1)|)/t.
+
+    Determinism: registers are FNV-derived (no randomness), merged by
+    MAX (associative/commutative), and the estimator is integer
+    fixed-point (see hb_est_sql) — bit-identical at any parallelism,
+    DuckDB-replicable cell by cell.
+
+    Scale design: registers live SPARSE as (node, bucket, rho) rows —
+    at most m per node, absent buckets are implicit zeros.  Each
+    relaxation is ONE edge-side hash join (register rows keyed by src,
+    ≤ m·|E| propagated rows) + ONE map-combinable groupBy(node, bucket)
+    MAX — the HyperBall design point: per-node state is m registers, an
+    iteration's shuffle is linear in edges with map-side combine, never
+    quadratic in reachable-set size.  The edge set is persisted across
+    iterations; per-hop estimates are node-keyed rows folded by one
+    window pass at the end.  At real scale, pre-bucketing edges by src
+    (Iceberg ``bucket(src)``) co-locates every iteration's join.
+
+    Output: (node, ball_est, harmonic_milli) — ball_est the |B_iters|
+    estimate, harmonic_milli = Σ_t 1000·(est_t − est_(t−1)) DIV t
+    (per-term floor; monotone registers ⇒ every term ≥ 0).
+    """
+    if m not in _HB_ALPHA_MILLI:
+        raise ValueError(f"m must be one of {sorted(_HB_ALPHA_MILLI)}, got {m}")
+    from ..functions.fnv import fnv1_64
+
+    ed = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .unionByName(ed.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # seed registers: each node's own hash → one (bucket, rho) cell
+    hnn = F.expr(
+        "hb_hash & 9223372036854775807"
+    )  # nonneg so %/>> agree with the oracle
+    regs = (
+        nodes.withColumn(
+            "hb_hash", fnv1_64(F.concat(F.lit("hb:"), F.col("node").cast("string")))
+        )
+        .withColumn("hb_nn", hnn)
+        .withColumn("bucket", (F.col("hb_nn") % m).cast("int"))
+        .withColumn("hb_g", F.expr(f"hb_nn DIV {m}"))
+        .withColumn("rho", F.expr(hb_rho_case_sql("hb_g")).cast("int"))
+        .select("node", "bucket", "rho")
+        .localCheckpoint(eager=True)
+    )
+
+    def est(r: DataFrame, t: int) -> DataFrame:
+        s = (
+            r.groupBy("node").agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - rho)")).alias("_sp"),
+            )
+            .withColumn(
+                "_s", F.expr(f"_sp + ({m} - _cnt) * 4294967296")
+            )
+        )
+        return s.select(
+            "node", F.lit(t).alias("t"),
+            F.expr(hb_est_sql("_s", m)).cast("long").alias("est"),
+        )
+
+    ests = est(regs, 0)
+    try:
+        for t in range(1, iters + 1):
+            prop = ed.join(regs, regs["node"] == ed["src"]).select(
+                ed["dst"].alias("node"), regs["bucket"], regs["rho"]
+            )
+            regs = (
+                regs.unionByName(prop)
+                .groupBy("node", "bucket")
+                .agg(F.max("rho").alias("rho"))
+                .localCheckpoint(eager=True)
+            )
+            ests = ests.unionByName(est(regs, t))
+    finally:
+        ed.unpersist()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy("t")
+    growth = ests.withColumn("_prev", F.lag("est").over(w)).withColumn(
+        "_term",
+        F.when(
+            F.col("t") > 0,
+            F.expr("CAST(1000 * (est - _prev) DIV t AS BIGINT)"),
+        ).otherwise(F.lit(0)),
+    )
+    return growth.groupBy("node").agg(
+        F.max(F.when(F.col("t") == iters, F.col("est"))).alias("ball_est"),
+        F.sum("_term").cast("long").alias("harmonic_milli"),
+    )

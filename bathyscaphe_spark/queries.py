@@ -9925,6 +9925,76 @@ FROM d WHERE doc_id % 3 != 0
 
 
 # --------------------------------------------------------------------------
+# HyperBall harmonic centrality (operators/graph.py)
+# --------------------------------------------------------------------------
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality (operators/graph.py
+    hyperball_harmonic, Boldi & Vigna 2013): H(v) = Σ 1/d(u→v)
+    approximated through per-node HyperLogLog ball counters merged
+    along in-edges — the rank Common Crawl publishes for hosts, here
+    over the shared host-graph fixture, 3 relaxations, m=16 registers.
+    Registers are FNV-derived and integer-merged (MAX), the estimator
+    is fixed-point integer — the oracle replicates every register cell
+    and every estimate arithmetically (unrolled CTEs)."""
+    from .operators.graph import hyperball_harmonic
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL)
+    return hyperball_harmonic(edges, iters=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("ball_est").cast("long").alias("ball_est"),
+        F.col("harmonic_milli").cast("long").alias("harmonic_milli"),
+    )
+
+
+def _harmonic_oracle_sql(iters: int = 3, m: int = 16) -> str:
+    from .functions.fnv import duckdb_fnv_signed_sql
+    from .operators.graph import _HB_ALPHA_MILLI, hb_rho_case_sql
+
+    fnv = duckdb_fnv_signed_sql("('hb:' || CAST(node AS VARCHAR))")
+    num = _HB_ALPHA_MILLI[m] * m * m * 4294967296
+    parts = [
+        f"edges AS ({_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION SELECT dst FROM edges) t)",
+        f"seeded AS (SELECT node, ({fnv}) & 9223372036854775807 AS hnn "
+        "FROM nodes)",
+        f"r0 AS (SELECT node, CAST(hnn % {m} AS INT) AS bucket, "
+        f"{hb_rho_case_sql(f'(hnn // {m})')} AS rho FROM seeded)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"p{t} AS (SELECT e.dst AS node, r.bucket, r.rho "
+            f"FROM edges e JOIN r{t-1} r ON r.node = e.src)"
+        )
+        parts.append(
+            f"r{t} AS (SELECT node, bucket, MAX(rho) AS rho FROM "
+            f"(SELECT * FROM r{t-1} UNION ALL SELECT * FROM p{t}) u "
+            f"GROUP BY node, bucket)"
+        )
+    for t in range(iters + 1):
+        parts.append(
+            f"e{t} AS (SELECT node, ({num}) // (1000 * s) AS est FROM "
+            f"(SELECT node, SUM(1::BIGINT << (32 - rho)) "
+            f"+ ({m} - COUNT(*)) * 4294967296 AS s "
+            f"FROM r{t} GROUP BY node) g)"
+        )
+    terms = " + ".join(
+        f"(1000 * (e{t}.est - e{t-1}.est)) // {t}" for t in range(1, iters + 1)
+    )
+    joins = " ".join(f"JOIN e{t} USING (node)" for t in range(1, iters + 1))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, "
+        f"CAST(e{iters}.est AS BIGINT) AS ball_est, "
+        f"CAST({terms} AS BIGINT) AS harmonic_milli "
+        f"FROM e0 {joins}"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10105,6 +10175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_distance": q_link_distance,
     "index_merge": q_index_merge,
     "feed_parse": q_feed_parse,
+    "harmonic_centrality": q_harmonic_centrality,
 }
 
 ORACLES: dict[str, str] = {
@@ -10290,4 +10361,5 @@ ORACLES: dict[str, str] = {
     "link_distance": _link_distance_oracle_sql(),
     "index_merge": ORACLE_INDEX_MERGE,
     "feed_parse": ORACLE_FEED_PARSE,
+    "harmonic_centrality": _harmonic_oracle_sql(),
 }
