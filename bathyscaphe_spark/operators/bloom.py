@@ -99,11 +99,12 @@ class ShardedBloom:
                 np.bitwise_or.at(arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
             yield arr
 
-        return (
-            df.select(col).rdd
-            .mapPartitions(_build_partition)
-            .treeReduce(np.bitwise_or)
-        )
+        parts = df.select(col).rdd.mapPartitions(_build_partition)
+        if parts.isEmpty():
+            # zero-partition input (an empty standing set is batch 0 of
+            # every incremental consumer) — the all-zeros filter
+            return np.zeros(nbytes, dtype=np.uint8)
+        return parts.treeReduce(np.bitwise_or)
 
     @classmethod
     def build(cls, df: DataFrame, col: str, expected_items: int,

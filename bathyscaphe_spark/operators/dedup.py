@@ -1221,3 +1221,112 @@ def canonical_pick(
         score_col,
         (F.col(id_col) == F.col("_bid")).alias("keep"),
     )
+
+
+def paragraph_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct non-blank paragraphs of a corpus batch as
+    (par_hash:long) — the unit the BFF standing filter is built over
+    (``ShardedBloom.build`` / ``or_delta`` on this column)."""
+    from ..functions.fnv import fnv1_64
+
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), "\n")).alias("_par")
+        )
+        .where(F.trim(F.col("_par")) != "")
+        .select(fnv1_64(F.col("_par")).alias("par_hash"))
+        .distinct()
+    )
+
+
+def bff_paragraph_dedup(
+    new_docs: DataFrame,
+    seen_pars: DataFrame,
+    bloom=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dolma-style BFF paragraph dedup (Soldaini et al. 2024,
+    arXiv:2402.00159 §2.3; github.com/allenai/bff — public): an
+    INCREMENTAL cross-batch paragraph dedup pass.  A standing filter
+    remembers every paragraph of the corpus so far; a new batch drops
+    (a) paragraphs already in the standing set and (b) repeat
+    occurrences within the batch, keeping the FIRST occurrence by
+    (doc_id, position) — Dolma's stream order made deterministic for a
+    batch engine.  Blank / whitespace-only paragraphs are layout, not
+    content: always kept, never probed or inserted.
+
+    ``seen_pars`` is the standing (par_hash) table; ``bloom`` an
+    optional ShardedBloom over it (built once, ``or_delta``-folded with
+    ``paragraph_table(batch)`` after each batch — O(Δ) filter
+    maintenance, the same discipline as the URL-seen router).  With the
+    router, provably-fresh paragraphs (bit miss) BYPASS the shuffle
+    against the standing table entirely; bit hits are re-verified by
+    the exact anti-join, so the output equals the plain anti-join
+    bit-for-bit (the d1_bloom exactness contract).  A production run
+    at Dolma's scale may skip re-verification and accept the filter's
+    fpp — that trade is the caller's, not baked in.
+
+    Keys are FNV-1/64 paragraph hashes (64-bit collisions would merge
+    two distinct paragraphs; negligible and absent in the fixtures).
+
+    Output: (id, clean_text, n_removed) — same shape as
+    ``line_dedup_clean``, which handles the complementary
+    WITHIN-corpus boilerplate rule (≥k docs ⇒ strip everywhere,
+    first included).
+
+    Scale design: one posexplode, one broadcast-bloom probe (Arrow
+    batch), one anti-join that touches only bit-hit rows, one
+    window over par_hash for first-wins (near-uniform key — the
+    hottest paragraph still groups to one partition's row stream),
+    one per-doc reassembly agg.  Nothing quadratic, no driver state.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.fnv import fnv1_64
+    from .bloom import bloom_anti_join
+
+    pars = new_docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_par"),
+    )
+    blank = pars.where(F.trim(F.col("_par")) == "")
+    nonblank = pars.where(F.trim(F.col("_par")) != "").withColumn(
+        "par_hash", fnv1_64(F.col("_par"))
+    )
+    seen_keys = seen_pars.select("par_hash")
+    if bloom is not None:
+        fresh = bloom_anti_join(nonblank, seen_keys, "par_hash", bloom)
+    else:
+        fresh = nonblank.join(seen_keys, "par_hash", "left_anti")
+    w = Window.partitionBy("par_hash").orderBy("_id", "_pos")
+    first = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_id", "_pos", "_par")
+    )
+    kept = first.unionByName(blank)
+    total = pars.groupBy("_id").agg(F.count(F.lit(1)).alias("_npars"))
+    out = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_par"))),
+                    lambda s: s["_par"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_nkept"),
+        )
+        .join(total, "_id", "right")
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (F.col("_npars") - F.coalesce(F.col("_nkept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

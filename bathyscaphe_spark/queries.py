@@ -9995,6 +9995,90 @@ def _harmonic_oracle_sql(iters: int = 3, m: int = 16) -> str:
 
 
 # --------------------------------------------------------------------------
+# Dolma-style BFF paragraph dedup (operators/dedup.py)
+# --------------------------------------------------------------------------
+
+# standing batch: every 5th doc, footer included ⇒ the footer (and any
+# base paragraph a new doc shares with an old one) is already "seen"
+_BFF_OLD_SQL = """
+SELECT doc_id, text || chr(10) || 'FOOTER: all rights reserved' AS text
+FROM documents WHERE doc_id % 5 = 0
+"""
+# new batch: footer (standing ⇒ removed), a banner shared among the new
+# evens (first occurrence wins), one EMPTY paragraph (layout — kept),
+# one unique tail paragraph (fresh — kept)
+_BFF_NEW_SQL = """
+SELECT doc_id,
+       text || chr(10) || 'FOOTER: all rights reserved'
+            || CASE WHEN doc_id % 2 = 0
+                    THEN chr(10) || 'Even banner ads here' ELSE '' END
+            || chr(10) || chr(10) || 'unique to ' || CAST(doc_id AS STRING)
+           AS text
+FROM documents WHERE doc_id % 5 != 0
+"""
+
+
+def q_bff_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma BFF paragraph dedup (operators/dedup.py
+    bff_paragraph_dedup): a new corpus batch against the standing
+    paragraph filter — standing paragraphs drop, in-batch repeats keep
+    only the first (doc_id, pos) occurrence, blanks survive as layout.
+    Runs THROUGH the Bloom router (build over the standing batch, bit
+    hits re-verified) so the d1 exactness contract extends to content
+    dedup; the oracle is the plain text-keyed set logic."""
+    from .operators.bloom import ShardedBloom
+    from .operators.dedup import bff_paragraph_dedup, paragraph_table
+
+    _docs(spark, sf_dir)
+    old = spark.sql(_BFF_OLD_SQL)
+    new = spark.sql(_BFF_NEW_SQL)
+    seen = paragraph_table(old)
+    bloom = ShardedBloom.build(seen, "par_hash", expected_items=100_000)
+    return bff_paragraph_dedup(new, seen, bloom=bloom)
+
+
+ORACLE_BFF_DEDUP = f"""
+WITH old_docs AS ({_BFF_OLD_SQL}),
+new_docs AS ({_BFF_NEW_SQL}),
+old_pars AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(text, chr(10))) AS par
+  FROM old_docs
+),
+old_nb AS (SELECT par FROM old_pars WHERE trim(par) != ''),
+split_new AS (
+  SELECT doc_id, regexp_split_to_array(text, chr(10)) AS l FROM new_docs
+),
+np AS (
+  SELECT doc_id, unnest(l) AS par, generate_subscripts(l, 1) AS pos
+  FROM split_new
+),
+nb AS (SELECT * FROM np WHERE trim(par) != ''),
+blank AS (SELECT * FROM np WHERE trim(par) = ''),
+fresh AS (SELECT * FROM nb WHERE par NOT IN (SELECT par FROM old_nb)),
+first_wins AS (
+  SELECT doc_id, pos, par FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY par ORDER BY doc_id, pos)
+              AS rn
+    FROM fresh
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT * FROM first_wins
+  UNION ALL SELECT doc_id, pos, par FROM blank
+),
+total AS (SELECT doc_id, COUNT(*) AS npars FROM np GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, string_agg(par, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS nkept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(t.npars - COALESCE(a.nkept, 0) AS BIGINT) AS n_removed
+FROM total t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10176,6 +10260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_merge": q_index_merge,
     "feed_parse": q_feed_parse,
     "harmonic_centrality": q_harmonic_centrality,
+    "bff_dedup": q_bff_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -10362,4 +10447,5 @@ ORACLES: dict[str, str] = {
     "index_merge": ORACLE_INDEX_MERGE,
     "feed_parse": ORACLE_FEED_PARSE,
     "harmonic_centrality": _harmonic_oracle_sql(),
+    "bff_dedup": ORACLE_BFF_DEDUP,
 }

@@ -573,3 +573,69 @@ def test_canonical_pick_string_ids(spark):
     )
     got = {r["doc_id"]: r["keep"] for r in canonical_pick(m, s).collect()}
     assert got == {"http://a/1": False, "http://a/2": True}
+
+
+class TestBffParagraphDedup:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _run(self, spark, old_rows, new_rows, use_bloom=True):
+        from bathyscaphe_spark.operators.bloom import ShardedBloom
+        from bathyscaphe_spark.operators.dedup import (
+            bff_paragraph_dedup,
+            paragraph_table,
+        )
+
+        old = self._docs(spark, old_rows)
+        new = self._docs(spark, new_rows)
+        seen = paragraph_table(old)
+        bloom = (
+            ShardedBloom.build(seen, "par_hash", expected_items=10_000)
+            if use_bloom else None
+        )
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in bff_paragraph_dedup(new, seen, bloom=bloom).collect()
+        }
+
+    OLD = [(0, "alpha\nFOOTER")]
+    NEW = [
+        (1, "beta\nFOOTER\nbanner\n\nmine 1"),
+        (2, "banner\ngamma\nFOOTER"),
+        (3, "FOOTER"),
+    ]
+
+    def test_standing_firstwins_blank_golden(self, spark):
+        got = self._run(spark, self.OLD, self.NEW)
+        # FOOTER is standing -> removed everywhere; banner repeats in
+        # batch -> doc 1 (smaller doc_id) keeps it; blank line kept
+        assert got[1] == ("beta\nbanner\n\nmine 1", 1)
+        assert got[2] == ("gamma", 2)
+        assert got[3] == ("", 1)  # every paragraph removed
+
+    def test_bloom_route_equals_exact(self, spark):
+        assert self._run(spark, self.OLD, self.NEW, use_bloom=True) == \
+            self._run(spark, self.OLD, self.NEW, use_bloom=False)
+
+    def test_incremental_fold(self, spark):
+        from bathyscaphe_spark.operators.bloom import ShardedBloom
+        from bathyscaphe_spark.operators.dedup import (
+            bff_paragraph_dedup,
+            paragraph_table,
+        )
+
+        batch1 = self._docs(spark, [(0, "alpha")])
+        batch2 = self._docs(spark, [(1, "beta")])
+        batch3 = self._docs(spark, [(2, "alpha\nbeta\nnew stuff")])
+        seen = paragraph_table(batch1)
+        bloom = ShardedBloom.build(seen, "par_hash", expected_items=10_000)
+        # fold batch2 in without rescanning batch1 (O(delta))
+        bloom = bloom.or_delta(paragraph_table(batch2), "par_hash")
+        seen_all = seen.unionByName(paragraph_table(batch2))
+        got = bff_paragraph_dedup(batch3, seen_all, bloom=bloom).collect()
+        assert got[0]["clean_text"] == "new stuff"
+        assert got[0]["n_removed"] == 2
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        got = self._run(spark, [], [(7, "x\ny\nx")])
+        assert got[7] == ("x\ny", 1)
