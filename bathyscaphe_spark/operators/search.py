@@ -127,7 +127,15 @@ def build_inverted_index(
 def _assemble_index(tf: DataFrame, stop_df: int) -> DataFrame:
     """(term, doc, tf) rows → the materialized index layout.  Shared by
     the from-scratch build and the segment merge; see
-    build_inverted_index for the two-phase stop-term discipline."""
+    build_inverted_index for the two-phase stop-term discipline.
+
+    The tf rows are consumed THREE times (stats, the stop broadcast,
+    postings) — without materialization each consumer would re-run the
+    whole upstream tokenize/explode, tripling the heaviest stage, so
+    the rows are lazily local-checkpointed (computed once on first
+    action, disk-backed; at warehouse scale the same role is played by
+    writing the tf table between stages)."""
+    tf = tf.localCheckpoint(eager=False)
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
     )
