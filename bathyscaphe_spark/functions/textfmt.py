@@ -146,3 +146,86 @@ def sniff_decode(df, bytes_col: str, ctype_col: str, out_col: str = "text"):
 
     s = _dec(F.col(bytes_col), F.col(ctype_col))
     return df.withColumn(out_col, s["text"]).withColumn("charset", s["charset"])
+
+
+# --- MIME sniffing (WHATWG mimesniff, simplified+documented subset) --------
+
+# magic-number table: hex prefix of the payload → essence
+# (mimesniff.spec.whatwg.org §6 "Matching a MIME type pattern"; the
+# maskless subset — every pattern here is an exact byte prefix)
+MIME_MAGIC: tuple[tuple[str, str], ...] = (
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),  # GIF87a
+    ("474946383961", "image/gif"),  # GIF89a
+    ("FFD8FF", "image/jpeg"),
+    ("255044462D", "application/pdf"),  # %PDF-
+    ("252150532D41646F62652D", "application/postscript"),  # %!PS-Adobe-
+    ("4F676753", "application/ogg"),  # OggS
+    ("494433", "audio/mpeg"),  # ID3
+    ("504B0304", "application/zip"),
+    ("1F8B", "application/gzip"),
+)
+# RIFF container: essence decided by the format tag at offset 8
+_RIFF = "52494646"
+_RIFF_KINDS = (("57415645", "audio/wave"), ("57454250", "image/webp"))
+# tag prefixes that sniff as text/html after leading-whitespace skip
+# (§7.1 "rules for identifying an unknown MIME type", tag subset)
+_HTML_TAGS = ("<!doctype html", "<html", "<head", "<body", "<script",
+              "<iframe", "<h1", "<div", "<p>", "<p ", "<!--")
+# a "binary data byte" (§3): 0x00-0x08, 0x0B, 0x0E-0x1A, 0x1C-0x1F —
+# as a pair-aligned regex over the uppercase hex rendering
+_BINARY_BYTE_HEX_RE = (
+    "^(?:[0-9A-F]{2})*(?:0[0-8]|0B|0[EF]|1[0-9A]|1[C-F])"
+)
+
+
+def sniff_mime(payload: Column) -> Column:
+    """Sniffed MIME essence of a binary payload — the WHATWG mimesniff
+    algorithm's maskless core, as ONE codegen CASE chain (no UDF):
+
+    1. exact magic prefixes (PNG/GIF/JPEG/PDF/PS/Ogg/ID3/zip/gzip, and
+       the RIFF container resolved by its offset-8 format tag);
+    2. else an HTML tag after leading-whitespace skip ⇒ ``text/html``,
+       ``<?xml`` ⇒ ``text/xml`` (tag subset of §7.1);
+    3. else no binary data byte in the first 512 bytes ⇒ ``text/plain``,
+       otherwise ``application/octet-stream``.
+
+    Why a crawler sniffs: the reference trusts the Content-Type header
+    outright (internal/crawler/crawler.go:67-78 — a lying server walks
+    straight past F5 and into the extractor), while real servers
+    mislabel constantly; sniffing the payload closes that gap and feeds
+    the ``mismatch`` audit column.  Byte logic runs on the uppercase
+    hex rendering of the first 512 bytes — pure string/regex column
+    ops, whole-stage codegen.
+    """
+    head_hex = F.upper(F.hex(F.substring(payload, 1, 512)))
+    lead = F.lower(
+        F.regexp_replace(
+            F.decode(F.substring(payload, 1, 64), "UTF-8"),
+            "^[\\t\\n\\x0B\\x0C\\r ]+",
+            "",
+        )
+    )
+    chain = F.when(payload.isNull(), F.lit(None).cast("string"))
+    for tag_hex, essence in _RIFF_KINDS:
+        chain = chain.when(
+            head_hex.startswith(_RIFF)
+            & (F.substring(head_hex, 17, 8) == tag_hex),
+            essence,
+        )
+    for pfx, essence in MIME_MAGIC:
+        chain = chain.when(head_hex.startswith(pfx), essence)
+    for tag in _HTML_TAGS:
+        chain = chain.when(lead.startswith(tag), "text/html")
+    chain = chain.when(lead.startswith("<?xml"), "text/xml")
+    chain = chain.when(
+        head_hex.rlike(_BINARY_BYTE_HEX_RE), "application/octet-stream"
+    )
+    return chain.otherwise("text/plain")
+
+
+def declared_essence(content_type: Column) -> Column:
+    """Essence of a Content-Type header value: the type/subtype token,
+    parameters stripped, lowercased, trimmed — what the sniffed essence
+    is audited against."""
+    return F.lower(F.trim(F.split(content_type, ";").getItem(0)))

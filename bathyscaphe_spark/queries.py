@@ -10079,6 +10079,84 @@ FROM total t LEFT JOIN agg a ON a.doc_id = t.doc_id
 
 
 # --------------------------------------------------------------------------
+# MIME sniffing (functions/textfmt.py sniff_mime)
+# --------------------------------------------------------------------------
+
+_MIME_FX_SQL = """
+SELECT doc_id,
+  CASE doc_id % 10
+    WHEN 0 THEN concat(X'89504E470D0A1A0A', encode(text, 'UTF-8'))
+    WHEN 1 THEN encode('<!DOCTYPE html><p>' || text, 'UTF-8')
+    WHEN 2 THEN encode('%PDF-1.4 ' || text, 'UTF-8')
+    WHEN 3 THEN encode('  \\t<html><body>' || text, 'UTF-8')
+    WHEN 4 THEN concat(X'1F8B08', encode(text, 'UTF-8'))
+    WHEN 5 THEN encode('plain: ' || text, 'UTF-8')
+    WHEN 6 THEN concat(X'00', encode(text, 'UTF-8'))
+    WHEN 7 THEN concat(X'474946383961', encode(text, 'UTF-8'))
+    WHEN 8 THEN concat(X'52494646', encode('1234', 'UTF-8'),
+                       X'57415645', encode(text, 'UTF-8'))
+    ELSE concat(X'504B0304', encode(text, 'UTF-8'))
+  END AS html,
+  CASE doc_id % 10
+    WHEN 0 THEN 'text/html'
+    WHEN 1 THEN 'text/HTML; charset=utf-8'
+    WHEN 2 THEN 'application/pdf'
+    WHEN 3 THEN 'application/octet-stream'
+    WHEN 4 THEN 'text/html'
+    WHEN 5 THEN 'text/plain'
+    WHEN 6 THEN 'text/plain'
+    WHEN 7 THEN 'image/gif'
+    WHEN 8 THEN 'audio/wave'
+    ELSE 'application/x-zip-compressed'
+  END AS content_type
+FROM documents
+"""
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME sniffing from payload magic bytes (functions/textfmt.py
+    sniff_mime — WHATWG mimesniff maskless core: magic prefixes, RIFF
+    format-tag dispatch, whitespace-skipped HTML tag scan, binary-byte
+    classification of the first 512 bytes), audited against the
+    declared Content-Type essence.  The reference trusts the header
+    outright (internal/crawler/crawler.go:67-78); ten fixture classes
+    cover a lying header per category.  One codegen CASE chain — the
+    oracle maps each planted class arithmetically."""
+    from .functions.textfmt import declared_essence, sniff_mime
+
+    _docs(spark, sf_dir)
+    d = spark.sql(_MIME_FX_SQL)
+    mime = sniff_mime(F.col("html"))
+    return d.select(
+        "doc_id",
+        mime.alias("mime"),
+        declared_essence(F.col("content_type")).alias("declared"),
+        (mime != declared_essence(F.col("content_type"))).alias("mismatch"),
+    )
+
+
+ORACLE_MIME_SNIFF = """
+SELECT doc_id,
+  CASE doc_id % 10
+    WHEN 0 THEN 'image/png'       WHEN 1 THEN 'text/html'
+    WHEN 2 THEN 'application/pdf' WHEN 3 THEN 'text/html'
+    WHEN 4 THEN 'application/gzip' WHEN 5 THEN 'text/plain'
+    WHEN 6 THEN 'application/octet-stream' WHEN 7 THEN 'image/gif'
+    WHEN 8 THEN 'audio/wave'      ELSE 'application/zip'
+  END AS mime,
+  CASE doc_id % 10
+    WHEN 0 THEN 'text/html'       WHEN 1 THEN 'text/html'
+    WHEN 2 THEN 'application/pdf' WHEN 3 THEN 'application/octet-stream'
+    WHEN 4 THEN 'text/html'       WHEN 5 THEN 'text/plain'
+    WHEN 6 THEN 'text/plain'      WHEN 7 THEN 'image/gif'
+    WHEN 8 THEN 'audio/wave'      ELSE 'application/x-zip-compressed'
+  END AS declared,
+  (doc_id % 10) IN (0, 3, 4, 6, 9) AS mismatch
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10261,6 +10339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_parse": q_feed_parse,
     "harmonic_centrality": q_harmonic_centrality,
     "bff_dedup": q_bff_dedup,
+    "mime_sniff": q_mime_sniff,
 }
 
 ORACLES: dict[str, str] = {
@@ -10448,4 +10527,5 @@ ORACLES: dict[str, str] = {
     "feed_parse": ORACLE_FEED_PARSE,
     "harmonic_centrality": _harmonic_oracle_sql(),
     "bff_dedup": ORACLE_BFF_DEDUP,
+    "mime_sniff": ORACLE_MIME_SNIFF,
 }

@@ -115,3 +115,69 @@ def test_sniff_decode_utf16_boms(spark):
            for r in sniff_decode(df, "b", "ct").collect()}
     assert got[1] == ("café16", "utf-16-le")
     assert got[2] == ("café16", "utf-16-be")
+
+
+class TestSniffMime:
+    CASES = [
+        (bytes.fromhex("89504E470D0A1A0A") + b"x", "image/png"),
+        (b"GIF87a..", "image/gif"),
+        (b"GIF89a..", "image/gif"),
+        (b"\xff\xd8\xff\xe0jfif", "image/jpeg"),
+        (b"%PDF-1.7", "application/pdf"),
+        (b"%!PS-Adobe-3.0", "application/postscript"),
+        (b"OggSxxxx", "application/ogg"),
+        (b"ID3\x04tag", "audio/mpeg"),
+        (b"PK\x03\x04zip", "application/zip"),
+        (b"\x1f\x8b\x08gz", "application/gzip"),
+        (b"RIFF1234WAVEfmt ", "audio/wave"),
+        (b"RIFF1234WEBPVP8 ", "image/webp"),
+        # whitespace-skipped, case-folded tag scan
+        (b"  \t\r\n<HTML><body>", "text/html"),
+        (b"<!DOCTYPE HTML>", "text/html"),
+        (b"<!-- comment -->", "text/html"),
+        (b"<?xml version='1.0'?>", "text/xml"),
+        # binary-byte classification
+        (b"nothing but words\nand lines", "text/plain"),
+        (b"", "text/plain"),
+        (b"pre\x00post", "application/octet-stream"),
+        (b"esc\x1b ok?", "text/plain"),  # 0x1B is NOT a binary byte
+        (b"ctl\x1c bad", "application/octet-stream"),
+        # RIFF with an unknown format tag falls through to byte scan
+        (b"RIFF1234JUNKdata", "text/plain"),
+    ]
+
+    def test_goldens(self, spark):
+        from bathyscaphe_spark.functions.textfmt import sniff_mime
+
+        df = spark.createDataFrame(
+            [(i, b) for i, (b, _) in enumerate(self.CASES)],
+            "i long, b binary",
+        )
+        got = {r["i"]: r["m"] for r in
+               df.select("i", sniff_mime(F.col("b")).alias("m")).collect()}
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (i, self.CASES[i], got[i])
+
+    def test_null_and_essence(self, spark):
+        from bathyscaphe_spark.functions.textfmt import (
+            declared_essence,
+            sniff_mime,
+        )
+
+        df = spark.createDataFrame(
+            [(None, " Text/HTML ; charset=utf-8")], "b binary, ct string"
+        )
+        r = df.select(
+            sniff_mime(F.col("b")).alias("m"),
+            declared_essence(F.col("ct")).alias("e"),
+        ).collect()[0]
+        assert r["m"] is None
+        assert r["e"] == "text/html"
+
+    def test_codegen_no_python(self, spark):
+        from bathyscaphe_spark.functions.textfmt import sniff_mime
+
+        df = spark.createDataFrame([(b"x",)], "b binary")
+        plan = df.select(sniff_mime(F.col("b")))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan
