@@ -165,6 +165,15 @@ class CrawlConfig:
     # parity oracles replay reference semantics exactly.
     robots_meta_enabled: bool = False
 
+    # MIME sniffing (functions/textfmt.py sniff_mime): when on, the F5
+    # content-type filter audits the header against the payload's magic
+    # bytes — a sniffed essence that contradicts the declared essence
+    # (or a missing header) replaces it, so a lying server can't walk a
+    # binary past the text/ allowlist.  Off by default — the reference
+    # trusts the header outright (crawler.go:67-78) and the parity
+    # oracles replay that.
+    mime_sniff_enabled: bool = False
+
     @property
     def allowed_extensions(self) -> tuple[str, ...]:
         return tuple(

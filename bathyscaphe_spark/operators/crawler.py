@@ -77,6 +77,18 @@ def split_fetched(
         F.element_at(F.col("headers"), "Content-Type"),
         F.element_at(F.col("headers"), "content-type"),
     )
+    if config.mime_sniff_enabled:
+        # payload wins over a lying or missing header: when the sniffed
+        # essence contradicts the declared essence the F5 match runs
+        # against the sniffed one (functions/textfmt.py sniff_mime)
+        from ..functions.textfmt import declared_essence, sniff_mime
+
+        sniffed = sniff_mime(F.col("html"))
+        ct = (
+            F.when(sniffed.isNull(), ct)
+            .when(ct.isNull() | (sniffed != declared_essence(ct)), sniffed)
+            .otherwise(ct)
+        )
     ok = ok.where(content_type_allowed(ct, config.allowed_content_types))
     return ok, timeouts
 

@@ -10156,6 +10156,57 @@ FROM documents
 """
 
 
+_MIME_PAGES_SQL = f"""
+SELECT doc_id,
+       'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/m'
+         || CAST(doc_id AS STRING) AS url,
+       'h' || CAST(doc_id % 23 AS STRING) || '.onion' AS host,
+       CAST(200 AS INT) AS status,
+       CAST('2024-05-01 12:00:00' AS TIMESTAMP) AS warc_ts,
+       fx.html,
+       CASE WHEN doc_id % 10 = 5 THEN map('Server', 'x')
+            ELSE map('Content-Type', fx.content_type) END AS headers
+FROM ({_MIME_FX_SQL}) fx
+"""
+
+
+def q_f5_sniffed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 with config.mime_sniff_enabled: the REAL split_fetched run
+    twice over the same lying-header pages — 'header' mode replays the
+    reference (trust the Content-Type, crawler.go:67-78), 'sniff' mode
+    lets the payload's magic bytes veto a contradicting or missing
+    header.  The contrast IS the point: the lying classes (PNG/gzip
+    bytes labeled text/html) pass in header mode and drop in sniff
+    mode; the honest-but-unlabeled text class drops in header mode and
+    passes in sniff mode.  Oracle maps both keep-sets arithmetically."""
+    import dataclasses
+
+    from .operators.crawler import split_fetched
+
+    _docs(spark, sf_dir)
+    fx = spark.sql(_MIME_PAGES_SQL)
+    on_rows, _ = split_fetched(fx, dataclasses.replace(CFG, mime_sniff_enabled=True))
+    off_rows, _ = split_fetched(fx, CFG)
+    return on_rows.select("doc_id", "url", F.lit("sniff").alias("mode")).unionByName(
+        off_rows.select("doc_id", "url", F.lit("header").alias("mode"))
+    )
+
+
+ORACLE_F5_SNIFFED = """
+SELECT doc_id,
+       'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/m'
+         || CAST(doc_id AS STRING) AS url,
+       'sniff' AS mode
+FROM documents WHERE doc_id % 10 IN (1, 3, 5)
+UNION ALL
+SELECT doc_id,
+       'http://h' || CAST(doc_id % 23 AS STRING) || '.onion/m'
+         || CAST(doc_id AS STRING) AS url,
+       'header' AS mode
+FROM documents WHERE doc_id % 10 IN (0, 1, 4, 6)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10340,6 +10391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "harmonic_centrality": q_harmonic_centrality,
     "bff_dedup": q_bff_dedup,
     "mime_sniff": q_mime_sniff,
+    "f5_sniffed": q_f5_sniffed,
 }
 
 ORACLES: dict[str, str] = {
@@ -10528,4 +10580,5 @@ ORACLES: dict[str, str] = {
     "harmonic_centrality": _harmonic_oracle_sql(),
     "bff_dedup": ORACLE_BFF_DEDUP,
     "mime_sniff": ORACLE_MIME_SNIFF,
+    "f5_sniffed": ORACLE_F5_SNIFFED,
 }
