@@ -10207,6 +10207,106 @@ FROM documents WHERE doc_id % 10 IN (0, 1, 4, 6)
 """
 
 
+def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (the step q_quality_classifier's
+    stand-in weights stub out): full-batch integer perceptron over
+    2^18 hashed token features, 3 rounds, labels y=+1 iff the document
+    contains the token 'the' (a deterministic, learnable seed rule —
+    CCNet/DCLM train on wiki-vs-crawl seeds the same way).  Output is
+    one row per document with its score under the FINAL weights, the
+    prediction, and whether the trained model classifies it correctly.
+    BIGINT weights + lr=1 keep training bit-identical at any
+    parallelism; see operators/classify.py for the per-round scale
+    shape (broadcast w ⋈ feats, two map-side-combined aggs)."""
+    from .operators.classify import perceptron_train
+
+    d = _docs(spark, sf_dir)
+    ts = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    labeled = d.select(
+        "doc_id",
+        "text",
+        F.when(F.array_contains(ts, "the"), F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    )
+    _, scored = perceptron_train(labeled, "doc_id", "text", "y", iters=3)
+    return scored
+
+
+def _perceptron_oracle_sql(iters: int = 3, nb: int = 1 << 18) -> str:
+    """Unrolled perceptron training (one CTE pair per round), the same
+    shape as the pagerank/harmonic fixed-iteration oracles: round 0's
+    empty model misclassifies everything (y·0 ≤ 0), so w1 is the
+    full-batch update; each later round scores under w_{k-1}, selects
+    y·score ≤ 0, and folds Σ y·tf per bucket into w_k."""
+    from .functions.fnv import duckdb_fnv_signed_sql
+
+    fnv = duckdb_fnv_signed_sql("token")
+    parts = [
+        rf"""
+WITH labeled AS (
+  SELECT doc_id,
+         CASE WHEN list_contains(
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            w -> w != ''), 'the')
+              THEN 1 ELSE -1 END AS y,
+         text
+  FROM documents
+), toks AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           CAST((({fnv})::HUGEINT % {nb} + {nb}) % {nb} AS BIGINT) AS bucket
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> w != '')) AS token
+      FROM labeled
+    )
+  )
+  GROUP BY doc_id, bucket
+), w1 AS (
+  SELECT bucket, sum(l.y * t.tf) AS w
+  FROM toks t JOIN labeled l USING (doc_id)
+  GROUP BY bucket
+  HAVING sum(l.y * t.tf) != 0
+)"""
+    ]
+    for k in range(2, iters + 1):
+        parts.append(
+            f""", s{k - 1} AS (
+  SELECT l.doc_id, l.y, coalesce(h.score, 0) AS score
+  FROM labeled l LEFT JOIN (
+    SELECT t.doc_id, sum(t.tf * w.w) AS score
+    FROM toks t JOIN w{k - 1} w USING (bucket)
+    GROUP BY t.doc_id
+  ) h USING (doc_id)
+), u{k} AS (
+  SELECT bucket, sum(m.y * t.tf) AS delta
+  FROM toks t
+  JOIN (SELECT doc_id, y FROM s{k - 1} WHERE y * score <= 0) m USING (doc_id)
+  GROUP BY bucket
+), w{k} AS (
+  SELECT coalesce(w.bucket, u.bucket) AS bucket,
+         coalesce(w.w, 0) + coalesce(u.delta, 0) AS w
+  FROM w{k - 1} w FULL JOIN u{k} u ON w.bucket = u.bucket
+  WHERE coalesce(w.w, 0) + coalesce(u.delta, 0) != 0
+)"""
+        )
+    parts.append(
+        f"""
+SELECT l.doc_id,
+       l.y,
+       CAST(coalesce(h.score, 0) AS BIGINT) AS score,
+       CASE WHEN coalesce(h.score, 0) > 0 THEN 1 ELSE -1 END AS pred,
+       l.y * coalesce(h.score, 0) > 0 AS correct
+FROM labeled l LEFT JOIN (
+  SELECT t.doc_id, sum(t.tf * w.w) AS score
+  FROM toks t JOIN w{iters} w USING (bucket)
+  GROUP BY t.doc_id
+) h USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10392,6 +10492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bff_dedup": q_bff_dedup,
     "mime_sniff": q_mime_sniff,
     "f5_sniffed": q_f5_sniffed,
+    "perceptron_train": q_perceptron_train,
 }
 
 ORACLES: dict[str, str] = {
@@ -10581,4 +10682,5 @@ ORACLES: dict[str, str] = {
     "bff_dedup": ORACLE_BFF_DEDUP,
     "mime_sniff": ORACLE_MIME_SNIFF,
     "f5_sniffed": ORACLE_F5_SNIFFED,
+    "perceptron_train": _perceptron_oracle_sql(),
 }
