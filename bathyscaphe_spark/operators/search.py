@@ -494,3 +494,125 @@ def more_like_this(
             F.col("_nt").cast("long").alias("n_shared_terms"),
         )
     )
+
+
+def tfidf_allpairs(
+    docs: DataFrame,
+    tau_num: int = 3,
+    tau_den: int = 10,
+    max_df: int = 10**9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs document similarity join: every UNORDERED pair of
+    documents whose tf·idf cosine similarity is ≥ tau_num/tau_den —
+    the batch "related documents" / near-duplicate-cluster primitive
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW'07 — public), relationally: candidate pairs come from an
+    inverted-index self-join (two docs pair ONLY if they share a
+    term), never a doc×doc cross join.
+
+    Vector semantics (definitional, shared verbatim with the oracle):
+    w(d, t) = tf(d, t) · idf_milli(t) with idf_milli =
+    round(1000·ln((N+1)/(df+1))) — integer milli-nats, rounded ONCE
+    per term; terms with df > ``max_df`` are excluded from the vectors
+    (the stopword cut that also bounds the join's per-term fanout at
+    max_df²), and idf_milli = 0 terms are dropped losslessly (zero
+    weight contributes nothing to dot or norm).
+
+    Threshold discipline — no floats anywhere: cos ≥ tau_num/tau_den
+    ⟺ dot > 0 ∧ tau_den²·dot² ≥ tau_num²·‖a‖²·‖b‖², evaluated in
+    DECIMAL(38,0) (int128 HUGEINT on the oracle side).  Integer
+    budget: with idf_milli ≤ ~21,000 (N = 1e9, df = 1) and per-doc
+    tf ≤ ~1e3, w ≤ 2.1e7, w² ≤ 4.4e14, per-doc sums ≤ ~4e18 …
+    squared ≤ ~2e37 < 1e38 — inside DECIMAL(38,0) headroom; the
+    milli (not micro) scale is what buys this.
+
+    Output: (doc_a, doc_b, dot_milli2, norm_a_sq, norm_b_sq), all
+    BIGINT, doc_a < doc_b — the caller derives float cosine as
+    dot/sqrt(na·nb) for display; the engine never does.
+
+    Scale design: one tokenize→(doc, term, tf) shuffle (the same shape
+    the inverted index builds — at warehouse scale feed this FROM the
+    index via explode_index instead of re-tokenizing), a per-term df
+    agg, then the postings self-join keyed on term.  The self-join's
+    cost is Σ_t df(t)² — bounded by the max_df cut exactly where the
+    skew lives (a corpus-frequency term would otherwise contribute
+    df² ≈ corpus² pairs).  Norm attachment is two doc-keyed shuffle
+    joins (doc-cardinality, never broadcast).  Partial aggregation
+    folds the per-term products map-side before the (doc_a, doc_b)
+    shuffle.  Zero UDFs; bit-identical at any parallelism.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                lambda x: x != "",
+            )
+        ).alias("_term"),
+    )
+    tf = tok.groupBy("_doc", "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_N"))
+    idf = (
+        tf.groupBy("_term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_term",
+            "_df",
+            F.round(
+                F.lit(1_000.0) * F.log((F.col("_N") + 1) / (F.col("_df") + 1)),
+                0,
+            )
+            .cast("long")
+            .alias("_idf"),
+        )
+    )
+    w = (
+        tf.join(idf, "_term")
+        .where((F.col("_df") <= max_df) & (F.col("_idf") > 0))
+        .select(
+            "_term", "_doc", (F.col("_tf") * F.col("_idf")).alias("_w")
+        )
+    )
+    norms = w.groupBy("_doc").agg(
+        F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("_nsq")
+    )
+    a = w.select("_term", F.col("_doc").alias("doc_a"), F.col("_w").alias("_wa"))
+    b = w.select("_term", F.col("_doc").alias("doc_b"), F.col("_w").alias("_wb"))
+    dots = (
+        a.join(b, "_term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("_wa") * F.col("_wb")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("_dot")
+        )
+    )
+    na = norms.select(F.col("_doc").alias("doc_a"), F.col("_nsq").alias("norm_a_sq"))
+    nb = norms.select(F.col("_doc").alias("doc_b"), F.col("_nsq").alias("norm_b_sq"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(
+            (F.col("_dot") > 0)
+            & (
+                F.lit(int(tau_den) * int(tau_den)) * d19("_dot") * d19("_dot")
+                >= F.lit(int(tau_num) * int(tau_num))
+                * d19("norm_a_sq")
+                * d19("norm_b_sq")
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_dot").alias("dot_milli2"),
+            "norm_a_sq",
+            "norm_b_sq",
+        )
+    )

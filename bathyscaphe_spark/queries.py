@@ -10308,6 +10308,69 @@ FROM labeled l LEFT JOIN (
 
 
 # --------------------------------------------------------------------------
+# all-pairs tf-idf cosine similarity join
+# --------------------------------------------------------------------------
+
+_AP_TAU_NUM = 3
+_AP_TAU_DEN = 10
+_AP_MAX_DF = 250
+
+
+def q_tfidf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs tf·idf cosine join (operators/search.py
+    tfidf_allpairs — Bayardo et al. WWW'07): every unordered document
+    pair with cosine ≥ 0.3 over milli-nat-idf weighted vectors, terms
+    at df > 250 cut.  Candidates from an inverted-index self-join —
+    never doc×doc; threshold evaluated in exact integer arithmetic
+    (DECIMAL(38,0) vs the oracle's HUGEINT)."""
+    from .operators.search import tfidf_allpairs
+
+    d = _docs(spark, sf_dir)
+    return tfidf_allpairs(
+        d, tau_num=_AP_TAU_NUM, tau_den=_AP_TAU_DEN, max_df=_AP_MAX_DF
+    )
+
+
+ORACLE_TFIDF_ALLPAIRS = f"""
+WITH docs2 AS (SELECT doc_id, text FROM documents),
+tok AS (
+  SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+  FROM docs2
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY ALL),
+n AS (SELECT COUNT(*) AS nd FROM docs2),
+idf AS (
+  SELECT term, COUNT(*) AS df,
+         CAST(round(1000.0 * ln((t.nd + 1.0) / (COUNT(*) + 1.0)), 0)
+              AS BIGINT) AS idf
+  FROM tf, n t GROUP BY term, t.nd
+),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
+  FROM tf JOIN idf USING (term)
+  WHERE idf.df <= {_AP_MAX_DF} AND idf.idf > 0
+),
+norms AS (SELECT doc_id, SUM(w * w) AS nsq FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY ALL
+)
+SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot_milli2,
+       CAST(na.nsq AS BIGINT) AS norm_a_sq,
+       CAST(nb.nsq AS BIGINT) AS norm_b_sq
+FROM dots
+JOIN norms na ON dots.doc_a = na.doc_id
+JOIN norms nb ON dots.doc_b = nb.doc_id
+WHERE dot > 0
+  AND {_AP_TAU_DEN * _AP_TAU_DEN} * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+      >= {_AP_TAU_NUM * _AP_TAU_NUM}
+         * CAST(na.nsq AS HUGEINT) * CAST(nb.nsq AS HUGEINT)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10493,6 +10556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mime_sniff": q_mime_sniff,
     "f5_sniffed": q_f5_sniffed,
     "perceptron_train": q_perceptron_train,
+    "tfidf_allpairs": q_tfidf_allpairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -10683,4 +10747,5 @@ ORACLES: dict[str, str] = {
     "mime_sniff": ORACLE_MIME_SNIFF,
     "f5_sniffed": ORACLE_F5_SNIFFED,
     "perceptron_train": _perceptron_oracle_sql(),
+    "tfidf_allpairs": ORACLE_TFIDF_ALLPAIRS,
 }

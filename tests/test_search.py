@@ -388,3 +388,92 @@ class TestMergeIndex:
             merge_index(base.repartition(7), delta.repartition(3))
         )
         assert a == b
+
+
+# --- tf-idf all-pairs similarity join ----------------------------------------
+
+from bathyscaphe_spark.operators.search import tfidf_allpairs
+
+
+def _ap_reference(docs, tau_num, tau_den, max_df):
+    """Pure-python mirror of the all-pairs semantics (same rounding)."""
+    import re as _re
+
+    toks = {
+        i: [w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w]
+        for i, t in docs
+    }
+    n = len(docs)
+    df = {}
+    for ws in toks.values():
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+    idf = {
+        t: round(1000.0 * math.log((n + 1) / (d + 1)))
+        for t, d in df.items()
+        if d <= max_df
+    }
+    vecs = {
+        i: {
+            t: ws.count(t) * idf[t]
+            for t in set(ws)
+            if idf.get(t, 0) > 0
+        }
+        for i, ws in toks.items()
+    }
+    out = []
+    ids = sorted(vecs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = vecs[ids[x]], vecs[ids[y]]
+            dot = sum(a[t] * b[t] for t in a if t in b)
+            na = sum(w * w for w in a.values())
+            nb = sum(w * w for w in b.values())
+            if dot > 0 and tau_den**2 * dot * dot >= tau_num**2 * na * nb:
+                out.append((ids[x], ids[y], dot, na, nb))
+    return sorted(out)
+
+
+_AP_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "pack my box with five dozen liquor jugs"),
+    (4, "pack my box with five dozen liquor jugs"),  # exact dup of 3
+    (5, "entirely unrelated words appear here tonight"),
+    (6, "quick brown dogs and lazy foxes jump sometimes"),
+]
+
+
+def test_allpairs_matches_reference_mirror(spark):
+    docs = spark.createDataFrame(_AP_DOCS, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in tfidf_allpairs(docs, 3, 10, 10**9).collect()
+    )
+    assert got == _ap_reference(_AP_DOCS, 3, 10, 10**9)
+    # the exact-dup pair is present with dot == both norms (cos == 1)
+    dup = [r for r in got if r[0] == 3 and r[1] == 4]
+    assert len(dup) == 1 and dup[0][2] == dup[0][3] == dup[0][4]
+
+
+def test_allpairs_threshold_and_maxdf(spark):
+    docs = spark.createDataFrame(_AP_DOCS, "doc_id long, text string")
+    # tau = 999/1000 keeps only the exact duplicate
+    strict = tfidf_allpairs(docs, 999, 1000, 10**9).collect()
+    assert [(r.doc_a, r.doc_b) for r in strict] == [(3, 4)]
+    # max_df=1 drops every shared term -> no candidate pairs at all
+    assert tfidf_allpairs(docs, 1, 10**9, 1).count() == 0
+    # mirror agrees on the max_df cut too
+    assert _ap_reference(_AP_DOCS, 1, 10**9, 1) == []
+
+
+def test_allpairs_parallelism_invariance(spark):
+    docs = spark.createDataFrame(_AP_DOCS, "doc_id long, text string")
+    one = sorted(
+        tuple(r)
+        for r in tfidf_allpairs(docs.coalesce(1), 3, 10, 10**9).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in tfidf_allpairs(docs.repartition(7), 3, 10, 10**9).collect()
+    )
+    assert one == many
