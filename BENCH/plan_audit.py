@@ -49,6 +49,9 @@ SCALAR_ATTACH_OK = {
     # the CMS threshold ceil(N/phi) is a 1-row corpus-count scalar
     # attached onto the ≤distinct-host estimate table
     "heavy_hitters",
+    # corpus-N scalar attach for the idf table (same shape as
+    # more_like_this); the pair join itself is a term-keyed equi-join
+    "tfidf_allpairs",
 }
 # bounded broadcast small-side expansion: IVF assignment is docs ×
 # broadcast(n_cells=16 centroid rows) — the documented O(n·cells)

@@ -113,6 +113,16 @@ class CrawlConfig:
     # last rebuild) instead of an O(|seen|) full-table rescan per
     # restart, the difference that matters at a 10^10-URL seen set
     bloom_persist: bool = True
+    # bucket-compacted seen base (state/seenstore.py): every
+    # ``seen_bucket_every`` rounds the driver rewrites the seen set into
+    # a bucketBy(url_hash) table; the D1 exact verification then reads
+    # the 10^10-row base WITHOUT a seen-side exchange and anti-joins the
+    # small post-compaction Δ tail separately.  Output-identical to the
+    # plain path (tests/test_seenstore.py pins both parity and the
+    # one-exchange plan shape).
+    seen_bucketed: bool = False
+    seen_bucket_every: int = 4
+    seen_buckets: int = 32
     # link-graph priority (operators/graph.py): when on, each round
     # harvests distinct (src_host → dst_host) edges from extraction into
     # the link_edges state table, and later rounds boost frontier

@@ -138,13 +138,26 @@ class ShardedBloom:
 
 
 def bloom_anti_join(
-    cand: DataFrame, seen_keys: DataFrame, col: str, bloom: ShardedBloom
+    cand: DataFrame,
+    seen_keys: DataFrame,
+    col: str,
+    bloom: ShardedBloom,
+    tail: DataFrame | None = None,
 ) -> DataFrame:
     """Exact anti-join accelerated by the Bloom router.
 
     ``definitely new`` (bit miss) bypasses the shuffle; ``maybe seen``
     goes through the exact left-anti join.  Result set is identical to a
     plain anti-join.
+
+    ``tail`` — optional second key set verified by its own anti-join
+    (``x ∉ seen ∪ tail`` ⟺ ``x ∉ seen ∧ x ∉ tail``): the bucketed
+    seen store's delta tail (state/seenstore.py).  Kept as a separate
+    join rather than a union so the bucketed base's exchange-free scan
+    survives (a union would erase its output partitioning).
+    PRECONDITION: ``bloom`` must cover ``seen_keys ∪ tail`` — the
+    driver's incrementally-folded filter does (every round's Δ is
+    or_delta'd in before the next round runs).
     """
     spark = cand.sparkSession
     b = spark.sparkContext.broadcast(bloom)
@@ -161,6 +174,8 @@ def bloom_anti_join(
         .drop("_maybe_seen")
         .join(seen_keys, col, "left_anti")
     )
+    if tail is not None:
+        maybe = maybe.join(tail, col, "left_anti")
     return definitely_new.unionByName(maybe)
 
 

@@ -146,6 +146,84 @@ def _load_persisted_bloom(
     return bloom, int(meta["capacity"])
 
 
+def _seen_store_meta(catalog: TableCatalog) -> str:
+    import os
+
+    return os.path.join(catalog.root, "seen_bucketed", "meta.json")
+
+
+def _load_seen_store(catalog: TableCatalog, config: CrawlConfig):
+    """(store, compact_round) from the sidecar, or (None, -1).  The
+    store table is re-registered metadata-only (attach) — bucket ids
+    live in the file names, so resume never rewrites data."""
+    import hashlib
+    import json
+    import os
+
+    from ..state.seenstore import BucketedSeenStore
+
+    meta_path = _seen_store_meta(catalog)
+    if not os.path.exists(meta_path):
+        return None, -1
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except Exception:
+        return None, -1
+    path = os.path.join(catalog.root, "seen_bucketed", f"r{meta['round']}")
+    if not os.path.isdir(path):
+        return None, -1
+    h = hashlib.md5(os.path.abspath(catalog.root).encode()).hexdigest()[:8]
+    store = BucketedSeenStore(
+        catalog.spark, path,
+        name=f"seen_b_{h}_{meta['round']}",
+        num_buckets=int(meta["buckets"]),
+    )
+    store.attach()
+    return store, int(meta["round"])
+
+
+def _compact_seen_store(
+    catalog: TableCatalog, config: CrawlConfig, through_round: int, old=None
+):
+    """Rewrite the bucketed base covering all seen Δs ≤ ``through_round``.
+    Crash-safe: the new compaction writes to its own ``r<N>`` directory,
+    the sidecar is replaced atomically, then the superseded directory is
+    dropped — a crash at any point leaves a loadable snapshot."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from ..state.seenstore import BucketedSeenStore, consolidate_seen
+
+    base_dir = os.path.join(catalog.root, "seen_bucketed")
+    os.makedirs(base_dir, exist_ok=True)
+    path = os.path.join(base_dir, f"r{through_round}")
+    h = hashlib.md5(os.path.abspath(catalog.root).encode()).hexdigest()[:8]
+    store = BucketedSeenStore(
+        catalog.spark, path,
+        name=f"seen_b_{h}_{through_round}",
+        num_buckets=config.seen_buckets,
+    )
+    seen = catalog.read_deltas("seen", upto=through_round)
+    if seen is None:
+        return None, -1
+    store.drop()
+    shutil.rmtree(path, ignore_errors=True)  # re-run after crash mid-write
+    store.compact(consolidate_seen(seen))
+    meta_path = _seen_store_meta(catalog)
+    tmp = meta_path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"round": through_round, "buckets": config.seen_buckets}, fh)
+    os.replace(tmp, meta_path)
+    if old is not None and os.path.abspath(old.path) != os.path.abspath(path):
+        old.drop()
+        shutil.rmtree(old.path, ignore_errors=True)
+    return store, through_round
+
+
 def crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -190,6 +268,9 @@ def crawl(
     stats: list[RoundStats] = []
     seen_bloom = None  # incrementally folded across rounds (O(Δ)/round)
     bloom_capacity = 0
+    seen_store, seen_store_round = (
+        _load_seen_store(catalog, config) if config.seen_bucketed else (None, -1)
+    )
     for round_n in range(start, max_rounds):
         frontier = catalog.read_round("frontier", round_n)
         if frontier is None or catalog.rows_in_round("frontier", round_n) == 0:
@@ -245,8 +326,18 @@ def crawl(
             round_n,
             seen_count_hint=seen_count,
             seen_bloom=seen_bloom if use_inc else None,
+            seen_store=seen_store if round_config.seen_bucketed else None,
+            seen_store_round=seen_store_round,
         )
         stats.append(s)
+        if (
+            round_config.seen_bucketed
+            and round_config.seen_bucket_every > 0
+            and (round_n + 1) % round_config.seen_bucket_every == 0
+        ):
+            seen_store, seen_store_round = _compact_seen_store(
+                catalog, round_config, round_n, old=seen_store
+            )
         if seen_count is not None:
             seen_count += s.discovered
         if seen_bloom is not None and s.discovered:

@@ -64,6 +64,7 @@ def discover_new_urls(
     bloom: ShardedBloom | None = None,
     robots: DataFrame | None = None,
     emit_edges: bool = False,
+    seen_tail: DataFrame | None = None,
 ):
     """Scheduler stage with depth propagation.
 
@@ -141,13 +142,27 @@ def discover_new_urls(
 
     if seen is not None:
         rts = round_ts_col(round_n)
-        live_seen = seen.where(
-            F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
-        ).select("url_hash")
+
+        def _live(s: DataFrame) -> DataFrame:
+            return s.where(
+                F.col("expires_ts").isNull() | (F.col("expires_ts") > rts)
+            ).select("url_hash")
+
+        # D1: x is new ⟺ x ∉ live(seen) ∧ x ∉ live(seen_tail).  When
+        # ``seen`` is the bucketed store's base (state/seenstore.py) and
+        # ``seen_tail`` the post-compaction Δs, the two-join form keeps
+        # the base scan exchange-free (the TTL filter preserves its
+        # bucket partitioning; a union would erase it).
+        live_seen = _live(seen)
+        live_tail = _live(seen_tail) if seen_tail is not None else None
         if bloom is not None:
-            cand = bloom_anti_join(cand, live_seen, "url_hash", bloom)
+            cand = bloom_anti_join(
+                cand, live_seen, "url_hash", bloom, tail=live_tail
+            )
         else:
             cand = cand.join(live_seen, "url_hash", "left_anti")
+            if live_tail is not None:
+                cand = cand.join(live_tail, "url_hash", "left_anti")
     out = cand.select("url", "url_hash", "host", "depth")
     return (out, edges, cand_cache) if emit_edges else out
 
@@ -190,6 +205,8 @@ def run_round(
     round_n: int,
     seen_count_hint: int | None = None,
     seen_bloom: "ShardedBloom | None" = None,
+    seen_store=None,
+    seen_store_round: int = -1,
 ) -> RoundStats:
     """Execute round ``round_n``: read frontier Δ, produce all round outputs,
     commit atomically.
@@ -200,6 +217,14 @@ def run_round(
     instead of O(|seen|), the difference that matters at a 10^10-URL seen
     set).  Stale bits from TTL-expired entries are harmless: the filter is
     only a router and every hit is re-verified by the exact anti-join.
+
+    ``seen_store``/``seen_store_round`` — an optional
+    ``state.seenstore.BucketedSeenStore`` compacted through round
+    ``seen_store_round``: the D1 exact verification then reads the
+    bucketed base (no seen-side exchange) plus only the Δ rounds >
+    ``seen_store_round`` as a small tail, instead of shuffling the whole
+    delta union.  Output-identical to the plain path; auxiliary seen
+    consumers (recrawl pump, robots seeding) keep the delta union.
     """
     spark = catalog.spark
     rts = round_ts_col(round_n)
@@ -233,6 +258,12 @@ def run_round(
     if host_failures is None:
         host_failures = bl.empty_host_failures(spark)
     seen = catalog.read_deltas("seen")
+    # D1 verification inputs: bucketed base + Δ tail when a compacted
+    # store is provided, else the plain delta union (seen, no tail)
+    seen_verify, seen_tail = seen, None
+    if seen_store is not None and seen_store_round >= 0 and seen is not None:
+        seen_verify = seen_store.df()
+        seen_tail = catalog.read_deltas("seen", since=seen_store_round)
 
     # recrawl generator (adaptive refresh): re-enqueue up to
     # recrawl_budget previously-fetched URLs whose seen TTL has fully
@@ -475,13 +506,14 @@ def run_round(
     link_edges = cand_cache = None
     if config.link_rank_enabled:
         new_urls, link_edges, cand_cache = discover_new_urls(
-            extract_src, config, seen, blacklist_pred, round_n, bloom=bloom,
-            robots=robots_df, emit_edges=True,
+            extract_src, config, seen_verify, blacklist_pred, round_n,
+            bloom=bloom, robots=robots_df, emit_edges=True,
+            seen_tail=seen_tail,
         )
     else:
         new_urls = discover_new_urls(
-            extract_src, config, seen, blacklist_pred, round_n, bloom=bloom,
-            robots=robots_df,
+            extract_src, config, seen_verify, blacklist_pred, round_n,
+            bloom=bloom, robots=robots_df, seen_tail=seen_tail,
         )
     if config.fetch_robots:
         # proactive robots: schedule /robots.txt (depth 0 ⇒ top priority)

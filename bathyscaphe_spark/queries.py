@@ -320,6 +320,37 @@ def q_d1_bloom_shardfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_d1_bucketed_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 through the BUCKET-COMPACTED seen store (state/seenstore.py):
+    the seen set is compacted once into a ``bucketBy(url_hash)`` +
+    ``sortBy`` parquet table, and the exact anti-join then exchanges
+    ONLY the candidate side — the 10^10-row seen side streams from
+    storage pre-partitioned, round after round (Iceberg's
+    ``bucket(N, url_hash)`` transform in Spark-native form).  Exactness
+    contract identical to D1 (scheduler.go:119-122); the zero-exchange
+    plan shape is pinned by tests/test_seenstore.py."""
+    import tempfile
+
+    from .state.seenstore import BucketedSeenStore
+
+    cand = (
+        _corpus(spark, sf_dir)
+        .selectExpr("link1 AS url")
+        .distinct()
+        .select("url", fnv1_64(F.col("url")).alias("url_hash"))
+    )
+    seen = _seen_df(spark, sf_dir).select("url_hash")
+    store = BucketedSeenStore(
+        spark,
+        tempfile.mkdtemp(prefix="q_d1_bucketed_") + "/seen_bucketed",
+        name="q_d1_seen_bucketed",
+        num_buckets=8,
+    )
+    store.drop()  # fixed name: clear any earlier same-session run
+    store.compact(seen)
+    return store.anti_join(cand).select("url", "url_hash")
+
+
 def q_o1_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 per-host priority rank + politeness budget as a Window
     (SURVEY.md §2.6; budget=5)."""
@@ -10557,6 +10588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f5_sniffed": q_f5_sniffed,
     "perceptron_train": q_perceptron_train,
     "tfidf_allpairs": q_tfidf_allpairs,
+    "d1_bucketed_antijoin": q_d1_bucketed_antijoin,
 }
 
 ORACLES: dict[str, str] = {
@@ -10748,4 +10780,5 @@ ORACLES: dict[str, str] = {
     "f5_sniffed": ORACLE_F5_SNIFFED,
     "perceptron_train": _perceptron_oracle_sql(),
     "tfidf_allpairs": ORACLE_TFIDF_ALLPAIRS,
+    "d1_bucketed_antijoin": ORACLE_D1,
 }

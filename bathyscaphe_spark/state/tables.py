@@ -171,9 +171,16 @@ class TableCatalog:
                 rounds.append(rn)
         return sorted(rounds)
 
-    def read_deltas(self, name: str, upto: int | None = None) -> DataFrame | None:
-        """Append-only table: union of all committed round deltas ≤ upto."""
-        paths = [self._round_dir(name, r) for r in self._committed_rounds(name, upto)]
+    def read_deltas(
+        self, name: str, upto: int | None = None, since: int | None = None
+    ) -> DataFrame | None:
+        """Append-only table: union of all committed round deltas ≤ upto
+        (and > ``since``, when given — the tail read the bucketed seen
+        store composes with, state/seenstore.py)."""
+        rounds = self._committed_rounds(name, upto)
+        if since is not None:
+            rounds = [r for r in rounds if r > since]
+        paths = [self._round_dir(name, r) for r in rounds]
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
