@@ -80,15 +80,27 @@ def main() -> None:
         F.lit(0).alias("round"),
     )
 
-    # seen set: hashes of every 3rd page's URL (overlaps link targets)
+    # seen set: hashes of every 3rd page's URL (overlaps link targets).
+    # SCALING_SEEN_MULT=K appends (K-1) extra blocks of hashes of
+    # NONEXISTENT page urls (ids ≥ n_pages) — they inflate |seen| without
+    # touching the output (no discovered candidate can match them), to
+    # measure the D1 seen-side cost at seen ≫ frontier ratios.
+    import os
+
+    seen_mult = int(os.environ.get("SCALING_SEEN_MULT", "1"))
     seen = (
         spark.range(0, n_pages, 3, buckets)
         .select(url_for(F.col("id"), n_hosts).alias("url"))
-        .select(
-            fnv1_64(F.col("url")).alias("url_hash"),
-            F.lit(-1).alias("first_seen_round"),
-            F.lit(None).cast("timestamp").alias("expires_ts"),
-        )
+    )
+    if seen_mult > 1:
+        extra = spark.range(
+            n_pages, n_pages * seen_mult, 1, buckets
+        ).select(url_for(F.col("id"), n_hosts).alias("url"))
+        seen = seen.unionByName(extra)
+    seen = seen.select(
+        fnv1_64(F.col("url")).alias("url_hash"),
+        F.lit(-1).alias("first_seen_round"),
+        F.lit(None).cast("timestamp").alias("expires_ts"),
     )
 
     cat = TableCatalog(spark, state_root)
@@ -111,15 +123,32 @@ def main() -> None:
 
         seen_bloom = ShardedBloom.build(
             seen.select("url_hash"), "url_hash",
-            expected_items=4 * (n_pages // 3),
+            expected_items=4 * seen_mult * (n_pages // 3),
         )
+    # SCALING_SEEN=bucketed pre-compacts the seen set into the bucketed
+    # store (state/seenstore.py) OUTSIDE the timed window — steady state,
+    # like the prebuilt bloom: compaction recurs every seen_bucket_every
+    # rounds, not per round.  The timed round then verifies D1 against
+    # the exchange-free base.  Outputs are bit-identical either way.
+    seen_store = None
+    if os.environ.get("SCALING_SEEN", "deltas") == "bucketed":
+        from bathyscaphe_spark.state.seenstore import (
+            BucketedSeenStore, consolidate_seen,
+        )
+
+        seen_store = BucketedSeenStore(
+            spark, state_root + "/seen_bucketed/r-1",
+            name="scaling_seen_bucketed", num_buckets=buckets,
+        )
+        seen_store.compact(consolidate_seen(cat.read_deltas("seen")))
     cfg = CrawlConfig(
         per_host_budget=80, bloom_enabled=bloom_mode == "inc",
         skew_threshold=2_000,
     )
     t0 = time.perf_counter()
     stats = run_round(cat, pages, host_status, cfg, 0,
-                      seen_count_hint=None, seen_bloom=seen_bloom)
+                      seen_count_hint=None, seen_bloom=seen_bloom,
+                      seen_store=seen_store, seen_store_round=-1)
     round_sec = time.perf_counter() - t0
 
     # order-insensitive fingerprints of the outputs

@@ -261,7 +261,10 @@ def run_round(
     # D1 verification inputs: bucketed base + Δ tail when a compacted
     # store is provided, else the plain delta union (seen, no tail)
     seen_verify, seen_tail = seen, None
-    if seen_store is not None and seen_store_round >= 0 and seen is not None:
+    if seen_store is not None and seen is not None:
+        # base covers Δs ≤ seen_store_round (the bootstrap Δ commits at
+        # round -1, so a store compacted through -1 is valid); the tail
+        # is every committed Δ after it
         seen_verify = seen_store.df()
         seen_tail = catalog.read_deltas("seen", since=seen_store_round)
 
