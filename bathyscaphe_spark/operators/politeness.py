@@ -475,3 +475,68 @@ def merge_host_budgets(**sources: DataFrame) -> DataFrame:
         "host", *[f"{n}_budget" for n in names],
         eff.cast("long").alias("effective_budget"),
     )
+
+
+def dispatch_schedule(
+    scheduled: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_ms: int = 1000,
+    arrival_col: str = "arrival_ms",
+) -> DataFrame:
+    """Per-URL fetch DISPATCH TIME: serialize each host's scheduled
+    queue at its politeness spacing.  The reference enforces politeness
+    implicitly — one consumer pulls one host's URLs off the queue and
+    Tor latency spaces the fetches (README.md:35-44 competing
+    consumers); production crawlers make it explicit with the classic
+    work-queue recurrence over the host's queue in priority order:
+
+        emit_0 = arrival_0
+        emit_i = max(arrival_i, emit_{i-1} + delay)
+
+    i.e. a fetch goes out when the URL is available AND the host's
+    delay since the previous fetch has elapsed.
+
+    Spark-first closed form — the sequential fold is exactly a prefix
+    maximum, so NO applyInPandas is needed:
+
+        emit_i = i·delay + max_{j ≤ i}(arrival_j − j·delay)
+
+    (proof: unroll the recurrence; each emit_i is the latest of
+    "arrival_j then i−j forced delays" over all j ≤ i).  One window per
+    host (rank + running max over the same ordering), pure integer
+    milliseconds end-to-end — bit-identical at any parallelism and
+    exactly mirrored by a SQL window oracle.
+
+    ``scheduled``: (url_hash, host, priority, ``arrival_col``) — the
+    round's politeness-budgeted schedule with per-URL availability
+    (round start, or a retry_after/robots gate).  ``delays``: optional
+    (host, delay_ms) — e.g. the AIMD controller's current output or
+    robots Crawl-delay; absent hosts use ``default_delay_ms``.
+
+    Output: input columns + (seq, dispatch_ms) where seq is the 0-based
+    position in the host's dispatch order (priority desc, url_hash).
+
+    Scale/plan: one shuffle on host (the window), one broadcast-or-
+    shuffle join for delays (host-cardinality).  Per-host queues are
+    budget-bounded upstream (O1), so no window partition exceeds
+    per_host_budget rows regardless of host skew.
+    """
+    df = scheduled
+    if delays is not None:
+        df = df.join(delays.select("host", "delay_ms"), "host", "left")
+        d = F.coalesce(F.col("delay_ms"), F.lit(int(default_delay_ms)))
+    else:
+        d = F.lit(int(default_delay_ms))
+    order = [F.col("priority").desc(), F.col("url_hash").asc()]
+    w = Window.partitionBy("host").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = (F.row_number().over(w) - 1).cast("long")
+    df = df.withColumn("_seq", seq).withColumn("_d", d.cast("long"))
+    slack = F.col(arrival_col).cast("long") - F.col("_seq") * F.col("_d")
+    dispatch = F.col("_seq") * F.col("_d") + F.max(slack).over(wrun)
+    out = df.withColumn("seq", F.col("_seq")).withColumn(
+        "dispatch_ms", dispatch
+    )
+    return out.drop("_seq", "_d", *(
+        ["delay_ms"] if delays is not None else []
+    ))

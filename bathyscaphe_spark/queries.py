@@ -10402,6 +10402,61 @@ WHERE dot > 0
 
 
 # --------------------------------------------------------------------------
+# dispatch schedule: per-host fetch serialization times
+# --------------------------------------------------------------------------
+
+_DISPATCH_SCHED_SQL = """
+SELECT doc_id AS url_hash,
+       'h' || CAST(doc_id % 29 AS STRING) || '.onion' AS host,
+       CAST(doc_id % 7 AS INT) AS priority,
+       CAST(1000000 + (doc_id * 37) % 40000 AS BIGINT) AS arrival_ms
+FROM documents
+"""
+
+_DISPATCH_DELAYS_SQL = """
+SELECT 'h' || CAST(i AS STRING) || '.onion' AS host,
+       CAST(200 + i * 50 AS BIGINT) AS delay_ms
+FROM (SELECT DISTINCT doc_id % 29 AS i FROM documents) WHERE i % 3 = 0
+"""
+
+
+def q_dispatch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL fetch dispatch times (operators/politeness.py
+    dispatch_schedule): each host's budgeted queue serialized at its
+    politeness spacing — emit_i = max(arrival_i, emit_{i-1}+delay),
+    computed by the prefix-max closed form as one window per host, zero
+    UDFs (the explicit form of the reference's consumer-pool pacing,
+    README.md:35-44).  Hosts ≡ 0 (mod 3) carry AIMD-style custom
+    delays; the rest use the 1000 ms default."""
+    from .operators.politeness import dispatch_schedule
+
+    _docs(spark, sf_dir)
+    sched = spark.sql(_DISPATCH_SCHED_SQL)
+    delays = spark.sql(_DISPATCH_DELAYS_SQL)
+    return dispatch_schedule(sched, delays, default_delay_ms=1000)
+
+
+ORACLE_DISPATCH = f"""
+WITH s AS ({_DISPATCH_SCHED_SQL}),
+d AS ({_DISPATCH_DELAYS_SQL}),
+q AS (
+  SELECT s.url_hash, s.host, s.priority, s.arrival_ms,
+         COALESCE(d.delay_ms, 1000) AS dly,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY s.host ORDER BY s.priority DESC, s.url_hash
+         ) - 1 AS BIGINT) AS seq
+  FROM s LEFT JOIN d USING (host)
+)
+SELECT url_hash, host, priority, arrival_ms, seq,
+       seq * dly + MAX(arrival_ms - seq * dly) OVER (
+           PARTITION BY host ORDER BY priority DESC, url_hash
+           ROWS UNBOUNDED PRECEDING
+       ) AS dispatch_ms
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10589,6 +10644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perceptron_train": q_perceptron_train,
     "tfidf_allpairs": q_tfidf_allpairs,
     "d1_bucketed_antijoin": q_d1_bucketed_antijoin,
+    "dispatch_schedule": q_dispatch_schedule,
 }
 
 ORACLES: dict[str, str] = {
@@ -10781,4 +10837,5 @@ ORACLES: dict[str, str] = {
     "perceptron_train": _perceptron_oracle_sql(),
     "tfidf_allpairs": ORACLE_TFIDF_ALLPAIRS,
     "d1_bucketed_antijoin": ORACLE_D1,
+    "dispatch_schedule": ORACLE_DISPATCH,
 }
