@@ -176,7 +176,7 @@ def _load_seen_store(catalog: TableCatalog, config: CrawlConfig):
     h = hashlib.md5(os.path.abspath(catalog.root).encode()).hexdigest()[:8]
     store = BucketedSeenStore(
         catalog.spark, path,
-        name=f"seen_b_{h}_{meta['round']}",
+        name=f"seen_b_{h}_r{meta['round']}".replace("-", "m"),
         num_buckets=int(meta["buckets"]),
     )
     store.attach()
@@ -204,7 +204,7 @@ def _compact_seen_store(
     h = hashlib.md5(os.path.abspath(catalog.root).encode()).hexdigest()[:8]
     store = BucketedSeenStore(
         catalog.spark, path,
-        name=f"seen_b_{h}_{through_round}",
+        name=f"seen_b_{h}_r{through_round}".replace("-", "m"),
         num_buckets=config.seen_buckets,
     )
     seen = catalog.read_deltas("seen", upto=through_round)

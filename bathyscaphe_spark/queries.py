@@ -3172,7 +3172,9 @@ def q_crawl_2rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out0.unionByName(out1)
 
 
-def q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_crawl_metrics(
+    spark: SparkSession, sf_dir: str, bucketed: bool = False
+) -> DataFrame:
     """A3 METRICS CONTRACT — two REAL run_round executions (catalog,
     staged writes, atomic commits) over the crawl_2rounds-style
     arithmetic universe; returns the committed metrics table's
@@ -3182,7 +3184,12 @@ def q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     count arithmetically: link graph, F1-F4, D1/D2 vs the bootstrap
     seen, round-0 timeout promotion gating round 1's fetch and
     discovery.  Budgets are set non-binding so politeness never cuts
-    (the budget path has its own oracles)."""
+    (the budget path has its own oracles).
+
+    ``bucketed=True`` (the crawl_metrics_bucketed registration) runs
+    the SAME two rounds with the D1 verification routed through the
+    bucket-compacted seen store (state/seenstore.py) at per-round
+    compaction cadence — one oracle pins both paths identical."""
     import shutil
     import tempfile
 
@@ -3235,8 +3242,24 @@ def q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat = TableCatalog(spark, root)
         bootstrap(cat, seeds, cfg)
         hs = build_host_status(univ)
-        run_round(cat, univ, hs, cfg, 0)
-        run_round(cat, univ, hs, cfg, 1)
+        if bucketed:
+            # the round-integrated bucketed D1 path: compact the
+            # bootstrap seen into the store, run round 0 against it,
+            # re-compact (now covering round 0's Δ), run round 1 —
+            # the exact cadence pipeline/driver.crawl drives with
+            # seen_bucketed=True, seen_bucket_every=1
+            from .pipeline.driver import _compact_seen_store
+
+            store, srnd = _compact_seen_store(cat, cfg, -1)
+            run_round(cat, univ, hs, cfg, 0,
+                      seen_store=store, seen_store_round=srnd)
+            store, srnd = _compact_seen_store(cat, cfg, 0, old=store)
+            run_round(cat, univ, hs, cfg, 1,
+                      seen_store=store, seen_store_round=srnd)
+            store.drop()
+        else:
+            run_round(cat, univ, hs, cfg, 0)
+            run_round(cat, univ, hs, cfg, 1)
         m = cat.read_deltas("metrics")
         totals = m.where(
             (F.col("partition_id") == -1) & (F.col("stage") != "fetch")
@@ -10464,6 +10487,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scheduler_round": q_scheduler_round,
     "crawl_2rounds": q_crawl_2rounds,
     "crawl_metrics": q_crawl_metrics,
+    "crawl_metrics_bucketed": (
+        lambda spark, sf_dir: q_crawl_metrics(spark, sf_dir, bucketed=True)
+    ),
     "f5_content_type": q_f5_content_type,
     "f6_redirect_policy": q_f6_redirect_policy,
     "x7_header_lower": q_x7_header_lower,
@@ -10651,6 +10677,7 @@ ORACLES: dict[str, str] = {
     "scheduler_round": ORACLE_SCHEDULER_ROUND,
     "crawl_2rounds": _crawl2_oracle_sql(),
     "crawl_metrics": _crawl_metrics_oracle_sql(),
+    "crawl_metrics_bucketed": _crawl_metrics_oracle_sql(),
     "f5_content_type": ORACLE_F5,
     "f6_redirect_policy": ORACLE_F6,
     "x7_header_lower": ORACLE_X7,

@@ -111,21 +111,30 @@ class BucketedSeenStore:
         if self.exists():
             return
         self.spark.sql(
-            f"CREATE TABLE {self.name} ({self.schema_ddl}) USING PARQUET "
+            f"CREATE TABLE `{self.name}` ({self.schema_ddl}) USING PARQUET "
             f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
             f"INTO {self.num_buckets} BUCKETS "
             f"LOCATION '{os.path.abspath(self.path)}'"
         )
 
     def drop(self) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.name}")
+        self.spark.sql(f"DROP TABLE IF EXISTS `{self.name}`")
 
     # -- reads --------------------------------------------------------------
     def df(self) -> DataFrame:
         """The bucketed base as a DataFrame — scans report the bucket
         partitioning, so key-equi joins skip the seen-side Exchange.
-        Filters (e.g. the TTL liveness predicate) preserve it."""
-        return self.spark.table(self.name)
+        Filters (e.g. the TTL liveness predicate) preserve it.
+
+        The SHUFFLE_HASH hint picks the O(n) per-bucket hash build over
+        sort-merge's O(n log n) per-bucket sort (this Spark build does
+        not trust bucket-file sort order, so SMJ would re-sort the base
+        every round); the hint does not re-introduce an exchange — the
+        join's seen side stays scan-only.  Per-task build memory is
+        O(|seen| / num_buckets), which is what ``num_buckets`` sizes
+        (a property of the table's data volume, like Iceberg's bucket
+        count, NOT of the cluster)."""
+        return self.spark.table(self.name).hint("SHUFFLE_HASH")
 
     def anti_join(
         self,
