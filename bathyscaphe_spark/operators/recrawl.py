@@ -377,3 +377,109 @@ def revalidation_merge(
         .cast("long")
         .alias("bytes_saved"),
     )
+
+
+def cache_policy(
+    fetched: DataFrame,
+    heuristic_pct: int = 10,
+    default_ttl_s: int | None = None,
+    url_col: str = "url",
+    headers_col: str = "headers",
+) -> DataFrame:
+    """Server-declared freshness lifetime per response (RFC 9111 §4.2 —
+    the HTTP caching spec, public): the third recrawl signal beside
+    content-change history (adaptive TTLs) and sitemap <changefreq> —
+    when the server SAYS how long the page stays fresh, the crawler
+    should not refetch sooner.
+
+    Precedence, exactly the RFC's:
+      1. ``Cache-Control: no-store`` / ``no-cache`` ⇒ freshness 0
+         (always revalidate; ``max-age=0`` lands at the same 0 via
+         rule 2);
+      2. ``Cache-Control: max-age=N`` ⇒ N seconds (wins over Expires,
+         §4.2.1; s-maxage is for shared caches — a crawler is a private
+         consumer, so it is ignored, the conservative reading);
+      3. ``Expires`` − ``Date`` (both IMF-fixdate; stale/invalid or
+         Expires ≤ Date clamps to 0, §4.2.1's "already expired");
+      4. heuristic (§4.2.2): ``heuristic_pct``% of (Date −
+         Last-Modified), the classic 10% rule, floor 0;
+      5. none of the above ⇒ ``default_ttl_s`` (NULL when None — the
+         adaptive policy owns the URL).
+
+    Everything is codegen: case-insensitive header picks, one regexp
+    for the max-age directive, the engine's standard IMF-fixdate parse
+    (weekday prefix stripped — redundant — ' GMT' dropped; malformed
+    dates try_to_timestamp to NULL and fall through to the next rule).
+    One narrow projection, no shuffle, no UDF; feeds recrawl_due as
+    (url, not-before) like the sitemap intervals do.
+
+    Output: (url, policy — 'no-cache' | 'max-age' | 'expires' |
+    'heuristic' | 'default', freshness_s).
+    """
+
+    def hdr(name: str) -> Column:
+        return F.coalesce(
+            F.element_at(F.col(headers_col), name),
+            F.element_at(F.col(headers_col), name.lower()),
+        )
+
+    def http_date(c: Column) -> Column:
+        return F.try_to_timestamp(
+            F.regexp_replace(
+                F.regexp_replace(c, r"^[A-Za-z]{3}, ", ""), r" GMT$", ""
+            ),
+            F.lit("dd MMM yyyy HH:mm:ss"),
+        )
+
+    cc = F.lower(F.coalesce(hdr("Cache-Control"), F.lit("")))
+    # directive-boundary match: "no-cache" must not fire on
+    # "no-cache-xyz" tokens; directives are comma-separated (RFC 9111
+    # §5.2) so anchor on start/comma and end/comma/equals
+    no_fresh = cc.rlike(r"(^|[,\s])(no-store|no-cache)($|[,\s;=])")
+    max_age = F.regexp_extract(cc, r"(^|[,\s])max-age=(\d+)", 2).try_cast(
+        "bigint"
+    )
+    date = http_date(hdr("Date"))
+    expires = http_date(hdr("Expires"))
+    lastmod = http_date(hdr("Last-Modified"))
+    expires_s = F.greatest(
+        F.lit(0).cast("bigint"),
+        (F.unix_timestamp(expires) - F.unix_timestamp(date)).cast("bigint"),
+    )
+    # integer-exact percentage: x DIV 100 as (x − x mod 100)/100 — the
+    # subtraction makes the double division exact (multiple of 100,
+    # far inside 2^53), so no float-truncation-vs-rounding ambiguity
+    age_x = (
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.unix_timestamp(date) - F.unix_timestamp(lastmod)).cast(
+                "bigint"
+            ),
+        )
+        * F.lit(int(heuristic_pct))
+    )
+    heur_s = ((age_x - F.pmod(age_x, F.lit(100))) / F.lit(100)).cast("bigint")
+    default_lit = (
+        F.lit(int(default_ttl_s)).cast("bigint")
+        if default_ttl_s is not None
+        else F.lit(None).cast("bigint")
+    )
+    policy = (
+        F.when(no_fresh, F.lit("no-cache"))
+        .when(max_age.isNotNull(), F.lit("max-age"))
+        .when(expires.isNotNull() & date.isNotNull(), F.lit("expires"))
+        .when(lastmod.isNotNull() & date.isNotNull(), F.lit("heuristic"))
+        .otherwise(F.lit("default"))
+    )
+    fresh = (
+        F.when(no_fresh, F.lit(0).cast("bigint"))
+        .when(max_age.isNotNull(), max_age)
+        .when(expires.isNotNull() & date.isNotNull(), expires_s)
+        .when(lastmod.isNotNull() & date.isNotNull(), heur_s)
+        .otherwise(default_lit)
+    )
+    return fetched.select(
+        F.col(url_col).alias("url"),
+        policy.alias("policy"),
+        fresh.alias("freshness_s"),
+    )

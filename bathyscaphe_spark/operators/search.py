@@ -616,3 +616,248 @@ def tfidf_allpairs(
             "norm_b_sq",
         )
     )
+
+
+def maxscore_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 retrieval with MaxScore pruning (Turtle & Flood 1995,
+    "Query evaluation: strategies and optimizations" — public), the
+    DAAT skipping strategy every large-scale engine (Lucene since 8.0)
+    uses so a query never scores the full postings of its stopwords.
+
+    LOSSLESS by construction — the contract: this returns exactly the
+    exhaustive BM25 top-k (the DuckDB oracle computes the exhaustive
+    ranking; parity proves the pruning never drops a result).
+
+    The batch MaxScore argument: let UB_t be an upper bound on term
+    t's per-document score contribution and θ the k-th best FULL score
+    over any known candidate subset (here: the documents containing
+    the highest-UB term).  Sort terms by UB descending and take the
+    minimal prefix E ("essential terms", always ≥ 1) whose complement
+    satisfies Σ_{t∉E} UB_t < θ.  A document containing no essential
+    term scores ≤ Σ_{t∉E} UB_t < θ ≤ the true k-th best, so it cannot
+    appear in the top-k — scoring only documents that contain at least
+    one essential term is exhaustive-equal, ties irrelevant (pruned
+    scores are STRICTLY below θ).
+
+    UB_t is the EXACT per-term maximum realized contribution
+    (idf_t · max over postings of the tf/dl factor) — tighter than the
+    textbook idf·(k1+1) bound and free: one agg over the tf rows.
+
+    Relational shape (everything but two bounded collects is codegen):
+      1. tokenize once; tf rows are filtered to QUERY TERMS BEFORE the
+         groupBy — the shuffle carries Σ_t df_t rows, never the corpus
+         (at index-backed scale this is the postings equi-join);
+      2. stats: one row (N, Σdl) + per-term df — collected: ≤|terms|+1
+         rows;
+      3. θ: full scores of the top-UB term's postings, top-k collect —
+         ≤ k rows;
+      4. candidates: semi-join on essential terms only — the pruning;
+         per-doc tfs PIVOT to fixed columns so the final score is one
+         fixed-operand-order double expression (bit-stable across
+         partitionings, like bm25_search), round 6 for the oracle.
+
+    At 100 TB steps 1-2 read the persisted inverted index + doc-length
+    table instead of tokenizing (build_inverted_index); the pruning
+    arithmetic is unchanged.  Returns (doc_id, score6): top k by
+    (score6 DESC, doc_id ASC), score6 > 0.
+    """
+    qterms = sorted(set(t.lower() for t in terms))
+    dl_col = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""
+        )
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc"), dl_col.alias("dl"), F.col(text_col)
+    )
+    tf_rows = (
+        base.select(
+            "doc",
+            "dl",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                    lambda x: x != "",
+                )
+            ).alias("term"),
+        )
+        .where(F.col("term").isin(qterms))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+
+    # --- stats (one row + one tiny per-term agg; bounded collects) ---------
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["sum_dl"] or 0) / max(
+        int(stats["n"]), 1
+    )
+
+    def contrib(tf: Column, dl: Column, idf: float) -> Column:
+        t, d = tf.cast("double"), dl.cast("double")
+        denom = t + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * d / F.lit(avgdl)
+        )
+        return F.lit(idf) * (t * F.lit(BM25_K1 + 1.0)) / denom
+
+    import math
+
+    df_rows = {
+        r["term"]: int(r["df"])
+        for r in tf_rows.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    idf = {
+        t: math.log(
+            1.0 + (n_docs - df_rows.get(t, 0) + 0.5) / (df_rows.get(t, 0) + 0.5)
+        )
+        for t in qterms
+    }
+    present = [t for t in qterms if df_rows.get(t)]
+    if not present:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, score6 double"
+        )
+    ub_rows = (
+        tf_rows.where(F.col("term").isin(present))
+        .groupBy("term")
+        .agg(
+            F.max(
+                sum(
+                    (
+                        F.when(
+                            F.col("term") == t,
+                            contrib(F.col("tf"), F.col("dl"), idf[t]),
+                        ).otherwise(F.lit(0.0))
+                        for t in present
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("ub")
+        )
+        .collect()
+    )
+    ub = {r["term"]: float(r["ub"]) for r in ub_rows}
+    order = sorted(present, key=lambda t: (-ub[t], t))
+
+    def score_docs(cand_tf: DataFrame) -> DataFrame:
+        """Pivot per-doc tfs to fixed columns; fixed-order expression."""
+        pivoted = cand_tf.groupBy("doc", "dl").agg(
+            *[
+                F.max(
+                    F.when(F.col("term") == t, F.col("tf")).otherwise(F.lit(0))
+                ).alias(f"tf_{i}")
+                for i, t in enumerate(present)
+            ]
+        )
+        score = F.lit(0.0)
+        for i, t in enumerate(present):
+            score = score + contrib(F.col(f"tf_{i}"), F.col("dl"), idf[t])
+        return pivoted.select("doc", F.round(score, 6).alias("score6"))
+
+    # --- θ from the top-UB term's postings (full scores, k-row collect) ----
+    t1 = order[0]
+    seed_docs = tf_rows.where(F.col("term") == t1).select("doc")
+    seed_topk = (
+        score_docs(tf_rows.join(seed_docs, "doc", "left_semi"))
+        .orderBy(F.col("score6").desc(), F.col("doc").asc())
+        .limit(k)
+        .collect()
+    )
+    # round-6 scores can round UP by ≤5e-7; retreat θ by the full
+    # quantum so the strict bound Σ_{t∉E} UB_t < θ is valid against
+    # TRUE scores even when the k-th seed score sat on a rounding edge
+    theta = (
+        float(seed_topk[-1]["score6"]) - 1e-6 if len(seed_topk) >= k else 0.0
+    )
+
+    # --- essential prefix: minimal E (≥1) with Σ_{t∉E} UB_t < θ ------------
+    essential = [order[0]]
+    tail = sum(ub[t] for t in order[1:])
+    for t in order[1:]:
+        if tail < theta:
+            break
+        essential.append(t)
+        tail -= ub[t]
+
+    cand = (
+        tf_rows.where(F.col("term").isin(essential))
+        .select("doc")
+        .distinct()
+    )
+    out = (
+        score_docs(tf_rows.join(cand, "doc", "left_semi"))
+        .where(F.col("score6") > 0)
+        .orderBy(F.col("score6").desc(), F.col("doc").asc())
+        .limit(k)
+        .select(F.col("doc").alias(id_col), "score6")
+    )
+    return out
+
+
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qterms_col: str = "terms",
+) -> DataFrame:
+    """Prospective search (the ES *percolator*, reversed retrieval —
+    public concept since SIFT, Yan & Garcia-Molina 1995): standing
+    queries are the stored side, arriving documents are matched
+    AGAINST them — the alerting surface a crawl pipeline runs on every
+    new batch ("tell me when a page mentioning X and Y appears").
+
+    AND semantics (ES ``match`` with ``operator: and``): a query
+    matches a document iff EVERY query term occurs in the document's
+    token set.
+
+    Relational shape — never queries × docs: distinct (doc, term)
+    pairs equi-join the exploded query terms on ``term`` (only docs
+    sharing a term with some query materialize a row), then
+    count(distinct matched terms) per (query, doc) == n_terms is the
+    AND.  Per-term fanout is bounded by term df × queries-per-term —
+    the inverted-index discipline; a standing-query set is
+    broadcast-sized in practice, and Spark's AQE picks the broadcast
+    side automatically.
+
+    Output: (query_id, doc_id) — every (standing query, document)
+    match, plus n_terms for audit.
+    """
+    qt = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.size(qterms_col).cast("long").alias("n_terms"),
+        F.explode(qterms_col).alias("term"),
+    ).select("qid", "n_terms", F.lower(F.col("term")).alias("term"))
+    doc_terms = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("term"),
+    ).where(F.col("term").isNotNull())
+    return (
+        doc_terms.join(qt, "term")
+        .groupBy("qid", "doc", "n_terms")
+        .agg(F.count(F.lit(1)).cast("long").alias("_hit"))
+        .where(F.col("_hit") == F.col("n_terms"))
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("doc").alias(id_col),
+            F.col("n_terms"),
+        )
+    )

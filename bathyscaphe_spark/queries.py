@@ -10480,6 +10480,210 @@ FROM q
 
 
 # --------------------------------------------------------------------------
+# MaxScore pruned retrieval / percolator / RFC 9111 cache freshness
+# --------------------------------------------------------------------------
+
+_MAXSCORE_TERMS = ["dup", "batch", "merge"]  # one rare + two stopword-ish
+_MAXSCORE_K = 10
+
+
+def q_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore-pruned BM25 top-k over documents (operators/search.py
+    maxscore_topk): only documents containing an ESSENTIAL term are
+    scored, yet the result must equal the exhaustive ranking — the
+    oracle computes exhaustive token-split BM25, so parity IS the
+    losslessness proof.  The term mix plants the interesting case: one
+    rare term (high idf — essential) beside two near-stopwords whose
+    summed upper bounds fall below the seed threshold."""
+    from .operators.search import maxscore_topk
+
+    return maxscore_topk(
+        _docs(spark, sf_dir), _MAXSCORE_TERMS, k=_MAXSCORE_K
+    )
+
+
+def _maxscore_oracle_sql() -> str:
+    from .operators.search import BM25_B, BM25_K1
+
+    terms = sorted(set(_MAXSCORE_TERMS))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN tf END), 0) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(terms))
+    )
+    # identical operand order to the Spark expression: 0.0 + Σ_i
+    # idf_i * (tf_i*(k1+1)) / (tf_i + k1*(1-b + b*dl/avgdl))
+    score = " + ".join(
+        f"ln(1.0 + (n_docs::DOUBLE - df_{i}::DOUBLE + 0.5) / (df_{i}::DOUBLE + 0.5))"
+        f" * (tf_{i}::DOUBLE * {BM25_K1 + 1.0!r})"
+        f" / (tf_{i}::DOUBLE + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}"
+        f" * dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS term
+  FROM documents
+),
+dls AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+  FROM tok WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+piv AS (
+  SELECT d.doc_id, COALESCE(dls.dl, 0) AS dl, {tf_cols}
+  FROM documents d
+  LEFT JOIN dls USING (doc_id) LEFT JOIN tf USING (doc_id)
+  GROUP BY d.doc_id, COALESCE(dls.dl, 0)
+),
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl, {df_cols}
+  FROM piv
+),
+scored AS (
+  SELECT doc_id, round(0.0 + {score}, 6) AS score6
+  FROM piv CROSS JOIN stats
+)
+SELECT doc_id, score6 FROM scored WHERE score6 > 0
+ORDER BY score6 DESC, doc_id ASC LIMIT {_MAXSCORE_K}
+"""
+
+
+# standing-query fixture: ~40 AND-queries over the corpus vocabulary,
+# derived arithmetically so the Spark fixture and the oracle VALUES
+# list are generated from the SAME python list
+_PERC_VOCAB = [
+    "dup", "batch", "merge", "scan", "window", "vector", "stream",
+    "quantile", "checkpoint", "rollup",
+]
+
+
+def _perc_queries() -> list[tuple[int, list[str]]]:
+    v = _PERC_VOCAB
+    out = []
+    for i in range(40):
+        ts = [v[i % len(v)], v[(3 * i + 1) % len(v)]]
+        if i % 3 == 0:
+            ts.append(v[(7 * i + 2) % len(v)])
+        dedup = sorted(set(ts))
+        out.append((i, dedup))
+    return out
+
+
+def q_percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prospective search (operators/search.py percolate — the ES
+    percolator shape): 40 standing AND-queries matched against every
+    document via the (doc, term)⋈(query, term) inverted join — never
+    queries × docs.  AND semantics: every query term must appear in
+    the document's token set."""
+    from .operators.search import percolate
+
+    qs = spark.createDataFrame(
+        _perc_queries(), "query_id long, terms array<string>"
+    )
+    return percolate(_docs(spark, sf_dir), qs)
+
+
+def _percolate_oracle_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}', {len(ts)})"
+        for qid, ts in _perc_queries()
+        for t in ts
+    )
+    return f"""
+WITH qt(query_id, term, n_terms) AS (VALUES {vals}),
+doc_terms AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x != ''))) AS term
+  FROM documents
+)
+SELECT CAST(qt.query_id AS BIGINT) AS query_id, d.doc_id,
+       CAST(qt.n_terms AS BIGINT) AS n_terms
+FROM doc_terms d JOIN qt USING (term)
+GROUP BY qt.query_id, d.doc_id, qt.n_terms
+HAVING COUNT(*) = qt.n_terms
+"""
+
+
+_CACHE_EPOCH = 1714564800  # fixed replayable Date: 2024-05-01 12:00:00 UTC
+
+
+def q_cache_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 freshness lifetime (operators/recrawl.py cache_policy):
+    every precedence branch planted arithmetically — no-store /
+    no-cache (incl. beside a max-age it must override), max-age=N,
+    Expires−Date fresh and already-expired, a MALFORMED Expires that
+    must fall through to the Last-Modified heuristic, heuristic-only,
+    and the no-headers default.  Dates are FORMATTED by the fixture
+    and parsed back by the operator; the oracle never touches a date —
+    it knows every planted delta arithmetically (the retry_after_dates
+    discipline: the string round-trip itself is under test)."""
+    from .operators.recrawl import cache_policy
+
+    d = _docs(spark, sf_dir)
+    date_fmt = (
+        f"date_format(to_timestamp({_CACHE_EPOCH}), "
+        "'EEE, dd MMM yyyy HH:mm:ss') || ' GMT'"
+    )
+    exp_fmt = (
+        f"date_format(to_timestamp({_CACHE_EPOCH} + doc_id % 500 - 100), "
+        "'EEE, dd MMM yyyy HH:mm:ss') || ' GMT'"
+    )
+    lm_fmt = (
+        f"date_format(to_timestamp({_CACHE_EPOCH} - doc_id % 3600), "
+        "'EEE, dd MMM yyyy HH:mm:ss') || ' GMT'"
+    )
+    fetched = d.selectExpr(
+        "concat('https://h', CAST(doc_id % 17 AS STRING), '.onion/p',"
+        " CAST(doc_id AS STRING)) AS url",
+        f"""CASE doc_id % 9
+          WHEN 0 THEN map('Cache-Control', 'no-store')
+          WHEN 1 THEN map('cache-control', 'public, no-cache')
+          WHEN 2 THEN map('Cache-Control',
+                          'max-age=' || CAST(doc_id % 1000 AS STRING))
+          WHEN 3 THEN map('Cache-Control', 'no-cache, max-age=600')
+          WHEN 4 THEN map('Date', {date_fmt}, 'Expires', {exp_fmt})
+          WHEN 5 THEN map('Date', {date_fmt}, 'Expires', 'soon',
+                          'Last-Modified', {lm_fmt})
+          WHEN 6 THEN map('date', {date_fmt}, 'last-modified', {lm_fmt})
+          WHEN 7 THEN map('Content-Type', 'text/html')
+          ELSE map('Cache-Control', 'max-age=0, must-revalidate')
+        END AS headers""",
+    )
+    return cache_policy(fetched, heuristic_pct=10)
+
+
+ORACLE_CACHE_POLICY = f"""
+SELECT concat('https://h', CAST(doc_id % 17 AS STRING), '.onion/p',
+              CAST(doc_id AS STRING)) AS url,
+       CASE doc_id % 9
+         WHEN 0 THEN 'no-cache' WHEN 1 THEN 'no-cache'
+         WHEN 2 THEN 'max-age'  WHEN 3 THEN 'no-cache'
+         WHEN 4 THEN 'expires'  WHEN 5 THEN 'heuristic'
+         WHEN 6 THEN 'heuristic' WHEN 7 THEN 'default'
+         ELSE 'max-age' END AS policy,
+       CAST(CASE doc_id % 9
+         WHEN 0 THEN 0 WHEN 1 THEN 0
+         WHEN 2 THEN doc_id % 1000
+         WHEN 3 THEN 0
+         WHEN 4 THEN greatest(0, doc_id % 500 - 100)
+         WHEN 5 THEN ((doc_id % 3600) * 10) // 100
+         WHEN 6 THEN ((doc_id % 3600) * 10) // 100
+         WHEN 7 THEN NULL
+         ELSE 0 END AS BIGINT) AS freshness_s
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10654,6 +10858,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_filter": q_trap_filter,
     "text_normalize": q_text_normalize,
     "resources_search": q_resources_search,
+    "maxscore_topk": q_maxscore_topk,
+    "percolate_match": q_percolate_match,
+    "cache_policy": q_cache_policy,
     "search_snippets": q_search_snippets,
     "bm25_search": q_bm25_search,
     "sequence_pack": q_sequence_pack,
@@ -10848,6 +11055,9 @@ ORACLES: dict[str, str] = {
     "trap_filter": ORACLE_TRAP,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "resources_search": _search_oracle_sql(),
+    "maxscore_topk": _maxscore_oracle_sql(),
+    "percolate_match": _percolate_oracle_sql(),
+    "cache_policy": ORACLE_CACHE_POLICY,
     "search_snippets": _snippet_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),
     "sequence_pack": ORACLE_SEQUENCE_PACK,

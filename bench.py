@@ -10,7 +10,7 @@ individually against $SPARK_GRAFT_SF_DIR.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32 — the number of cores AVAILABLE),
      SPARK_GRAFT_BENCH_CPUS (default min(CPUS, 8) — the session size the
-       bench actually uses.  At the sf0.1 bench size (150k pages) the
+       CRAWL headline uses.  At the sf0.1 bench size (150k pages) the
        3-round crawl is scheduling-overhead-dominated and local[8] beats
        local[32] (measured 14.7s vs 18.0s after the r3 kernel rewrite);
        at the 4.8M-page scaling workload the r3 partial-agg kernel cut
@@ -19,6 +19,12 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
        longer binds at scale.  Right-sizing here reflects the small
        bench universe, not an engine property),
      BENCH_ROUNDS (default 3), BENCH_QUERIES=0 to skip per-query timing.
+
+Parallelism is picked PER WORKLOAD: the crawl headline runs at
+BENCH_CPUS, then the per-query sweep runs in a fresh session at the
+full CPUS — the sweep's scan-bound queries (decode, hash, dedup
+kernels) are embarrassingly parallel and want every core, while the
+small-universe crawl round is scheduling-bound and wants fewer.
 """
 
 from __future__ import annotations
@@ -130,6 +136,14 @@ def main() -> None:
     if RUN_QUERIES:
         pages.unpersist()
         host_status.unpersist()
+        if CPUS != BENCH_CPUS:
+            # per-workload parallelism: the sweep gets all cores
+            spark.stop()
+            spark = build_session(
+                app_name=f"bathyscaphe-bench-queries-{CPUS}",
+                master=f"local[{CPUS}]",
+                shuffle_partitions=max(CPUS, 8),
+            )
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
             # noop-format write, NOT .count(): count() lets the optimizer
@@ -149,6 +163,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "bench_cpus": BENCH_CPUS,
+        "query_cpus": CPUS if RUN_QUERIES else None,
         "rounds": len(stats),
         "round_times_sec": round_times,
         "pages_universe": n_pages,

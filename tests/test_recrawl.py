@@ -169,3 +169,66 @@ def test_latest_capture_tie_determinism(spark):
         for n in (1, 4)
     }
     assert len(vals) == 1
+
+
+# --- RFC 9111 cache freshness -------------------------------------------------
+
+from bathyscaphe_spark.operators.recrawl import cache_policy
+
+_D = "Wed, 01 May 2024 12:00:00 GMT"
+
+
+def _hp(spark, rows):
+    df = spark.createDataFrame(rows, "url string, headers map<string,string>")
+    return {
+        r["url"]: (r["policy"], r["freshness_s"])
+        for r in cache_policy(df, heuristic_pct=10).collect()
+    }
+
+
+def test_cache_policy_precedence_matrix(spark):
+    got = _hp(spark, [
+        ("u1", {"Cache-Control": "no-store"}),
+        ("u2", {"cache-control": "public, no-cache", "Date": _D}),
+        ("u3", {"Cache-Control": "max-age=3600"}),
+        ("u4", {"Cache-Control": "no-cache, max-age=600"}),          # 1 beats 2
+        ("u5", {"Date": _D, "Expires": "Wed, 01 May 2024 12:10:00 GMT"}),
+        ("u6", {"Date": _D, "Expires": "Wed, 01 May 2024 11:00:00 GMT"}),  # past
+        ("u7", {"Date": _D, "Expires": "soon",                        # malformed
+                "Last-Modified": "Wed, 01 May 2024 11:00:00 GMT"}),
+        ("u8", {"date": _D, "last-modified": "Tue, 30 Apr 2024 12:00:00 GMT"}),
+        ("u9", {"Content-Type": "text/html"}),
+        ("u10", {"Cache-Control": "max-age=0, must-revalidate"}),
+    ])
+    assert got["u1"] == ("no-cache", 0)
+    assert got["u2"] == ("no-cache", 0)
+    assert got["u3"] == ("max-age", 3600)
+    assert got["u4"] == ("no-cache", 0)
+    assert got["u5"] == ("expires", 600)
+    assert got["u6"] == ("expires", 0)
+    assert got["u7"] == ("heuristic", 360)      # 3600s age * 10%
+    assert got["u8"] == ("heuristic", 8640)     # 86400s * 10%
+    assert got["u9"] == ("default", None)
+    assert got["u10"] == ("max-age", 0)
+
+
+def test_cache_policy_directive_boundaries(spark):
+    # "no-cache-xyz" is NOT the no-cache directive; "s-maxage" is not
+    # max-age (private-cache reading); extension "max-age" must match
+    # only at a directive boundary
+    got = _hp(spark, [
+        ("u1", {"Cache-Control": "no-cache-xyz, max-age=100"}),
+        ("u2", {"Cache-Control": "s-maxage=50"}),
+        ("u3", {"Cache-Control": "public,max-age=7"}),
+    ])
+    assert got["u1"] == ("max-age", 100)
+    assert got["u2"] == ("default", None)
+    assert got["u3"] == ("max-age", 7)
+
+
+def test_cache_policy_default_ttl(spark):
+    df = spark.createDataFrame(
+        [("u", {"X": "y"})], "url string, headers map<string,string>"
+    )
+    r = cache_policy(df, default_ttl_s=1234).collect()[0]
+    assert (r["policy"], r["freshness_s"]) == ("default", 1234)

@@ -477,3 +477,153 @@ def test_allpairs_parallelism_invariance(spark):
         for r in tfidf_allpairs(docs.repartition(7), 3, 10, 10**9).collect()
     )
     assert one == many
+
+
+# --- MaxScore pruned retrieval ----------------------------------------------
+
+import duckdb
+
+from bathyscaphe_spark.operators.search import maxscore_topk, percolate
+
+
+def _exhaustive_bm25(rows, terms, k):
+    """Exhaustive token-split BM25 in DuckDB — the oracle shape."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    ts = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in ts)
+    tf_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN tf END), 0) AS tf_{i}"
+        for i, t in enumerate(ts)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(ts))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n_docs::DOUBLE - df_{i}::DOUBLE + 0.5) / (df_{i}::DOUBLE + 0.5))"
+        f" * (tf_{i}::DOUBLE * {BM25_K1 + 1.0!r})"
+        f" / (tf_{i}::DOUBLE + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r}"
+        f" * dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))"
+        for i in range(len(ts))
+    )
+    return con.execute(f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS term FROM d),
+dls AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+piv AS (SELECT d.doc_id, COALESCE(dls.dl, 0) AS dl, {tf_cols}
+        FROM d LEFT JOIN dls USING (doc_id) LEFT JOIN tf USING (doc_id)
+        GROUP BY d.doc_id, COALESCE(dls.dl, 0)),
+stats AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl,
+                 {df_cols} FROM piv),
+scored AS (SELECT doc_id, round(0.0 + {score}, 6) AS score6
+           FROM piv CROSS JOIN stats)
+SELECT doc_id, score6 FROM scored WHERE score6 > 0
+ORDER BY score6 DESC, doc_id ASC LIMIT {k}
+""").fetchall()
+
+
+def _planted_corpus():
+    # 60 docs: "rare" appears in 6, "filler"/"common" near-everywhere;
+    # varying lengths exercise the dl normalization
+    rows = []
+    for i in range(60):
+        words = ["common"] * (1 + i % 4) + ["filler"] * (2 + i % 3)
+        if i % 10 == 0:
+            words += ["rare"] * (1 + i % 2)
+        words += ["pad"] * (i % 7)
+        rows.append((i, " ".join(words)))
+    return rows
+
+
+class TestMaxScore:
+    def test_equals_exhaustive_on_planted_corpus(self, spark):
+        rows = _planted_corpus()
+        terms = ["rare", "common", "filler"]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r["doc_id"], r["score6"])
+            for r in maxscore_topk(df, terms, k=10).collect()
+        ]
+        want = _exhaustive_bm25(rows, terms, 10)
+        assert got == [(d, s) for d, s in want]
+
+    def test_prunes_to_rare_postings(self, spark):
+        # with k=3 < |rare postings| = 6 and two weak terms, θ from the
+        # rare seed exceeds the weak tail — every result contains
+        # "rare", proving the essential cut bites without losing rows
+        rows = _planted_corpus()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = maxscore_topk(df, ["rare", "common", "filler"], k=3).collect()
+        assert len(got) == 3
+        by_id = dict(rows)
+        assert all("rare" in by_id[r["doc_id"]] for r in got)
+
+    def test_all_absent_terms_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+        assert maxscore_topk(df, ["zzz", "qqq"], k=5).count() == 0
+
+    def test_fewer_matches_than_k(self, spark):
+        rows = [(1, "alpha beta"), (2, "beta gamma"), (3, "delta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = maxscore_topk(df, ["beta"], k=10).collect()
+        assert sorted(r["doc_id"] for r in got) == [1, 2]
+
+    def test_partition_invariance(self, spark):
+        rows = _planted_corpus()
+        terms = ["rare", "filler"]
+        a = maxscore_topk(
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .repartition(1),
+            terms, k=8,
+        ).collect()
+        b = maxscore_topk(
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .repartition(13),
+            terms, k=8,
+        ).collect()
+        assert [(r["doc_id"], r["score6"]) for r in a] == [
+            (r["doc_id"], r["score6"]) for r in b
+        ]
+
+
+# --- percolator ---------------------------------------------------------------
+
+
+class TestPercolate:
+    def _qs(self, spark, rows):
+        return spark.createDataFrame(rows, "query_id long, terms array<string>")
+
+    def test_and_semantics(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta")],
+            "doc_id long, text string",
+        )
+        qs = self._qs(spark, [(0, ["alpha", "beta"]), (1, ["alpha"])])
+        got = {
+            (r["query_id"], r["doc_id"])
+            for r in percolate(docs, qs).collect()
+        }
+        assert got == {(0, 1), (1, 1), (1, 2)}
+
+    def test_repeated_doc_term_not_double_counted(self, spark):
+        # "alpha alpha" must not satisfy the 2-term AND by multiplicity
+        docs = spark.createDataFrame(
+            [(1, "alpha alpha")], "doc_id long, text string"
+        )
+        qs = self._qs(spark, [(0, ["alpha", "beta"])])
+        assert percolate(docs, qs).count() == 0
+
+    def test_case_folding_and_separators(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ALPHA-beta,GAMMA")], "doc_id long, text string"
+        )
+        qs = self._qs(spark, [(0, ["Alpha", "gamma"])])
+        assert percolate(docs, qs).count() == 1
