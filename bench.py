@@ -21,10 +21,14 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      BENCH_ROUNDS (default 3), BENCH_QUERIES=0 to skip per-query timing.
 
 Parallelism is picked PER WORKLOAD: the crawl headline runs at
-BENCH_CPUS, then the per-query sweep runs in a fresh session at the
-full CPUS — the sweep's scan-bound queries (decode, hash, dedup
-kernels) are embarrassingly parallel and want every core, while the
-small-universe crawl round is scheduling-bound and wants fewer.
+BENCH_CPUS; the per-query sweep runs at SPARK_GRAFT_QUERY_CPUS
+(default: BENCH_CPUS, reusing the warm session).  A local[32] sweep
+was measured strictly worse on this guest (163 of 186 queries slower
+than local[8], median 1.31× — partly ambient phase drift, but the
+many-tiny-job queries — bpe_train, lm_perplexity, crawl_metrics — lose
+2-5×, far beyond ambient: 32-way task scheduling + python worker pools
+dominate sub-second jobs, and the shared memory bus saturates near 8
+streams).  The knob exists for guests where more cores actually help.
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_CPUS", str(min(CPUS, 8))))
+QUERY_CPUS = int(os.environ.get("SPARK_GRAFT_QUERY_CPUS", str(BENCH_CPUS)))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 RUN_QUERIES = os.environ.get("BENCH_QUERIES", "1") != "0"
 
@@ -136,13 +141,13 @@ def main() -> None:
     if RUN_QUERIES:
         pages.unpersist()
         host_status.unpersist()
-        if CPUS != BENCH_CPUS:
-            # per-workload parallelism: the sweep gets all cores
+        if QUERY_CPUS != BENCH_CPUS:
+            # per-workload parallelism (opt-in; see docstring measurement)
             spark.stop()
             spark = build_session(
-                app_name=f"bathyscaphe-bench-queries-{CPUS}",
-                master=f"local[{CPUS}]",
-                shuffle_partitions=max(CPUS, 8),
+                app_name=f"bathyscaphe-bench-queries-{QUERY_CPUS}",
+                master=f"local[{QUERY_CPUS}]",
+                shuffle_partitions=max(QUERY_CPUS, 8),
             )
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
@@ -163,7 +168,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "bench_cpus": BENCH_CPUS,
-        "query_cpus": CPUS if RUN_QUERIES else None,
+        "query_cpus": QUERY_CPUS if RUN_QUERIES else None,
         "rounds": len(stats),
         "round_times_sec": round_times,
         "pages_universe": n_pages,
