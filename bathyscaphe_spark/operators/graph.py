@@ -115,6 +115,118 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     finally:
         sym.unpersist()
     return labels
+
+
+CC_STAR_MAX_ITERS = 48  # ≥ 2·log2(n)+safety; path graphs halve per round
+
+
+def connected_components_star(
+    edges: DataFrame, max_iters: int = CC_STAR_MAX_ITERS
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+    "Connected Components in MapReduce and Beyond", SoCC 2014, public):
+    the HIGH-DIAMETER companion of ``connected_components``.
+
+    Min-label propagation (the right tool for LSH near-dup cliques,
+    diameter ≲ 3) needs O(diameter) rounds — on a WEB/HOST graph whose
+    redirect chains and link paths stretch for hundreds of hops that is
+    hundreds of full edge shuffles.  The star alternation instead
+    CONTRACTS the graph toward depth-1 stars rooted at each component's
+    minimum id, converging in O(log n) rounds on paths (each large-star
+    doubles the hop length covered) and a handful of rounds on real
+    web graphs — the difference between 10 and 300 shuffles at 10^11
+    edges.
+
+    large-star(u):  m = min(N(u) ∪ {u});  emit (v, m) for v ∈ N(u), v > u
+    small-star(u):  over edges oriented (u > v):  m = min(N⁻(u));
+                    emit (v, m) for v ∈ N⁻(u) \ {m}, plus (u, m)
+
+    Both steps are one groupBy-min plus one equi-join — no
+    collect_list, so a mega-hub never materializes its adjacency in
+    one task (the shuffle spreads its edges; the min is a partial
+    agg).  Pairs are kept canonical (min, max) and distinct between
+    rounds; every round localCheckpoints to cut lineage.  Convergence
+    is an exact integer test: (count, bit_xor of pair hashes)
+    unchanged.  Determinism: min over BIGINT — bit-identical at any
+    parallelism.
+
+    Returns ``(node, comp)`` for every node incident to any input edge
+    (self-loops count as incidence), ``comp`` = min node id of the
+    component — the same contract as ``connected_components``.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # canonical undirected pairs (u > v), self-loops dropped
+    pairs = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(p: DataFrame) -> tuple[int, int]:
+        row = p.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).head()
+        return int(row["n"]), int(row["h"] or 0)
+
+    sig = signature(pairs)
+    try:
+        for _ in range(max_iters):
+            if sig[0] == 0:
+                break
+            # --- large-star over the symmetric view -------------------
+            sym = pairs.union(
+                pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            m = sym.groupBy("u").agg(
+                F.least(F.col("u"), F.min("v")).alias("m")
+            )
+            ls = (
+                sym.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
+                )  # v > u ≥ m ⇒ already canonical (u > v), no self-loop
+                .distinct()
+            )
+            # --- small-star over the (u > v) orientation ---------------
+            m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+            ss = (
+                ls.join(m2, "u")
+                .where(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m2.select("u", F.col("m").alias("v")))
+                .select(
+                    F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            new_sig = signature(ss)
+            pairs = ss
+            if new_sig == sig:
+                break
+            sig = new_sig
+        # at the fixed point every pair is (member, component-min)
+        comp = pairs.groupBy("u").agg(F.min("v").alias("_c"))
+        out = nodes.join(
+            comp, nodes["node"] == comp["u"], "left"
+        ).select("node", F.coalesce("_c", F.col("node")).alias("comp"))
+        return out
+    finally:
+        nodes.unpersist()
+
+
 DAMP_NUM = 85  # damping factor 0.85 as an integer ratio
 DAMP_DEN = 100
 

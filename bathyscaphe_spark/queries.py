@@ -10684,6 +10684,49 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# large-star/small-star connected components (high-diameter scale path)
+# --------------------------------------------------------------------------
+
+# planted component structure over doc ids: blocks of 50 nodes, each a
+# CHAIN (worst case for label propagation: diameter 49) closed into a
+# ring, with every 7th node shortcut to the block head — component =
+# block, known arithmetically
+_CC_STAR_EDGES_SQL = """
+SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 50 != 49
+UNION ALL
+SELECT doc_id AS src, doc_id - 49 AS dst FROM documents WHERE doc_id % 50 = 49
+UNION ALL
+SELECT doc_id AS src, (doc_id // 50) * 50 AS dst FROM documents
+WHERE doc_id % 7 = 0 AND doc_id % 50 != 0
+"""
+
+
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via large-star/small-star contraction
+    (operators/graph.py connected_components_star — Kiveris et al.
+    2014): the high-diameter companion of min-label propagation.  The
+    fixture plants diameter-50 ring-chains (hundreds of label-prop
+    rounds collapse to a handful of star rounds); the oracle knows
+    every component head arithmetically."""
+    from .operators.graph import connected_components_star
+
+    _docs(spark, sf_dir)
+    # same fixture text as the oracle; Spark spells integer div DIV
+    edges = spark.sql(_CC_STAR_EDGES_SQL.replace("//", "DIV"))
+    return connected_components_star(edges)
+
+
+ORACLE_CC_STAR = """
+WITH nodes AS (
+  SELECT src AS node FROM ({e})
+  UNION
+  SELECT dst AS node FROM ({e})
+)
+SELECT node, (node // 50) * 50 AS comp FROM nodes
+""".format(e=_CC_STAR_EDGES_SQL)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10861,6 +10904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxscore_topk": q_maxscore_topk,
     "percolate_match": q_percolate_match,
     "cache_policy": q_cache_policy,
+    "cc_star": q_cc_star,
     "search_snippets": q_search_snippets,
     "bm25_search": q_bm25_search,
     "sequence_pack": q_sequence_pack,
@@ -11058,6 +11102,7 @@ ORACLES: dict[str, str] = {
     "maxscore_topk": _maxscore_oracle_sql(),
     "percolate_match": _percolate_oracle_sql(),
     "cache_policy": ORACLE_CACHE_POLICY,
+    "cc_star": ORACLE_CC_STAR,
     "search_snippets": _snippet_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),
     "sequence_pack": ORACLE_SEQUENCE_PACK,

@@ -714,3 +714,59 @@ class TestHyperballHarmonic:
         e = spark.createDataFrame([(0, 1)], "src long, dst long")
         with _pytest.raises(ValueError):
             hyperball_harmonic(e, m=17)
+
+
+# --- large-star/small-star connected components --------------------------------
+
+from bathyscaphe_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _cc_map(df):
+    return {r["node"]: r["comp"] for r in df.collect()}
+
+
+class TestStarCC:
+    def test_matches_label_propagation_on_mixed_graph(self, spark):
+        # deterministic pseudo-random graph: components of varied shape
+        edges = []
+        for i in range(200):
+            a = (i * 7919) % 120
+            b = (i * 104729 + 13) % 120
+            if a != b:
+                edges.append((a, b))
+        edges += [(500, 501), (502, 502)]  # pair + self-loop isolate
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = _cc_map(connected_components_star(df))
+        want = _cc_map(connected_components(df))
+        assert got == want
+
+    def test_high_diameter_converges_in_log_rounds(self, spark):
+        # a 400-node path needs ~400 label-prop rounds but only
+        # O(log n) star rounds — max_iters=16 must suffice
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(399)], "src long, dst long"
+        )
+        got = _cc_map(connected_components_star(df, max_iters=16))
+        assert got == {i: 0 for i in range(400)}
+
+    def test_component_min_is_label(self, spark):
+        df = spark.createDataFrame(
+            [(9, 4), (4, 7), (3, 8)], "src long, dst long"
+        )
+        got = _cc_map(connected_components_star(df))
+        assert got == {9: 4, 4: 4, 7: 4, 3: 3, 8: 3}
+
+    def test_partition_invariance(self, spark):
+        edges = [(i, (i * 31 + 5) % 97) for i in range(150) if i != (i * 31 + 5) % 97]
+        a = _cc_map(connected_components_star(
+            spark.createDataFrame(edges, "src long, dst long").repartition(1)))
+        b = _cc_map(connected_components_star(
+            spark.createDataFrame(edges, "src long, dst long").repartition(17)))
+        assert a == b
+
+    def test_empty_edges(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        assert connected_components_star(df).count() == 0
