@@ -10727,6 +10727,115 @@ SELECT node, (node // 50) * 50 AS comp FROM nodes
 
 
 # --------------------------------------------------------------------------
+# streaming per-host token-bucket politeness (streaming/stateful.py)
+# --------------------------------------------------------------------------
+
+_RL_ROWS_SQL = """
+SELECT 'h' || CAST(doc_id % 10 AS STRING) AS host,
+       CAST((doc_id {div} 10) % 4 AS BIGINT) AS batch,
+       CAST((doc_id * 7919) % 100000 AS BIGINT) AS url_hash,
+       CAST(doc_id % 7 AS BIGINT) AS priority
+FROM documents WHERE doc_id % 11 != 0
+"""
+_RL_RATE, _RL_BURST = 2, 5
+
+
+def q_rate_limit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-host token bucket (streaming/stateful.py
+    streaming_rate_limit) run to completion: 4 epoch files through
+    applyInPandasWithState (maxFilesPerTrigger=1, availableNow) into a
+    memory sink.  Epochs are a DATA column, so admission is
+    content-derived: burst=5 admits the first epoch's head, then
+    rate=2 refills per epoch — every (host, epoch) overflow defers.
+    The oracle unrolls the clamped token recurrence per host."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .streaming.stateful import streaming_rate_limit
+
+    _docs(spark, sf_dir)
+    inp = spark.sql(_RL_ROWS_SQL.format(div="DIV"))
+    root = tempfile.mkdtemp(prefix="q_rate_limit_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    try:
+        t0 = int(_time.time())
+        for b in range(4):
+            stage = os.path.join(root, f"stage{b}")
+            (
+                inp.where(F.col("batch") == b)
+                .coalesce(1)
+                .write.parquet(stage)
+            )
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"batch-{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + b, t0 + b))  # file order == epoch order
+        stream = (
+            spark.readStream.schema(
+                "host string, batch long, url_hash long, priority long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            streaming_rate_limit(stream, rate=_RL_RATE, burst=_RL_BURST)
+            .writeStream.format("memory")
+            .queryName("q_rate_limit_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table("q_rate_limit_out").select(
+        "host", "batch", "url_hash", "admitted"
+    )
+
+
+def _rate_limit_oracle_sql() -> str:
+    r, cap = _RL_RATE, _RL_BURST
+    # unrolled clamped recurrence: avail_0 = burst; a_b = min(n_b, avail_b);
+    # avail_{b+1} = min(burst, avail_b − a_b + rate)
+    steps = []
+    prev_avail = str(cap)
+    for b in range(4):
+        steps.append(f"LEAST(n{b}, {prev_avail}) AS a{b}")
+        prev_avail = f"LEAST({cap}, {prev_avail} - LEAST(n{b}, {prev_avail}) + {r})"
+        steps.append(f"{prev_avail} AS v{b+1}")
+        prev_avail = f"v{b+1}"
+    n_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN batch = {b} THEN n END), 0) AS n{b}"
+        for b in range(4)
+    )
+    adm_case = " ".join(
+        f"WHEN batch = {b} THEN a{b}" for b in range(4)
+    )
+    return f"""
+WITH rows_ AS ({_RL_ROWS_SQL.format(div="//")}),
+ranked AS (
+  SELECT host, batch, url_hash,
+         ROW_NUMBER() OVER (
+           PARTITION BY host, batch ORDER BY priority DESC, url_hash
+         ) AS rk
+  FROM rows_
+),
+counts AS (SELECT host, batch, COUNT(*)::BIGINT AS n FROM rows_ GROUP BY host, batch),
+piv AS (SELECT host, {n_cols} FROM counts GROUP BY host),
+rec AS (SELECT host, {", ".join(steps)} FROM piv)
+SELECT rk.host, rk.batch, rk.url_hash,
+       CAST(CASE WHEN rk.rk <= (CASE {adm_case} END) THEN 1 ELSE 0 END AS BIGINT)
+         AS admitted
+FROM ranked rk JOIN rec USING (host)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10905,6 +11014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percolate_match": q_percolate_match,
     "cache_policy": q_cache_policy,
     "cc_star": q_cc_star,
+    "rate_limit_stream": q_rate_limit_stream,
     "search_snippets": q_search_snippets,
     "bm25_search": q_bm25_search,
     "sequence_pack": q_sequence_pack,
@@ -11103,6 +11213,7 @@ ORACLES: dict[str, str] = {
     "percolate_match": _percolate_oracle_sql(),
     "cache_policy": ORACLE_CACHE_POLICY,
     "cc_star": ORACLE_CC_STAR,
+    "rate_limit_stream": _rate_limit_oracle_sql(),
     "search_snippets": _snippet_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),
     "sequence_pack": ORACLE_SEQUENCE_PACK,

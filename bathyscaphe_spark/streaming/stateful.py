@@ -135,3 +135,98 @@ def streaming_seen_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming politeness: per-host token bucket -----------------------------
+
+RL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("batch", LongType()),
+        StructField("url_hash", LongType()),
+        StructField("admitted", LongType()),  # 1/0 (bool-as-int, oracle-safe)
+    ]
+)
+RL_STATE_SCHEMA = StructType(
+    [StructField("tokens", LongType()), StructField("last_batch", LongType())]
+)
+
+
+def make_rate_limit_shard(rate: int, burst: int):
+    """Kernel factory (applyInPandasWithState, keyed by host)."""
+
+    def _rate_limit(key, pdfs, state: GroupState):
+        host = key[0]
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            tokens, last_batch = state.get
+        else:
+            tokens, last_batch = int(burst), None
+        # deterministic admission order: batch, then priority DESC,
+        # then url_hash — content-derived, independent of arrival order
+        pdf = pdf.sort_values(
+            ["batch", "priority", "url_hash"], ascending=[True, False, True]
+        )
+        out_frames = []
+        for b, grp in pdf.groupby("batch", sort=True):
+            b = int(b)
+            if last_batch is not None and b > last_batch:
+                # clamped refill composes across skipped batches:
+                # min(burst, t + r·k) == k-fold min(burst, ·+r)
+                tokens = min(int(burst), tokens + rate * (b - last_batch))
+            last_batch = b if last_batch is None else max(last_batch, b)
+            n = len(grp)
+            adm = min(n, tokens)
+            tokens -= adm
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "host": host,
+                        "batch": np.int64(b),
+                        "url_hash": grp["url_hash"].to_numpy(np.int64),
+                        "admitted": (np.arange(n) < adm).astype(np.int64),
+                    }
+                )
+            )
+        state.update((int(tokens), int(last_batch)))
+        yield pd.concat(out_frames, ignore_index=True)
+
+    return _rate_limit
+
+
+def streaming_rate_limit(
+    fetch_stream: DataFrame, rate: int, burst: int
+) -> DataFrame:
+    """Per-host token-bucket politeness over a fetch-request stream —
+    the ONLINE form of the batch engine's per-host budgets (the classic
+    token bucket, public networking folklore; state via
+    ``applyInPandasWithState`` like ``streaming_seen_dedup``).
+
+    ``fetch_stream``: (host, batch, url_hash, priority).  ``batch`` is
+    a DATA column (the request's epoch), not the engine's micro-batch
+    id — admission therefore depends only on content: the kernel
+    replays epochs in order within whatever slice the engine hands it,
+    refilling ``rate`` tokens per elapsed epoch (clamped at ``burst``,
+    and the clamp composes across skipped epochs, so a host idle for k
+    epochs refills min(burst, t + rate·k) exactly).  A fresh host
+    starts with a full bucket.  Within an epoch, requests admit in
+    (priority DESC, url_hash) order until tokens run out; the rest are
+    emitted ``admitted = 0`` — the caller's re-queue signal (the batch
+    engine's politeness leftovers, online).
+
+    State per host: two BIGINTs — orders of magnitude lighter than the
+    dedup shards; host-keyed grouping caps parallelism at host
+    cardinality exactly like the batch politeness rank.
+
+    Output: (host, batch, url_hash, admitted 1|0) for EVERY request —
+    an audit stream, deterministic at any parallelism and any
+    micro-batch slicing (epochs only need to arrive in nondecreasing
+    order per host, which a time-ordered source provides).
+    """
+    return fetch_stream.groupBy("host").applyInPandasWithState(
+        make_rate_limit_shard(int(rate), int(burst)),
+        outputStructType=RL_OUTPUT_SCHEMA,
+        stateStructType=RL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
