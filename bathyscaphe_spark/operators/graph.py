@@ -140,7 +140,7 @@ def connected_components_star(
 
     large-star(u):  m = min(N(u) ∪ {u});  emit (v, m) for v ∈ N(u), v > u
     small-star(u):  over edges oriented (u > v):  m = min(N⁻(u));
-                    emit (v, m) for v ∈ N⁻(u) \ {m}, plus (u, m)
+                    emit (v, m) for v ∈ N⁻(u) minus {m}, plus (u, m)
 
     Both steps are one groupBy-min plus one equi-join — no
     collect_list, so a mega-hub never materializes its adjacency in

@@ -540,3 +540,55 @@ def dispatch_schedule(
     return out.drop("_seq", "_d", *(
         ["delay_ms"] if delays is not None else []
     ))
+
+
+def host_explosion_guard(
+    frontier: DataFrame,
+    max_hosts: int,
+    host_col: str = "host",
+    suffixes=None,
+) -> DataFrame:
+    """Spam-farm containment by HOST-CARDINALITY budget per registered
+    domain (the defense IRLbot ran as domain-budgeted crawling — Lee,
+    Leonard, Wang & Loguinov, WWW 2008, public): link farms mint
+    unbounded synthetic subdomains (*.spam-site.com), and per-HOST
+    politeness alone happily schedules a million one-URL hosts.  The
+    guard groups frontier hosts by eTLD+1 (PSL longest match,
+    ``registered_domain_cols``) and keeps at most ``max_hosts`` hosts
+    per domain — ranked (n_urls DESC, host ASC), so a legitimate site's
+    big subdomains survive and the minted long tail is cut.
+
+    Relational shape: one groupBy(host) count (map-side partials), the
+    broadcast PSL join, one window over DOMAINS (cardinality = distinct
+    domains ≪ hosts; the per-domain row count this window sorts is
+    bounded by hosts-per-domain, and the guard exists precisely because
+    that should be small for honest sites).  Returns per-host verdicts
+    ``(host, registered_domain, n_urls, host_rank, kept)`` — callers
+    apply it as a broadcast semi/anti-join on the frontier, exactly
+    like the hostname blacklist (F4).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.urltools import PUBLIC_SUFFIXES, registered_domain_cols
+
+    counts = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    dom = registered_domain_cols(
+        counts, suffixes=suffixes or PUBLIC_SUFFIXES
+    ).select("host", "registered_domain")
+    ranked = counts.join(dom, "host").withColumn(
+        "host_rank",
+        F.row_number().over(
+            Window.partitionBy("registered_domain").orderBy(
+                F.col("n_urls").desc(), F.col("host").asc()
+            )
+        ).cast("long"),
+    )
+    return ranked.select(
+        "host",
+        "registered_domain",
+        "n_urls",
+        "host_rank",
+        (F.col("host_rank") <= F.lit(int(max_hosts))).alias("kept"),
+    )

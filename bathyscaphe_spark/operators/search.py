@@ -861,3 +861,89 @@ def percolate(
             F.col("n_terms"),
         )
     )
+
+
+BM25F_FIELDS: tuple[tuple[str, float, float], ...] = (
+    # (column, boost, b) — title counts 3×, anchors 2×, body 1×
+    ("title", 3.0, 0.5),
+    ("body", 1.0, 0.75),
+    ("anchor", 2.0, 0.5),
+)
+
+
+def bm25f_search(
+    resources: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    url_col: str = "url",
+    fields: tuple[tuple[str, float, float], ...] = BM25F_FIELDS,
+) -> DataFrame:
+    """Fielded BM25 — BM25F (Robertson, Zaragoza & Taylor, "Simple BM25
+    extension to multiple weighted fields", CIKM 2004 — public): the
+    web ranking function where a page is title + body + AGGREGATED
+    ANCHOR TEXT (the words other pages use to link here — the classic
+    off-page relevance signal; see ``anchor_text`` for the aggregation).
+    Unlike score-summing per field, BM25F combines fields BEFORE
+    saturation, so three title hits and three anchor hits reinforce
+    instead of each saturating alone:
+
+        w(t,d)  = Σ_f boost_f · tf_f / (1 + b_f·(dl_f/avgdl_f − 1))
+        score(d)= Σ_t idf_t · w(t,d) / (k1 + w(t,d))
+
+    idf uses any-field document frequency with the Lucene +1 floor.
+
+    Plan shape = bm25_search's: one stats aggregation (single row:
+    N, Σdl per field, df per term — map-side partials, scalar shuffle),
+    broadcast back, pure-codegen scoring, TakeOrderedAndProject.
+    Determinism: fixed operand order, round 6 (same libm-ulp caveat as
+    bm25_search).  Returns (url, score6), top k by (score6 DESC, url).
+    """
+    proj = [F.col(url_col).alias("url")]
+    for f, _, _ in fields:
+        dl = F.size(
+            F.filter(F.split(F.lower(F.col(f)), r"\s+"), lambda x: x != "")
+        ).cast("long")
+        proj.append(dl.alias(f"dl_{f}"))
+        for i, t in enumerate(terms):
+            proj.append(_tf(F.col(f), t).alias(f"tf_{f}_{i}"))
+    d = resources.select(*proj)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(f"dl_{f}").alias(f"sum_dl_{f}") for f, _, _ in fields],
+        *[
+            F.sum(
+                (
+                    sum(
+                        (F.col(f"tf_{f}_{i}") for f, _, _ in fields),
+                        F.lit(0).cast("long"),
+                    )
+                    > 0
+                ).cast("long")
+            ).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    s = d.crossJoin(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+    score: Column = F.lit(0.0)
+    for i in range(len(terms)):
+        w: Column = F.lit(0.0)
+        for f, boost, b in fields:
+            # a corpus-wide empty field (Σdl = 0) has tf = 0 everywhere —
+            # its contribution is 0; the guard keeps ANSI division happy
+            avgdl = F.col(f"sum_dl_{f}").cast("double") / n
+            ratio = F.when(
+                F.col(f"sum_dl_{f}") > 0,
+                F.col(f"dl_{f}").cast("double") / avgdl,
+            ).otherwise(F.lit(0.0))
+            norm = F.lit(1.0) + F.lit(b) * (ratio - F.lit(1.0))
+            w = w + F.lit(boost) * F.col(f"tf_{f}_{i}").cast("double") / norm
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        score = score + idf * w / (F.lit(BM25_K1) + w)
+    return (
+        s.select("url", F.round(score, 6).alias("score6"))
+        .where(F.col("score6") > 0)
+        .orderBy(F.col("score6").desc(), F.col("url"))
+        .limit(k)
+    )

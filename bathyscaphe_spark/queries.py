@@ -10836,6 +10836,133 @@ FROM ranked rk JOIN rec USING (host)
 
 
 # --------------------------------------------------------------------------
+# BM25F fielded ranking / domain host-explosion guard
+# --------------------------------------------------------------------------
+
+# resources with an AGGREGATED-ANCHOR field: target i's anchor text is
+# words 2-4 of the text of its (deterministic) linking doc (i*17+3)%500
+_BM25F_RES_SQL = """
+SELECT concat('https://site-', CAST(r.doc_id % 50 AS STRING),
+              '.onion/doc/', CAST(r.doc_id AS STRING)) AS url,
+       array_join(slice(split(r.text, ' '), 1, 5), ' ') AS title,
+       r.text AS body,
+       coalesce(array_join(slice(split(s.text, ' '), 2, 3), ' '), '') AS anchor
+FROM documents r
+LEFT JOIN documents s ON s.doc_id = (r.doc_id * 17 + 3) % 500
+"""
+_BM25F_RES_DUCK = _BM25F_RES_SQL.replace(
+    "array_join(slice(split(", "array_to_string(list_slice(string_split("
+).replace("' '), 1, 5), ' ')", "' '), 1, 5), ' ')").replace(
+    "' '), 2, 3), ' ')", "' '), 2, 4), ' ')"
+)
+
+
+def q_bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F fielded retrieval (operators/search.py bm25f_search —
+    Robertson/Zaragoza/Taylor CIKM'04): title ×3, anchor ×2, body ×1
+    combined BEFORE tf saturation, anchor text carried from the linking
+    document (the off-page signal).  Same one-stats-pass + codegen +
+    TakeOrdered shape as bm25_search."""
+    from .operators.search import bm25f_search
+
+    _docs(spark, sf_dir)
+    res = spark.sql(_BM25F_RES_SQL)
+    return bm25f_search(res, _SEARCH_TERMS, k=_SEARCH_K)
+
+
+def _bm25f_oracle_sql() -> str:
+    from .operators.search import BM25F_FIELDS, BM25_K1
+
+    terms = _SEARCH_TERMS
+    tf = lambda col, t: (
+        rf"CAST(len(regexp_extract_all(lower({col}), '\b{t}\b')) AS BIGINT)"
+    )
+    dl = lambda col: (
+        rf"len(list_filter(string_split_regex(lower({col}), '\s+'), x -> x != ''))::BIGINT"
+    )
+    prep_cols = []
+    for f, _, _ in BM25F_FIELDS:
+        prep_cols.append(f"{dl(f)} AS dl_{f}")
+        for i, t in enumerate(terms):
+            prep_cols.append(f"{tf(f, t)} AS tf_{f}_{i}")
+    df_cols = ", ".join(
+        "SUM(CASE WHEN "
+        + " + ".join(f"tf_{f}_{i}" for f, _, _ in BM25F_FIELDS)
+        + f" > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(terms))
+    )
+    sum_cols = ", ".join(
+        f"SUM(dl_{f})::BIGINT AS sum_dl_{f}" for f, _, _ in BM25F_FIELDS
+    )
+    score_terms = []
+    for i in range(len(terms)):
+        w = " + ".join(
+            f"{boost!r} * tf_{f}_{i}::DOUBLE / "
+            f"(1.0 + {b!r} * ((CASE WHEN sum_dl_{f} > 0 THEN "
+            f"dl_{f}::DOUBLE / (sum_dl_{f}::DOUBLE / n_docs::DOUBLE) "
+            f"ELSE 0.0 END) - 1.0))"
+            for f, boost, b in BM25F_FIELDS
+        )
+        score_terms.append(
+            f"ln(1.0 + (n_docs::DOUBLE - df_{i}::DOUBLE + 0.5) / (df_{i}::DOUBLE + 0.5))"
+            f" * (0.0 + {w}) / ({BM25_K1!r} + (0.0 + {w}))"
+        )
+    score = " + ".join(score_terms)
+    return f"""
+WITH res AS ({_BM25F_RES_DUCK}),
+prep AS (SELECT url, {", ".join(prep_cols)} FROM res),
+stats AS (SELECT COUNT(*)::BIGINT AS n_docs, {sum_cols}, {df_cols} FROM prep),
+scored AS (SELECT url, round(0.0 + {score}, 6) AS score6 FROM prep CROSS JOIN stats)
+SELECT url, score6 FROM scored WHERE score6 > 0
+ORDER BY score6 DESC, url ASC LIMIT {_SEARCH_K}
+"""
+
+
+_HEG_MAX_HOSTS = 5
+_HEG_FRONTIER_SQL = """
+SELECT 's' || CAST(doc_id % 23 AS STRING) || '.d'
+           || CAST(doc_id % 5 AS STRING) || '.com' AS host,
+       CAST(doc_id AS BIGINT) AS url_hash
+FROM documents
+"""
+
+
+def q_host_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain host-cardinality spam guard (operators/politeness.py
+    host_explosion_guard — IRLbot-style domain budgets, Lee et al.
+    WWW'08): 23 minted subdomains per registered domain, keep the top
+    5 by (n_urls DESC, host ASC).  The oracle recomputes the eTLD+1
+    arithmetically and replays the rank."""
+    from .operators.politeness import host_explosion_guard
+
+    _docs(spark, sf_dir)
+    frontier = spark.sql(_HEG_FRONTIER_SQL)
+    return host_explosion_guard(frontier, max_hosts=_HEG_MAX_HOSTS)
+
+
+ORACLE_HOST_EXPLOSION = f"""
+WITH f AS ({_HEG_FRONTIER_SQL}),
+counts AS (
+  SELECT host, 'd' || CAST(doc_id % 5 AS STRING) || '.com' AS registered_domain,
+         COUNT(*)::BIGINT AS n_urls
+  FROM ({_HEG_FRONTIER_SQL.replace("FROM documents", ", doc_id FROM documents")})
+  GROUP BY host, registered_domain
+),
+ranked AS (
+  SELECT host, registered_domain, n_urls,
+         ROW_NUMBER() OVER (
+           PARTITION BY registered_domain
+           ORDER BY n_urls DESC, host ASC
+         )::BIGINT AS host_rank
+  FROM counts
+)
+SELECT host, registered_domain, n_urls, host_rank,
+       host_rank <= {_HEG_MAX_HOSTS} AS kept
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -11015,6 +11142,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cache_policy": q_cache_policy,
     "cc_star": q_cc_star,
     "rate_limit_stream": q_rate_limit_stream,
+    "bm25f_search": q_bm25f_search,
+    "host_explosion": q_host_explosion,
     "search_snippets": q_search_snippets,
     "bm25_search": q_bm25_search,
     "sequence_pack": q_sequence_pack,
@@ -11214,6 +11343,8 @@ ORACLES: dict[str, str] = {
     "cache_policy": ORACLE_CACHE_POLICY,
     "cc_star": ORACLE_CC_STAR,
     "rate_limit_stream": _rate_limit_oracle_sql(),
+    "bm25f_search": _bm25f_oracle_sql(),
+    "host_explosion": ORACLE_HOST_EXPLOSION,
     "search_snippets": _snippet_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),
     "sequence_pack": ORACLE_SEQUENCE_PACK,

@@ -174,3 +174,52 @@ class TestRetryAfterDates:
         # without a clock the date form is conservatively ignored
         got2 = dict(map(tuple, retry_after_budgets(df, 60).collect()))
         assert got2 == {"h1": 2}
+
+
+# --- domain host-explosion guard ------------------------------------------------
+
+from bathyscaphe_spark.operators.politeness import host_explosion_guard
+
+
+def _frontier(spark, hosts):
+    return spark.createDataFrame(
+        [(h, i) for i, h in enumerate(hosts)], "host string, url_hash long"
+    )
+
+
+def test_host_explosion_cuts_minted_tail(spark):
+    # spam.com mints 8 subdomains with 1 URL each; big.com has 2 honest
+    # subdomains with real mass — max_hosts=3 keeps all of big.com and
+    # only 3 of spam.com's tail (host-asc ties)
+    hosts = [f"x{i}.spam.com" for i in range(8)]
+    hosts += ["www.big.com"] * 5 + ["img.big.com"] * 2
+    out = {
+        r["host"]: (r["registered_domain"], r["n_urls"], r["host_rank"], r["kept"])
+        for r in host_explosion_guard(_frontier(spark, hosts), max_hosts=3).collect()
+    }
+    assert out["www.big.com"] == ("big.com", 5, 1, True)
+    assert out["img.big.com"] == ("big.com", 2, 2, True)
+    spam = sorted(h for h in out if h.endswith("spam.com"))
+    kept = [h for h in spam if out[h][3]]
+    assert kept == ["x0.spam.com", "x1.spam.com", "x2.spam.com"]
+    assert sum(1 for h in spam if not out[h][3]) == 5
+
+
+def test_host_explosion_mass_outranks_name(spark):
+    hosts = ["zzz.d.com"] * 4 + ["aaa.d.com"]
+    out = {
+        r["host"]: r["host_rank"]
+        for r in host_explosion_guard(_frontier(spark, hosts), max_hosts=1).collect()
+    }
+    assert out["zzz.d.com"] == 1 and out["aaa.d.com"] == 2
+
+
+def test_host_explosion_multilabel_suffix(spark):
+    # a.site.co.uk and b.site.co.uk share eTLD+1 site.co.uk
+    hosts = ["a.site.co.uk", "b.site.co.uk", "c.other.co.uk"]
+    out = {
+        r["host"]: r["registered_domain"]
+        for r in host_explosion_guard(_frontier(spark, hosts), max_hosts=9).collect()
+    }
+    assert out["a.site.co.uk"] == "site.co.uk" == out["b.site.co.uk"]
+    assert out["c.other.co.uk"] == "other.co.uk"

@@ -627,3 +627,79 @@ class TestPercolate:
         )
         qs = self._qs(spark, [(0, ["Alpha", "gamma"])])
         assert percolate(docs, qs).count() == 1
+
+
+# --- BM25F fielded ranking -----------------------------------------------------
+
+from bathyscaphe_spark.operators.search import bm25f_search
+
+
+class TestBM25F:
+    def _res(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, title string, body string, anchor string"
+        )
+
+    def test_anchor_only_hit_ranks(self, spark):
+        # a doc matched ONLY via anchor text must outrank a non-match —
+        # the whole point of carrying off-page text
+        df = self._res(spark, [
+            ("u1", "plain", "nothing here", "alpha description"),
+            ("u2", "plain", "nothing there", "other words"),
+        ])
+        got = bm25f_search(df, ["alpha"], k=5).collect()
+        assert [r["url"] for r in got] == ["u1"]
+
+    def test_matches_reference_formula(self, spark):
+        # exact python mirror of the BM25F arithmetic (field-pooled tf
+        # BEFORE saturation), scores compared at the round-6 contract
+        import math
+
+        from bathyscaphe_spark.operators.search import BM25F_FIELDS, BM25_K1
+
+        rows = [
+            ("u1", "alpha x", "y y alpha", "alpha link"),
+            ("u2", "none", "alpha " * 3 + "pad", ""),
+            ("u3", "alpha alpha", "w " * 9, "other"),
+        ]
+        got = {
+            r["url"]: r["score6"]
+            for r in bm25f_search(self._res(spark, rows), ["alpha"], k=9).collect()
+        }
+        fields = {f: i + 1 for i, (f, _, _) in enumerate(BM25F_FIELDS)}
+        dls = {f: [len(r[i].split()) for r in rows] for f, i in fields.items()}
+        tfs = {
+            f: [r[i].lower().split().count("alpha") for r in rows]
+            for f, i in fields.items()
+        }
+        n = len(rows)
+        df = sum(
+            1 for j in range(n) if any(tfs[f][j] for f in fields)
+        )
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        want = {}
+        for j, r in enumerate(rows):
+            w = 0.0
+            for f, boost, b in BM25F_FIELDS:
+                avg = sum(dls[f]) / n
+                w += boost * tfs[f][j] / (1.0 + b * (dls[f][j] / avg - 1.0))
+            s = round(idf * w / (BM25_K1 + w), 6)
+            if s > 0:
+                want[r[0]] = s
+        assert got == want
+
+    def test_deterministic_order_and_k(self, spark):
+        rows = [
+            (f"u{i:02d}", "alpha", f"alpha {'w ' * (i % 5)}", "")
+            for i in range(12)
+        ]
+        got = bm25f_search(self._res(spark, rows), ["alpha"], k=7)
+        assert got.count() == 7
+        a = [r["url"] for r in got.collect()]
+        b = [
+            r["url"]
+            for r in bm25f_search(
+                self._res(spark, rows).repartition(9), ["alpha"], k=7
+            ).collect()
+        ]
+        assert a == b
