@@ -167,6 +167,12 @@ class CrawlConfig:
     # space.  Off by default — the reference schedules trap URLs, and
     # the parity oracles replay reference semantics exactly.
     trap_guard_enabled: bool = False
+    # domain host-explosion guard (operators/politeness.py
+    # host_explosion_guard): at most N hosts per registered domain may
+    # schedule in one round (IRLbot-style spam-farm containment); the
+    # cut hosts' rows DEFER to the next frontier (defer-never-drop,
+    # like the politeness budget).  0 = off (reference parity).
+    host_explosion_max: int = 0
 
     # page-level robots directives (functions/html.py robots_meta_cols):
     # <meta name="robots"> ∪ X-Robots-Tag — nofollow pages contribute no

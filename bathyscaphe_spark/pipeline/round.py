@@ -404,6 +404,25 @@ def run_round(
                 ROUND_INTERVAL_S,
             ),
         )
+    # domain host-explosion containment (IRLbot-style): hosts beyond the
+    # per-eTLD+1 cardinality budget sit this round out — their rows go
+    # straight to the deferred leftover (defer-never-drop, exactly the
+    # politeness contract), so a spam farm's minted subdomains can never
+    # monopolize the round while honest domains starve.  The verdict
+    # table is host-cardinality-sized → broadcast semi/anti joins.
+    explosion_deferred = None
+    if config.host_explosion_max:
+        from ..operators.politeness import host_explosion_guard
+
+        _cut = (
+            host_explosion_guard(frontier, config.host_explosion_max)
+            .where(~F.col("kept"))
+            .select("host")
+        )
+        explosion_deferred = frontier.join(
+            F.broadcast(_cut), "host", "left_semi"
+        )
+        frontier = frontier.join(F.broadcast(_cut), "host", "left_anti")
     n_frontier_rows = catalog.rows_in_round("frontier", round_n)
     if config.round_fetch_budget:
         # global cross-host cap: the TakeOrdered cut is not a per-row
@@ -582,14 +601,25 @@ def run_round(
         leftover = leftover.withColumn(
             "priority", F.col("_base_priority").cast("int")
         ).drop("_base_priority")
+    if explosion_deferred is not None:
+        _d = explosion_deferred.withColumn("round", F.lit(round_n + 1))
+        if "_base_priority" in _d.columns:
+            _d = _d.withColumn(
+                "priority", F.col("_base_priority").cast("int")
+            ).drop("_base_priority")
+        leftover = leftover.unionByName(_d)
     new_delta = _frontier_delta(new_urls, round_n)
-    if config.refresh_delay_s or config.round_fetch_budget:
+    if (
+        config.refresh_delay_s
+        or config.round_fetch_budget
+        or config.host_explosion_max
+    ):
         # a leftover can collide with a re-discovery only when its seen
         # TTL expired mid-flight (without expiry every frontier row has
         # a live seen entry, so the seen anti-join already dropped the
         # duplicate discovery) — keep the guard exactly when TTLs are
-        # live, or when the global-cap fallback computed leftovers by
-        # anti-join (conservative)
+        # live, or when the global-cap fallback / explosion deferral
+        # computed leftovers by anti-join or host cut (conservative)
         new_delta = new_delta.join(
             leftover.select("url_hash"), "url_hash", "left_anti"
         )
