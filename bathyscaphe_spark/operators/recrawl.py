@@ -483,3 +483,77 @@ def cache_policy(
         policy.alias("policy"),
         fresh.alias("freshness_s"),
     )
+
+
+def refresh_plan(
+    latest_fetch: DataFrame,
+    adaptive: DataFrame | None = None,
+    sitemap: DataFrame | None = None,
+    cache: DataFrame | None = None,
+    default_interval_s: int = 7 * 86400,
+    min_interval_s: int = 3600,
+) -> DataFrame:
+    """Fuse the engine's three refresh signals into one per-URL plan —
+    the decision a production recrawler actually makes:
+
+      * ``adaptive``  (url, interval_s) — change-history TTLs
+        (adaptive_seen_delta): the OBSERVED change rate;
+      * ``sitemap``   (url, interval_s) — the site's ADVERTISED cadence
+        (sitemap_schedule <changefreq>);
+      * ``cache``     (url, freshness_s) — the server's DECLARED
+        freshness lifetime (cache_policy, RFC 9111): fetching before
+        it expires is guaranteed-wasted bandwidth, so it FLOORS the
+        interval rather than competing with the cadence signals.
+
+    Target interval = adaptive if present (observed beats advertised),
+    else sitemap, else ``default_interval_s``; effective interval =
+    max(target, freshness floor, ``min_interval_s``).  All BIGINT
+    seconds — no float, no timezone arithmetic; callers add the epoch.
+
+    One narrow projection over three url-keyed LEFT joins (each side
+    is one row per url; at 10^10 URLs all four tables share the same
+    url_hash bucketing, so the joins are co-located scan-side).
+
+    Output: (url, source 'adaptive'|'sitemap'|'default', interval_s,
+    floor_s, eff_interval_s, next_fetch_epoch).
+    """
+    out = latest_fetch.select("url", F.col("fetch_epoch").cast("bigint"))
+    a = (
+        adaptive.select("url", F.col("interval_s").cast("bigint").alias("_a"))
+        if adaptive is not None
+        else None
+    )
+    s = (
+        sitemap.select("url", F.col("interval_s").cast("bigint").alias("_s"))
+        if sitemap is not None
+        else None
+    )
+    c = (
+        cache.select("url", F.col("freshness_s").cast("bigint").alias("_f"))
+        if cache is not None
+        else None
+    )
+    for t in (a, s, c):
+        if t is not None:
+            out = out.join(t, "url", "left")
+    for col in ("_a", "_s", "_f"):
+        if col not in out.columns:
+            out = out.withColumn(col, F.lit(None).cast("bigint"))
+    source = (
+        F.when(F.col("_a").isNotNull(), F.lit("adaptive"))
+        .when(F.col("_s").isNotNull(), F.lit("sitemap"))
+        .otherwise(F.lit("default"))
+    )
+    interval = F.coalesce(
+        F.col("_a"), F.col("_s"), F.lit(int(default_interval_s)).cast("bigint")
+    )
+    floor = F.coalesce(F.col("_f"), F.lit(0).cast("bigint"))
+    eff = F.greatest(interval, floor, F.lit(int(min_interval_s)).cast("bigint"))
+    return out.select(
+        "url",
+        source.alias("source"),
+        interval.alias("interval_s"),
+        floor.alias("floor_s"),
+        eff.alias("eff_interval_s"),
+        (F.col("fetch_epoch") + eff).alias("next_fetch_epoch"),
+    )

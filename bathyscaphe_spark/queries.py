@@ -10963,6 +10963,65 @@ FROM ranked
 
 
 # --------------------------------------------------------------------------
+# refresh plan fusion (adaptive ∪ sitemap ∪ RFC 9111 floor)
+# --------------------------------------------------------------------------
+
+
+def q_refresh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL refresh fusion (operators/recrawl.py refresh_plan):
+    observed change rate beats advertised cadence beats the default,
+    and the server's declared freshness FLOORS the result.  All four
+    signals planted arithmetically; every (source, floor-binding,
+    min-clamp) combination occurs in the fixture."""
+    from .operators.recrawl import refresh_plan
+
+    d = _docs(spark, sf_dir)
+    u = "concat('u', CAST(doc_id AS STRING))"
+    latest = d.selectExpr(
+        f"{u} AS url", "CAST(1714564800 + doc_id AS BIGINT) AS fetch_epoch"
+    )
+    adaptive = d.where("doc_id % 3 = 0").selectExpr(
+        f"{u} AS url", "CAST(1800 + (doc_id % 7) * 900 AS BIGINT) AS interval_s"
+    )
+    sitemap = d.where("doc_id % 4 < 2").selectExpr(
+        f"{u} AS url", "CAST(3600 * (1 + doc_id % 5) AS BIGINT) AS interval_s"
+    )
+    cache = d.where("doc_id % 2 = 0").selectExpr(
+        f"{u} AS url", "CAST((doc_id % 9) * 2000 AS BIGINT) AS freshness_s"
+    )
+    return refresh_plan(
+        latest, adaptive, sitemap, cache,
+        default_interval_s=7 * 86400, min_interval_s=3600,
+    )
+
+
+ORACLE_REFRESH_PLAN = """
+SELECT concat('u', CAST(doc_id AS STRING)) AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'adaptive'
+            WHEN doc_id % 4 < 2 THEN 'sitemap'
+            ELSE 'default' END AS source,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1800 + (doc_id % 7) * 900
+            WHEN doc_id % 4 < 2 THEN 3600 * (1 + doc_id % 5)
+            ELSE 604800 END AS BIGINT) AS interval_s,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 9) * 2000 ELSE 0 END
+            AS BIGINT) AS floor_s,
+       CAST(greatest(
+         CASE WHEN doc_id % 3 = 0 THEN 1800 + (doc_id % 7) * 900
+              WHEN doc_id % 4 < 2 THEN 3600 * (1 + doc_id % 5)
+              ELSE 604800 END,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id % 9) * 2000 ELSE 0 END,
+         3600) AS BIGINT) AS eff_interval_s,
+       CAST(1714564800 + doc_id + greatest(
+         CASE WHEN doc_id % 3 = 0 THEN 1800 + (doc_id % 7) * 900
+              WHEN doc_id % 4 < 2 THEN 3600 * (1 + doc_id % 5)
+              ELSE 604800 END,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id % 9) * 2000 ELSE 0 END,
+         3600) AS BIGINT) AS next_fetch_epoch
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -11144,6 +11203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rate_limit_stream": q_rate_limit_stream,
     "bm25f_search": q_bm25f_search,
     "host_explosion": q_host_explosion,
+    "refresh_plan": q_refresh_plan,
     "search_snippets": q_search_snippets,
     "bm25_search": q_bm25_search,
     "sequence_pack": q_sequence_pack,
@@ -11345,6 +11405,7 @@ ORACLES: dict[str, str] = {
     "rate_limit_stream": _rate_limit_oracle_sql(),
     "bm25f_search": _bm25f_oracle_sql(),
     "host_explosion": ORACLE_HOST_EXPLOSION,
+    "refresh_plan": ORACLE_REFRESH_PLAN,
     "search_snippets": _snippet_oracle_sql(),
     "bm25_search": _bm25_oracle_sql(),
     "sequence_pack": ORACLE_SEQUENCE_PACK,

@@ -232,3 +232,49 @@ def test_cache_policy_default_ttl(spark):
     )
     r = cache_policy(df, default_ttl_s=1234).collect()[0]
     assert (r["policy"], r["freshness_s"]) == ("default", 1234)
+
+
+# --- refresh plan fusion ------------------------------------------------------
+
+from bathyscaphe_spark.operators.recrawl import refresh_plan
+
+
+def test_refresh_plan_precedence_and_floor(spark):
+    latest = spark.createDataFrame(
+        [("a", 100), ("b", 200), ("c", 300), ("d", 400)],
+        "url string, fetch_epoch long",
+    )
+    adaptive = spark.createDataFrame([("a", 5000)], "url string, interval_s long")
+    sitemap = spark.createDataFrame(
+        [("a", 9000), ("b", 7000)], "url string, interval_s long"
+    )
+    cache = spark.createDataFrame(
+        [("b", 86400), ("c", 50)], "url string, freshness_s long"
+    )
+    got = {
+        r["url"]: (r["source"], r["interval_s"], r["floor_s"],
+                   r["eff_interval_s"], r["next_fetch_epoch"])
+        for r in refresh_plan(
+            latest, adaptive, sitemap, cache,
+            default_interval_s=10000, min_interval_s=3600,
+        ).collect()
+    }
+    assert got["a"] == ("adaptive", 5000, 0, 5000, 5100)    # observed wins
+    assert got["b"] == ("sitemap", 7000, 86400, 86400, 86600)  # floor binds
+    assert got["c"] == ("default", 10000, 50, 10000, 10300)
+    assert got["d"] == ("default", 10000, 0, 10000, 10400)
+
+
+def test_refresh_plan_min_interval_clamp(spark):
+    latest = spark.createDataFrame([("a", 0)], "url string, fetch_epoch long")
+    adaptive = spark.createDataFrame([("a", 10)], "url string, interval_s long")
+    r = refresh_plan(latest, adaptive, None, None, min_interval_s=3600).collect()[0]
+    assert (r["source"], r["eff_interval_s"]) == ("adaptive", 3600)
+
+
+def test_refresh_plan_no_side_tables(spark):
+    latest = spark.createDataFrame([("a", 7)], "url string, fetch_epoch long")
+    r = refresh_plan(latest, default_interval_s=1234, min_interval_s=1).collect()[0]
+    assert (r["source"], r["interval_s"], r["next_fetch_epoch"]) == (
+        "default", 1234, 1241,
+    )
