@@ -32,6 +32,8 @@ CARTESIAN_OK = {"knn_cosine_topk"}
 # collect()-free way to give every doc the corpus N/avgdl/df values)
 SCALAR_ATTACH_OK = {
     "bm25_search", "recrawl_priority", "lm_perplexity", "hits_scores",
+    # same 1-row corpus-stats attach as bm25_search, fielded variant
+    "bm25f_search",
     # corpus_release composes the lm_perplexity stage, inheriting its
     # 1-row corpus-stat scalar attaches
     "corpus_release",
