@@ -250,6 +250,31 @@ def _configapi_kwargs(raw: dict) -> dict:
         bc = raw["blacklist-config"]
         kwargs["blacklist_threshold"] = int(bc.get("threshold", 5))
         kwargs["blacklist_ttl_s"] = _secs(bc.get("ttl", 1200), 1200)
+    # engine-extension passthrough: any key that IS a CrawlConfig field
+    # name (snake_case — disjoint from the reference's hyphenated key
+    # space) overlays directly, so every flag-gated engine feature
+    # (link_rank_enabled, host_explosion_max, seen_bucketed, …) is
+    # runtime-mutable through the same S11 ConfigAPI path.  Unknown
+    # keys stay ignored (reference tolerance contract).
+    import dataclasses
+
+    field_types = {
+        f.name: f.type for f in dataclasses.fields(CrawlConfig)
+    }
+    for k, v in raw.items():
+        if k in kwargs or k not in field_types or v is None:
+            continue
+        t = str(field_types[k])
+        if t.startswith("bool"):
+            kwargs[k] = bool(v)
+        elif t.startswith("int"):
+            kwargs[k] = int(v)
+        elif t.startswith("float"):
+            kwargs[k] = float(v)
+        elif t.startswith("str"):
+            kwargs[k] = str(v)
+        else:  # tuples and structured fields keep the typed JSON value
+            kwargs[k] = tuple(v) if isinstance(v, list) else v
     return kwargs
 
 

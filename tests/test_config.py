@@ -114,3 +114,34 @@ def test_runtime_config_mutation_mid_crawl(spark, tmp_path):
         if f is not None:
             assert f.where(f.host == target).count() == 0, rn
     pages.unpersist()
+
+
+def test_with_updates_engine_extension_passthrough():
+    """Snake-case CrawlConfig field names overlay via the same S11
+    ConfigAPI path as the reference's hyphenated keys; unknown keys
+    stay ignored."""
+    cfg = CrawlConfig()
+    cfg2 = cfg.with_updates(
+        {
+            "host_explosion_max": 7,
+            "link_rank_enabled": True,
+            "bloom_fpp": 0.001,
+            "not-a-real-key": 42,
+            "nor_this_one": 1,
+        }
+    )
+    assert cfg2.host_explosion_max == 7
+    assert cfg2.link_rank_enabled is True
+    assert cfg2.bloom_fpp == 0.001
+    assert cfg.host_explosion_max == 0  # original untouched
+
+
+def test_with_updates_reference_keys_win_over_passthrough():
+    # the hyphenated reference form maps first; the snake form is
+    # skipped when the reference key already set the field
+    cfg = CrawlConfig().with_updates(
+        {"blacklist-config": {"threshold": 9}, "blacklist_threshold": 3}
+    )
+    assert cfg.blacklist_threshold == 9
+    cfg2 = CrawlConfig().with_updates({"blacklist_threshold": 3})
+    assert cfg2.blacklist_threshold == 3
