@@ -9759,6 +9759,135 @@ FROM b GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# log-linear quantile histogram (operators/quantiles.py)
+# --------------------------------------------------------------------------
+
+# Long-tailed per-host fetch latencies spanning ~10 binary orders of
+# magnitude (an LCG scrambles doc_id, a data-dependent right shift
+# spreads the exponent) — the distribution shape that makes exact
+# per-host percentile state explode and a log-binned sketch shine.
+_LATENCY_SPARK_SQL = """
+SELECT CAST(doc_id % 7 AS BIGINT) AS host_id,
+       shiftright((doc_id * 1103515245 + 12345) % 2147483648,
+                  CAST(doc_id % 21 AS INT)) AS lat_ms,
+       doc_id % 2 AS rnd
+FROM documents
+"""
+
+
+def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-linear quantile histogram (operators/quantiles.py):
+    per-host p50/p90/p99 fetch latency through an HdrHistogram/DDSketch-
+    style integer-binned sketch (Masson et al. VLDB 2019) — O(bins)
+    state per host instead of O(fetches), build is a map-side-combinable
+    groupBy, and two rounds' sketches MERGE by adding cells (the query
+    builds the two halves separately and merges, so the oracle's direct
+    build pins merge correctness too).  Binning is pure integer
+    arithmetic (binary-string length, shift) so Spark and DuckDB agree
+    bit-for-bit where a float log2 would misbucket at edges.  The
+    in-query contract joins the exact nearest-rank value (the state the
+    sketch avoids keeping) and pins the 2^-p relative-error guarantee
+    per (host, quantile)."""
+    from pyspark.sql import Window
+
+    from .operators.quantiles import (
+        HIST_PRECISION, hist_build, hist_merge, hist_quantiles)
+
+    _docs(spark, sf_dir)
+    vals = spark.sql(_LATENCY_SPARK_SQL)
+    h = hist_merge(
+        hist_build(vals.where("rnd = 0"), "lat_ms", ["host_id"]),
+        hist_build(vals.where("rnd = 1"), "lat_ms", ["host_id"]),
+    )
+    est = hist_quantiles(h, [500, 900, 990], ["host_id"])
+    # exact nearest-rank contract stage: same rank walk over raw values
+    q_df = spark.createDataFrame(
+        [(500,), (900,), (990,)], "q_permille int")
+    ranked = vals.select(
+        "host_id",
+        "lat_ms",
+        F.row_number().over(
+            Window.partitionBy("host_id").orderBy("lat_ms")).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("host_id")).alias("n"),
+    )
+    exact = (
+        ranked.crossJoin(F.broadcast(q_df))
+        .where(F.col("r") * F.lit(1000) >= F.col("q_permille") * F.col("n"))
+        .groupBy("host_id", "q_permille")
+        .agg(F.min("lat_ms").alias("exact_v"))
+    )
+    scale = 1 << HIST_PRECISION
+    return est.join(exact, ["host_id", "q_permille"]).select(
+        "host_id",
+        "q_permille",
+        F.col("est").cast("long").alias("est"),
+        F.col("exact_v").cast("long").alias("exact_v"),
+        (
+            (F.col("est") == F.col("exact_v"))
+            | (
+                (F.col("est") < F.col("exact_v"))
+                & ((F.col("exact_v") - F.col("est")) * F.lit(scale)
+                   < F.col("exact_v"))
+            )
+        ).alias("err_ok"),
+    )
+
+
+def _latency_quantiles_oracle_sql() -> str:
+    from .operators.quantiles import (
+        HIST_PRECISION, duck_bin_expr, duck_lo_expr)
+
+    scale = 1 << HIST_PRECISION
+    return f"""
+WITH vals AS (
+  SELECT CAST(doc_id % 7 AS BIGINT) AS host_id,
+         ((doc_id * 1103515245 + 12345) % 2147483648)
+             >> CAST(doc_id % 21 AS INTEGER) AS lat_ms
+  FROM documents
+),
+hist AS (
+  SELECT host_id, {duck_bin_expr('lat_ms')} AS bin, COUNT(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT host_id, bin,
+         SUM(cnt) OVER (PARTITION BY host_id ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY host_id) AS n
+  FROM hist
+),
+qs AS (SELECT * FROM (VALUES (500), (900), (990)) AS q(q_permille)),
+pick AS (
+  SELECT host_id, q_permille, MIN(bin) AS bin
+  FROM cum, qs WHERE cum * 1000 >= q_permille * n
+  GROUP BY 1, 2
+),
+lo AS (
+  SELECT host_id, q_permille, {duck_lo_expr('bin')} AS est FROM pick
+),
+ranked AS (
+  SELECT host_id, lat_ms,
+         ROW_NUMBER() OVER (PARTITION BY host_id ORDER BY lat_ms) AS r,
+         COUNT(*) OVER (PARTITION BY host_id) AS n
+  FROM vals
+),
+exct AS (
+  SELECT host_id, q_permille, MIN(lat_ms) AS exact_v
+  FROM ranked, qs WHERE r * 1000 >= q_permille * n
+  GROUP BY 1, 2
+)
+SELECT lo.host_id,
+       CAST(lo.q_permille AS INTEGER) AS q_permille,
+       CAST(lo.est AS BIGINT) AS est,
+       CAST(exct.exact_v AS BIGINT) AS exact_v,
+       (lo.est = exct.exact_v
+        OR (lo.est < exct.exact_v
+            AND (exct.exact_v - lo.est) * {scale} < exct.exact_v)) AS err_ok
+FROM lo JOIN exct USING (host_id, q_permille)
+"""
+
+
 def q_link_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed BFS min link-distance (operators/graph.py seed_distance):
     hops from the vetted seed set (the trustrank fixture's seeds) over
@@ -11209,6 +11338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "doc_chunks": q_doc_chunks,
     "heavy_hitters": q_heavy_hitters,
+    "latency_quantiles": q_latency_quantiles,
     "data_split": q_data_split,
     "link_distance": q_link_distance,
     "index_merge": q_index_merge,
@@ -11411,6 +11541,7 @@ ORACLES: dict[str, str] = {
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "heavy_hitters": _heavy_hitters_oracle_sql(),
+    "latency_quantiles": _latency_quantiles_oracle_sql(),
     "data_split": ORACLE_DATA_SPLIT,
     "link_distance": _link_distance_oracle_sql(),
     "index_merge": ORACLE_INDEX_MERGE,
