@@ -58,7 +58,11 @@ SCALAR_ATTACH_OK = {
 # bounded broadcast small-side expansion: IVF assignment is docs ×
 # broadcast(n_cells=16 centroid rows) — the documented O(n·cells)
 # assignment cost, combined map-side back to one row per doc
-SMALL_BCAST_OK = {"ivf_topk", "semdedup_prune"}
+SMALL_BCAST_OK = {"ivf_topk", "semdedup_prune",
+                  # both cartesians are broadcasts of the 3-row
+                  # q_permille literal (sketch walk + exact nearest-rank
+                  # contract stage) — O(rows·3), never data×data
+                  "latency_quantiles"}
 CARTESIAN_OK = CARTESIAN_OK | SCALAR_ATTACH_OK | SMALL_BCAST_OK
 
 
