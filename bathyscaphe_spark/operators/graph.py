@@ -242,22 +242,27 @@ def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     r_{i+1}(v) = (15·SCALE) div (100·N)
                  + Σ_{(u→v)} (r_i(u)·85) div (100·outdeg(u))
     """
+    # ed = edges ⋈ outdeg(src) has exactly the same rows as edges (the
+    # inner join key covers every src), so persist IT first and derive
+    # the node set from the cache: the incoming edge plan — often an
+    # expensive uncached construction like domain_edges — is then
+    # evaluated once, not re-run for nodes/count/each iteration.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").persist()  # invariant across iterations
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .persist()  # re-read every iteration's left join — never
         # re-derive from a double edge scan at 10^11-edge scale
     )
-    n = nodes.count()  # one scalar; also materializes the cache
+    n = nodes.count()  # one scalar; materializes both caches
     if n == 0:
         df = nodes.withColumn("rank_fp", F.lit(0).cast("long"))
         nodes.unpersist()
+        ed.unpersist()
         return df
     base = (15 * SCALE) // (100 * n)
-
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").persist()  # invariant across iterations
     try:
         ranks = nodes.withColumn("rank_fp", F.lit(SCALE // n).cast("long"))
         for _ in range(iters):
@@ -319,9 +324,14 @@ def opic_fp(edges: DataFrame, sweeps: int = 4) -> DataFrame:
     join.  Node set and edges⋈outdeg are persisted across sweeps;
     state is one row per node.
     """
+    # persist edges⋈outdeg FIRST (same rows as edges) and derive nodes
+    # from the cache — evaluates the incoming edge plan once (see
+    # pagerank_fp).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -333,10 +343,8 @@ def opic_fp(edges: DataFrame, sweeps: int = 4) -> DataFrame:
             F.lit(0).cast("long").alias("hist_fp"),
         )
         nodes.unpersist()
+        ed.unpersist()
         return df
-
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").persist()
     # (node, outdeg-or-null) — classifies dangling nodes once, reused
     # every sweep for the virtual-node absorption sum
     nd = nodes.join(
@@ -476,13 +484,13 @@ def hits_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     (mega-hub graphs) widen the product to DECIMAL(38,0) — ordering is
     unchanged.
     """
+    ed = edges.persist()
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    ed = edges.persist()
     try:
         if nodes.count() == 0:
             return nodes.select(
@@ -676,9 +684,14 @@ def trustrank_fp(
 
     Returns ``(node: long, trust_fp: long)``.
     """
+    # persist edges⋈outdeg FIRST (same rows as edges) and derive nodes
+    # from the cache — evaluates the incoming edge plan once (see
+    # pagerank_fp).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -693,11 +706,9 @@ def trustrank_fp(
         df = nodes.select("node", F.lit(0).cast("long").alias("trust_fp"))
         nodes.unpersist()
         tagged.unpersist()
+        ed.unpersist()
         return df
     base = (15 * SCALE) // (100 * n_t)
-
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").persist()
     try:
         ranks = tagged.select(
             "node",
@@ -805,9 +816,14 @@ def pagerank_dangling_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     each iteration adds one 1-row mass aggregate attached back as a
     broadcast scalar (never a collect).
     """
+    # persist edges⋈outdeg FIRST (same rows as edges) and derive nodes
+    # and the dangling set from the cache — evaluates the incoming edge
+    # plan once (see pagerank_fp).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -815,13 +831,11 @@ def pagerank_dangling_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     if n == 0:
         df = nodes.withColumn("rank_fp", F.lit(0).cast("long"))
         nodes.unpersist()
+        ed.unpersist()
         return df
     base = (15 * SCALE) // (100 * n)
-
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").persist()
     dang = nodes.join(
-        edges.select(F.col("src").alias("node")), "node", "left_anti"
+        ed.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
     try:
         ranks = nodes.withColumn("rank_fp", F.lit(SCALE // n).cast("long"))
