@@ -718,9 +718,11 @@ def run_round(
         catalog.stage_round("robots", merged, round_n, files=small_files)
         return True
 
-    def _write_blacklister():
-        if not (n_timeouts or prev_hf_rows):
-            return False
+    # blacklister plans are built in the main thread (plan-only, no job)
+    # so the two state writes can overlap as independent pool tasks
+    # instead of running back-to-back in one thread
+    do_blacklister = bool(n_timeouts or prev_hf_rows)
+    if do_blacklister:
         timeouts_df = (
             spark.read.parquet(catalog._round_dir("timeouts", round_n)).select(
                 "url", "host"
@@ -731,7 +733,16 @@ def run_round(
         new_hf, new_bl = bl.process_timeouts(
             timeouts_df, host_failures, blacklist_df, host_status, config, rts
         )
+
+    def _write_host_failures():
+        if not do_blacklister:
+            return False
         catalog.stage_round("host_failures", new_hf, round_n, files=small_files)
+        return True
+
+    def _write_blacklist():
+        if not do_blacklister:
+            return False
         catalog.stage_round("blacklist", new_bl, round_n, files=small_files)
         return True
 
@@ -754,22 +765,75 @@ def run_round(
         )
         return True
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    stats = RoundStats(
+        round=round_n,
+        scheduled=0,  # filled from lineage below
+        fetched=0,  # filled after the resources write lands
+        timeouts=n_timeouts,
+        discovered=catalog.rows_in_round("frontier", round_n + 1),
+    )
+
+    def _write_metrics(f_res):
+        # per-partition lineage for the fetch and schedule stages (north
+        # rule: per-partition lineage + metrics per round) — one write
+        # job, inputs are cached.  The fetched total comes from the
+        # resources write's parquet footers, so this task chains behind
+        # it inside the pool (everything else it reads is already
+        # staged or cached).
+        f_res.result()
+        stats.fetched = catalog.rows_in_round("resources", round_n)
+        lineage = (
+            scheduled.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .select(
+                F.lit(round_n).alias("round"),
+                F.lit("scheduled").alias("stage"),
+                "partition_id",
+                "rows",
+            )
+            .unionByName(
+                fetched_ok.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .select(
+                    F.lit(round_n).alias("round"),
+                    F.lit("fetch").alias("stage"),
+                    "partition_id",
+                    "rows",
+                )
+            )
+        )
+        stage_rows = [
+            (round_n, s, -1, int(v))
+            for s, v in (
+                ("fetched", stats.fetched),
+                ("timeouts", stats.timeouts),
+                ("discovered", stats.discovered),
+            )
+        ]
+        metrics = lineage.unionByName(
+            spark.createDataFrame(stage_rows, "round int, stage string, partition_id int, rows bigint")
+        )
+        catalog.stage_round("metrics", metrics, round_n, files=small_files)
+
+    with ThreadPoolExecutor(max_workers=9) as pool:
         # fetch_meta first: _write_seen reads the staged delta's plan
         # inputs (both derive from the fetched cache, so ordering only
         # affects warm-cache reuse, not correctness)
         f_meta = pool.submit(_write_fetch_meta)
         f_seen = pool.submit(_write_seen)
         f_res = pool.submit(_write_resources)
-        f_bl = pool.submit(_write_blacklister)
+        f_hf = pool.submit(_write_host_failures)
+        f_blk = pool.submit(_write_blacklist)
         f_rob = pool.submit(_write_robots)
         f_edges = pool.submit(_write_edges)
         f_rep = pool.submit(_write_repute)
+        f_metrics = pool.submit(_write_metrics, f_res)
         f_seen.result()
         f_res.result()
+        f_metrics.result()
         if f_meta.result():
             committed_tables += ["fetch_meta"]
-        if f_bl.result():
+        if f_hf.result() and f_blk.result():
             committed_tables += ["host_failures", "blacklist"]
         if f_rob.result():
             committed_tables += ["robots"]
@@ -777,50 +841,6 @@ def run_round(
             committed_tables += ["link_edges"]
         if f_rep.result():
             committed_tables += ["host_repute"]
-
-    stats = RoundStats(
-        round=round_n,
-        scheduled=0,  # filled from lineage below
-        fetched=catalog.rows_in_round("resources", round_n),
-        timeouts=n_timeouts,
-        discovered=catalog.rows_in_round("frontier", round_n + 1),
-    )
-
-    # per-partition lineage for the fetch and schedule stages (north rule:
-    # per-partition lineage + metrics per round) — one write job, inputs
-    # are cached
-    lineage = (
-        scheduled.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .select(
-            F.lit(round_n).alias("round"),
-            F.lit("scheduled").alias("stage"),
-            "partition_id",
-            "rows",
-        )
-        .unionByName(
-            fetched_ok.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .select(
-                F.lit(round_n).alias("round"),
-                F.lit("fetch").alias("stage"),
-                "partition_id",
-                "rows",
-            )
-        )
-    )
-    stage_rows = [
-        (round_n, s, -1, int(v))
-        for s, v in (
-            ("fetched", stats.fetched),
-            ("timeouts", stats.timeouts),
-            ("discovered", stats.discovered),
-        )
-    ]
-    metrics = lineage.unionByName(
-        spark.createDataFrame(stage_rows, "round int, stage string, partition_id int, rows bigint")
-    )
-    catalog.stage_round("metrics", metrics, round_n, files=small_files)
     # scheduled count from the just-written lineage parquet (no job)
     import pyarrow.parquet as pq
     import glob as _glob

@@ -3237,11 +3237,14 @@ def q_crawl_metrics(
         bloom_enabled=False, per_host_budget=1_000_000,
         blacklist_threshold=1,
     )
+    # the catalog writes fan out from univ/hs many times per round —
+    # persist both (as pipeline/driver.crawl does for its own loop)
+    univ = univ.persist()
     root = tempfile.mkdtemp(prefix="q_crawl_metrics_")
     try:
         cat = TableCatalog(spark, root)
         bootstrap(cat, seeds, cfg)
-        hs = build_host_status(univ)
+        hs = build_host_status(univ).persist()
         if bucketed:
             # the round-integrated bucketed D1 path: compact the
             # bootstrap seen into the store, run round 0 against it,
@@ -3273,6 +3276,11 @@ def q_crawl_metrics(
         rows = totals.unionByName(sched).collect()  # tiny; state dir dies
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        univ.unpersist()
+        try:
+            hs.unpersist()
+        except NameError:
+            pass
     return spark.createDataFrame(rows, "round int, stage string, rows bigint")
 
 
