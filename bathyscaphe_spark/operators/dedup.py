@@ -869,13 +869,16 @@ def duplicate_spans(
         .where(F.col("_last").isNotNull())
         .drop("_last")
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+    # cross-doc duplicate test in ONE gram shuffle: min/max-id windows
+    # over the gram partition replace groupBy + semi-join back (which
+    # shuffled the gram set twice — same rewrite as exact_substr_clean)
+    w_gram = Window.partitionBy("gram")
+    hits = (
+        grams.withColumn("_mn", F.min("id").over(w_gram))
+        .withColumn("_mx", F.max("id").over(w_gram))
         .where(F.col("_mn") != F.col("_mx"))
-        .select("gram")
+        .drop("_mn", "_mx")
     )
-    hits = grams.join(dup, "gram", "left_semi")
     w_order = Window.partitionBy("id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + k).over(
         w_order.rowsBetween(Window.unboundedPreceding, -1)
@@ -1106,13 +1109,16 @@ def exact_substr_clean(
             F.xxhash64(F.expr(f"substring(_text, _pos, {L})")).alias("_h"),
         )
     )
-    dup = (
-        grams.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    # duplicated-gram hits in ONE gram build + ONE shuffle: a count
+    # window over the hash partition replaces groupBy + semi-join back
+    # (which built and shuffled the gram set twice — measured 2x slower
+    # at sf0.1; at corpus scale it halves the dominant shuffle volume)
+    whash = Window.partitionBy("_h")
+    hits = (
+        grams.withColumn("_c", F.count(F.lit(1)).over(whash))
         .where(F.col("_c") >= int(min_count))
-        .select("_h")
+        .select("_id", "_pos")
     )
-    hits = grams.join(dup, "_h", "leftsemi").select("_id", "_pos")
 
     w = Window.partitionBy("_id").orderBy("_pos")
     spans = (
