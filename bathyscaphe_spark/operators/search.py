@@ -129,33 +129,47 @@ def _assemble_index(tf: DataFrame, stop_df: int) -> DataFrame:
     the from-scratch build and the segment merge; see
     build_inverted_index for the two-phase stop-term discipline.
 
-    The tf rows are consumed THREE times (stats, the stop broadcast,
-    postings) — without materialization each consumer would re-run the
-    whole upstream tokenize/explode, tripling the heaviest stage, so
-    the rows are lazily local-checkpointed (computed once on first
-    action, disk-backed; at warehouse scale the same role is played by
-    writing the tf table between stages)."""
-    tf = tf.localCheckpoint(eager=False)
-    stats = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    One term-keyed exchange total: df/total_tf come from windows over
+    the term partition, and the postings groupBy on the SAME key reuses
+    that partitioning (EnsureRequirements adds no second shuffle), so
+    the tf rows are tokenized, shuffled and consumed exactly once — no
+    checkpoint, no stats⋈postings join.  The stop-term memory guard
+    survives as a conditional collect: rows of a term whose (window) df
+    exceeds ``stop_df`` contribute NULL to collect_list, which skips
+    them, so a stopword's corpus-sized postings array is never built."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term")
+    g = tf.withColumn("df", F.count(F.lit(1)).over(w)).withColumn(
+        "total_tf", F.sum("tf").over(w)
     )
-    stop = stats.where(F.col("df") > stop_df).select("term")
-    arr = F.array_sort(F.collect_list(F.struct("doc", "tf")))
-    posted = (
-        tf.join(F.broadcast(stop), "term", "left_anti")
-        .groupBy("term")
-        .agg(arr.alias("p"))
-        .select(
-            "term",
-            F.expr(
-                "transform(p, (x, i) -> CASE WHEN i = 0 THEN x.doc "
-                "ELSE x.doc - element_at(p, i).doc END)"
-            ).alias("deltas"),
-            F.expr("transform(p, x -> x.tf)").alias("tfs"),
+    arr = F.array_sort(
+        F.collect_list(
+            F.when(F.col("df") <= stop_df, F.struct("doc", "tf"))
         )
     )
-    return stats.join(posted, "term", "left").select(
-        "term", "df", "total_tf", "deltas", "tfs"
+    return (
+        g.groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.first("total_tf").alias("total_tf"),
+            arr.alias("p"),
+        )
+        .select(
+            "term",
+            "df",
+            "total_tf",
+            F.when(
+                F.col("df") <= stop_df,
+                F.expr(
+                    "transform(p, (x, i) -> CASE WHEN i = 0 THEN x.doc "
+                    "ELSE x.doc - element_at(p, i).doc END)"
+                ),
+            ).alias("deltas"),
+            F.when(
+                F.col("df") <= stop_df, F.expr("transform(p, x -> x.tf)")
+            ).alias("tfs"),
+        )
     )
 
 
