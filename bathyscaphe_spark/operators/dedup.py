@@ -1026,14 +1026,38 @@ def mirror_pairs(
         )
         .distinct()
     )
-    hot = sh.groupBy("shingle").count().where(F.col("count") > hot_cap).select("shingle")
-    kept = sh.join(hot, "shingle", "left_anti")
-    sizes = kept.groupBy("host").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = kept.withColumnRenamed("host", "host_a")
-    b = kept.withColumnRenamed("host", "host_b")
+    # one shingle-keyed exchange instead of hot-groupBy + anti-join +
+    # self-join (each of which re-derived the distinct shingle set):
+    # the host count window filters hot shingles, the groupBy on the
+    # same key reuses the partitioning, and — because surviving
+    # shingles carry <= hot_cap hosts — the pair expansion is a bounded
+    # in-array combination explode, never a shuffled self-join
+    from pyspark.sql.window import Window
+
+    w_sh = Window.partitionBy("shingle")
+    lists = (
+        sh.withColumn("_nh", F.count(F.lit(1)).over(w_sh))
+        .where(F.col("_nh") <= hot_cap)
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("host")).alias("hs"))
+        .localCheckpoint(eager=False)  # two consumers (pairs + sizes)
+    )
+    sizes = (
+        lists.select(F.explode("hs").alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     pairs = (
-        a.join(b, "shingle")
-        .where(F.col("host_a") < F.col("host_b"))
+        lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(hs, (x, i) -> "
+                    "transform(slice(hs, i + 2, size(hs)), "
+                    "y -> struct(x AS host_a, y AS host_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.host_a", "p.host_b")
         .groupBy("host_a", "host_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
