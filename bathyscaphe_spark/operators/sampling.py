@@ -318,7 +318,13 @@ def dsir_select(
     grams = uni.unionByName(bi).select(
         "_id", "_tgt", F.pmod(fnv1_64(F.col("_g")), F.lit(B)).alias("_b")
     )
-    dg = grams.groupBy("_id", "_tgt", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    # dg feeds three consumers (corpus counts, target counts, the doc
+    # score join) — checkpoint so the gram explode + FNV kernel run once
+    dg = (
+        grams.groupBy("_id", "_tgt", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     cr = dg.groupBy("_b").agg(F.sum("_c").alias("_cr"))
     ct = dg.where("_tgt").groupBy("_b").agg(F.sum("_c").alias("_ct"))
     tot = cr.agg(F.sum("_cr").alias("_Tr")).crossJoin(
