@@ -152,17 +152,21 @@ class TestInvertedIndex:
         assert got["the"] == (9, 10, None, None)
         assert got["rare"] == (1, 1, [0], [1])
 
-    def test_stop_terms_filtered_before_collect(self, spark):
-        # the plan must anti-join the stop list BEFORE the collect_list
-        # aggregate: the ObjectHashAggregate input flows from a join
+    def test_stop_terms_guarded_inside_collect(self, spark):
+        # the memory guard is the CONDITIONAL collect: rows of a term
+        # whose window df exceeds stop_df contribute NULL (skipped by
+        # collect_list), so a stopword's corpus-sized array is never
+        # built — and the one-exchange form needs no stop-list anti-join
         from bathyscaphe_spark.operators.search import build_inverted_index
 
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         plan = build_inverted_index(df, stop_df=1)._jdf.queryExecution().executedPlan().toString()
-        assert "collect_list" in plan
-        ix_join = plan.index("LeftAnti")
-        ix_agg = plan.index("collect_list")
-        assert ix_agg < ix_join  # tree prints top-down: agg ABOVE the anti-join
+        assert "collect_list(CASE WHEN" in plan
+        assert "LeftAnti" not in plan
+        # exactly one exchange feeds the window + postings agg chain
+        # (the tf count shuffles on (term, doc), then everything
+        # term-keyed reuses one hashpartitioning(term) exchange)
+        assert plan.count("Exchange hashpartitioning") == 2
 
     def test_partition_invariance(self, spark):
         docs = [(i, " ".join(f"t{(i * j) % 11}" for j in range(6))) for i in range(60)]
