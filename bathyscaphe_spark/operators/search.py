@@ -95,21 +95,21 @@ def build_inverted_index(
 
     Scale design — the skew case is the whole problem: a stopword's
     postings list is corpus-sized, and building it just to throw it
-    away OOMs the executor.  So the plan is two-phase:
+    away OOMs the executor.  The plan is two exchanges total:
 
       1. tokenize → ``groupBy(term, doc)`` tf counts (map-side partial
-         agg folds within-doc repeats before the shuffle), then the
-         tiny per-term (df, total_tf) aggregate;
-      2. ONLY terms at df ≤ ``stop_df`` (broadcast semi-join on the
-         stop list's complement... the stop list itself is broadcast,
-         hot terms are FILTERED OUT BEFORE any array is collected)
-         aggregate their postings: ``array_sort(collect_list(struct))``
-         per term, bounded by stop_df entries, then a pure codegen
-         ``transform`` turns sorted ids into gaps.
+         agg folds within-doc repeats before the shuffle);
+      2. ONE term-keyed exchange serves everything per-term: df /
+         total_tf as windows over the term partition, then the
+         postings ``collect_list`` groupBy on the SAME key reuses the
+         partitioning.  The stop guard is the CONDITIONAL collect —
+         rows whose (window) df exceeds ``stop_df`` contribute NULL,
+         which collect_list skips, so a hot term's array is never
+         built.  A pure codegen ``transform`` turns sorted ids into
+         gaps.
 
-    No windows (a per-term sort shuffle would double the heavy
-    exchange); determinism: postings are sorted inside the array, gaps
-    are exact integer arithmetic.
+    Determinism: postings are sorted inside the array, gaps are exact
+    integer arithmetic.
     """
     tok = docs.select(
         F.col(id_col).alias("doc"),
