@@ -815,6 +815,8 @@ def run_round(
         )
         catalog.stage_round("metrics", metrics, round_n, files=small_files)
 
+    # max_workers must cover EVERY submitted task: _write_metrics blocks
+    # on f_res inside a worker, which deadlocks if any task is queued
     with ThreadPoolExecutor(max_workers=9) as pool:
         # fetch_meta first: _write_seen reads the staged delta's plan
         # inputs (both derive from the fetched cache, so ordering only
