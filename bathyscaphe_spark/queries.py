@@ -8398,7 +8398,12 @@ def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _docs(spark, sf_dir)
     hedges = spark.sql(_DOMEDGES_SQL)
-    return pagerank_fp(domain_edges(hedges), iters=3).select(
+    # checkpoint the collapsed edge set: the PSL argmax construction is
+    # many stages, and pagerank_fp's outdeg+probe sides would otherwise
+    # evaluate it twice (domain edges are node-cardinality-small — at
+    # web scale this is the materialized domain-graph table)
+    de = domain_edges(hedges).localCheckpoint(eager=False)
+    return pagerank_fp(de, iters=3).select(
         F.col("node").alias("domain"),
         F.col("rank_fp").cast("long").alias("rank_fp"),
     )
