@@ -869,16 +869,23 @@ def duplicate_spans(
         .where(F.col("_last").isNotNull())
         .drop("_last")
     )
-    # cross-doc duplicate test in ONE gram shuffle: min/max-id windows
-    # over the gram partition replace groupBy + semi-join back (which
-    # shuffled the gram set twice — same rewrite as exact_substr_clean)
-    w_gram = Window.partitionBy("gram")
-    hits = (
-        grams.withColumn("_mn", F.min("id").over(w_gram))
-        .withColumn("_mx", F.max("id").over(w_gram))
+    # cross-doc duplicate test: aggregated min/max-id pass + semi-join
+    # back.  min/max partial-aggregate map-side, so a boilerplate gram
+    # on every page folds before its exchange, and the semi-join
+    # streams the probe rows (AQE skew-splittable) — a min/max window
+    # over the gram partition would buffer + sort a hot gram's full
+    # row set on one un-splittable task.  The checkpoint keeps the
+    # lead()-window gram build (an id exchange + per-doc sort)
+    # single-pass across both consumers.
+    grams = grams.localCheckpoint(eager=False)
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
         .where(F.col("_mn") != F.col("_mx"))
-        .drop("_mn", "_mx")
     )
+    # shuffle_hash: build on the aggregated dup-gram set; the full
+    # gram rows stream through the probe side unsorted
+    hits = grams.join(dupg.select("gram").hint("shuffle_hash"), "gram", "left_semi")
     w_order = Window.partitionBy("id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + k).over(
         w_order.rowsBetween(Window.unboundedPreceding, -1)
@@ -996,14 +1003,16 @@ def mirror_pairs(
     doc-level near-dup (MinHash/SimHash) finds the individual page
     copies, this finds the HOSTS so the frontier can collapse them.
 
-    Scale shape: the shingle self-join is an inverted index — only
-    host pairs sharing a shingle ever meet — and the hot-shingle cap
-    (drop shingles present on more than ``hot_cap`` hosts, the
-    standard df-cap of every inverted-index join here) bounds any one
-    shingle's fanout to ``hot_cap**2`` pair rows, so boilerplate
-    n-grams ("click here to", copyright lines) can never produce a
-    quadratic blowup.  One distinct + three aggregations + one
-    equi-join; the hot set is small and anti-joins as a broadcast.
+    Scale shape: an inverted index — only host pairs sharing a shingle
+    ever meet — with the hot-shingle cap (drop shingles present on
+    more than ``hot_cap`` hosts, the standard df-cap of every
+    inverted-index join here) applied MAP-SIDE before any full-row
+    shingle exchange: an aggregated count pass finds the hot set
+    (|hot| ≤ rows/hot_cap by construction, broadcastable), a broadcast
+    anti-join drops boilerplate rows where they sit, and the surviving
+    per-shingle host lists are ≤ ``hot_cap`` long, so the a<b pair
+    expansion is a bounded in-array combination explode — never a
+    shuffled self-join, never a corpus-sized aggregation buffer.
 
     Output: (host_a, host_b, shared, n_a, n_b, overlap_permille) with
     host_a < host_b, filtered to overlap_permille >= min_permille.
@@ -1026,18 +1035,22 @@ def mirror_pairs(
         )
         .distinct()
     )
-    # one shingle-keyed exchange instead of hot-groupBy + anti-join +
-    # self-join (each of which re-derived the distinct shingle set):
-    # the host count window filters hot shingles, the groupBy on the
-    # same key reuses the partitioning, and — because surviving
-    # shingles carry <= hot_cap hosts — the pair expansion is a bounded
-    # in-array combination explode, never a shuffled self-join
-    from pyspark.sql.window import Window
-
-    w_sh = Window.partitionBy("shingle")
+    # hot-cap discipline, skew-safe: the count groupBy partial-
+    # aggregates map-side (a copyright-line shingle on 10^7 hosts
+    # folds to one row per map partition, never one WindowExec
+    # partition), the tiny hot set broadcasts, and the anti-join drops
+    # boilerplate rows BEFORE the one full-row shingle exchange — so
+    # every collect_list buffer is <= hot_cap hosts.  The checkpoint
+    # shares the distinct (host, shingle) set across its two consumers
+    # (hot count + anti-join) without a second explode+distinct pass.
+    sh = sh.localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .where(F.col("_nh") > hot_cap)
+    )
     lists = (
-        sh.withColumn("_nh", F.count(F.lit(1)).over(w_sh))
-        .where(F.col("_nh") <= hot_cap)
+        sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("host")).alias("hs"))
         .localCheckpoint(eager=False)  # two consumers (pairs + sizes)
@@ -1133,16 +1146,27 @@ def exact_substr_clean(
             F.xxhash64(F.expr(f"substring(_text, _pos, {L})")).alias("_h"),
         )
     )
-    # duplicated-gram hits in ONE gram build + ONE shuffle: a count
-    # window over the hash partition replaces groupBy + semi-join back
-    # (which built and shuffled the gram set twice — measured 2x slower
-    # at sf0.1; at corpus scale it halves the dominant shuffle volume)
-    whash = Window.partitionBy("_h")
-    hits = (
-        grams.withColumn("_c", F.count(F.lit(1)).over(whash))
+    # duplicated-gram hits: aggregated count pass + semi-join back.
+    # The count groupBy partial-aggregates map-side (a boilerplate gram
+    # repeated 10^8 times folds to one row per map partition) and the
+    # semi-join STREAMS the probe side, so AQE can skew-split a hot
+    # hash.  A count window over the hash partition would shuffle the
+    # same rows once instead of twice, but WindowExec buffers + sorts
+    # each hash's FULL row set on one task (un-splittable) — a single
+    # corpus-wide boilerplate substring becomes one straggler partition
+    # that can exhaust local disk.  The lazy localCheckpoint keeps the
+    # gram build single-pass across the two consumers.
+    grams = grams.localCheckpoint(eager=False)
+    dup = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .where(F.col("_c") >= int(min_count))
-        .select("_id", "_pos")
     )
+    # shuffle_hash: build on the aggregated dup set, so the
+    # corpus-sized probe side streams unsorted (SMJ would sort it)
+    hits = grams.join(
+        dup.select("_h").hint("shuffle_hash"), "_h", "left_semi"
+    ).select("_id", "_pos")
 
     w = Window.partitionBy("_id").orderBy("_pos")
     spans = (

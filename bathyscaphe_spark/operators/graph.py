@@ -231,6 +231,34 @@ DAMP_NUM = 85  # damping factor 0.85 as an integer ratio
 DAMP_DEN = 100
 
 
+def _edges_with_outdeg(edges: DataFrame):
+    """Shared fixed-point preamble: ``ed = edges ⋈ outdeg(src)`` has
+    exactly the same rows as ``edges`` (the inner join key covers every
+    src), so persist IT first and derive the persisted node set from
+    the cache — the incoming edge plan (often an expensive uncached
+    construction like ``domain_edges``) is then evaluated once, not
+    re-run for nodes / count / each iteration, and the node set is
+    never re-derived from a double edge scan at 10^11-edge scale.
+
+    Contract: edge endpoints must be NON-NULL (every in-repo producer
+    emits hashed or normalized ids, which cannot be null).  A null src
+    would match no outdeg group, silently dropping that edge and its
+    endpoints from the node universe — callers holding untrusted edges
+    must ``na.drop()`` first.
+
+    Returns ``(deg, ed, nodes)``; ``ed`` and ``nodes`` are persisted
+    and the caller owns both unpersists."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").persist()  # invariant across iterations
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()  # re-read every iteration's left join
+    )
+    return deg, ed, nodes
+
+
 def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Fixed-point PageRank over ``edges(src: long, dst: long)``.
 
@@ -242,20 +270,7 @@ def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     r_{i+1}(v) = (15·SCALE) div (100·N)
                  + Σ_{(u→v)} (r_i(u)·85) div (100·outdeg(u))
     """
-    # ed = edges ⋈ outdeg(src) has exactly the same rows as edges (the
-    # inner join key covers every src), so persist IT first and derive
-    # the node set from the cache: the incoming edge plan — often an
-    # expensive uncached construction like domain_edges — is then
-    # evaluated once, not re-run for nodes/count/each iteration.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").persist()  # invariant across iterations
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()  # re-read every iteration's left join — never
-        # re-derive from a double edge scan at 10^11-edge scale
-    )
+    deg, ed, nodes = _edges_with_outdeg(edges)
     n = nodes.count()  # one scalar; materializes both caches
     if n == 0:
         df = nodes.withColumn("rank_fp", F.lit(0).cast("long"))
@@ -324,17 +339,7 @@ def opic_fp(edges: DataFrame, sweeps: int = 4) -> DataFrame:
     join.  Node set and edges⋈outdeg are persisted across sweeps;
     state is one row per node.
     """
-    # persist edges⋈outdeg FIRST (same rows as edges) and derive nodes
-    # from the cache — evaluates the incoming edge plan once (see
-    # pagerank_fp).
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").persist()
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    deg, ed, nodes = _edges_with_outdeg(edges)
     n = nodes.count()
     if n == 0:
         df = nodes.select(
@@ -684,17 +689,7 @@ def trustrank_fp(
 
     Returns ``(node: long, trust_fp: long)``.
     """
-    # persist edges⋈outdeg FIRST (same rows as edges) and derive nodes
-    # from the cache — evaluates the incoming edge plan once (see
-    # pagerank_fp).
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").persist()
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    deg, ed, nodes = _edges_with_outdeg(edges)
     t = F.broadcast(
         trusted.select(F.col(trusted.columns[0]).alias("node")).distinct()
     )
@@ -816,17 +811,7 @@ def pagerank_dangling_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     each iteration adds one 1-row mass aggregate attached back as a
     broadcast scalar (never a collect).
     """
-    # persist edges⋈outdeg FIRST (same rows as edges) and derive nodes
-    # and the dangling set from the cache — evaluates the incoming edge
-    # plan once (see pagerank_fp).
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").persist()
-    nodes = (
-        ed.select(F.col("src").alias("node"))
-        .union(ed.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    deg, ed, nodes = _edges_with_outdeg(edges)
     n = nodes.count()
     if n == 0:
         df = nodes.withColumn("rank_fp", F.lit(0).cast("long"))

@@ -95,18 +95,17 @@ def build_inverted_index(
 
     Scale design — the skew case is the whole problem: a stopword's
     postings list is corpus-sized, and building it just to throw it
-    away OOMs the executor.  The plan is two exchanges total:
+    away OOMs the executor.  The plan:
 
       1. tokenize → ``groupBy(term, doc)`` tf counts (map-side partial
          agg folds within-doc repeats before the shuffle);
-      2. ONE term-keyed exchange serves everything per-term: df /
-         total_tf as windows over the term partition, then the
-         postings ``collect_list`` groupBy on the SAME key reuses the
-         partitioning.  The stop guard is the CONDITIONAL collect —
-         rows whose (window) df exceeds ``stop_df`` contribute NULL,
-         which collect_list skips, so a hot term's array is never
-         built.  A pure codegen ``transform`` turns sorted ids into
-         gaps.
+      2. the stop list is found by an AGGREGATED per-term stats pass
+         and broadcast-anti-joined away MAP-SIDE, so a stopword's
+         corpus-sized row set never enters the postings exchange and
+         every per-term partition that IS exchanged holds ≤ stop_df
+         rows — see ``_assemble_index`` for why this beats the
+         one-exchange window form.  A pure codegen ``transform`` turns
+         sorted ids into gaps.
 
     Determinism: postings are sorted inside the array, gaps are exact
     integer arithmetic.
@@ -129,46 +128,60 @@ def _assemble_index(tf: DataFrame, stop_df: int) -> DataFrame:
     the from-scratch build and the segment merge; see
     build_inverted_index for the two-phase stop-term discipline.
 
-    One term-keyed exchange total: df/total_tf come from windows over
-    the term partition, and the postings groupBy on the SAME key reuses
-    that partitioning (EnsureRequirements adds no second shuffle), so
-    the tf rows are tokenized, shuffled and consumed exactly once — no
-    checkpoint, no stats⋈postings join.  The stop-term memory guard
-    survives as a conditional collect: rows of a term whose (window) df
-    exceeds ``stop_df`` contribute NULL to collect_list, which skips
-    them, so a stopword's corpus-sized postings array is never built."""
-    from pyspark.sql.window import Window
+    Skew-safe two-phase plan — hot terms are bounded BEFORE any
+    full-row term exchange:
 
-    w = Window.partitionBy("term")
-    g = tf.withColumn("df", F.count(F.lit(1)).over(w)).withColumn(
-        "total_tf", F.sum("tf").over(w)
+      1. per-term stats via ``groupBy(term)``: partial aggregation
+         folds a stopword's occurrences map-side, so the stats
+         exchange ships one aggregated row per (map partition, term),
+         never the occurrence rows;
+      2. the stop list (df > stop_df) broadcasts and anti-joins
+         MAP-SIDE: a stop term's corpus-sized row set never enters the
+         postings exchange at all.  |stop| ≤ total_rows / stop_df by
+         construction, so the broadcast is bounded;
+      3. the survivors aggregate postings in ONE term-keyed exchange
+         with every array ≤ stop_df entries; df/total_tf are
+         recomputed from the array by pure-codegen ``size`` /
+         ``aggregate`` — no stats⋈postings join;
+      4. stop terms re-enter as a union of their aggregated stats rows
+         with NULL postings.
+
+    A per-term count WINDOW would do this in one exchange, but
+    WindowExec must buffer + sort each term's FULL row set before a
+    conditional collect can skip anything — one corpus-sized straggler
+    partition per stopword (and windows cannot be skew-split by AQE).
+    The aggregated pre-pass is the price of never forming that
+    partition.  ``tf`` is lazily localCheckpoint'ed: two consumers
+    (stats, postings), one tokenize+shuffle."""
+    tf = tf.localCheckpoint(eager=False)
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
     )
-    arr = F.array_sort(
-        F.collect_list(
-            F.when(F.col("df") <= stop_df, F.struct("doc", "tf"))
-        )
-    )
-    return (
-        g.groupBy("term")
-        .agg(
-            F.first("df").alias("df"),
-            F.first("total_tf").alias("total_tf"),
-            arr.alias("p"),
-        )
+    stop = stats.where(F.col("df") > stop_df)
+    kept = tf.join(F.broadcast(stop.select("term")), "term", "left_anti")
+    live = (
+        kept.groupBy("term")
+        .agg(F.array_sort(F.collect_list(F.struct("doc", "tf"))).alias("p"))
         .select(
+            "term",
+            F.size("p").cast("long").alias("df"),
+            F.expr(
+                "aggregate(p, CAST(0 AS BIGINT), (acc, x) -> acc + x.tf)"
+            ).alias("total_tf"),
+            F.expr(
+                "transform(p, (x, i) -> CASE WHEN i = 0 THEN x.doc "
+                "ELSE x.doc - element_at(p, i).doc END)"
+            ).alias("deltas"),
+            F.expr("transform(p, x -> x.tf)").alias("tfs"),
+        )
+    )
+    return live.unionByName(
+        stop.select(
             "term",
             "df",
             "total_tf",
-            F.when(
-                F.col("df") <= stop_df,
-                F.expr(
-                    "transform(p, (x, i) -> CASE WHEN i = 0 THEN x.doc "
-                    "ELSE x.doc - element_at(p, i).doc END)"
-                ),
-            ).alias("deltas"),
-            F.when(
-                F.col("df") <= stop_df, F.expr("transform(p, x -> x.tf)")
-            ).alias("tfs"),
+            F.lit(None).cast("array<long>").alias("deltas"),
+            F.lit(None).cast("array<long>").alias("tfs"),
         )
     )
 

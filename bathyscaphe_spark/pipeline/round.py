@@ -773,14 +773,13 @@ def run_round(
         discovered=catalog.rows_in_round("frontier", round_n + 1),
     )
 
-    def _write_metrics(f_res):
+    def _write_metrics():
         # per-partition lineage for the fetch and schedule stages (north
         # rule: per-partition lineage + metrics per round) — one write
         # job, inputs are cached.  The fetched total comes from the
-        # resources write's parquet footers, so this task chains behind
-        # it inside the pool (everything else it reads is already
-        # staged or cached).
-        f_res.result()
+        # resources write's parquet footers, so the caller submits this
+        # task only after the resources future resolves (everything
+        # else it reads is already staged or cached).
         stats.fetched = catalog.rows_in_round("resources", round_n)
         lineage = (
             scheduled.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -815,9 +814,12 @@ def run_round(
         )
         catalog.stage_round("metrics", metrics, round_n, files=small_files)
 
-    # max_workers must cover EVERY submitted task: _write_metrics blocks
-    # on f_res inside a worker, which deadlocks if any task is queued
-    with ThreadPoolExecutor(max_workers=9) as pool:
+    # No task ever blocks on another task's future inside a worker
+    # (that shape deadlocks the round forever the first time a submit
+    # is added without resizing the pool): _write_metrics' one
+    # dependency is expressed by submitting it from the main thread
+    # AFTER f_res resolves, so pool sizing is a throughput knob only.
+    with ThreadPoolExecutor(max_workers=8) as pool:
         # fetch_meta first: _write_seen reads the staged delta's plan
         # inputs (both derive from the fetched cache, so ordering only
         # affects warm-cache reuse, not correctness)
@@ -829,9 +831,9 @@ def run_round(
         f_rob = pool.submit(_write_robots)
         f_edges = pool.submit(_write_edges)
         f_rep = pool.submit(_write_repute)
-        f_metrics = pool.submit(_write_metrics, f_res)
-        f_seen.result()
         f_res.result()
+        f_metrics = pool.submit(_write_metrics)  # overlaps the rest
+        f_seen.result()
         f_metrics.result()
         if f_meta.result():
             committed_tables += ["fetch_meta"]

@@ -152,21 +152,22 @@ class TestInvertedIndex:
         assert got["the"] == (9, 10, None, None)
         assert got["rare"] == (1, 1, [0], [1])
 
-    def test_stop_terms_guarded_inside_collect(self, spark):
-        # the memory guard is the CONDITIONAL collect: rows of a term
-        # whose window df exceeds stop_df contribute NULL (skipped by
-        # collect_list), so a stopword's corpus-sized array is never
-        # built — and the one-exchange form needs no stop-list anti-join
+    def test_stop_terms_guarded_before_exchange(self, spark):
+        # the memory guard is the MAP-SIDE broadcast anti-join: a stop
+        # term's corpus-sized row set never enters the postings
+        # exchange, and no per-term WINDOW buffers full row sets (a
+        # count window would hold one corpus-sized partition per
+        # stopword in WindowExec, un-splittable by AQE)
         from bathyscaphe_spark.operators.search import build_inverted_index
 
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         plan = build_inverted_index(df, stop_df=1)._jdf.queryExecution().executedPlan().toString()
-        assert "collect_list(CASE WHEN" in plan
-        assert "LeftAnti" not in plan
-        # exactly one exchange feeds the window + postings agg chain
-        # (the tf count shuffles on (term, doc), then everything
-        # term-keyed reuses one hashpartitioning(term) exchange)
-        assert plan.count("Exchange hashpartitioning") == 2
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "Window" not in plan
+        # aggregated stats exchange + the single full-row postings
+        # exchange (tf's (term, doc) shuffle is checkpointed, shared
+        # by both consumers)
+        assert plan.count("Exchange hashpartitioning") <= 3
 
     def test_partition_invariance(self, spark):
         docs = [(i, " ".join(f"t{(i * j) % 11}" for j in range(6))) for i in range(60)]
