@@ -574,14 +574,24 @@ def _attr_sql(name: str) -> str:
     real markup; a double-quote-only pattern silently drops the rest).
     Quote characters appear only as \\x22/\\x27 escapes so the same
     pattern text survives Spark SQL, Java regex, and RE2 quoting.
-    Returns '' when absent.  Mirrored by queries._duck_attr."""
+    Returns '' when absent.  Mirrored by queries._duck_attr.
+
+    The name is anchored at an attribute boundary (start of the list,
+    whitespace, or a closing quote) so ``rel=`` never fires inside a
+    LONGER attribute name like ``data-rel=`` — RE2 has no lookbehind,
+    so the boundary is a non-capturing prefix group and the value
+    stays capture group 1.  Known limit shared with the oracle: a
+    ``name=`` sequence inside ANOTHER attribute's quoted value still
+    matches the unquoted branch (full tokenization would need a
+    parser, not a regex)."""
 
     def ex(pat: str) -> str:
         return f"nullif(regexp_extract(t, '{pat}', 1), '')"
 
-    dq = ex(rf"(?i){name}\\s*=\\s*\\x22([^\\x22]*)\\x22")
-    sq = ex(rf"(?i){name}\\s*=\\s*\\x27([^\\x27]*)\\x27")
-    un = ex(rf"(?i){name}\\s*=\\s*([^\\s>\\x27\\x22]+)")
+    b = r"(?:^|[\\s\\x22\\x27])"
+    dq = ex(rf"(?i){b}{name}\\s*=\\s*\\x22([^\\x22]*)\\x22")
+    sq = ex(rf"(?i){b}{name}\\s*=\\s*\\x27([^\\x27]*)\\x27")
+    un = ex(rf"(?i){b}{name}\\s*=\\s*([^\\s>\\x27\\x22]+)")
     return f"coalesce({dq}, {sq}, {un}, '')"
 
 

@@ -184,7 +184,13 @@ def host_reputation(
         "host",
         "n_urls",
         "n_captures",
-        F.expr("1000 - (_n_content * 1000) DIV n_urls").cast("long")
+        # clamp at 0: a recrawled/churning host can carry MORE distinct
+        # content hashes than distinct URLs (adaptive-refresh captures
+        # of changing pages), which would drive this negative and flip
+        # the downstream demotion into an unbounded priority BOOST —
+        # churn is not duplication, so it earns zero dup demerit
+        F.expr("greatest(0, 1000 - (_n_content * 1000) DIV n_urls)")
+        .cast("long")
         .alias("dup_pm"),
         F.expr("(_n_err * 1000) DIV n_captures").cast("long")
         .alias("err_pm"),

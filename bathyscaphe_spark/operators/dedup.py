@@ -21,6 +21,8 @@ identical at any parallelism.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -57,9 +59,19 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 # --- shingling ------------------------------------------------------------
 
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
+
+
 def shingles_py(text: str, k: int = SHINGLE_K) -> list[str]:
-    """Distinct word k-grams, order preserved (first occurrence)."""
-    words = [w for w in text.split() if w]
+    """Distinct word k-grams, order preserved (first occurrence).
+
+    Tokenization is ASCII-whitespace split ([ \\t\\n\\r\\f\\v]+) —
+    exactly what Java and RE2 ``\\s+`` mean — NOT ``str.split()``,
+    whose Unicode whitespace (NBSP, thin space, …) would split
+    'a\\u00a0b' into two tokens while every JVM-side mirror and the
+    DuckDB oracles keep it as one, flipping near-dup verdicts on
+    non-ASCII corpora."""
+    words = [w for w in _ASCII_WS.split(text) if w]
     if len(words) < k:
         return [" ".join(words)] if words else []
     seen: dict[str, None] = {}

@@ -122,20 +122,31 @@ def ppl_buckets(
     ties land in one bucket deterministically and no global sort or
     single-partition window ever touches the full corpus.  Adds a
     ``ppl_bucket`` column ('head' = most fluent).
+
+    A corpus slice whose ids happen to avoid multiples of
+    ``sample_mod`` has no sample to learn cuts from: the bucket is
+    NULL for every row (an honest "unbucketed" marker) instead of an
+    ``element_at(xs, 0)`` runtime error killing the job.
     """
     sample = scores.where(F.col(id_col) % sample_mod == 0)
+    nonempty = F.size("xs") > 0
     cuts = (
         sample.agg(F.sort_array(F.collect_list(score_col)).alias("xs"))
         .select(
-            F.element_at("xs", F.ceil(F.size("xs") / 3).cast("int")).alias("t1"),
-            F.element_at(
-                "xs", F.ceil(F.size("xs") * 2 / 3).cast("int")
+            F.when(
+                nonempty,
+                F.element_at("xs", F.ceil(F.size("xs") / 3).cast("int")),
+            ).alias("t1"),
+            F.when(
+                nonempty,
+                F.element_at("xs", F.ceil(F.size("xs") * 2 / 3).cast("int")),
             ).alias("t2"),
         )
     )
     return scores.crossJoin(F.broadcast(cuts)).select(
         scores["*"],
-        F.when(F.col(score_col) > F.col("t2"), F.lit("tail"))
+        F.when(F.col("t1").isNull(), F.lit(None).cast("string"))
+        .when(F.col(score_col) > F.col("t2"), F.lit("tail"))
         .when(F.col(score_col) > F.col("t1"), F.lit("middle"))
         .otherwise(F.lit("head"))
         .alias("ppl_bucket"),

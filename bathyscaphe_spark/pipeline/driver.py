@@ -97,6 +97,10 @@ def _save_persisted_bloom(
             )
         old = final + ".old"
         if os.path.exists(final):
+            # a crash between the two renames below can leave a stale
+            # non-empty .old behind; os.rename cannot replace it, so
+            # clear it first or every later rebuild dies with ENOTEMPTY
+            shutil.rmtree(old, ignore_errors=True)
             os.rename(final, old)
         os.rename(tmp, final)
         shutil.rmtree(old, ignore_errors=True)

@@ -707,7 +707,7 @@ scored AS (
   SELECT a.host,
          CAST(n_urls AS BIGINT) AS n_urls,
          CAST(n_captures AS BIGINT) AS n_captures,
-         CAST(1000 - (n_content * 1000) // n_urls AS BIGINT) AS dup_pm,
+         CAST(greatest(0, 1000 - (n_content * 1000) // n_urls) AS BIGINT) AS dup_pm,
          CAST((n_err * 1000) // n_captures AS BIGINT) AS err_pm,
          CAST((n_s404 * 1000) // n_captures AS BIGINT) AS soft404_pm,
          (f.host IS NOT NULL) AS farm
@@ -8955,9 +8955,10 @@ def _duck_attr(name: str, t: str = "t") -> str:
     def ex(pat: str) -> str:
         return f"nullif(regexp_extract({t}, '{pat}', 1), '')"
 
-    dq = ex(rf"(?i){name}\s*=\s*\x22([^\x22]*)\x22")
-    sq = ex(rf"(?i){name}\s*=\s*\x27([^\x27]*)\x27")
-    un = ex(rf"(?i){name}\s*=\s*([^\s>\x27\x22]+)")
+    b = r"(?:^|[\s\x22\x27])"
+    dq = ex(rf"(?i){b}{name}\s*=\s*\x22([^\x22]*)\x22")
+    sq = ex(rf"(?i){b}{name}\s*=\s*\x27([^\x27]*)\x27")
+    un = ex(rf"(?i){b}{name}\s*=\s*([^\s>\x27\x22]+)")
     return f"coalesce({dq}, {sq}, {un}, '')"
 
 

@@ -173,7 +173,10 @@ def parse_feed_ts(published: Column, kind: Column) -> Column:
     rss_ok = published.rlike(r"(GMT|UT|UTC|Z|\+0000|\+00:00)\s*$")
     return F.when(
         kind == F.lit("rss"),
-        F.when(rss_ok, F.try_to_timestamp(rss_clean, F.lit("dd MMM yyyy HH:mm:ss"))),
+        # 'd' (flexible 1-2 digit day), not 'dd': RFC 822 allows
+        # 1*2DIGIT and many feed generators emit "Tue, 1 Jul 2003 …" —
+        # a strict 'dd' parse silently NULLs their recency signal
+        F.when(rss_ok, F.try_to_timestamp(rss_clean, F.lit("d MMM yyyy HH:mm:ss"))),
     ).otherwise(F.try_to_timestamp(published, F.lit("yyyy-MM-dd'T'HH:mm:ssX")))
 
 

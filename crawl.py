@@ -68,7 +68,12 @@ def main() -> None:
         TableCatalog(spark, args.state).destroy()
 
     cfg = CrawlConfig.from_json(args.config) if args.config else DEFAULT_CONFIG
-    if args.link_rank or args.fetch_budget or args.adaptive_refresh:
+    if (
+        args.link_rank
+        or args.fetch_budget
+        or args.adaptive_refresh
+        or args.recrawl_budget
+    ):
         from dataclasses import replace
 
         cfg = replace(

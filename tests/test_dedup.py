@@ -639,3 +639,15 @@ class TestBffParagraphDedup:
     def test_within_doc_repeat_keeps_first(self, spark):
         got = self._run(spark, [], [(7, "x\ny\nx")])
         assert got[7] == ("x\ny", 1)
+
+
+def test_shingles_ascii_whitespace_only(spark):
+    """NBSP and other Unicode whitespace are TOKEN CHARACTERS here,
+    matching Java/RE2 \\s+ (and therefore every JVM-side mirror and
+    DuckDB oracle) — str.split() would split them and flip near-dup
+    verdicts on non-ASCII corpora."""
+    from bathyscaphe_spark.operators.dedup import shingles_py
+
+    assert shingles_py("a b c", k=2) == ["a b c"]
+    assert shingles_py("a b c", k=2) == ["a b", "b c"]
+    assert shingles_py("a\tb\nc", k=2) == ["a b", "b c"]

@@ -154,3 +154,21 @@ class TestSeedsFromFeeds:
         assert got["http://ex.onion/same"]["pub_epoch"] == 1714561200
         assert got["http://ex.onion/same"]["host"] == "ex.onion"
         assert got["http://ex.onion/other"]["boost"] == 0
+
+
+def test_rss_one_digit_day_parses(spark):
+    """RFC 822 allows 1*2DIGIT days; 'Tue, 1 Jul 2003' must parse
+    instead of NULLing the recency signal (strict 'dd' rejected it)."""
+    from pyspark.sql import functions as F
+
+    from bathyscaphe_spark.sources.feeds import parse_feed_ts
+
+    df = spark.createDataFrame(
+        [("Tue, 1 Jul 2003 10:52:37 GMT", "rss"),
+         ("Tue, 01 Jul 2003 10:52:37 GMT", "rss")],
+        "published string, kind string",
+    )
+    ts = [r["ts"] for r in df.select(
+        parse_feed_ts(F.col("published"), F.col("kind")).alias("ts")
+    ).collect()]
+    assert ts[0] is not None and ts[0] == ts[1]

@@ -356,6 +356,21 @@ class TestAnchorEndorsements:
         assert got == {"/a": (1, 1), "/b": (0, 1), "/c": (0, 1),
                        "/d": (1, 0), "/e": (1, 0)}
 
+    def test_attr_name_boundary(self, spark):
+        # 'rel=' must not fire inside a LONGER attribute name:
+        # data-rel="x" here precedes the real rel="nofollow", and an
+        # unanchored pattern extracted rel='x' -> follow=True, feeding
+        # a nofollow link into the endorsement rollup
+        from bathyscaphe_spark.functions.html import anchor_endorsements
+
+        rows = [(1,
+            '<a data-rel="x" rel="nofollow" href="/a">y</a>'
+            '<a data-rel="nofollow" href="/b">decoy-only</a>')]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        got = {r["href"]: (r["n_follow"], r["n_nofollow"])
+               for r in anchor_endorsements(df).collect()}
+        assert got == {"/a": (0, 1), "/b": (1, 0)}
+
 
 class TestLinkHarvest:
     """Anchors + rel + <base href> + RFC 3986 resolution, end-to-end."""

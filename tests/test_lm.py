@@ -91,3 +91,17 @@ def test_scale_override_preserves_order(spark):
     hi = {r[0]: r[2] for r in bigram_surprisal(df).collect()}
     lo = {r[0]: r[2] for r in bigram_surprisal(df, scale=1000).collect()}
     assert (hi[1] < hi[2]) == (lo[1] < lo[2])
+
+
+def test_ppl_buckets_empty_sample_yields_null_buckets(spark):
+    """Ids avoiding every multiple of sample_mod: no cuts can be
+    learned — every bucket is NULL rather than an
+    INVALID_INDEX_OF_ZERO runtime error aborting the job."""
+    from bathyscaphe_spark.operators.lm import ppl_buckets
+
+    scores = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "doc_id long, mean_surprisal long"
+    )
+    out = ppl_buckets(scores, sample_mod=10).collect()
+    assert len(out) == 3
+    assert all(r["ppl_bucket"] is None for r in out)

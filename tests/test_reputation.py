@@ -109,6 +109,34 @@ def test_demotion_binds_under_global_cap(spark, universe):
     assert bad_sched(demoted) < bad_sched(f)
 
 
+def test_churning_host_never_boosted(spark):
+    """A recrawled host whose pages CHANGE carries more distinct
+    content hashes than distinct URLs; that is churn, not duplication —
+    dup_pm must clamp at 0 so reputation_pm stays ≤ 1000 and the
+    demotion term stays ≥ 0 (an unclamped score flipped the demotion
+    into a priority boost)."""
+    from bathyscaphe_spark.operators.blacklister import host_reputation
+
+    rows = [
+        # one URL captured 3 times with 3 different hashes (churn)
+        ("churn.ex", "http://churn.ex/a", 200, f"h{i}", False)
+        for i in range(3)
+    ] + [
+        # control: two URLs serving the same content (true dup)
+        ("dup.ex", "http://dup.ex/a", 200, "same", False),
+        ("dup.ex", "http://dup.ex/b", 200, "same", False),
+    ]
+    pages = spark.createDataFrame(
+        rows, "host string, url string, status int, content_hash string, soft404 boolean"
+    )
+    rep = {r["host"]: r for r in host_reputation(pages).collect()}
+    assert rep["churn.ex"]["dup_pm"] == 0
+    assert rep["churn.ex"]["reputation_pm"] == 1000  # no demerit, no boost
+    assert rep["dup.ex"]["dup_pm"] == 500  # 1000 - (1*1000) DIV 2
+    assert rep["dup.ex"]["reputation_pm"] < 1000
+    assert all(r["reputation_pm"] <= 1000 for r in rep.values())
+
+
 def test_leftovers_restore_base_priority(spark, universe):
     root, _ = _run(spark, universe, CrawlConfig(reputation_enabled=True, **_BASE))
     cat = TableCatalog(spark, root)
