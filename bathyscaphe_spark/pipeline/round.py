@@ -167,6 +167,28 @@ def discover_new_urls(
     return (out, edges, cand_cache) if emit_edges else out
 
 
+def _with_base_priority(frontier: DataFrame) -> DataFrame:
+    """Save the pre-modifier priority ONCE (idempotent across the
+    rank-time boosts/demotions below): each modifier mutates
+    ``priority``, but a deferred leftover must requeue at its BASE
+    priority or a waiting row compounds its boost across rounds.  The
+    single save/restore pair is the contract every new priority
+    modifier inherits for free — see :func:`_restore_base_priority`."""
+    if "_base_priority" not in frontier.columns:
+        frontier = frontier.withColumn("_base_priority", F.col("priority"))
+    return frontier
+
+
+def _restore_base_priority(df: DataFrame) -> DataFrame:
+    """Undo every rank-time priority modifier on a deferred row (no-op
+    when no modifier ran this round)."""
+    if "_base_priority" in df.columns:
+        df = df.withColumn(
+            "priority", F.col("_base_priority").cast("int")
+        ).drop("_base_priority")
+    return df
+
+
 def _frontier_delta(new_urls: DataFrame, round_n: int) -> DataFrame:
     """Attach frontier bookkeeping for round round_n+1."""
     rts = round_ts_col(round_n)
@@ -324,11 +346,8 @@ def run_round(
                 .cast("int")
                 .alias("_lr_boost"),
             )
-            # rank-time-only boost: the base priority is restored on any
-            # deferred leftover so a waiting row never compounds its
-            # boost across rounds
             frontier = (
-                frontier.withColumn("_base_priority", F.col("priority"))
+                _with_base_priority(frontier)
                 .join(boost, "host", "left")
                 .withColumn(
                     "priority",
@@ -370,12 +389,8 @@ def run_round(
                     " DIV 1000"
                 ).cast("int").alias("_rep_dem"),
             )
-            if "_base_priority" not in frontier.columns:
-                frontier = frontier.withColumn(
-                    "_base_priority", F.col("priority")
-                )
             frontier = (
-                frontier.join(dem, "host", "left")
+                _with_base_priority(frontier).join(dem, "host", "left")
                 .withColumn(
                     "priority",
                     (
@@ -392,11 +407,7 @@ def run_round(
     if config.age_boost_per_round:
         from ..operators.politeness import aged_priority_col
 
-        if "_base_priority" not in frontier.columns:
-            frontier = frontier.withColumn(
-                "_base_priority", F.col("priority")
-            )
-        frontier = frontier.withColumn(
+        frontier = _with_base_priority(frontier).withColumn(
             "priority",
             aged_priority_col(
                 BASE_TS + round_n * ROUND_INTERVAL_S,
@@ -597,17 +608,13 @@ def run_round(
         ).withColumn("round", F.lit(round_n + 1))
     else:
         leftover = leftover_df.withColumn("round", F.lit(round_n + 1))
-    if "_base_priority" in leftover.columns:  # undo the rank-time boost
-        leftover = leftover.withColumn(
-            "priority", F.col("_base_priority").cast("int")
-        ).drop("_base_priority")
+    leftover = _restore_base_priority(leftover)
     if explosion_deferred is not None:
-        _d = explosion_deferred.withColumn("round", F.lit(round_n + 1))
-        if "_base_priority" in _d.columns:
-            _d = _d.withColumn(
-                "priority", F.col("_base_priority").cast("int")
-            ).drop("_base_priority")
-        leftover = leftover.unionByName(_d)
+        leftover = leftover.unionByName(
+            _restore_base_priority(
+                explosion_deferred.withColumn("round", F.lit(round_n + 1))
+            )
+        )
     new_delta = _frontier_delta(new_urls, round_n)
     if (
         config.refresh_delay_s
