@@ -23,6 +23,27 @@ from .fnv import fnv1_64_str
 from .urltools import url_host, url_host_port, url_request_uri, url_scheme
 
 
+def http_date(c: Column) -> Column:
+    """RFC 9110 IMF-fixdate ("Wed, 21 Oct 2026 07:28:00 GMT") →
+    timestamp, pure codegen — THE one header-date grammar, shared by
+    every HTTP-header consumer (Retry-After's date form in
+    operators/politeness, Expires / Date / Last-Modified in
+    operators/recrawl.cache_policy) so a format fix lands once.
+
+    Spark's post-3.0 parser cannot PARSE day-of-week ("EEE"), so the
+    redundant weekday prefix strips before the match; ' GMT' drops.
+    Day is strictly 2DIGIT per the RFC ('dd'); RSS pubDate is RFC 822,
+    ALLOWS 1-digit days, and keeps its own parse in
+    sources/feeds.parse_feed_ts — do not merge the two grammars.
+    Malformed (incl. obsolete RFC 850 / asctime forms) → NULL."""
+    return F.try_to_timestamp(
+        F.regexp_replace(
+            F.regexp_replace(c, r"^[A-Za-z]{3}, ", ""), r" GMT$", ""
+        ),
+        F.lit("dd MMM yyyy HH:mm:ss"),
+    )
+
+
 def resource_text(url: Column, headers: Column, body: Column) -> Column:
     """Byte-identical extracted text per url (pure column expression).
 

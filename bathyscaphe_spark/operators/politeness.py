@@ -417,16 +417,9 @@ def retry_after_budgets(
         # RFC 9110 also allows the HTTP-date form ("Wed, 21 Oct 2026
         # 07:28:00 GMT"): delay = date − now, replayable via the
         # explicit `now` (the robots_availability clock discipline).
-        # IMF-fixdate only — the obsolete RFC 850 / asctime forms
-        # try_cast to NULL and are ignored, like any unparseable value.
-        # Spark's post-3.0 parser cannot PARSE day-of-week ("EEE"), so
-        # the weekday prefix strips before the match (it is redundant)
-        dt = F.try_to_timestamp(
-            F.regexp_replace(
-                F.regexp_replace(ra, r"^[A-Za-z]{3}, ", ""), r" GMT$", ""
-            ),
-            F.lit("dd MMM yyyy HH:mm:ss"),
-        )
+        from ..functions.textfmt import http_date
+
+        dt = http_date(ra)
         date_secs = (
             F.unix_timestamp(dt) - F.unix_timestamp(F.lit(now).cast("timestamp"))
         )

@@ -423,13 +423,7 @@ def cache_policy(
             F.element_at(F.col(headers_col), name.lower()),
         )
 
-    def http_date(c: Column) -> Column:
-        return F.try_to_timestamp(
-            F.regexp_replace(
-                F.regexp_replace(c, r"^[A-Za-z]{3}, ", ""), r" GMT$", ""
-            ),
-            F.lit("dd MMM yyyy HH:mm:ss"),
-        )
+    from ..functions.textfmt import http_date
 
     cc = F.lower(F.coalesce(hdr("Cache-Control"), F.lit("")))
     # directive-boundary match: "no-cache" must not fire on
