@@ -65,12 +65,16 @@ _ASCII_WS = re.compile(r"\s+", re.ASCII)
 def shingles_py(text: str, k: int = SHINGLE_K) -> list[str]:
     """Distinct word k-grams, order preserved (first occurrence).
 
-    Tokenization is ASCII-whitespace split ([ \\t\\n\\r\\f\\v]+) —
-    exactly what Java and RE2 ``\\s+`` mean — NOT ``str.split()``,
-    whose Unicode whitespace (NBSP, thin space, …) would split
-    'a\\u00a0b' into two tokens while every JVM-side mirror and the
-    DuckDB oracles keep it as one, flipping near-dup verdicts on
-    non-ASCII corpora."""
+    Tokenization is ASCII-whitespace split ([ \\t\\n\\r\\f\\v]+,
+    exactly Java's ``\\s+``) — NOT ``str.split()``, whose Unicode
+    whitespace (NBSP, thin space, …) would split 'a\\u00a0b' into two
+    tokens while every JVM-side mirror and the DuckDB oracles keep it
+    as one, flipping near-dup verdicts on non-ASCII corpora (NBSP is
+    ubiquitous in web text via &nbsp;).  One-character caveat: RE2's
+    ``\\s`` excludes vertical tab (\\x0B), so a document containing a
+    raw \\v still tokenizes differently in a DuckDB oracle — no
+    fixture and essentially no web text exercises it, and the engine
+    keeps Python==Java consistency rather than special-casing it."""
     words = [w for w in _ASCII_WS.split(text) if w]
     if len(words) < k:
         return [" ".join(words)] if words else []
@@ -470,7 +474,9 @@ def winnow_fingerprints(
             fps_out: list[int] = []
             gram_lists = []
             for t in pdf[text_col]:
-                words = (t or "").split()
+                # ASCII split, same contract as shingles_py (NBSP etc.
+                # are token characters, matching the JVM/oracle \s+)
+                words = [w for w in _ASCII_WS.split(t or "") if w]
                 if not words:
                     gram_lists.append([])
                 elif len(words) < k:
@@ -526,7 +532,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
 
     def _run(batches):
         for pdf in batches:
-            word_lists = [(t or "").split() for t in pdf[text_col]]
+            # ASCII split — same contract as shingles_py (NBSP etc. are
+            # token characters, matching the JVM/oracle \s+)
+            word_lists = [
+                [w for w in _ASCII_WS.split(t or "") if w]
+                for t in pdf[text_col]
+            ]
             counts = np.fromiter(
                 (len(w) for w in word_lists), dtype=np.int64, count=len(word_lists)
             )
@@ -939,6 +950,15 @@ def incremental_dedup_pairs(
     candidate is exactly verified by shingle-set Jaccard, old shingles
     read from the persisted table.  Output (id_a, id_b, jaccard3,
     pair_kind) with id_a < id_b.
+
+    Persisted-table compatibility: signatures are only comparable when
+    old and new sides tokenized identically.  The tokenizer changed
+    once (str.split → ASCII ``\\s+``, 2026-08; Unicode-whitespace docs
+    hash differently since) — signature tables persisted before that
+    must be regenerated, or an NBSP-bearing re-fetch silently misses
+    its standing duplicate.  If the tokenizer ever changes again,
+    stamp a version column into the signature table and refuse
+    mixed-version joins instead of relying on this note.
     """
     # persist: the new-side kernel feeds the band probe, the self-join,
     # and the shingle lookup — without the cache the Arrow stage would

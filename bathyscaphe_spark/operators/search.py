@@ -151,12 +151,14 @@ def _assemble_index(tf: DataFrame, stop_df: int) -> DataFrame:
     conditional collect can skip anything — one corpus-sized straggler
     partition per stopword (and windows cannot be skew-split by AQE).
     The aggregated pre-pass is the price of never forming that
-    partition.  ``tf`` is lazily localCheckpoint'ed: two consumers
-    (stats, postings), one tokenize+shuffle."""
+    partition.  ``tf`` and ``stats`` are lazily localCheckpoint'ed:
+    ``tf`` feeds stats + postings with one tokenize+shuffle, and
+    ``stats`` feeds the broadcast stop list + the final union without
+    re-running the corpus-wide aggregation per consumer."""
     tf = tf.localCheckpoint(eager=False)
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
-    )
+    ).localCheckpoint(eager=False)
     stop = stats.where(F.col("df") > stop_df)
     kept = tf.join(F.broadcast(stop.select("term")), "term", "left_anti")
     live = (
