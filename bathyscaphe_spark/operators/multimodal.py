@@ -269,16 +269,19 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plan (metadata only — no decode): one output
     row per planned frame index, derived from meta['height'] as a fake
     frame count.  Demonstrates the explode-based fan-out a real sampler
-    uses."""
-    frames = F.sequence(
-        F.lit(0),
-        F.least(
-            F.coalesce(
-                F.element_at("meta", "height").cast("int"), F.lit(0)
-            ),
-            F.lit(300),
+    uses.
+
+    A video with ``fc`` frames has valid indices 0..fc-1, so the plan
+    ends at ``least(fc - 1, 300)`` — NOT ``fc`` (planning index == fc
+    would make the decoder read past end-of-stream whenever fc % 30 ==
+    0) — and a zero-frame item plans nothing (NULL array, dropped by
+    explode) rather than frame 0 of an empty stream."""
+    fc = F.coalesce(F.element_at("meta", "height").cast("int"), F.lit(0))
+    frames = F.when(
+        fc > 0,
+        F.sequence(
+            F.lit(0), F.least(fc - 1, F.lit(300)), F.lit(every_n)
         ),
-        F.lit(every_n),
     )
     return (
         df.where(F.col("modality") == "video")

@@ -403,7 +403,12 @@ def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     captures = d.selectExpr(
         "'http://h.onion/c' || CAST(doc_id % 100 AS STRING) AS url",
         "CAST(to_timestamp(1714564800 + doc_id) AS TIMESTAMP) AS warc_ts",
-        "CASE doc_id % 4"
+        # header class modulus 7 does NOT divide the capture stride
+        # (100), so presence genuinely varies BY CAPTURE as the
+        # docstring promises — with %4 (4 | 100) all five captures of a
+        # URL shared one class and the latest-capture pick was never
+        # load-bearing
+        "CASE doc_id % 7"
         " WHEN 0 THEN map('ETag', '\"e' || CAST(doc_id AS STRING) || '\"')"
         " WHEN 1 THEN map('etag', 'W/\"w' || CAST(doc_id AS STRING) || '\"',"
         "               'Last-Modified', 'lm' || CAST(doc_id AS STRING))"
@@ -417,11 +422,11 @@ ORACLE_CONDITIONAL_FETCH = """
 WITH c AS (
   SELECT 'http://h.onion/c' || CAST(doc_id % 100 AS STRING) AS url,
          CAST(to_timestamp(1714564800 + doc_id) AS TIMESTAMP) AS warc_ts,
-         CASE doc_id % 4
+         CASE doc_id % 7
            WHEN 0 THEN '"e' || CAST(doc_id AS STRING) || '"'
            WHEN 1 THEN 'W/"w' || CAST(doc_id AS STRING) || '"'
            ELSE NULL END AS etag,
-         CASE doc_id % 4
+         CASE doc_id % 7
            WHEN 1 THEN 'lm' || CAST(doc_id AS STRING)
            WHEN 2 THEN 'lm' || CAST(doc_id AS STRING)
            ELSE NULL END AS lastmod
@@ -3617,9 +3622,16 @@ FROM documents
 """
 
 
+# TLDs deliberately span 4 registries so SURTs start with DIFFERENT
+# first letters ('c'/'o'/'n') — zipnum's substr(surt, 1, 1) shard key
+# then yields several shards and the per-shard block numbering is
+# actually under test (an all-.onion corpus collapsed to one shard,
+# where a globally-numbered implementation was output-identical)
 _SURT_URL_SQL = (
     "'http://sub' || CAST(doc_id % 5 AS STRING) || '.host' || "
-    "CAST(doc_id % 23 AS STRING) || '.onion/Path' || "
+    "CAST(doc_id % 23 AS STRING) || "
+    "(CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org' "
+    "WHEN 2 THEN '.net' ELSE '.onion' END) || '/Path' || "
     "CAST(doc_id % 7 AS STRING) || '/x.php' || "
     "(CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '?b=2&a=1' "
     "ELSE '?z=9&m=4&a=0' END)"
@@ -3911,8 +3923,12 @@ FROM documents WHERE doc_id < 150
 UNION ALL
 SELECT doc_id % 150 AS url_hash, 2 AS first_seen_round,
        CAST(NULL AS TIMESTAMP) AS expires_ts,
+       -- spread 1200..8400 so BOTH clamps bind somewhere: doubling
+       -- 8400 exceeds the 14400 cap, halving 1200 under-runs the 900
+       -- floor (the old 1800/3600/5400 spread made both clamps no-ops,
+       -- leaving the clamp arithmetic outside the parity contract)
        CASE WHEN doc_id % 5 = 0 THEN NULL
-            ELSE 1800 * (1 + doc_id % 3) END AS ttl_s
+            ELSE 1200 * (1 + doc_id % 7) END AS ttl_s
 FROM documents WHERE doc_id < 150
 """
 
@@ -4418,7 +4434,12 @@ def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat('https://host', CAST(doc_id % 30 AS STRING),"
         " '.onion/page', CAST(doc_id % 120 AS STRING)) AS url",
         "to_timestamp(1714564800 + doc_id * 1000) AS warc_ts",
-        "concat('h', CAST((doc_id * 7) % 3 AS STRING)) AS content_hash",
+        # hash class modulus must NOT divide the URL-class modulus
+        # (120): captures of one URL step doc_id by 120, and 120 % 7 != 0
+        # makes consecutive captures CHANGE hashes — with %3 (3 | 120)
+        # every capture shared one hash, n_changes was 0 for every row,
+        # and the change-detection arithmetic was never exercised
+        "concat('h', CAST((doc_id * 3) % 7 AS STRING)) AS content_hash",
     )
     return recrawl_priority(caps)
 
@@ -4428,7 +4449,7 @@ WITH caps AS (
   SELECT 'https://host' || CAST(doc_id % 30 AS STRING)
              || '.onion/page' || CAST(doc_id % 120 AS STRING) AS url,
          1714564800 + doc_id * 1000 AS ts,
-         'h' || CAST((doc_id * 7) % 3 AS STRING) AS content_hash
+         'h' || CAST((doc_id * 3) % 7 AS STRING) AS content_hash
   FROM documents
 ),
 c AS (
@@ -4850,10 +4871,12 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FRAME_SAMPLE = """
+-- valid frame indices are 0..fc-1: the plan ends at least(fc-1, 300)
+-- and a zero-frame item plans nothing (range(0, 0, 30) is empty)
 SELECT doc_id AS item_id,
-       CAST(unnest(range(0, least(doc_id % 400, 300) + 1, 30)) AS INT)
+       CAST(unnest(range(0, least((doc_id % 400) - 1, 300) + 1, 30)) AS INT)
            AS frame_idx
-FROM documents WHERE doc_id % 3 = 0
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 400 > 0
 """
 
 

@@ -80,6 +80,26 @@ def test_frame_sample_plan(spark):
         assert all(f % 30 == 0 for f in frames)
 
 
+def test_frame_sample_plan_bounds(spark):
+    """Valid frame indices are 0..fc-1: no plan row may equal the frame
+    count (the decoder would read past end-of-stream), and a zero-frame
+    item plans nothing."""
+    rows = [(1, "video", {"height": "60"}),   # fc=60 → 0, 30 (NOT 60)
+            (2, "video", {"height": "0"}),    # empty stream → no rows
+            (3, "video", {"height": "1"}),    # one frame → [0]
+            (4, "video", {"height": "400"})]  # cap: 0..300
+    df = spark.createDataFrame(
+        rows, "item_id long, modality string, meta map<string,string>"
+    )
+    got = {}
+    for r in frame_sample_plan(df, every_n=30).collect():
+        got.setdefault(r["item_id"], []).append(r["frame_idx"])
+    assert got.get(1) == [0, 30]
+    assert 2 not in got
+    assert got.get(3) == [0]
+    assert got.get(4) == list(range(0, 301, 30))
+
+
 class TestAHash:
     """ahash_fingerprints: invariances, flips, partitioning."""
 
