@@ -25,7 +25,7 @@ from .config import CrawlConfig, parse_duration_s
 from .functions.fnv import duckdb_fnv_signed_sql, duckdb_fnv_str_sql, fnv1_64, fnv1_64_str
 from .functions.html import parse_doc
 from .functions.textfmt import lowercase_header_keys, resource_text, with_sink_path
-from .functions.urltools import URL_RE, normalize_url
+from .functions.urltools import normalize_url
 from .operators.politeness import rank_frontier
 from .operators.scheduler import schedule_candidates
 
@@ -38,8 +38,12 @@ CFG = CrawlConfig()  # html/php/aspx/htm extensions — mirrored in oracles
 LINK1 = (
     "'http://host' || CAST((doc_id * 7 + 1) % 97 AS STRING) || '.onion/s' || "
     "CAST(doc_id % 7 AS STRING) || '/page' || CAST((doc_id * 13 + 1) % 5000 AS STRING) || "
-    "(CASE (doc_id % 5) WHEN 0 THEN '.html' WHEN 1 THEN '.php' WHEN 2 THEN '.png' "
-    "WHEN 3 THEN '' ELSE '.aspx' END)"
+    # extension classes cover EVERY allowlist entry (html/php/aspx/htm)
+    # plus a rejected type and the no-extension fallback — the '.htm'
+    # arm exists so that allowlist entry is not a dead branch the
+    # parity check can never falsify
+    "(CASE (doc_id % 6) WHEN 0 THEN '.html' WHEN 1 THEN '.php' WHEN 2 THEN '.png' "
+    "WHEN 3 THEN '' WHEN 4 THEN '.aspx' ELSE '.htm' END)"
 )
 LINK2 = "'HTTP://HOST' || CAST((doc_id * 3 + 2) % 97 AS STRING) || '.ONION'"
 LINK3 = "'https://mirror' || CAST(doc_id % 31 AS STRING) || '.example.com/copy.html'"
@@ -69,8 +73,6 @@ FROM ({CORPUS_SQL})
 
 BLACKLIST = ("host13.onion", "host7.onion", "host29.onion")
 
-# extraction pattern shared with the python UDF, quoted for SQL literals
-_URL_PAT_SQL = URL_RE.pattern.replace("'", "''")
 
 # oracle-side normalization of the controlled corpus: lowercase
 # scheme+authority, strip fragment (the full purell flag set is covered by
@@ -92,10 +94,22 @@ _F3 = (
 )
 _F4 = "NOT (" + " OR ".join(f"contains(host, '{h}')" for h in BLACKLIST) + ")"
 
+# The oracle's link set is derived ARITHMETICALLY from the corpus
+# columns, never by re-running the implementation's URL_RE over the
+# html (which would make a regex bug invisible to parity — both sides
+# wrong identically).  The page body embeds exactly link1..link5 per
+# document, so the expected extraction IS their union; if the X1
+# kernel truncated a URL or over-matched trailing markup, the engine
+# diverges from this set and the driver check fails.  Same discipline
+# as _crawl2_oracle_sql.
 _EXTRACT_NORM_SQL = f"""
-WITH pages AS ({PAGES_SQL}),
+WITH c AS ({CORPUS_SQL}),
  extracted AS (
-   SELECT unnest(regexp_extract_all(body, '{_URL_PAT_SQL}')) AS raw FROM pages
+   SELECT link1 AS raw FROM c
+   UNION ALL SELECT link2 FROM c
+   UNION ALL SELECT link3 FROM c
+   UNION ALL SELECT link4 FROM c
+   UNION ALL SELECT link5 FROM c
  ),
  norm AS (SELECT {_NORM} AS url FROM extracted),
  parts AS (
@@ -3864,31 +3878,24 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANCHOR_RE_SQL = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
-
-ORACLE_ANCHOR_TEXT = f"""
-WITH d AS (
+ORACLE_ANCHOR_TEXT = """
+-- the expected (href, anchor) pairs are derived ARITHMETICALLY from
+-- what the fixture plants, never by re-running the implementation's
+-- anchor regex (which would make an extractor bug invisible to
+-- parity).  Each doc plants exactly the 'go' and 'see' anchors below;
+-- the doc_id%4=0 nested-markup anchor IS in the html but deliberately
+-- absent here — the strict extractor contract excludes it, and this
+-- oracle is what pins that exclusion.
+WITH p AS (
   SELECT doc_id,
-         '<html><body><p>intro</p><a class="x" href="/p'
-         || CAST(doc_id * 7 % 40 AS STRING) || '">go '
-         || CAST(doc_id % 17 AS STRING) || '</a> mid <a href="/p'
-         || CAST((doc_id * 13 + 1) % 40 AS STRING) || '">see '
-         || CAST(doc_id % 11 AS STRING) || '</a>'
-         || CASE WHEN doc_id % 4 = 0 THEN '<a href="/p'
-            || CAST(doc_id % 40 AS STRING) || '"><b>bold</b></a>'
-            ELSE '' END || '</body></html>' AS html
+         '/p' || CAST(doc_id * 7 % 40 AS STRING) AS href,
+         'go ' || CAST(doc_id % 17 AS STRING) AS anchor
   FROM documents
-),
-m AS (
+  UNION ALL
   SELECT doc_id,
-         unnest(regexp_extract_all(html, '{_ANCHOR_RE_SQL}', 0)) AS mt
-  FROM d
-),
-p AS (
-  SELECT doc_id,
-         regexp_extract(mt, '{_ANCHOR_RE_SQL}', 1) AS href,
-         regexp_extract(mt, '{_ANCHOR_RE_SQL}', 2) AS anchor
-  FROM m
+         '/p' || CAST((doc_id * 13 + 1) % 40 AS STRING),
+         'see ' || CAST(doc_id % 11 AS STRING)
+  FROM documents
 ),
 r AS (
   SELECT href, doc_id, anchor,
@@ -6887,13 +6894,14 @@ _ROBOTS_WILD_RULES = [
 ]
 
 _ROBOTS_PATH_SQL = """
-CASE doc_id % 6
+CASE doc_id % 7
   WHEN 0 THEN '/private/page' || CAST(doc_id % 3 AS STRING)
   WHEN 1 THEN '/private/ok'
   WHEN 2 THEN '/file' || CAST(doc_id % 3 AS STRING) || '.php'
   WHEN 3 THEN '/a' || CAST(doc_id % 3 AS STRING) || '/b'
   WHEN 4 THEN '/public/page' || CAST(doc_id % 3 AS STRING)
-  ELSE '/x.phpx'
+  WHEN 5 THEN '/x.phpx'
+  ELSE '/fileXphp'
 END
 """
 
@@ -6929,11 +6937,24 @@ def q_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfc9309_allowed_wild(cands, rules)
 
 
-def _robots_wild_oracle_sql() -> str:
-    from .operators.robots import wildcard_rule_regex_py
+# the oracle's regex per rule is HAND-WRITTEN from RFC 9309 §2.2.2
+# semantics ('*' = any run, trailing '$' = end anchor, every other
+# character LITERAL — note the escaped dot in '/*.php$'), never built
+# with the implementation's wildcard_rule_regex_py: the *-and-$ → regex
+# translation is itself under test, and the '/fileXphp' fixture path
+# exists precisely so an unescaped '.' would match it and fail parity.
+_ROBOTS_WILD_EXPECTED_RX = {
+    "/private*": "^/private.*",
+    "/private/ok$": "^/private/ok$",
+    "/*.php$": r"^/.*\.php$",
+    "/a": "^/a",
+    "/a*/b": "^/a.*/b",
+}
 
+
+def _robots_wild_oracle_sql() -> str:
     vals = ", ".join(
-        f"('{h}', '{r}', '{wildcard_rule_regex_py(r)}', {str(a).upper()})"
+        f"('{h}', '{r}', '{_ROBOTS_WILD_EXPECTED_RX[r]}', {str(a).upper()})"
         for h, r, a in _ROBOTS_WILD_RULES
     )
     return f"""
@@ -7956,9 +7977,12 @@ def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _canonical_oracle_sql() -> str:
-    from .functions.html import CANONICAL_RE
-
-    return rf"""
+    # the expected canonical link is stated ARITHMETICALLY from what
+    # the fixture plants (docs with doc_id % 5 in 1..3 carry a
+    # rel=canonical to their group leader), never by re-running the
+    # implementation's CANONICAL_RE over the html — the regex itself
+    # is what this query pins against the planted truth
+    return r"""
 WITH d AS (
   SELECT doc_id,
          'http://h' || CAST(doc_id % 31 AS VARCHAR) || '.onion/p'
@@ -7966,20 +7990,15 @@ WITH d AS (
          'http://h' || CAST((doc_id - doc_id % 5) % 31 AS VARCHAR)
            || '.onion/p' || CAST(doc_id - doc_id % 5 AS VARCHAR) AS leader_url
   FROM documents
-), pages AS (
-  SELECT url,
-         '<html><head>' || CASE WHEN doc_id % 5 IN (1, 2, 3) THEN
-           '<link rel="canonical" href="' || leader_url || '">'
-           ELSE '' END || '<title>t</title></head><body>x</body></html>' AS html
-  FROM d
 ), eff AS (
   SELECT url, canonical_url,
          coalesce(canonical_url, url) AS effective_url,
          canonical_url IS NOT NULL AND canonical_url != url AS is_alias
   FROM (
     SELECT url,
-           NULLIF(regexp_extract(html, '{CANONICAL_RE}', 1), '') AS canonical_url
-    FROM pages
+           CASE WHEN doc_id % 5 IN (1, 2, 3) THEN leader_url END
+               AS canonical_url
+    FROM d
   )
 )
 SELECT e.url, e.canonical_url, e.effective_url, e.is_alias,
@@ -8787,42 +8806,29 @@ def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _robots_meta_oracle_sql() -> str:
-    from .functions.html import _ROBOTS_META_CN, _ROBOTS_META_NC
-
-    nc = _ROBOTS_META_NC.replace("'", "''")
-    cn = _ROBOTS_META_CN.replace("'", "''")
-
-    def tok(name: str) -> str:
-        return (
-            f"(regexp_matches(combined, '(?i)(^|[,\\s]){name}([,\\s]|$)')"
-            f" OR regexp_matches(combined, '(?i)(^|[,\\s])none([,\\s]|$)'))"
-        )
-
-    return rf"""
-WITH d AS ({_RMETA_HTML_SQL}),
-m AS (
-  SELECT doc_id,
-         COALESCE(nullif(regexp_extract(html, '{nc}', 1), ''),
-                  nullif(regexp_extract(html, '{cn}', 1), '')) AS meta_robots,
-         x_robots
-  FROM d
-),
-c AS (
-  SELECT doc_id, meta_robots,
-         concat_ws(',', meta_robots,
-           CASE WHEN regexp_extract(coalesce(x_robots, ''),
-                       '^\s*([A-Za-z0-9_-]+)\s*:', 1) != ''
-                 AND lower(regexp_extract(coalesce(x_robots, ''),
-                       '^\s*([A-Za-z0-9_-]+)\s*:', 1)) NOT IN
-                     ('noindex', 'nofollow', 'none', 'noarchive',
-                      'nosnippet', 'notranslate', 'noimageindex',
-                      'unavailable_after')
-                THEN NULL ELSE x_robots END) AS combined
-  FROM m
-)
-SELECT doc_id, meta_robots, {tok("noindex")} AS noindex,
-       {tok("nofollow")} AS nofollow
-FROM c
+    # per fixture class (doc_id % 7) the planted truth is known
+    # outright, so the oracle STATES it instead of re-running the
+    # implementation's meta-extraction regexes and directive tokenizer
+    # (which would make a bug in either invisible to parity):
+    #   0: meta noindex + X-Robots nofollow     → T, T
+    #   1: meta nofollow (reversed attr order)  → F, T
+    #   2: meta NONE (case-insensitive ⇒ both)  → T, T
+    #   3: X-Robots noindex only                → T, F
+    #   4: X-Robots 'nofollow, noarchive'       → F, T
+    #   5: decoy description-meta + agent-scoped
+    #      'googlebot: noindex' (both ignored)  → F, F
+    #   6: meta 'noindex, nofollow'             → T, T
+    return """
+SELECT doc_id,
+       CASE doc_id % 7
+         WHEN 0 THEN 'noindex'
+         WHEN 1 THEN 'nofollow'
+         WHEN 2 THEN 'NONE'
+         WHEN 6 THEN 'noindex, nofollow'
+       END AS meta_robots,
+       (doc_id % 7) IN (0, 2, 3, 6) AS noindex,
+       (doc_id % 7) IN (0, 1, 2, 4, 6) AS nofollow
+FROM documents
 """
 
 
