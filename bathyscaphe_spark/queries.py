@@ -8936,62 +8936,6 @@ FROM documents
 """
 
 
-def _duck_resolve_expr(base: str, ref: str) -> str:
-    """DuckDB SQL expression resolving ``ref`` against ``base`` — the
-    same RFC 3986 §5.2 CASE grammar as resolve_reference_col, reused by
-    every oracle that composes resolution."""
-
-    def rm_dots(expr: str) -> str:
-        seg = r"(?:[^/]|\.[^/.]|[^/.][^/]|[^/][^/][^/]+)"
-        p = expr
-        for _ in range(2):
-            p = f"regexp_replace({p}, '/\\./', '/', 'g')"
-        p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
-        for _ in range(4):
-            p = f"regexp_replace({p}, '/{seg}/\\.\\./', '/', 'g')"
-            p = f"regexp_replace({p}, '/{seg}/\\.\\.$', '/', 'g')"
-        for _ in range(4):
-            p = f"regexp_replace({p}, '^/\\.\\./', '/', 'g')"
-        p = f"regexp_replace({p}, '^/\\.\\.$', '/', 'g')"
-        return p
-
-    sch = f"regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
-    auth = f"regexp_extract({base}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
-    bpath = (f"regexp_extract({base},"
-             f" '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
-    bq = f"regexp_extract({base}, '(\\?[^#]*)', 1)"
-    rpath = f"regexp_extract({ref}, '^([^?#]*)', 1)"
-    rtail = f"regexp_extract({ref}, '^[^?#]*([?#].*)', 1)"
-    root = f"({sch} || '://' || {auth})"
-    bdir = (f"CASE WHEN {bpath} = '' THEN '/'"
-            f" ELSE regexp_replace({bpath}, '[^/]*$', '') END")
-    return f"""CASE
-    WHEN regexp_matches({ref}, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN {ref}
-    WHEN {ref} LIKE '//%' THEN {sch} || ':' || {ref}
-    WHEN {ref} LIKE '/%' THEN {root} || {rm_dots(rpath)} || {rtail}
-    WHEN {ref} = '' THEN {root} || {bpath} || {bq}
-    WHEN {ref} LIKE '?%' THEN {root} || {bpath} || {ref}
-    WHEN {ref} LIKE '#%' THEN {root} || {bpath} || {bq} || {ref}
-    ELSE {root} || {rm_dots(f"({bdir} || {rpath})")} || {rtail}
-  END"""
-
-
-def _duck_attr(name: str, t: str = "t") -> str:
-    """DuckDB mirror of functions.html._attr_sql: attribute extraction
-    in all three HTML quoting forms, quote chars only as \x22/\x27
-    regex escapes (RE2-safe)."""
-
-    def ex(pat: str) -> str:
-        return f"nullif(regexp_extract({t}, '{pat}', 1), '')"
-
-    b = r"(?:^|[\s\x22\x27])"
-    dq = ex(rf"(?i){b}{name}\s*=\s*\x22([^\x22]*)\x22")
-    sq = ex(rf"(?i){b}{name}\s*=\s*\x27([^\x27]*)\x27")
-    un = ex(rf"(?i){b}{name}\s*=\s*([^\s>\x27\x22]+)")
-    return f"coalesce({dq}, {sq}, {un}, '')"
-
-
-
 def q_link_endorsement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-link REP rel semantics (functions/html.py anchor_rel_cols /
     anchor_endorsements): rel="nofollow"/"ugc"/"sponsored" links convey
@@ -9007,35 +8951,34 @@ def q_link_endorsement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_endorsements(spark.sql(_REL_HTML_SQL), url_col="url")
 
 
-ORACLE_LINK_ENDORSEMENT = rf"""
-WITH d AS ({_REL_HTML_SQL}),
-tags AS (
-  SELECT doc_id, url,
-         unnest(regexp_extract_all(html, '(?i)<a\s([^>]*)>', 1)) AS t
-  FROM d
-),
-a0 AS (
-  SELECT doc_id, url,
-         {_duck_attr("href")} AS ref,
-         {_duck_attr("rel")} AS rel
-  FROM tags
-),
-a AS (
-  SELECT doc_id,
-         CASE WHEN ref = '' THEN ''
-              ELSE {_duck_resolve_expr("url", "ref")} END AS href,
-         rel
-  FROM a0
+ORACLE_LINK_ENDORSEMENT = """
+-- expected (ref, follow) pairs stated ARITHMETICALLY from what the
+-- fixture plants per doc-id class (never by re-running the attr
+-- extraction / rel tokenizing / RFC 3986 grammar mirrors, which would
+-- hide a shared pattern bug from parity): every doc plants a followed
+-- '/t' anchor; classes 0-4 add one endorsement-stripped anchor each
+-- (double-quoted, attr-order-swapped, uppercase SPONSORED,
+-- single-quoted, unquoted); class 5's no-href anchor contributes
+-- nothing.  All planted refs are root-relative, so resolution is
+-- root || ref by construction.
+WITH a AS (
+  SELECT doc_id, '/t' || CAST(doc_id % 25 AS STRING) AS ref, TRUE AS follow
+  FROM documents
+  UNION ALL
+  SELECT doc_id, '/t' || CAST(doc_id % 25 AS STRING), FALSE
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id, '/u' || CAST(doc_id % 10 AS STRING), FALSE
+  FROM documents WHERE doc_id % 6 = 1
+  UNION ALL SELECT doc_id, '/s', FALSE FROM documents WHERE doc_id % 6 = 2
+  UNION ALL SELECT doc_id, '/sq', FALSE FROM documents WHERE doc_id % 6 = 3
+  UNION ALL SELECT doc_id, '/unq', FALSE FROM documents WHERE doc_id % 6 = 4
 )
-SELECT href,
-       CAST(SUM(CASE WHEN NOT regexp_matches(rel,
-            '(?i)(^| )(nofollow|ugc|sponsored)( |$)') THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_follow,
-       CAST(SUM(CASE WHEN regexp_matches(rel,
-            '(?i)(^| )(nofollow|ugc|sponsored)( |$)') THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_nofollow
-FROM a WHERE href != ''
-GROUP BY href
+SELECT 'http://h' || CAST(doc_id % 8 AS STRING) || '.onion' || ref AS href,
+       CAST(SUM(CASE WHEN follow THEN 1 ELSE 0 END) AS BIGINT) AS n_follow,
+       CAST(SUM(CASE WHEN follow THEN 0 ELSE 1 END) AS BIGINT) AS n_nofollow
+FROM a
+GROUP BY 1
 """
 
 
@@ -9080,43 +9023,37 @@ def q_resolve_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _resolve_oracle_sql() -> str:
-    def rm_dots(expr: str) -> str:
-        seg = r"(?:[^/]|\.[^/.]|[^/.][^/]|[^/][^/][^/]+)"
-        p = expr
-        for _ in range(2):
-            p = f"regexp_replace({p}, '/\\./', '/', 'g')"
-        p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
-        for _ in range(4):
-            p = f"regexp_replace({p}, '/{seg}/\\.\\./', '/', 'g')"
-            p = f"regexp_replace({p}, '/{seg}/\\.\\.$', '/', 'g')"
-        for _ in range(4):
-            p = f"regexp_replace({p}, '^/\\.\\./', '/', 'g')"
-        p = f"regexp_replace({p}, '^/\\.\\.$', '/', 'g')"
-        return p
-
-    sch = "regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
-    auth = "regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
-    bpath = ("regexp_extract(base,"
-             " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
-    bq = "regexp_extract(base, '(\\?[^#]*)', 1)"
-    rpath = "regexp_extract(ref, '^([^?#]*)', 1)"
-    rtail = "regexp_extract(ref, '^[^?#]*([?#].*)', 1)"
-    root = f"({sch} || '://' || {auth})"
-    bdir = (f"CASE WHEN {bpath} = '' THEN '/'"
-            f" ELSE regexp_replace({bpath}, '[^/]*$', '') END")
+    # the expected resolution of every ref class is stated OUTRIGHT
+    # from RFC 3986 §5.2 applied by hand to the planted (base, ref)
+    # pairs — not via a SQL restatement of the merge/remove-dot-
+    # segments grammar, whose structural similarity to the
+    # implementation could hide a shared misreading of the spec.
+    # base = http://h{d%9}.onion/d1/d2/page{d%5}.html?q={d%3}
     return f"""
-WITH d AS ({_RESOLVE_CASES_SQL})
+WITH d AS ({_RESOLVE_CASES_SQL}),
+x AS (
+  SELECT doc_id, base, ref,
+         'http://h' || CAST(doc_id % 9 AS STRING) || '.onion' AS root,
+         '/page' || CAST(doc_id % 5 AS STRING) || '.html' AS pg,
+         '?q=' || CAST(doc_id % 3 AS STRING) AS q
+  FROM d
+)
 SELECT doc_id, base, ref,
-  CASE
-    WHEN regexp_matches(ref, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN ref
-    WHEN ref LIKE '//%' THEN {sch} || ':' || ref
-    WHEN ref LIKE '/%' THEN {root} || {rm_dots(rpath)} || {rtail}
-    WHEN ref = '' THEN {root} || {bpath} || {bq}
-    WHEN ref LIKE '?%' THEN {root} || {bpath} || ref
-    WHEN ref LIKE '#%' THEN {root} || {bpath} || {bq} || ref
-    ELSE {root} || {rm_dots(f"({bdir} || {rpath})")} || {rtail}
+  CASE doc_id % 12
+    WHEN 0 THEN root || '/d1/d2/g'
+    WHEN 1 THEN root || '/d1/d2/g'
+    WHEN 2 THEN root || '/abs/x'
+    WHEN 3 THEN 'http://mirror.onion/z'
+    WHEN 4 THEN root || '/d1/d2' || pg || '?y=2'
+    WHEN 5 THEN root || '/d1/d2' || pg || q || '#frag'
+    WHEN 6 THEN root || '/d1/d2' || pg || q
+    WHEN 7 THEN root || '/d1/up'
+    WHEN 8 THEN root || '/g?k=1'
+    WHEN 9 THEN 'http://other.onion/x'
+    WHEN 10 THEN root || '/d1/d2/a/c'
+    ELSE root || '/d1/d2/g/h#s'
   END AS resolved
-FROM d
+FROM x
 """
 
 
@@ -9177,34 +9114,43 @@ def q_link_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _harvest_oracle_sql() -> str:
-    eff = ("CASE WHEN bh = '' THEN url ELSE "
-           + _duck_resolve_expr("url", "bh") + " END")
-    return f"""
-WITH d AS ({_HARVEST_PAGES_SQL}),
-b AS (
-  SELECT url, html,
-         regexp_extract(html, '(?i)<base\\s[^>]*href\\s*=\\s*"([^"]*)"', 1)
-           AS bh
+    # expected edges stated ARITHMETICALLY from the planted anchors —
+    # not by re-running the base/attr extraction and resolution
+    # grammars (each of which has its own planted-truth oracle; here
+    # the COMPOSITION is under test).  Per doc: a relative anchor
+    # (re-rooted under /cdn/v{0,1}/ when the doc plants a <base>), a
+    # rooted anchor, a ../up anchor (against the base dir when
+    # present — base docs have doc_id % 3 = 0, so always up0), a
+    # scheme-relative mirror link, and a nofollow anchor that must
+    # contribute NO edge.
+    return """
+WITH d AS (
+  SELECT doc_id,
+         'http://h' || CAST(doc_id % 8 AS STRING) || '.onion' AS root,
+         '/sec' || CAST(doc_id % 4 AS STRING) AS secdir,
+         doc_id % 3 = 0 AS has_base,
+         CAST(doc_id % 2 AS STRING) AS v
+  FROM documents
+),
+e AS (
+  SELECT root || secdir || '/page.html' AS src,
+         CASE WHEN has_base
+              THEN root || '/cdn/v' || v || '/rel'
+                   || CAST(doc_id % 5 AS STRING) || '.html'
+              ELSE root || secdir || '/rel'
+                   || CAST(doc_id % 5 AS STRING) || '.html' END AS dst
   FROM d
-),
-eb AS (SELECT url, html, {eff} AS base FROM b),
-tags AS (
-  SELECT url, base,
-         unnest(regexp_extract_all(html, '(?i)<a\\s([^>]*)>', 1)) AS t
-  FROM eb
-),
-a AS (
-  SELECT url AS src, base,
-         {_duck_attr("href")} AS href,
-         {_duck_attr("rel")} AS rel
-  FROM tags
-),
-flw AS (
-  SELECT src, base, href FROM a
-  WHERE href != '' AND NOT regexp_matches(rel,
-        '(?i)(^| )(nofollow|ugc|sponsored)( |$)')
+  UNION ALL
+  SELECT root || secdir || '/page.html',
+         root || '/rooted/x' || CAST(doc_id % 7 AS STRING) FROM d
+  UNION ALL
+  SELECT root || secdir || '/page.html',
+         CASE WHEN has_base THEN root || '/cdn/up0'
+              ELSE root || '/up' || CAST(doc_id % 3 AS STRING) END FROM d
+  UNION ALL
+  SELECT root || secdir || '/page.html', 'http://mirror.onion/m' FROM d
 )
-SELECT DISTINCT src, {_duck_resolve_expr("base", "href")} AS dst FROM flw
+SELECT DISTINCT src, dst FROM e
 """
 
 
@@ -9256,21 +9202,29 @@ def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_pairs(spark.sql(_HREFLANG_SQL)).distinct()
 
 
-ORACLE_HREFLANG = rf"""
-WITH d AS ({_HREFLANG_SQL}),
-tags AS (
-  SELECT url AS src,
-         unnest(regexp_extract_all(html, '(?i)<link\s([^>]*)>', 1)) AS t
-  FROM d
+ORACLE_HREFLANG = """
+-- planted-truth declarations per (group, language class), stated
+-- arithmetically instead of re-extracting with the attr-pattern
+-- mirrors: en pages declare de+fr (the fr link's rel list 'alternate
+-- stylesheet' still token-contains alternate), de pages declare
+-- EN (folds to 'en') + fr, fr pages declare ONLY en (their stylesheet
+-- link is a decoy that contributes nothing).  Reciprocity is then the
+-- links-back rule applied to these true declarations.
+WITH g AS (SELECT DISTINCT doc_id % 40 AS gid, doc_id % 3 AS cls FROM documents),
+u AS (
+  SELECT gid, cls, 'http://x.onion/g' || CAST(gid AS STRING) AS base FROM g
 ),
 e0 AS (
-  SELECT DISTINCT src,
-         lower({_duck_attr("hreflang")}) AS lang,
-         {_duck_attr("href")} AS alt
-  FROM tags
-  WHERE regexp_matches({_duck_attr("rel")}, '(?i)(^| )alternate( |$)')
-    AND {_duck_attr("hreflang")} != ''
-    AND {_duck_attr("href")} != ''
+  SELECT base || '/en' AS src, 'de' AS lang, base || '/de' AS alt
+  FROM u WHERE cls = 0
+  UNION ALL
+  SELECT base || '/en', 'fr', base || '/fr' FROM u WHERE cls = 0
+  UNION ALL
+  SELECT base || '/de', 'en', base || '/en' FROM u WHERE cls = 1
+  UNION ALL
+  SELECT base || '/de', 'fr', base || '/fr' FROM u WHERE cls = 1
+  UNION ALL
+  SELECT base || '/fr', 'en', base || '/en' FROM u WHERE cls = 2
 )
 SELECT e.src, e.lang, e.alt,
        (EXISTS (SELECT 1 FROM e0 b WHERE b.src = e.alt AND b.alt = e.src))
