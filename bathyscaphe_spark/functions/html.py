@@ -673,6 +673,11 @@ def hreflang_pairs(pages, url_col: str = "url", html_col: str = "html"):
     independent; ``reciprocal`` = the alternate declares ANY hreflang
     back to src.
 
+    Per the WHATWG link-types spec, ``alternate`` appearing TOGETHER
+    with ``stylesheet`` means "alternative stylesheet" and creates NO
+    alternate-document link — such rel lists are excluded (a localized
+    CSS file must not be clustered as a language variant).
+
     Plan: codegen tag parse (regexp_extract_all + transform over
     ``<link …>`` attribute lists), one explode, and ONE self-join on
     the (alt, src) url pair for reciprocity — an equi-join on the
@@ -689,6 +694,7 @@ def hreflang_pairs(pages, url_col: str = "url", html_col: str = "html"):
     'href', {_attr_sql("href")}
   )),
   s -> s.rel rlike '(?i)(^| )alternate( |$)'
+       AND NOT s.rel rlike '(?i)(^| )stylesheet( |$)'
        AND s.lang != '' AND s.href != '')"""
     )
     e = pages.select(

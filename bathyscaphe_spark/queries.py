@@ -9159,9 +9159,12 @@ SELECT DISTINCT src, dst FROM e
 # hreflang alternates: language-variant mapping with reciprocity
 # --------------------------------------------------------------------------
 
-# 40 page groups × {en, de, fr}: en and de declare both others, fr
-# declares ONLY en — so en↔de and en↔fr are reciprocal while de→fr is
-# not (fr never links back to de): every validity case in one fixture
+# 40 page groups × {en, de, fr}: en declares de plus an 'alternate
+# stylesheet' decoy toward fr (an alternative STYLESHEET per the WHATWG
+# link-types spec — no document alternate, must extract nothing), de
+# declares en + fr, fr declares ONLY en beside a plain stylesheet
+# decoy — so en↔de is reciprocal while de→fr AND fr→en come back
+# one-way: every validity case in one fixture
 _HREFLANG_SQL = """
 SELECT doc_id,
   'http://x.onion/g' || CAST(doc_id % 40 AS STRING) || '/'
@@ -9193,9 +9196,11 @@ def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hreflang alternate clusters (functions/html.py hreflang_pairs):
     language-variant declarations with the reciprocity validity rule —
     annotations count only when the alternate links back.  The fixture
-    pins: both attribute orders, rel token lists ('alternate
-    stylesheet'), uppercase lang folding, a stylesheet-link decoy, and
-    the de→fr one-way case that must come back reciprocal=false."""
+    pins: both attribute orders, the WHATWG 'alternate stylesheet'
+    exclusion (alternative stylesheet, NOT a document alternate),
+    uppercase lang folding, a plain stylesheet-link decoy, and the
+    de→fr / fr→en one-way cases that must come back
+    reciprocal=false."""
     from .functions.html import hreflang_pairs
 
     _docs(spark, sf_dir)
@@ -9205,11 +9210,14 @@ def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HREFLANG = """
 -- planted-truth declarations per (group, language class), stated
 -- arithmetically instead of re-extracting with the attr-pattern
--- mirrors: en pages declare de+fr (the fr link's rel list 'alternate
--- stylesheet' still token-contains alternate), de pages declare
--- EN (folds to 'en') + fr, fr pages declare ONLY en (their stylesheet
--- link is a decoy that contributes nothing).  Reciprocity is then the
--- links-back rule applied to these true declarations.
+-- mirrors.  en pages declare ONLY de: their fr link carries
+-- rel="alternate stylesheet", which per the WHATWG link-types spec is
+-- an ALTERNATIVE STYLESHEET, not an alternate document — it must
+-- contribute nothing (that decoy is the point of the class).  de
+-- pages declare EN (folds to 'en') + fr; fr pages declare only en
+-- (their plain stylesheet link is a second decoy).  Reciprocity is
+-- the links-back rule over these true declarations: de→fr and fr→en
+-- both come back false (fr never declares de; en never declares fr).
 WITH g AS (SELECT DISTINCT doc_id % 40 AS gid, doc_id % 3 AS cls FROM documents),
 u AS (
   SELECT gid, cls, 'http://x.onion/g' || CAST(gid AS STRING) AS base FROM g
@@ -9217,8 +9225,6 @@ u AS (
 e0 AS (
   SELECT base || '/en' AS src, 'de' AS lang, base || '/de' AS alt
   FROM u WHERE cls = 0
-  UNION ALL
-  SELECT base || '/en', 'fr', base || '/fr' FROM u WHERE cls = 0
   UNION ALL
   SELECT base || '/de', 'en', base || '/en' FROM u WHERE cls = 1
   UNION ALL

@@ -421,6 +421,9 @@ class TestHreflangPairs:
             ("http://s/en",
              '<link rel="alternate" hreflang="DE" href="http://s/de">'
              '<link rel="stylesheet" href="/css">'
+             # WHATWG: alternate + stylesheet = alternative STYLESHEET,
+             # not a document alternate — must extract nothing
+             '<link rel="alternate stylesheet" hreflang="es" href="http://s/es">'
              '<link hreflang="fr" rel="alternate x" href="http://s/fr">'),
             ("http://s/de",
              '<link rel="alternate" hreflang="en" href="http://s/en">'),
