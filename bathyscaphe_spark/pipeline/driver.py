@@ -40,7 +40,6 @@ def bootstrap(
         F.lit(0).alias("round"),
     )
     catalog.stage_round("frontier", delta, 0)
-    catalog.commit_round(0, ["frontier"], extra={"bootstrap": True})
     seen0 = delta.select(
         "url_hash",
         F.lit(-1).alias("first_seen_round"),
@@ -52,7 +51,15 @@ def bootstrap(
         # they never expire, so no TTL ever applies to them
         seen0 = seen0.withColumn("ttl_s", F.lit(None).cast("long"))
     catalog.stage_round("seen", seen0, -1)
-    catalog.commit_round(-1, ["seen"], extra={"bootstrap": True})
+    # ONE atomic publish for both entries: a crash between separate
+    # commits would leave the frontier installed but the seeds never
+    # marked seen, so pages linking back to a seed would re-fetch it —
+    # exactly the window commit_rounds exists to close (same discipline
+    # as run_round's round-N + frontier-N+1 pair)
+    catalog.commit_rounds([
+        (0, ["frontier"], {"bootstrap": True}),
+        (-1, ["seen"], {"bootstrap": True}),
+    ])
 
 
 def _bloom_dir(catalog: TableCatalog) -> str:
@@ -250,8 +257,11 @@ def crawl(
     if own_host_status:
         host_status = build_host_status(pages).persist()
 
-    last = catalog.last_committed_round()
-    if last < 0:
+    # bootstrap iff no frontier delta was ever committed — NOT
+    # last_committed_round() < 0: a pre-crawl set_config() commits a
+    # config-only round, and keying on the round counter would silently
+    # skip seed installation (the crawl would return [] with no error)
+    if not catalog._committed_rounds("frontier", None):
         if seeds is None:
             raise ValueError("fresh state dir requires seeds")
         bootstrap(catalog, seeds, config)

@@ -50,7 +50,13 @@ def set_config(catalog: TableCatalog, updates: dict[str, object]) -> int:
     round boundary."""
     merged = get_config_raw(catalog)
     merged.update({k: json.dumps(v) for k, v in updates.items()})
-    round_n = max(catalog.last_committed_round(), 0)
+    # always a FRESH round number: re-staging the config table under an
+    # already-committed round would rmtree a committed dir (stage_round
+    # now refuses that), opening a crash window where the manifest
+    # points at a missing dir.  read_state picks the latest committed
+    # config round, so monotone round numbers are all that matters;
+    # expire_rounds reclaims the superseded rewrites.
+    round_n = catalog.last_committed_round() + 1
     df = catalog.spark.createDataFrame(
         sorted(merged.items()), CONFIG_SCHEMA
     )

@@ -60,6 +60,34 @@ class TableCatalog:
                 return json.load(f)
         return {"rounds": {}}
 
+    def _manifest_mutex(self):
+        """Exclusive cross-PROCESS lock for manifest read-modify-write.
+
+        The documented concurrent use is an operator ``set_config``
+        against a running crawl: without serialization, two
+        load→modify→store cycles interleave and the last writer
+        silently erases the other's round entry (losing a whole round
+        commit or the config mutation).  Advisory ``flock`` on a
+        sidecar file — correct on local FS and NFSv4; object-store
+        deployments are single-writer per state root by contract.  The
+        cached manifest is invalidated on acquisition so the holder
+        re-reads what prior holders published."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _held():
+            os.makedirs(self.root, exist_ok=True)
+            with open(os.path.join(self.root, "_rounds.lock"), "w") as fh:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                try:
+                    self._manifest_cache = None
+                    yield
+                finally:
+                    fcntl.flock(fh, fcntl.LOCK_UN)
+
+        return _held()
+
     def _store_manifest(self, manifest: dict) -> None:
         os.makedirs(self.root, exist_ok=True)
         tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
@@ -105,6 +133,17 @@ class TableCatalog:
         df.write.mode("overwrite").parquet(staging)
         final = self._round_dir(name, round_n)
         if os.path.exists(final):  # re-run of an uncommitted round
+            if name in self.manifest["rounds"].get(str(round_n), {}).get(
+                "tables", []
+            ):
+                # refusing is the only safe move: deleting a COMMITTED
+                # dir opens a crash window where the manifest points at
+                # a missing directory and every later resume dies
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ValueError(
+                    f"stage_round would overwrite committed {name}@{round_n};"
+                    " stage under a fresh round instead"
+                )
             shutil.rmtree(final)
         os.rename(staging, final)
         rows = None  # avoid a count job; stats come from the metrics table
@@ -127,19 +166,25 @@ class TableCatalog:
         delta together — a crash can never leave round N committed with
         its produced frontier invisible (which cleanup_uncommitted() would
         otherwise delete, stranding the crawl)."""
-        manifest = self._load_manifest()
-        now = time.time()
-        for round_n, tables, extra in entries:
-            entry = manifest["rounds"].get(str(round_n), {"tables": []})
-            entry["tables"] = sorted(set(entry["tables"]) | set(tables))
-            entry["committed_at"] = now
-            entry.update(extra or {})
-            manifest["rounds"][str(round_n)] = entry
-        self._store_manifest(manifest)
+        with self._manifest_mutex():
+            manifest = self._load_manifest()
+            now = time.time()
+            for round_n, tables, extra in entries:
+                entry = manifest["rounds"].get(str(round_n), {"tables": []})
+                entry["tables"] = sorted(set(entry["tables"]) | set(tables))
+                entry["committed_at"] = now
+                entry.update(extra or {})
+                manifest["rounds"][str(round_n)] = entry
+            self._store_manifest(manifest)
 
     def cleanup_uncommitted(self) -> None:
-        """Drop staging dirs and round dirs newer than the last commit."""
+        """Drop staging dirs, recover interrupted compactions, and drop
+        round dirs the manifest does not reference (either newer than
+        the last commit, or superseded by a PUBLISHED compaction whose
+        reclaim loop was interrupted — without the latter, a full
+        pre-compaction copy of the table would leak on disk forever)."""
         last = self.last_committed_round()
+        rounds = self.manifest["rounds"]
         tables_root = os.path.join(self.root, "tables")
         if not os.path.isdir(tables_root):
             return
@@ -148,18 +193,33 @@ class TableCatalog:
             for entry in os.listdir(tdir):
                 path = os.path.join(tdir, entry)
                 if entry.startswith("_precompact-"):
-                    # interrupted compaction: restore the backup if the
-                    # round dir it replaced is missing, else discard it
+                    # interrupted compaction.  The manifest is the
+                    # truth: only when the compaction PUBLISHED (the
+                    # 'compacted' marker lists this table at the target
+                    # round) is the new consolidated dir authoritative.
+                    # Un-published, the original round dir is — even
+                    # when a round=<target> dir exists (the crash
+                    # window between the second rename and the
+                    # manifest publish; keeping both sides would
+                    # double-apply every pre-compaction row forever).
                     rn = entry.split("-")[1]
                     final = os.path.join(tdir, f"round={rn}")
-                    if not os.path.exists(final):
-                        os.rename(path, final)
-                    else:
+                    published = name in rounds.get(rn, {}).get(
+                        "compacted", []
+                    )
+                    if published and os.path.exists(final):
                         shutil.rmtree(path, ignore_errors=True)
+                    else:
+                        if os.path.exists(final):
+                            shutil.rmtree(final)
+                        os.rename(path, final)
                 elif entry.startswith("_staging-"):
                     shutil.rmtree(path, ignore_errors=True)
                 elif entry.startswith("round="):
-                    if int(entry.split("=", 1)[1]) > last:
+                    rn = int(entry.split("=", 1)[1])
+                    if rn > last or name not in rounds.get(
+                        str(rn), {}
+                    ).get("tables", []):
                         shutil.rmtree(path, ignore_errors=True)
 
     # --- reads ------------------------------------------------------------
@@ -228,12 +288,18 @@ class TableCatalog:
         backup = os.path.join(tdir, f"_precompact-{target}-{uuid.uuid4().hex}")
         os.rename(old_target, backup)
         os.rename(staging, old_target)
-        manifest = self._load_manifest()
-        for r in rounds[:-1]:
-            entry = manifest["rounds"][str(r)]
-            entry["tables"] = [t for t in entry["tables"] if t != name]
-        manifest["rounds"][str(target)].setdefault("compacted", []).append(name)
-        self._store_manifest(manifest)  # atomic publish
+        # the mutex covers only the manifest RMW (not the Spark write):
+        # a round committed concurrently simply stays listed beside the
+        # consolidated delta — read_deltas unions both, still exact.
+        # Concurrent compactions of the SAME table are not supported
+        # (maintenance is single-operator per table by contract).
+        with self._manifest_mutex():
+            manifest = self._load_manifest()
+            for r in rounds[:-1]:
+                entry = manifest["rounds"][str(r)]
+                entry["tables"] = [t for t in entry["tables"] if t != name]
+            manifest["rounds"][str(target)].setdefault("compacted", []).append(name)
+            self._store_manifest(manifest)  # atomic publish
         shutil.rmtree(backup, ignore_errors=True)
         for r in rounds[:-1]:
             shutil.rmtree(self._round_dir(name, r), ignore_errors=True)
@@ -258,11 +324,21 @@ class TableCatalog:
         time travel below it is given up (that is the point).  Returns
         {table: rounds_dropped}.
         """
+        with self._manifest_mutex():
+            return self._expire_rounds_locked(keep_last)
+
+    def _expire_rounds_locked(self, keep_last: int) -> dict[str, int]:
         manifest = self._load_manifest()
         rounds = manifest["rounds"]
         done = [int(r) for r, e in rounds.items() if "seen" in e["tables"]]
         if not done:
             return {}
+        # rounds complete IN ORDER, so every round ≤ max(done) has run
+        # even when compact_deltas('seen') has folded the older seen
+        # listings onto the max round — deriving per-round doneness
+        # from residual 'seen' listings would let the two maintenance
+        # operations silently defeat each other (post-compaction, no
+        # old frontier delta would ever qualify for expiry again)
         horizon = max(done) - keep_last + 1
         victims: list[tuple[str, int]] = []
         for name in self.FULL_STATE_TABLES:
@@ -273,7 +349,7 @@ class TableCatalog:
         victims += [
             (("frontier"), int(r))
             for r, e in rounds.items()
-            if "frontier" in e["tables"] and int(r) < horizon and int(r) in done
+            if "frontier" in e["tables"] and int(r) < horizon
         ]
         if not victims:
             return {}

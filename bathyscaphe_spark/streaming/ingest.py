@@ -69,12 +69,45 @@ def windowed_host_rates(
 def stream_to_universe(
     pages_stream: DataFrame, universe_dir: str, checkpoint_dir: str
 ):
-    """Append stream arrivals to the batch universe directory.  Each
-    micro-batch epoch writes exactly once (checkpointed offsets); the
-    batch crawl re-reads the directory at its next round boundary."""
+    """Append stream arrivals to the batch universe directory.  The
+    batch crawl re-reads the directory at its next round boundary.
+
+    ``foreachBatch`` is documented AT-LEAST-ONCE: a crash after an
+    epoch's files land but before the checkpoint records the commit
+    replays the same ``epoch_id`` on restart, and a plain parquet
+    append would duplicate every arrival of that epoch in the universe
+    (duplicate fetches, duplicate resources rows downstream).  The
+    sink is therefore made IDEMPOTENT per epoch: each batch writes to
+    a temp dir, then its files move into the universe under
+    deterministic ``epoch-<id>-<i>.parquet`` names, clearing any
+    partial copy of the SAME epoch first — a replay replaces, never
+    appends (a replayed epoch reads the identical offsets, so content
+    is identical).  Flat files: no partition column leaks into the
+    pages schema."""
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(universe_dir)
+        import glob
+        import os
+        import shutil
+
+        # dot-prefixed temp INSIDE the universe dir: parquet readers
+        # ignore hidden paths, and a crash's leftovers are cleared on
+        # the epoch's replay
+        tmp = os.path.join(universe_dir, f".epoch-{epoch_id}.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(universe_dir, exist_ok=True)
+        for old in glob.glob(
+            os.path.join(universe_dir, f"epoch-{epoch_id}-*.parquet")
+        ):
+            os.remove(old)
+        files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+        for i, f in enumerate(files):
+            os.rename(
+                f,
+                os.path.join(universe_dir, f"epoch-{epoch_id}-{i:05d}.parquet"),
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return (
         pages_stream.writeStream.foreachBatch(_append)

@@ -92,11 +92,18 @@ def make_dedup_shard(
                 out.append(pdf.loc[novel, ["url", "url_hash"]])
         if fresh:
             chunks.append(np.sort(np.concatenate(fresh)) if len(fresh) > 1 else fresh[0])
-        if len(chunks) > compact_chunks:  # LSM-style roll-up, amortized
-            chunks = [np.sort(np.concatenate(chunks))]
+        # eviction BEFORE the roll-up: merging first would fold every
+        # chunk into one, and a single merged chunk can never be
+        # age-evicted (the while-guard keeps >= 1 chunk), so the cap
+        # would silently stop binding and state would grow without
+        # limit.  Evicting first also bounds the merged chunk itself
+        # to <= max_state_hashes (+ the newest batch, which is always
+        # kept even when it alone exceeds the cap).
         if max_state_hashes is not None:  # eviction hook: oldest chunks out
             while len(chunks) > 1 and sum(c.size for c in chunks) > max_state_hashes:
                 chunks.pop(0)
+        if len(chunks) > compact_chunks:  # LSM-style roll-up, amortized
+            chunks = [np.sort(np.concatenate(chunks))]
         state.update(
             ([c.astype("<i8").tobytes() for c in chunks],
              int(sum(c.size for c in chunks)))
