@@ -159,16 +159,54 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.perf_counter() - t0, 3)
 
+    # --- output ------------------------------------------------------------
+    # The driver captures only a ~2000-char tail of stdout; in r3 the
+    # single JSON line carrying all 194 query timings (~6 KB) overflowed it
+    # and BENCH_r03.json recorded "parsed": null.  So: print a COMPACT
+    # headline line (crawl metric + a small curated query subset, well under
+    # 2000 chars) and write the full per-query timing map to
+    # BENCH/QUERIES_r{N}.json in-repo (N inferred from the driver's
+    # CORRECTNESS_r*/BENCH_r* artifacts; override with SPARK_GRAFT_ROUND).
+    repo = Path(__file__).resolve().parent
+    round_no = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_no is None:
+        seen = [
+            int(p.stem.rsplit("_r", 1)[1])
+            for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json")
+            for p in repo.glob(pat)
+            if p.stem.rsplit("_r", 1)[1].isdigit()
+        ]
+        round_no = f"{(max(seen) + 1) if seen else 1:02d}"
+    full = {
+        "round": round_no,
+        "sf": sf,
+        "query_cpus": QUERY_CPUS if RUN_QUERIES else None,
+        "query_exec": "noop-write (full execution)",
+        "queries": qtimes,
+    }
+    qdir = repo / "BENCH"
+    qdir.mkdir(exist_ok=True)
+    qpath = qdir / f"QUERIES_r{round_no}.json"
+    qpath.write_text(json.dumps(full, indent=1) + "\n")
+    (qdir / "QUERIES_latest.json").write_text(json.dumps(full, indent=1) + "\n")
+
+    headline_keys = [
+        "crawl_rounds", "scheduler_round", "crawl_2rounds", "d1_seen_antijoin",
+        "dedup_minhash_lsh", "exact_substr_dedup", "bm25_search",
+        "maxscore_topk", "pagerank_dangling", "warc_ingest", "corpus_build",
+        "streaming_dedup",
+    ]
     out = {
         "metric": "crawl_3rounds_wall_sec",
         "value": round(crawl_sec, 3),
         "unit": "sec",
-        "queries": qtimes,
-        "query_exec": "noop-write (full execution; r1/r2 used count(), which under-measured narrow projections)",
+        "queries": {k: qtimes[k] for k in headline_keys if k in qtimes},
+        "queries_total_sec": round(sum(qtimes.values()), 3),
+        "n_queries": len(qtimes),
+        "queries_file": str(qpath.relative_to(repo)),
         "sf": sf,
         "cpus": CPUS,
         "bench_cpus": BENCH_CPUS,
-        "query_cpus": QUERY_CPUS if RUN_QUERIES else None,
         "rounds": len(stats),
         "round_times_sec": round_times,
         "pages_universe": n_pages,
@@ -179,7 +217,9 @@ def main() -> None:
             round(urls_deduped / crawl_sec / BENCH_CPUS, 2) if crawl_sec else None
         ),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1800, f"headline JSON too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 
