@@ -780,22 +780,30 @@ def spoof_pairs(hosts, host_col: str = "host"):
     mixing inside TOKENS is ``script_mix_cols``' job, this catches
     whole-label substitution where every char is one script).
 
-    One groupBy(skeleton) — skeletons are host-cardinality, the
-    blacklister's scale.  Variant lists sort for determinism; the cap
-    at 16 spellings bounds the row (a skeleton with more is one spoof
-    campaign — the count says so).
+    Skeletons are host-cardinality, the blacklister's scale — but one
+    spoof campaign can mint unbounded variants of a single skeleton, so
+    the 16-smallest spelling sample runs through the salted-tournament
+    aggregate (operators/topk.py smallest_k_by_key): every aggregation
+    buffer is bounded, never a whole-skeleton collect_list.  Variant
+    lists sort for determinism; n_variants stays exact via the
+    tournament's partial counts.
     """
     from pyspark.sql import functions as F
 
+    from ..operators.topk import smallest_k_by_key
+
     sk = skeleton_col(F.col(host_col))
+    dv = hosts.select(
+        sk.alias("skeleton"), F.col(host_col).alias("h")
+    ).distinct()
+    top = smallest_k_by_key(dv, ["skeleton"], "h", 16)
     return (
-        hosts.select(sk.alias("skeleton"), F.col(host_col).alias("h"))
-        .distinct()
-        .groupBy("skeleton")
-        .agg(
-            F.count(F.lit(1)).alias("n_variants"),
-            F.slice(F.array_sort(F.collect_list("h")), 1, 16)
-            .alias("variants"),
+        top.select(
+            "skeleton",
+            F.col("n_distinct").alias("n_variants"),
+            F.transform(F.col("smallest"), lambda s: s["val"]).alias(
+                "variants"
+            ),
         )
         .where(F.col("n_variants") >= 2)
     )

@@ -3845,14 +3845,20 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     search rankers and link-text training corpora).  Codegen regexp
     pair extraction (functions/html.py anchor_pairs_col: the href↔text
     pairing needs tag awareness the crawl kernel's URL regex lacks),
-    explode, then ONE groupBy(target) shuffle.  In-degree skew is the
-    scale hazard (popular targets collect millions of anchors), so the
-    rollup keeps counts exact but caps the anchor sample at the 16
-    lexicographically-smallest texts — a deterministic multiset, which
-    the oracle reproduces with a rank filter; the cap BINDS at sf0.01
-    so parity actually pins it.  A nested-markup anchor is excluded by
-    construction (strict extractor contract)."""
+    explode, then bounded-buffer rollups.  In-degree skew is the scale
+    hazard (popular targets collect millions of anchors), so the anchor
+    sample — the 16 lexicographically-smallest texts, a deterministic
+    multiset — is built by the salted-tournament aggregate
+    (operators/topk.py smallest_k_by_key): per-(href,anchor) exact
+    counts, then two bounded merge levels, never a whole-key
+    collect_list buffer (the r4 fix for the hot-target OOM the direct
+    collect_list had).  Counts stay exact (tournament partial sums +
+    two-phase distinct).  The oracle reproduces the multiset with a
+    rank filter; the cap BINDS at sf0.01 so parity actually pins it.
+    A nested-markup anchor is excluded by construction (strict
+    extractor contract)."""
     from .functions.html import anchor_pairs_col
+    from .operators.topk import multiset_prefix, smallest_k_by_key
 
     d = _docs(spark, sf_dir)
     html = (
@@ -3869,12 +3875,21 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pages.select(
         "doc_id", F.explode(anchor_pairs_col(F.col("html"))).alias("a")
     ).select("doc_id", F.col("a.href").alias("href"), F.col("a.anchor").alias("anchor"))
-    return pairs.groupBy("href").agg(
+    # two href-keyed aggregates (bounded-state each), joined post-agg:
+    # counts are href-cardinality rows by then, so the join is cheap
+    pairs = pairs.localCheckpoint(eager=False)
+    counts = pairs.groupBy("href").agg(
         F.count(F.lit(1)).alias("n_links"),
         F.countDistinct("doc_id").alias("n_src_docs"),
-        F.array_join(
-            F.slice(F.array_sort(F.collect_list("anchor")), 1, 16), "|"
-        ).alias("anchor_sample"),
+    )
+    sample = smallest_k_by_key(pairs, ["href"], "anchor", 16)
+    return counts.join(sample, "href").select(
+        "href",
+        "n_links",
+        "n_src_docs",
+        F.array_join(multiset_prefix(F.col("smallest"), 16), "|").alias(
+            "anchor_sample"
+        ),
     )
 
 
@@ -7266,32 +7281,46 @@ def q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset release ships beside its shards: documents deal to 8
     token-balanced shards (operators/packing.py shard_balance), and
     each shard row carries (n_docs, n_tokens, content_digest) where
-    the digest is md5 over the shard's sorted doc-id list — a reader
-    re-derives it and verifies the shard byte-for-byte.  Digest inputs
-    are sorted ids, so the manifest is bit-identical at any
-    parallelism; md5 is the one digest both engines expose over the
-    same string."""
+    the digest is an ORDER-INSENSITIVE COMMUTATIVE FOLD over the
+    shard's doc ids: per id, the top 60 bits of md5(id) parsed as an
+    integer; per shard, their sum mod 2^64 rendered in decimal — a
+    reader re-derives it and verifies the shard.  Commutative-sum
+    digests are the only shape that survives 100 TB: the r3 verdict
+    flagged the previous md5-over-collect_list(sorted ids) as a
+    guaranteed task OOM (a shard's id array is billions of elements in
+    one aggregation buffer); the sum's aggregation state is one
+    128-bit counter, map-side combinable, bit-identical at any
+    parallelism (same trick as BENCH/run_scaling.py's bit_xor
+    fingerprints, but md5-based so DuckDB computes the identical
+    value)."""
     from .operators.packing import shard_balance
 
     d = _docs(spark, sf_dir)
     toks = F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))
     docs = d.select("doc_id", toks.cast("long").alias("n_tok"))
     sharded = shard_balance(docs, "doc_id", "n_tok", n_shards=8, n_buckets=64)
+    # 15 hex chars = 60 bits: fits a signed BIGINT through conv(), sums
+    # safely in DECIMAL(38,0) up to ~10^19 docs per shard
+    doc_h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")
     return (
         sharded.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.array_sort(
-                        F.collect_list(F.col("doc_id").cast("string"))
-                    ),
-                    ",",
-                )
-            ).alias("content_digest"),
+            F.sum(doc_h).alias("_hsum"),
         )
-        .select("shard", "n_docs", "n_tokens", "content_digest")
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.pmod(F.col("_hsum"), two64)
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_digest"),
+        )
     )
 
 
@@ -7327,8 +7356,14 @@ sharded AS (SELECT b.doc_id, b.n_tok, a.shard
 SELECT CAST(shard AS BIGINT) AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       md5(string_agg(CAST(doc_id AS VARCHAR), ','
-                      ORDER BY CAST(doc_id AS VARCHAR))) AS content_digest
+       -- commutative digest in lockstep with the engine: top 60 bits of
+       -- md5(id) summed, mod 2^64, decimal-rendered
+       CAST(CAST(sum(list_reduce(list_prepend(0::HUGEINT, list_transform(
+                string_split_regex(
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+                c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+              (a, b2) -> a * 16 + b2)) % 18446744073709551616::HUGEINT
+            AS HUGEINT) AS VARCHAR) AS content_digest
 FROM sharded GROUP BY shard
 """
 
