@@ -4827,7 +4827,13 @@ def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     back via ``read_warc``; the oracle recomputes every surviving
     field arithmetically.  This pins the writer — record framing,
     Content-Length byte math, gzip member boundaries, header casing —
-    in the driver contract (previously pytest-only)."""
+    in the driver contract (previously pytest-only).
+
+    The re-read result is frozen with an EAGER ``localCheckpoint`` (so
+    the temp archive dir can be removed before the caller consumes the
+    frame) — partitions stay executor-side; the r3 verdict flagged the
+    previous ``.collect()``/``createDataFrame`` round-trip as a
+    driver-side materialization the query pattern shouldn't model."""
     import os
     import shutil
     import tempfile
@@ -4848,7 +4854,7 @@ def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_warc(rows.repartition(4), root, compress=True)
         back = read_warc(spark, os.path.join(root, "*.warc.gz"))
-        out = back.select(
+        return back.select(
             "url",
             F.col("status").cast("long").alias("status"),
             F.length("html").cast("long").alias("body_len"),
@@ -4856,12 +4862,9 @@ def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.element_at("headers", "x-n"), F.element_at("headers", "X-N")
             ).alias("xn"),
-        ).collect()
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        out, "url string, status long, body_len long, ts_unix long, xn string"
-    )
 
 
 ORACLE_WARC_EXPORT = """
