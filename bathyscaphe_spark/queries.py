@@ -2628,7 +2628,10 @@ def q_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum-VALID ones redact — the fixture plants a valid plain /
     spaced / dashed PAN in three fifths of the corpus and a
     Luhn-invalid 16-digit decoy in a fourth (it must survive).  The
-    oracle replicates the full mod-10 fold, not a hardcoded verdict."""
+    oracle states the expected scrubbed text per residue class from
+    the PLANTED truth (4111111111111111 and 5500000000000004 are
+    Luhn-valid, 4111111111111112 is not — publicly checkable facts),
+    never re-running the engine's candidate regex or mod-10 fold."""
     from .functions.textstats import card_scrub_cols
 
     d = _docs(spark, sf_dir)
@@ -2649,37 +2652,24 @@ def q_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _card_oracle_sql() -> str:
-    dd = "regexp_replace(cand, '[ -]', '', 'g')"
-    digit = f"(ascii(substr(reverse({dd}), i, 1)) - 48)"
-    luhn = f"""(
-      length({dd}) BETWEEN 13 AND 19
-      AND list_sum(list_transform(range(1, length({dd}) + 1), i ->
-        CASE WHEN i % 2 = 1 THEN {digit}
-             ELSE CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9
-                       ELSE {digit} * 2 END END)) % 10 = 0
-    )"""
-    return rf"""
-WITH fixture AS (
-  SELECT doc_id, text ||
-    CASE doc_id % 5
-      WHEN 0 THEN ' pay 4111111111111111 now'
-      WHEN 1 THEN ' card 5500 0000 0000 0004 ok'
-      WHEN 2 THEN ' via 4111-1111-1111-1111 end'
-      WHEN 3 THEN ' order 4111111111111112 ref'
-      ELSE '' END AS text
-  FROM documents
-), v AS (
-  SELECT doc_id, text,
-         list_filter(
-             regexp_extract_all(text, '\b(?:\d[ -]?){{12,18}}\d\b'),
-             cand -> {luhn}) AS valid
-  FROM fixture
-)
+    # PLANTED-TRUTH oracle (r4, replacing a DuckDB Luhn re-implementation
+    # that shared the candidate regex): expected outputs stated per
+    # residue class.  The three valid PANs redact to <CARD> (the spaced
+    # and dashed spellings match as ONE candidate and redact whole); the
+    # %5==3 decoy fails mod-10 and must survive verbatim; the base
+    # corpus is strictly [a-z ] so no accidental candidates exist.
+    return """
 SELECT doc_id,
-       list_reduce(list_prepend(text, valid),
-                   (acc, x) -> replace(acc, x, '<CARD>')) AS scrubbed,
-       CAST(len(valid) AS BIGINT) AS n_cards
-FROM v
+       text ||
+       CASE doc_id % 5
+         WHEN 0 THEN ' pay <CARD> now'
+         WHEN 1 THEN ' card <CARD> ok'
+         WHEN 2 THEN ' via <CARD> end'
+         WHEN 3 THEN ' order 4111111111111112 ref'
+         ELSE '' END AS scrubbed,
+       CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 1 ELSE 0 END AS BIGINT)
+           AS n_cards
+FROM documents
 """
 
 
@@ -4505,8 +4495,11 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     emails → <EMAIL>, IPv4 literals → <IP>, phone-shaped digit runs →
     <PHONE>, applied in that order with per-category counts taken on
     the stage each pattern actually sees.  Pure codegen regexp stages
-    over a deterministically PII-injected corpus; the oracle runs the
-    LITERAL same patterns (Java∩RE2-safe syntax) in DuckDB."""
+    over a deterministically PII-injected corpus; the oracle derives
+    the expected scrubbed text and counts ARITHMETICALLY from the
+    planted residue classes (base corpus verified inert: strictly
+    [a-z ], so zero accidental matches) — it never runs the engine's
+    patterns, so a pattern bug cannot hide behind shared regexes."""
     from .functions.textstats import pii_scrub_cols
 
     _docs(spark, sf_dir)
@@ -4521,34 +4514,28 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PII_SCRUB = r"""
-WITH d AS ({_pii_docs}),
-s1 AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT)
-             AS n_emails,
-         regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
-             '<EMAIL>', 'g') AS t1
-  FROM d
-),
-s2 AS (
-  SELECT doc_id, n_emails,
-         CAST(len(regexp_extract_all(t1,
-             '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}')) AS BIGINT) AS n_ips,
-         regexp_replace(t1, '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}',
-             '<IP>', 'g') AS t2
-  FROM s1
-)
+# PLANTED-TRUTH oracle (r4, replacing a shared-regex mirror): the
+# fixture appends exactly one email for doc_id%3==0, one IPv4 literal
+# for %4==0, one phone-shaped run for %5==0, onto a base corpus that is
+# strictly [a-z ] (verified inert at sf0.001/0.01/0.1 — zero accidental
+# matches of any category).  The expected scrubbed text and all three
+# counts therefore follow arithmetically from the residues: the email
+# match spans 'agentN@ex-ample.org' (the 'mail ' prefix survives), the
+# IP match spans the full dotted quad, the phone match spans
+# '+1 555-01XX-YYYY'.  No engine pattern is executed here — a regex bug
+# (wrong span, missed category, mis-ordered stages) breaks parity.
+ORACLE_PII_SCRUB = """
 SELECT doc_id,
-       regexp_replace(t2, '\+?[0-9][0-9 .-]{{7,}}[0-9]', '<PHONE>', 'g')
+       text
+       || CASE WHEN doc_id % 3 = 0 THEN ' mail <EMAIL> ok' ELSE '' END
+       || CASE WHEN doc_id % 4 = 0 THEN ' peer <IP> seen' ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN ' dial <PHONE> end' ELSE '' END
            AS scrubbed,
-       n_emails, n_ips,
-       CAST(len(regexp_extract_all(t2,
-           '\+?[0-9][0-9 .-]{{7,}}[0-9]')) AS BIGINT) AS n_phones
-FROM s2
-""".format(_pii_docs=_PII_DOCS_SQL)
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_emails,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ips,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_phones
+FROM documents
+"""
 
 
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7189,8 +7176,11 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     letters flag; bilingual text with script-separated tokens stays
     clean.  Fixture plants (by doc_id mod 4) a Cyrillic-а 'pаypal'
     spoof, a Greek-α 'αpple' spoof, clean bilingual Russian, or
-    nothing — both engines run the literal same \\x{...}-range
-    patterns (the one script syntax Java regex and RE2 share)."""
+    nothing; the oracle derives every count ARITHMETICALLY from the
+    planted class (base corpus strictly [a-z ], so base latin chars =
+    non-space length and all other scripts come only from the
+    fixture) — it never runs the engine's \\x{...}-range patterns, so
+    a range/tokenization bug breaks parity instead of hiding."""
     from .functions.textstats import script_mix_cols
 
     d = _docs(spark, sf_dir)
@@ -7206,73 +7196,76 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[v.alias(k) for k, v in c.items()])
 
 
-ORACLE_SCRIPT_MIX = (
-    """
-WITH fixture AS (
-  SELECT doc_id, text ||
-    CASE doc_id % 4
-      WHEN 0 THEN ' pаypal login'
-      WHEN 1 THEN ' αpple store'
-      WHEN 2 THEN ' русский and english'
-      ELSE '' END AS text
-  FROM documents
-)
+# PLANTED-TRUTH oracle (r4, replacing a shared-pattern mirror): the
+# base corpus is strictly [a-z ], so its latin count is its non-space
+# length and every Cyrillic/Greek char comes from the planted suffix.
+# Per class — %4==0 ' pаypal login': +10 latin (p,y,p,a,l + login),
+# 1 Cyrillic а, one mixed token ('pаypal'); %4==1 ' αpple store':
+# +9 latin, 1 Greek α, one mixed token; %4==2 ' русский and english':
+# +10 latin, 7 Cyrillic, ZERO mixed (script-separated tokens are the
+# clean-bilingual contract); %4==3 adds nothing.
+ORACLE_SCRIPT_MIX = """
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS latin_chars,
-  CAST(len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS BIGINT)
+  CAST(length(replace(text, ' ', ''))
+       + CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 9 WHEN 2 THEN 10
+              ELSE 0 END AS BIGINT) AS latin_chars,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 7 ELSE 0 END AS BIGINT)
       AS cyrillic_chars,
-  CAST(len(regexp_extract_all(text, '[\\x{0370}-\\x{03FF}]')) AS BIGINT)
-      AS greek_chars,
-  CAST(len(regexp_extract_all(text,
-      '[A-Za-z][^\\s]*[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]'
-      || '|[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}][^\\s]*[A-Za-z]'))
-      AS BIGINT) AS mixed_tokens,
-  len(regexp_extract_all(text,
-      '[A-Za-z][^\\s]*[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]'
-      || '|[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}][^\\s]*[A-Za-z]')) = 0
-      AS clean
-FROM fixture
+  CAST(CASE doc_id % 4 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS greek_chars,
+  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END AS BIGINT)
+      AS mixed_tokens,
+  doc_id % 4 NOT IN (0, 1) AS clean
+FROM documents
 """
-)
 
 
 def q_spoof_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDN homoglyph spoof candidates (functions/urltools.py
     spoof_pairs — UTS #39-style confusable skeleton fold via a
-    positional translate both engines run on the literal same
-    character strings): every tenth doc's host spells 'site' with a
-    Cyrillic ѕ, so exactly the skeletons sharing a legit spelling
-    flag with both variants listed."""
+    UTS #39 confusable-skeleton fold): every tenth doc's host spells
+    'site' with a Cyrillic ѕ over a host index with stride 7 — COPRIME
+    with the spoof gate's 10, so spoofed and legit spellings of the
+    same index actually coexist (the r3 fixture's stride 20 was a
+    multiple of 10: every index that ever got the Cyrillic spelling
+    never got the Latin one, the result was provably EMPTY at every
+    SF, and three rounds of parity were green on nothing).  The oracle
+    derives the expected (skeleton, variants) rows from the planted
+    residue structure alone — which doc ids get the Cyrillic ѕ — never
+    from the engine's translate fold."""
     from .functions.urltools import spoof_pairs
 
     d = _docs(spark, sf_dir)
     hosts = d.selectExpr(
         "CASE WHEN doc_id % 10 = 0"
-        " THEN 'ѕite' || CAST(doc_id % 20 AS STRING) || '.onion'"
-        " ELSE 'site' || CAST(doc_id % 20 AS STRING) || '.onion'"
+        " THEN 'ѕite' || CAST(doc_id % 7 AS STRING) || '.onion'"
+        " ELSE 'site' || CAST(doc_id % 7 AS STRING) || '.onion'"
         " END AS host"
     )
     return spoof_pairs(hosts)
 
 
 def _spoof_oracle_sql() -> str:
-    from .functions.urltools import CONFUSABLE_FROM, CONFUSABLE_TO
-
-    return f"""
-WITH hosts AS (
-  SELECT DISTINCT CASE WHEN doc_id % 10 = 0
-      THEN 'ѕite' || CAST(doc_id % 20 AS STRING) || '.onion'
-      ELSE 'site' || CAST(doc_id % 20 AS STRING) || '.onion'
-      END AS h
-  FROM documents
-), sk AS (
-  SELECT translate(lower(h), '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}')
-             AS skeleton, h
-  FROM hosts
+    # PLANTED-TRUTH oracle (r4): a skeleton flags iff its host index k
+    # received BOTH spellings — k hit by a doc_id%10==0 doc (Cyrillic ѕ)
+    # AND by a doc_id%10!=0 doc (Latin s).  That is pure residue
+    # arithmetic over the fixture; the engine's translate/skeleton fold
+    # is never executed, so a confusable-table or fold bug breaks
+    # parity.  Exactly two variants exist per flagged skeleton, Latin
+    # spelling first ('s' U+0073 sorts below 'ѕ' U+0455 in both
+    # engines' string orders).
+    return """
+WITH spoofed AS (
+  SELECT DISTINCT doc_id % 7 AS k FROM documents WHERE doc_id % 10 = 0
+), legit AS (
+  SELECT DISTINCT doc_id % 7 AS k FROM documents WHERE doc_id % 10 <> 0
+), flagged AS (
+  SELECT k FROM spoofed INTERSECT SELECT k FROM legit
 )
-SELECT skeleton, CAST(count(*) AS BIGINT) AS n_variants,
-       (list_sort(list(h)))[1:16] AS variants
-FROM sk GROUP BY skeleton HAVING count(*) >= 2
+SELECT 'site' || CAST(k AS STRING) || '.onion' AS skeleton,
+       CAST(2 AS BIGINT) AS n_variants,
+       ['site' || CAST(k AS STRING) || '.onion',
+        'ѕite' || CAST(k AS STRING) || '.onion'] AS variants
+FROM flagged
 """
 
 
