@@ -38,6 +38,36 @@ from pyspark.sql.types import BooleanType
 
 _SLOTS = 4
 _FP_BITS = 16
+
+# Δ-bound for the O(Δ) driver-side patch discipline: per-round expiry
+# deltas are collected to the driver ONLY under this cap (5M hashes ×
+# 8 B = 40 MB — comfortably a broadcast-sized transfer).  The bound is
+# what makes "patch the broadcast filter with the round's expiries"
+# legitimate at 10^10-URL scale: expiries per round are politeness-rate
+# limited (a crawl that fetches ~k URLs/round can expire at most O(k)
+# TTLs/round), so Δ stays crawl-throughput-sized, not corpus-sized.  A
+# caller whose delta exceeds the cap is no longer in the incremental
+# regime and must rebuild the filter distributed (``build``) instead —
+# the guard raises rather than silently shipping an unbounded array.
+DELETE_DELTA_CAP = 5_000_000
+
+
+def collect_delete_delta(
+    df: DataFrame, col: str, cap: int = DELETE_DELTA_CAP
+) -> np.ndarray:
+    """Collect a (distinct-hash) expiry delta for ``delete_many``,
+    BOUNDED by construction: fetches at most ``cap + 1`` rows and
+    raises if the cap is exceeded, so an unbounded delta can never
+    materialize driver-side."""
+    pdf = df.select(col).limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        raise ValueError(
+            f"expiry delta exceeds the O(Δ) driver-patch bound ({cap} "
+            "hashes): this round is outside the incremental regime — "
+            "rebuild the cuckoo filter distributed via build() instead "
+            "of patching"
+        )
+    return pdf[col].to_numpy(dtype=np.int64)
 _MAX_KICKS = 500
 
 

@@ -2929,10 +2929,14 @@ def q_d1_cuckoo_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver-side data is bounded: only the finished shard tables (a few
     MB) and the round's expiry delta (hashes no longer live) ever leave
-    the executors."""
-    import numpy as np
-
-    from .operators.cuckoo import CuckooFilter, cuckoo_anti_join
+    the executors — the delta through ``collect_delete_delta``, which
+    enforces the documented Δ cap (operators/cuckoo.py
+    DELETE_DELTA_CAP) instead of trusting the round to be small."""
+    from .operators.cuckoo import (
+        CuckooFilter,
+        collect_delete_delta,
+        cuckoo_anti_join,
+    )
 
     c = _corpus(spark, sf_dir)
     cand = c.selectExpr("link1 AS url").distinct().select(
@@ -2960,11 +2964,11 @@ def q_d1_cuckoo_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the patch: hashes with no remaining live entry (a hash can be both
     # expired and live under two TTLs — deleting those would plant a
     # false negative, so the delta is expired MINUS live)
-    gone = (
+    gone = collect_delete_delta(
         seen.where(F.col("expires_ts") <= rts)
         .select("url_hash").distinct()
-        .join(live, "url_hash", "left_anti")
-        .toPandas()["url_hash"].to_numpy(dtype=np.int64)
+        .join(live, "url_hash", "left_anti"),
+        "url_hash",
     )
     cf.delete_many(gone)
     return cuckoo_anti_join(cand, live, "url_hash", cf).select(

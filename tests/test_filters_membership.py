@@ -284,3 +284,13 @@ def test_persisted_bloom_resume_exact_and_skips_rescan(spark, tmp_path, monkeypa
     assert calls["n"] == 1
     pages.unpersist()
     hs.unpersist()
+
+
+def test_collect_delete_delta_enforces_cap(spark):
+    from bathyscaphe_spark.operators.cuckoo import collect_delete_delta
+
+    df = spark.range(100).selectExpr("id AS url_hash")
+    got = collect_delete_delta(df, "url_hash", cap=100)
+    assert sorted(got.tolist()) == list(range(100))
+    with pytest.raises(ValueError, match="driver-patch bound"):
+        collect_delete_delta(df, "url_hash", cap=99)
