@@ -3564,6 +3564,45 @@ FROM documents
 """
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode through the pure-numpy uncompressed-AVI codec
+    (operators/multimodal.py decode_avi — RIFF chunk walk, '00db' DIB
+    RGB24 frames, bottom-up BGR rows with 4-byte stride): deterministic
+    gradient AVIs are synthesized per doc_id and decoded back to exact
+    integer channel sums.  The oracle restates every sum from the
+    PLANTED per-pixel formula (frame t, pixel k: R=(k+i+t)%256,
+    G=(2k+3t+i)%256, B=(i+5t)%256), so header parse, stride de-pad,
+    row order, channel order, and frame count are all pinned — this
+    closes the r1-r3 video stub (the old NotImplementedError seam)."""
+    from .operators.multimodal import synth_avi_payloads, video_decode_stats
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return video_decode_stats(synth_avi_payloads(d))
+
+
+ORACLE_VIDEO_DECODE = """
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         2 + doc_id % 4 AS n, 10 + doc_id % 3 AS fps,
+         (4 + doc_id % 5) * (3 + doc_id % 4) AS hw
+  FROM documents
+)
+SELECT doc_id AS item_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(fps AS BIGINT) AS fps, CAST(n AS BIGINT) AS n_frames,
+       CAST(list_sum(flatten(list_transform(range(0, n), t ->
+           list_transform(range(0, hw), k -> (k + doc_id + t) % 256))))
+           AS BIGINT) AS sum_r,
+       CAST(list_sum(flatten(list_transform(range(0, n), t ->
+           list_transform(range(0, hw), k -> (2 * k + 3 * t + doc_id) % 256))))
+           AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(0, n), t ->
+           hw * ((doc_id + 5 * t) % 256))) AS BIGINT) AS sum_b
+FROM g
+"""
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor image resize through the REAL byte path:
     deterministic gradient P6 payloads are synthesized, decoded by the
@@ -11255,6 +11294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_parse": q_robots_parse,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "video_decode": q_video_decode,
     "image_resize": q_image_resize,
     "warc_ingest": q_warc_ingest,
     "warc_export": q_warc_export,
@@ -11504,6 +11544,7 @@ ORACLES: dict[str, str] = {
     "robots_parse": ORACLE_ROBOTS_PARSE,
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "video_decode": ORACLE_VIDEO_DECODE,
     "image_resize": ORACLE_IMAGE_RESIZE,
     "warc_ingest": ORACLE_WARC_INGEST,
     "warc_export": ORACLE_WARC_EXPORT,

@@ -33,11 +33,81 @@ def test_fake_features_shape_and_determinism(spark):
     assert fa == fb
 
 
-def test_real_decode_video_is_gated(spark):
-    """Only codec'd formats (video) stay stubbed behind fake=True."""
+def test_real_decode_video_rejects_non_avi(spark):
+    """synth_payloads' video bytes are NOT AVI — the real decoder must
+    reject them loudly, not fabricate features (codec'd formats are the
+    documented out-of-scope seam)."""
     df = synth_payloads(spark, 6).where("modality = 'video'")
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+    with pytest.raises(Exception, match="RIFF/AVI"):
         extract_features(df, fake=False).collect()
+
+
+class TestAviCodec:
+    def test_roundtrip_bit_exact(self):
+        import numpy as np
+
+        from bathyscaphe_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi_rgb24,
+        )
+
+        rng = np.random.RandomState(11)
+        for w, h, n, fps in [(4, 3, 2, 10), (5, 6, 4, 12), (1, 1, 1, 30),
+                             (7, 2, 3, 24)]:
+            frames = [
+                rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                for _ in range(n)
+            ]
+            got_w, got_h, got_fps, out = decode_avi(
+                encode_avi_rgb24(w, h, fps, frames)
+            )
+            assert (got_w, got_h, got_fps) == (w, h, fps)
+            assert out.shape == (n, h, w, 3)
+            for t in range(n):
+                assert (out[t] == frames[t]).all()
+
+    def test_compressed_stream_rejected(self):
+        import numpy as np
+
+        from bathyscaphe_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi_rgb24,
+        )
+
+        b = bytearray(
+            encode_avi_rgb24(
+                4, 3, 10, [np.zeros((3, 4, 3), dtype=np.uint8)]
+            )
+        )
+        i = bytes(b).find(b"00db")
+        b[i : i + 4] = b"00dc"
+        with pytest.raises(ValueError, match="00dc"):
+            decode_avi(bytes(b))
+
+    def test_real_features_video(self, spark):
+        """fake=False over real AVI payloads: (w, h, n_frames, fps,
+        channel means) — per-id expectations derived from the planted
+        gradient formula."""
+        from bathyscaphe_spark.operators.multimodal import (
+            synth_avi_payloads,
+        )
+
+        d = spark.range(8).selectExpr("id AS doc_id")
+        df = synth_avi_payloads(d).selectExpr(
+            "item_id", "'video' AS modality", "payload",
+            "map('k', 'v') AS meta",
+        )
+        got = {
+            r["item_id"]: r["features"]
+            for r in extract_features(df, fake=False).collect()
+        }
+        for i in range(8):
+            w, h, n, fps = 4 + i % 5, 3 + i % 4, 2 + i % 4, 10 + i % 3
+            f = got[i]
+            assert f[:4] == [float(w), float(h), float(n), float(fps)]
+            hw = w * h
+            mean_b = sum((i + 5 * t) % 256 for t in range(n)) / n
+            assert abs(f[6] - mean_b) < 1e-3
 
 
 def test_real_decode_ppm_wav(spark):
