@@ -442,6 +442,132 @@ def minhash_dedup_pairs(
     )
 
 
+# --- one-permutation hashing (OPH) MinHash --------------------------------
+
+# Densification offset constant (any odd constant works; the rotation
+# scheme only needs a deterministic tie-breaking shift per borrow
+# distance — Shrivastava & Li, ICML'14 "Improved Densification of One
+# Permutation Hashing", public).
+_OPH_C = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / φ, the Weyl constant
+
+
+def oph_sig_np(h_raw: np.ndarray, counts: np.ndarray, num_bins: int) -> np.ndarray:
+    """Vectorized OPH signatures: per document, ONE pass over its
+    shingle hashes — bin = h % B, per-bin minimum of h — then rotation
+    densification for empty bins (borrow the nearest non-empty bin to
+    the right, circularly, + distance·C).  (ndocs, B) int64 matrix.
+
+    Why this beats k-permutation MinHash at 100 TB: the classic kernel
+    runs ``B`` multiply-mod passes over every shingle hash (O(B·n));
+    OPH is O(n + ndocs·B) — one scatter-min plus a B-wide densify —
+    with the same unbiased Jaccard estimator (Li, Owen, Zhang,
+    NIPS'12; densification per Shrivastava & Li '14).
+    """
+    ndocs = len(counts)
+    B = num_bins
+    EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mat = np.full((ndocs, B), EMPTY, dtype=np.uint64)
+    if h_raw.size:
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        bins = (h_raw % np.uint64(B)).astype(np.int64)
+        np.minimum.at(mat, (doc_idx, bins), h_raw)
+    # rotation densification: two right-to-left circular passes carry
+    # the nearest non-empty value + d*C into empty bins (vectorized
+    # over docs; 2B scalar steps of column arithmetic)
+    with np.errstate(over="ignore"):
+        carry = np.full(ndocs, EMPTY, dtype=np.uint64)
+        dist = np.zeros(ndocs, dtype=np.uint64)
+        for _pass in range(2):
+            for j in range(B - 1, -1, -1):
+                col = mat[:, j]
+                filled = col != EMPTY
+                dist = np.where(filled, np.uint64(0), dist + np.uint64(1))
+                carry = np.where(filled, col, carry)
+                need = (~filled) & (carry != EMPTY)
+                if need.any():
+                    mat[need, j] = carry[need] + dist[need] * _OPH_C
+    # documents with zero shingles keep EMPTY everywhere — normalize to
+    # a fixed sentinel so empty docs hash identically
+    return mat.view(np.int64)
+
+
+def oph_with_shingles(
+    df: DataFrame, id_col: str, text_col: str,
+    num_bins: int = MINHASH_PERMS, k: int = SHINGLE_K,
+) -> DataFrame:
+    """(id, sig array<long>, sh_hashes array<long>) via the OPH kernel —
+    the drop-in one-pass replacement for :func:`minhash_with_shingles`: same
+    output contract (a ``num_bins``-long signature + the sorted exact
+    shingle-hash set from the same FNV pass), so ``banded_signatures``
+    and the exact-Jaccard verification joins compose unchanged."""
+    out_schema = f"{id_col} long, sig array<long>, sh_hashes array<long>"
+
+    def _run(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            sh_lists = [shingles_py(t or "", k) for t in pdf[text_col]]
+            counts = np.fromiter(
+                (len(s) for s in sh_lists), dtype=np.int64, count=len(sh_lists)
+            )
+            flat = [s for lst in sh_lists for s in lst]
+            h_raw = (
+                fnv1_64_np(pd.Series(flat, dtype=object))
+                if flat
+                else np.empty(0, dtype=np.uint64)
+            )
+            sig_mat = oph_sig_np(h_raw, counts, num_bins)
+            signed = h_raw.view(np.int64)
+            sh_hashes = []
+            i = 0
+            for c in counts:
+                sh_hashes.append(sorted(int(x) for x in signed[i : i + c]))
+                i += c
+            yield pd.DataFrame(
+                {id_col: ids, "sig": sig_mat.tolist(), "sh_hashes": sh_hashes}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_run, schema=out_schema)
+
+
+def oph_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float,
+    num_bins: int = MINHASH_PERMS, bands: int = MINHASH_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Near-dup pairs via OPH signatures: same LSH banding + exact
+    Jaccard verification as :func:`minhash_dedup_pairs`, with the
+    one-pass kernel supplying the signatures.  Output
+    (id_a, id_b, jaccard3), every emitted pair exactly verified."""
+    s = oph_with_shingles(df, id_col, text_col, num_bins, k).persist()
+    cand = lsh_candidate_pairs(
+        s.select(id_col, "sig"), id_col, num_bins, bands
+    )
+    sh = s.select(
+        F.col(id_col).alias("_sid"), F.col("sh_hashes").alias("shingles")
+    )
+    pairs = (
+        cand.join(
+            sh.withColumnRenamed("_sid", "id_a")
+            .withColumnRenamed("shingles", "sh_a"),
+            "id_a",
+        ).join(
+            sh.withColumnRenamed("_sid", "id_b")
+            .withColumnRenamed("shingles", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = (
+        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 3).alias("jaccard3"))
+        .where(F.col("jaccard3") >= threshold)
+    )
+
+
 # --- winnowing fingerprints ----------------------------------------------
 
 WINNOW_WINDOW = 4

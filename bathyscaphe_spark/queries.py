@@ -1845,6 +1845,50 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_oph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing MinHash (operators/dedup.py oph_*) — the
+    O(n) signature kernel (one FNV pass + scatter-min binning + rotation
+    densification; Li/Owen/Zhang NIPS'12, Shrivastava & Li ICML'14)
+    through the same LSH banding and exact-Jaccard verification as
+    dedup_minhash_lsh.  PLANTED-TRUTH contract: class c = doc_id%17
+    gives 20 identical class words; odd docs append two unique words,
+    making within-class Jaccards exactly 1.0 (even-even), 0.9
+    (even-odd) and 18/22 (odd-odd).  At threshold 0.95 the expected
+    output is PRECISELY the even-even same-class pairs — certain LSH
+    capture (identical text ⇒ identical signature ⇒ every band
+    collides, at any parallelism), while the 0.9 near-miss pins the
+    exact-verification boundary arithmetically.  The oracle never runs
+    the hash kernel."""
+    from .operators.dedup import oph_dedup_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    c = (F.col("doc_id") % 17).cast("string")
+    base = F.concat_ws(
+        " ", *[F.concat(F.lit("w"), c, F.lit(f"x{j}")) for j in range(20)]
+    )
+    ids = F.col("doc_id").cast("string")
+    fixture = d.select(
+        "doc_id",
+        F.concat(
+            base,
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.concat(F.lit(" z"), ids, F.lit("a z"), ids, F.lit("b")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return oph_dedup_pairs(fixture, "doc_id", "text", threshold=0.95)
+
+
+ORACLE_DEDUP_OPH = """
+WITH e AS (
+  SELECT doc_id, doc_id % 17 AS c FROM documents WHERE doc_id % 2 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard3
+FROM e a JOIN e b ON a.c = b.c AND a.doc_id < b.doc_id
+"""
+
+
 def _minhash_oracle_sql() -> str:
     from .operators.dedup import MINHASH_P, perm_coeffs
 
@@ -11264,6 +11308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_oph_lsh": q_dedup_oph_lsh,
     "dedup_clusters": q_dedup_clusters,
     "exact_substr_dedup": q_exact_substr,
     "cdx_query_scopes": q_cdx_query,
@@ -11511,6 +11556,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_oph_lsh": ORACLE_DEDUP_OPH,
     "dedup_clusters": _clusters_oracle_sql(),
     "exact_substr_dedup": ORACLE_XSUB_CLEAN,
     "cdx_query_scopes": ORACLE_CDX_QUERY,
