@@ -5146,6 +5146,102 @@ def _trustrank_oracle_sql(iters: int = 3) -> str:
     return "\n".join(parts)
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen, VLDB'06
+    'Link Spam Detection Based on Mass Estimation' — public): the
+    fraction of a host's PageRank NOT accounted for by trust-biased
+    rank, M = (PR − TR)/PR, composed from the SAME two integer
+    fixed-points the crawl priorities run (pagerank_fp + trustrank_fp
+    over one host graph, 3 iterations each).  Integer micro-units all
+    the way: mass_ppm = (rank−trust)·10^6 DIV rank, clamped at 0 when
+    trust ≥ rank (both engines then divide non-negatives only, so
+    truncation == floor), spam flag at ≥ 700000 ppm.  Bit-identical at
+    any parallelism; the oracle unrolls BOTH recurrences."""
+    from .operators.graph import pagerank_fp, trustrank_fp
+
+    _docs(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL).localCheckpoint(eager=False)
+    trusted = spark.sql(
+        f"SELECT DISTINCT node FROM (SELECT src AS node FROM ({_EDGES_SQL})"
+        f" UNION SELECT dst FROM ({_EDGES_SQL})) t"
+        " WHERE node % 7 = 0 AND node < 97"
+    )
+    pr = pagerank_fp(edges, iters=3).select(
+        "node", F.col("rank_fp").cast("long").alias("rank_fp")
+    )
+    tr = trustrank_fp(edges, trusted, iters=3).select(
+        "node", F.col("trust_fp").cast("long").alias("trust_fp")
+    )
+    j = pr.join(tr, "node")
+    mass = F.when(
+        F.col("trust_fp") >= F.col("rank_fp"), F.lit(0).cast("long")
+    ).otherwise(
+        F.expr("(rank_fp - trust_fp) * 1000000 DIV rank_fp")
+    )
+    return j.select(
+        "node", "rank_fp", "trust_fp",
+        mass.alias("spam_mass_ppm"),
+        (mass >= 700000).alias("spam_flag"),
+    )
+
+
+def _spam_mass_oracle_sql(iters: int = 3) -> str:
+    """Both unrolled fixed-points in one WITH chain + the clamped
+    integer mass arithmetic (same recurrences as _pagerank_oracle_sql /
+    _trustrank_oracle_sql)."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "tagged AS (SELECT node,"
+        " CASE WHEN node % 7 = 0 AND node < 97 THEN 1 ELSE 0 END AS t"
+        " FROM nodes),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "params AS (SELECT COUNT(*) AS n FROM nodes),",
+        "tparams AS (SELECT SUM(t) AS nt FROM tagged),",
+        f"p0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM params)"
+        " AS rank_fp FROM nodes),",
+        f"t0 AS (SELECT node, t * ({_PR_SCALE} // (SELECT nt FROM tparams))"
+        " AS trust_fp FROM tagged)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", p{i + 1} AS (
+  SELECT n2.node,
+         (15 * {_PR_SCALE}) // (100 * (SELECT n FROM params))
+         + COALESCE(SUM((p{i}.rank_fp * 85) // (100 * deg.outdeg)), 0) AS rank_fp
+  FROM nodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN p{i} ON p{i}.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n2.node
+), t{i + 1} AS (
+  SELECT g.node,
+         g.t * ((15 * {_PR_SCALE}) // (100 * (SELECT nt FROM tparams)))
+         + COALESCE(SUM((t{i}.trust_fp * 85) // (100 * deg.outdeg)), 0)
+             AS trust_fp
+  FROM tagged g
+  LEFT JOIN edges e ON e.dst = g.node
+  LEFT JOIN t{i} ON t{i}.node = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY g.node, g.t
+)"""
+        )
+    parts.append(
+        f"""
+SELECT p.node,
+       CAST(p.rank_fp AS BIGINT) AS rank_fp,
+       CAST(t.trust_fp AS BIGINT) AS trust_fp,
+       CAST(CASE WHEN t.trust_fp >= p.rank_fp THEN 0
+            ELSE ((p.rank_fp - t.trust_fp) * 1000000) // p.rank_fp
+            END AS BIGINT) AS spam_mass_ppm,
+       (CASE WHEN t.trust_fp >= p.rank_fp THEN 0
+        ELSE ((p.rank_fp - t.trust_fp) * 1000000) // p.rank_fp
+        END) >= 700000 AS spam_flag
+FROM p{iters} p JOIN t{iters} t ON p.node = t.node"""
+    )
+    return "\n".join(parts)
+
+
 def _pagerank_oracle_sql(iters: int = 3) -> str:
     """DuckDB reimplementation: the same fixed-point recurrence unrolled
     into one CTE per iteration (// is BIGINT floor division)."""
@@ -11439,6 +11535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_topk": q_supplier_topk,
     "pagerank_priority": q_pagerank_priority,
     "trustrank": q_trustrank,
+    "spam_mass": q_spam_mass,
     "corpus_build": q_corpus_build,
     "streaming_dedup": q_streaming_dedup,
     "streaming_dedup_native": q_streaming_dedup_native,
@@ -11692,6 +11789,7 @@ ORACLES: dict[str, str] = {
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "pagerank_priority": _pagerank_oracle_sql(),
     "trustrank": _trustrank_oracle_sql(),
+    "spam_mass": _spam_mass_oracle_sql(),
     "corpus_build": ORACLE_CORPUS_BUILD,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
     "streaming_dedup_native": ORACLE_STREAMING_DEDUP,
