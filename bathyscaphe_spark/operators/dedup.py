@@ -470,22 +470,27 @@ def oph_sig_np(h_raw: np.ndarray, counts: np.ndarray, num_bins: int) -> np.ndarr
     if h_raw.size:
         doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
         bins = (h_raw % np.uint64(B)).astype(np.int64)
-        np.minimum.at(mat, (doc_idx, bins), h_raw)
-    # rotation densification: two right-to-left circular passes carry
-    # the nearest non-empty value + d*C into empty bins (vectorized
-    # over docs; 2B scalar steps of column arithmetic)
+        # flat-index scatter-min: minimum.at over a 1-D index is ~10×
+        # faster than the (row, col) tuple form (one fused C loop, no
+        # per-element index tuple decode)
+        np.minimum.at(mat.reshape(-1), doc_idx * B + bins, h_raw)
+    # rotation densification, fully vectorized: an empty bin j borrows
+    # from the nearest non-empty bin to its right (circularly, distance
+    # d) with value + d·C.  The doubled-bin suffix-minimum trick finds
+    # every borrow source in O(ndocs·B) flat numpy ops — no per-bin
+    # python loop (the loop version cost 2B column passes, dominating
+    # at B ≥ 64).
     with np.errstate(over="ignore"):
-        carry = np.full(ndocs, EMPTY, dtype=np.uint64)
-        dist = np.zeros(ndocs, dtype=np.uint64)
-        for _pass in range(2):
-            for j in range(B - 1, -1, -1):
-                col = mat[:, j]
-                filled = col != EMPTY
-                dist = np.where(filled, np.uint64(0), dist + np.uint64(1))
-                carry = np.where(filled, col, carry)
-                need = (~filled) & (carry != EMPTY)
-                if need.any():
-                    mat[need, j] = carry[need] + dist[need] * _OPH_C
+        filled2 = np.concatenate([mat, mat], axis=1) != EMPTY
+        idx2 = np.where(filled2, np.arange(2 * B, dtype=np.int64), 2 * B + 1)
+        nxt = np.minimum.accumulate(idx2[:, ::-1], axis=1)[:, ::-1][:, :B]
+        has_src = nxt <= 2 * B  # all-empty docs keep the EMPTY sentinel
+        src = np.where(has_src, nxt % B, 0)
+        d = np.where(has_src, nxt - np.arange(B, dtype=np.int64), 0).astype(
+            np.uint64
+        )
+        borrowed = np.take_along_axis(mat, src, axis=1) + d * _OPH_C
+        mat = np.where(mat != EMPTY, mat, np.where(has_src, borrowed, mat))
     # documents with zero shingles keep EMPTY everywhere — normalize to
     # a fixed sentinel so empty docs hash identically
     return mat.view(np.int64)
