@@ -170,9 +170,12 @@ def main() -> None:
     repo = Path(__file__).resolve().parent
     round_no = os.environ.get("SPARK_GRAFT_ROUND")
     if round_no is None:
+        # infer from BENCH_r* only: the driver records BENCH_r{N} AFTER
+        # running bench, so max+1 is this round regardless of whether
+        # CORRECTNESS_r{N} landed first
         seen = [
             int(p.stem.rsplit("_r", 1)[1])
-            for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json")
+            for pat in ("BENCH_r*.json",)
             for p in repo.glob(pat)
             if p.stem.rsplit("_r", 1)[1].isdigit()
         ]
