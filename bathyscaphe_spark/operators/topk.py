@@ -53,6 +53,9 @@ def smallest_k_by_key(
     ``n_rows`` (exact Σ multiplicities over ALL values, not just the k
     kept), ``n_distinct`` (exact distinct-value count).
     """
+    # null values are dropped, matching the collect_list semantics this
+    # replaces (a null would otherwise form its own count group)
+    df = df.where(F.col(val_col).isNotNull())
     cnt = (
         df.groupBy(*key_cols, val_col)
         .agg(F.count(F.lit(1)).alias("_n"))
