@@ -783,19 +783,19 @@ def spoof_pairs(hosts, host_col: str = "host"):
     Skeletons are host-cardinality, the blacklister's scale — but one
     spoof campaign can mint unbounded variants of a single skeleton, so
     the 16-smallest spelling sample runs through the salted-tournament
-    aggregate (operators/topk.py smallest_k_by_key): every aggregation
-    buffer is bounded, never a whole-skeleton collect_list.  Variant
-    lists sort for determinism; n_variants stays exact via the
-    tournament's partial counts.
+    aggregate (operators/topk.py smallest_k_by_key): merge buffers are
+    hard-bounded and the leaf buffer is divided across fanout^2 salt
+    cells — never a whole-skeleton collect_list (the tournament's own
+    first groupBy deduplicates (skeleton, host), so no pre-distinct
+    pass is needed).  Variant lists sort for determinism; n_variants
+    stays exact via the tournament's distinct-value counts.
     """
     from pyspark.sql import functions as F
 
     from ..operators.topk import smallest_k_by_key
 
     sk = skeleton_col(F.col(host_col))
-    dv = hosts.select(
-        sk.alias("skeleton"), F.col(host_col).alias("h")
-    ).distinct()
+    dv = hosts.select(sk.alias("skeleton"), F.col(host_col).alias("h"))
     top = smallest_k_by_key(dv, ["skeleton"], "h", 16)
     return (
         top.select(

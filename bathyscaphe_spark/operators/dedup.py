@@ -424,7 +424,17 @@ def minhash_dedup_pairs(
     One python pass over the corpus (sig + shingle set together),
     persisted so the band join and the two verification joins share it.
     """
-    s = minhash_with_shingles(df, id_col, text_col, num_perm, k).persist()
+    s = minhash_with_shingles(df, id_col, text_col, num_perm, k)
+    return _verified_pairs(s, id_col, threshold, num_perm, bands)
+
+
+def _verified_pairs(
+    s: DataFrame, id_col: str, threshold: float, num_perm: int, bands: int
+) -> DataFrame:
+    """Shared tail of the near-dup pipelines: persist the
+    (id, sig, sh_hashes) frame, band-join for candidates, then verify
+    each pair with exact Jaccard over the shingle-hash sets."""
+    s = s.persist()
     cand = lsh_candidate_pairs(
         s.select(id_col, "sig"), id_col, num_perm, bands
     )
@@ -540,37 +550,12 @@ def oph_dedup_pairs(
     k: int = SHINGLE_K,
 ) -> DataFrame:
     """Near-dup pairs via OPH signatures: same LSH banding + exact
-    Jaccard verification as :func:`minhash_dedup_pairs`, with the
-    one-pass kernel supplying the signatures.  Output
-    (id_a, id_b, jaccard3), every emitted pair exactly verified."""
-    s = oph_with_shingles(df, id_col, text_col, num_bins, k).persist()
-    cand = lsh_candidate_pairs(
-        s.select(id_col, "sig"), id_col, num_bins, bands
-    )
-    sh = s.select(
-        F.col(id_col).alias("_sid"), F.col("sh_hashes").alias("shingles")
-    )
-    pairs = (
-        cand.join(
-            sh.withColumnRenamed("_sid", "id_a")
-            .withColumnRenamed("shingles", "sh_a"),
-            "id_a",
-        ).join(
-            sh.withColumnRenamed("_sid", "id_b")
-            .withColumnRenamed("shingles", "sh_b"),
-            "id_b",
-        )
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    jac = (
-        F.when(union > 0, inter.cast("double") / union.cast("double"))
-        .otherwise(F.lit(0.0))
-    )
-    return (
-        pairs.select("id_a", "id_b", F.round(jac, 3).alias("jaccard3"))
-        .where(F.col("jaccard3") >= threshold)
-    )
+    Jaccard verification as :func:`minhash_dedup_pairs`
+    (shared ``_verified_pairs`` tail), with the one-pass kernel
+    supplying the signatures.  Output (id_a, id_b, jaccard3), every
+    emitted pair exactly verified."""
+    s = oph_with_shingles(df, id_col, text_col, num_bins, k)
+    return _verified_pairs(s, id_col, threshold, num_bins, bands)
 
 
 # --- winnowing fingerprints ----------------------------------------------

@@ -404,7 +404,8 @@ def encode_avi_rgb24(
 
     avih = struct.pack(
         "<14I",
-        1_000_000 // max(fps, 1), fsize * fps, 0, 0x10,  # AVIF_HASINDEX off
+        1_000_000 // max(fps, 1), fsize * fps, 0,
+        0,  # dwFlags: no idx1 chunk is written, so AVIF_HASINDEX stays off
         len(frames), 0, 1, fsize, width, height, 0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -437,10 +438,11 @@ def decode_avi(b: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("not a RIFF/AVI file")
     width = height = None
     rate = scale = None
+    cur_stream = None  # fccType of the most recent strh (strf follows it)
     frames_raw: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, rate, scale
+        nonlocal width, height, rate, scale, cur_stream
         pos = start
         while pos + 8 <= end:
             cid = b[pos : pos + 4]
@@ -455,9 +457,13 @@ def decode_avi(b: bytes) -> tuple[int, int, int, np.ndarray]:
                 s = struct.unpack(
                     "<4s4sIHHIIIIIIIi4h", b[body_start : body_start + 56]
                 )
+                cur_stream = s[0]
                 if s[0] == b"vids":
                     scale, rate = s[6], s[7]
-            elif cid == b"strf":
+            elif cid == b"strf" and cur_stream == b"vids":
+                # only the video stream's strf is a BITMAPINFOHEADER —
+                # an audio strl's strf is a WAVEFORMAT and must not be
+                # misread as one
                 comp = struct.unpack(
                     "<I", b[body_start + 16 : body_start + 20]
                 )[0]

@@ -1,4 +1,4 @@
-"""Bounded-state exact k-smallest sampling per key (salted tournament).
+"""Bounded-buffer exact k-smallest sampling per key (salted tournament).
 
 Why this exists: several rollups want "the k lexicographically-smallest
 values per key" as a deterministic sample next to exact counts (anchor
@@ -10,20 +10,31 @@ anchors; one spoof campaign mints unbounded variant hosts) turns that
 buffer into a task OOM.  This is the same defect class the r3 verdict
 flagged on ``release_manifest``'s whole-shard ``collect_list`` digest.
 
-The fix is a two-level tournament with bounded buffers at every stage:
+The fix is a multi-level tournament:
 
 1. ``groupBy(key, v).count()`` — exact multiplicities; hash-aggregate
    state is one counter per group, map-side combinable, never a list.
-2. level 1: ``groupBy(key, hash(v) % fanout)`` keeps only the k smallest
-   distinct values per salt cell (buffer ≈ distinct(v)/fanout).
-3. level 2: ``groupBy(key)`` merges the ≤ fanout·k survivors (buffer
-   ≤ fanout·k structs, a compile-time constant).
+2. level 1: ``groupBy(key, hash(v) % fanout^(levels-1))`` keeps only
+   the k smallest distinct values per salt cell.
+3. levels 2..: each merge level folds ``fanout`` cells into one, so its
+   input — and its aggregation buffer — is ≤ ``fanout·k`` structs, a
+   compile-time constant, regardless of the data.
 
-A value dropped at level 1 is ≥ the k smallest of its cell, so it can
+A value dropped at any level is ≥ the k smallest of its cell, so it can
 never be among the global k smallest — the tournament is exact, not
-approximate.  Level-1 cells also carry partial sums, so exact totals
-(Σ multiplicity, distinct-value count) survive to level 2 without a
-second pass over the input.
+approximate.  Cells also carry partial sums, so exact totals
+(Σ multiplicity, distinct-value count) survive to the final merge
+without a second pass over the input.
+
+Buffer honesty: every level EXCEPT the first is hard-bounded at
+``fanout·k`` entries.  Level 1's buffer is data-dependent —
+``distinct(v) / fanout^(levels-1)`` expected per cell — so the bound is
+probabilistic, tightening geometrically with ``levels``: the defaults
+(fanout 64, levels 3) divide a 10^9-distinct-value adversarial key
+across 4096 cells (~244k small structs per buffer, megabytes); raise
+``levels`` to 4 (262144 cells) if keys beyond 10^10 distinct values are
+plausible.  This is a strictly stronger guarantee than the whole-key
+``collect_list`` it replaces (divisor 1).
 
 Determinism: output arrays sort by (value asc); ties are impossible
 within a key because stage 1 already made values distinct.  Identical
@@ -42,20 +53,24 @@ def smallest_k_by_key(
     val_col: str,
     k: int,
     fanout: int = 64,
+    levels: int = 3,
 ) -> DataFrame:
     """Per key: the ``k`` smallest DISTINCT values of ``val_col`` with
-    exact multiplicities, plus exact totals — all with bounded
-    aggregation buffers.
+    exact multiplicities, plus exact totals — aggregation buffers per
+    the module docstring (all merge levels hard-bounded at fanout·k;
+    the leaf level divided across fanout^(levels-1) salt cells).
 
     Returns one row per key: ``key_cols…,
     smallest: array<struct<val, n>>`` (sorted by val asc, ≤ k entries,
     ``n`` = exact multiplicity of that value in ``df``),
     ``n_rows`` (exact Σ multiplicities over ALL values, not just the k
-    kept), ``n_distinct`` (exact distinct-value count).
+    kept), ``n_distinct`` (exact distinct-value count).  Null values
+    are dropped, matching the ``collect_list`` semantics this replaces.
     """
-    # null values are dropped, matching the collect_list semantics this
-    # replaces (a null would otherwise form its own count group)
+    if levels < 2:
+        raise ValueError("levels must be >= 2")
     df = df.where(F.col(val_col).isNotNull())
+    cells = fanout ** (levels - 1)
     cnt = (
         df.groupBy(*key_cols, val_col)
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -64,15 +79,28 @@ def smallest_k_by_key(
             F.struct(F.col(val_col).alias("val"), F.col("_n").alias("n")).alias(
                 "_s"
             ),
-            F.pmod(F.xxhash64(val_col), F.lit(fanout)).alias("_cell"),
+            F.pmod(F.xxhash64(val_col), F.lit(cells)).alias("_cell"),
         )
     )
-    lvl1 = cnt.groupBy(*key_cols, "_cell").agg(
+    cur = cnt.groupBy(*key_cols, "_cell").agg(
         F.slice(F.array_sort(F.collect_list("_s")), 1, k).alias("_top"),
         F.sum(F.col("_s").getField("n")).alias("_rows"),
         F.count(F.lit(1)).alias("_vals"),
     )
-    return lvl1.groupBy(*key_cols).agg(
+    # merge levels: fold fanout cells per group (buffer ≤ fanout·k)
+    for lvl in range(levels - 2, 0, -1):
+        cur = (
+            cur.withColumn("_cell", F.pmod(F.col("_cell"), F.lit(fanout**lvl)))
+            .groupBy(*key_cols, "_cell")
+            .agg(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("_top"))), 1, k
+                ).alias("_top"),
+                F.sum("_rows").alias("_rows"),
+                F.sum("_vals").alias("_vals"),
+            )
+        )
+    return cur.groupBy(*key_cols).agg(
         F.slice(
             F.array_sort(F.flatten(F.collect_list("_top"))), 1, k
         ).alias("smallest"),
@@ -83,8 +111,9 @@ def smallest_k_by_key(
 
 def multiset_prefix(smallest: Column, k: int) -> Column:
     """The first ``k`` elements of the MULTISET a ``smallest`` array
-    (from :func:`smallest_k_by_key`) describes: each value repeated
-    ``min(n, remaining)`` times, in value order — i.e. exactly
+    (from :func:`smallest_k_by_key` over a STRING value column — the
+    fold accumulator is typed array<string>) describes: each value
+    repeated ``min(n, remaining)`` times, in value order — i.e. exactly
     ``slice(array_sort(collect_list(v)), 1, k)`` of the raw values,
     rebuilt from the bounded representation.  Pure codegen
     (aggregate/concat/array_repeat), no UDF; ``array_repeat`` is

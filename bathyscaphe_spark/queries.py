@@ -3927,9 +3927,10 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample — the 16 lexicographically-smallest texts, a deterministic
     multiset — is built by the salted-tournament aggregate
     (operators/topk.py smallest_k_by_key): per-(href,anchor) exact
-    counts, then two bounded merge levels, never a whole-key
-    collect_list buffer (the r4 fix for the hot-target OOM the direct
-    collect_list had).  Counts stay exact (tournament partial sums +
+    counts, then hard-bounded merge levels over a fanout²-divided leaf,
+    never a whole-key collect_list buffer (the r4 fix for the
+    hot-target OOM the direct collect_list had).  Counts stay exact
+    (tournament partial sums +
     two-phase distinct).  The oracle reproduces the multiset with a
     rank filter; the cap BINDS at sf0.01 so parity actually pins it.
     A nested-markup anchor is excluded by construction (strict
