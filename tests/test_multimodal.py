@@ -66,6 +66,56 @@ class TestAviCodec:
             for t in range(n):
                 assert (out[t] == frames[t]).all()
 
+    def test_audio_stream_strf_not_misread(self):
+        """An AVI carrying a PCM audio strl beside the video stream is
+        in scope: the audio strf is a WAVEFORMAT, not a
+        BITMAPINFOHEADER, and must not be misvalidated as one
+        (regression: the pre-fix walk parsed every strf's bytes 16:20
+        as biCompression)."""
+        import struct
+
+        import numpy as np
+
+        from bathyscaphe_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi_rgb24,
+        )
+
+        frames = [np.full((3, 4, 3), 7, dtype=np.uint8)]
+        b = encode_avi_rgb24(4, 3, 10, frames)
+
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        auds_strh = struct.pack(
+            "<4s4sIHHIIIIIIIi4h",
+            b"auds", b"\x01\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 8000,
+            16000, 0, 2, 0, 0, 0, 0,
+        )
+        # 16-byte WAVEFORMATEX (PCM): shorter than a BITMAPINFOHEADER,
+        # and bytes 16:20 don't even exist
+        auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        auds_strl = chunk(
+            b"LIST", b"strl" + chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf)
+        )
+        # inject the audio strl at the end of the hdrl LIST body and fix
+        # the hdrl and RIFF sizes
+        hdrl_pos = b.find(b"LIST", 12)
+        hdrl_size = struct.unpack("<I", b[hdrl_pos + 4 : hdrl_pos + 8])[0]
+        hdrl_end = hdrl_pos + 8 + hdrl_size
+        out = bytearray(
+            b[:hdrl_end] + auds_strl + b[hdrl_end:]
+        )
+        out[hdrl_pos + 4 : hdrl_pos + 8] = struct.pack(
+            "<I", hdrl_size + len(auds_strl)
+        )
+        out[4:8] = struct.pack("<I", len(out) - 8)
+        w, h, fps, fr = decode_avi(bytes(out))
+        assert (w, h, fps) == (4, 3, 10)
+        assert (fr[0] == frames[0]).all()
+
     def test_compressed_stream_rejected(self):
         import numpy as np
 
