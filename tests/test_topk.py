@@ -22,10 +22,10 @@ def _naive(rows, k):
     return out
 
 
-def _check(spark, rows, k, fanout):
+def _check(spark, rows, k, fanout, levels=3):
     df = spark.createDataFrame(rows, "key string, val string").repartition(5)
     got = (
-        smallest_k_by_key(df, ["key"], "val", k, fanout=fanout)
+        smallest_k_by_key(df, ["key"], "val", k, fanout=fanout, levels=levels)
         .select(
             "key",
             multiset_prefix(F.col("smallest"), k).alias("sample"),
@@ -68,6 +68,14 @@ class TestSmallestKByKey:
     def test_cap_not_binding(self, spark):
         rows = [("k", "b"), ("k", "a"), ("k", "a")]
         _check(spark, rows, k=16, fanout=64)
+
+    def test_levels_equivalent(self, spark):
+        # 2-, 3- and 4-level tournaments must all equal the naive result
+        rows = [
+            (f"k{i % 4}", f"v{(i * 11) % 60:03d}") for i in range(300)
+        ]
+        for levels in (2, 3, 4):
+            _check(spark, rows, k=9, fanout=4, levels=levels)
 
     def test_parallelism_invariant(self, spark):
         rows = [
