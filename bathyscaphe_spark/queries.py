@@ -7014,12 +7014,19 @@ FROM dedup WHERE rn = 1
 # soft-404 detection (error pages served with HTTP 200)
 # --------------------------------------------------------------------------
 
+# class 2's duplicate-run span is 60 ids: within one 60-block a host
+# (doc_id%5) sees 60/20 = 3 class-2 docs sharing the body — strictly
+# below SOFT404_TEMPLATE_MIN=5, so the class is GENUINELY benign (the
+# r1-r3 span of 120 gave 6 per host per block, ≥ the threshold: the
+# "benign small duplicate run" claim was false for 120 of 125 docs and
+# the logic-sharing oracle could not see it — found by the r4
+# planted-truth rewrite)
 _SOFT404_TEXT_SQL = """
 CASE doc_id % 4
   WHEN 0 THEN 'oops something went wrong on h'
               || CAST(doc_id % 5 AS STRING) || '.onion'
   WHEN 1 THEN 'this page does not exist entry ' || CAST(doc_id AS STRING)
-  WHEN 2 THEN 'seasonal promo ' || CAST(doc_id - doc_id % 120 AS STRING)
+  WHEN 2 THEN 'seasonal promo ' || CAST(doc_id - doc_id % 60 AS STRING)
   ELSE 'regular article ' || CAST(doc_id AS STRING)
 END
 """
@@ -7032,8 +7039,13 @@ def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase-free catch-all template (one body at ≥5 distinct URLs of a
     host).  The fixture separates all four classes: a phrase-free
     per-host template, a phrase-only unique page, a benign small
-    duplicate run (below threshold), and regular articles.  See
-    operators/crawler.py soft404_flags."""
+    duplicate run (3 per host per 60-block — strictly below the
+    threshold), and regular articles.  The oracle derives phrase hits
+    and template sizes ARITHMETICALLY from the residue classes (class 1
+    plants 'does not exist'; sizes are residue counts) — it never runs
+    the engine's phrase regex or template grouping, so both the regex
+    and the ≥5 cut are genuinely pinned.  See operators/crawler.py
+    soft404_flags."""
     from .operators.crawler import soft404_flags
 
     fetched = _docs(spark, sf_dir).selectExpr(
@@ -7048,25 +7060,32 @@ def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _soft404_oracle_sql() -> str:
-    from .operators.crawler import SOFT404_PHRASES, SOFT404_TEMPLATE_MIN
-
-    return rf"""
-WITH fetched AS (
-  SELECT 'http://h' || CAST(doc_id % 5 AS STRING) || '.onion/p'
-           || CAST(doc_id AS STRING) AS url,
-         'h' || CAST(doc_id % 5 AS STRING) || '.onion' AS host,
-         {_SOFT404_TEXT_SQL} AS text
+    # PLANTED-TRUTH oracle (r4, replacing a mirror that interpolated the
+    # engine's SOFT404_PHRASES regex and re-ran the template grouping):
+    # per residue class — 0: one body per host (template size = the
+    # host's class-0 doc count, flags iff ≥ 5), 1: unique body planting
+    # 'does not exist' (phrase flag), 2: one body per (host, 60-block)
+    # (3 docs full-block — always below threshold), 3: unique benign.
+    # Sizes come from residue COUNTS, never from grouping the texts.
+    return """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS h, doc_id % 4 AS cls,
+         doc_id - doc_id % 60 AS blk
   FROM documents
-), templates AS (
-  SELECT host, text, count(DISTINCT url) AS template_size
-  FROM fetched GROUP BY host, text
-)
-SELECT f.url, f.host,
-       regexp_matches(lower(f.text), '{SOFT404_PHRASES}') AS phrase_hit,
-       CAST(t.template_size AS BIGINT) AS template_size,
-       (regexp_matches(lower(f.text), '{SOFT404_PHRASES}')
-        OR t.template_size >= {SOFT404_TEMPLATE_MIN}) AS soft404
-FROM fetched f JOIN templates t ON f.host = t.host AND f.text = t.text
+),
+c0 AS (SELECT h, count(*) AS n FROM d WHERE cls = 0 GROUP BY h),
+c2 AS (SELECT h, blk, count(*) AS n FROM d WHERE cls = 2 GROUP BY h, blk)
+SELECT 'http://h' || CAST(d.h AS STRING) || '.onion/p'
+         || CAST(d.doc_id AS STRING) AS url,
+       'h' || CAST(d.h AS STRING) || '.onion' AS host,
+       d.cls = 1 AS phrase_hit,
+       CAST(CASE d.cls WHEN 0 THEN c0.n WHEN 2 THEN c2.n
+            ELSE 1 END AS BIGINT) AS template_size,
+       CASE d.cls WHEN 0 THEN c0.n >= 5 WHEN 1 THEN TRUE
+            WHEN 2 THEN c2.n >= 5 ELSE FALSE END AS soft404
+FROM d
+LEFT JOIN c0 ON d.cls = 0 AND c0.h = d.h
+LEFT JOIN c2 ON d.cls = 2 AND c2.h = d.h AND c2.blk = d.blk
 """
 
 
@@ -7978,42 +7997,38 @@ def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _regdomain_oracle_sql() -> str:
-    from .functions.urltools import PUBLIC_SUFFIXES
-
-    values = ", ".join(
-        f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES
-    )
-    return f"""
-WITH sfx(sfx, k) AS (VALUES {values}),
-hosts AS (
-  SELECT {_HOST_SYNTH_SQL} AS host FROM documents
-), labs AS (
-  SELECT host, string_split(host, '.') AS ls FROM hosts
-), cand AS (
-  SELECT host, ls, kk.k AS k,
-         array_to_string(list_slice(ls, len(ls) - kk.k + 1, len(ls)), '.')
-           AS csfx
-  FROM labs, (SELECT unnest(range(1, 5)) AS k) kk
-  WHERE kk.k <= len(ls)
-), hit AS (
-  SELECT host, max(c.k) AS bk, max_by(c.csfx, c.k) AS bsfx,
-         max_by(c.ls, c.k) AS ls
-  FROM cand c JOIN sfx s ON c.csfx = s.sfx AND c.k = s.k
-  GROUP BY host
-), matched AS (
-  SELECT host, bsfx AS public_suffix,
-         CASE WHEN len(ls) > bk
-              THEN ls[CAST(len(ls) - bk AS INT)] || '.' || bsfx END
-           AS registered_domain
-  FROM hit
-), unmatched AS (
-  SELECT host, ls[CAST(len(ls) AS INT)] AS public_suffix,
-         CASE WHEN len(ls) > 1
-              THEN ls[CAST(len(ls) - 1 AS INT)] || '.'
-                   || ls[CAST(len(ls) AS INT)] END AS registered_domain
-  FROM labs WHERE host NOT IN (SELECT host FROM hit)
-)
-SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    # PLANTED-TRUTH oracle (r4, replacing a DuckDB reimplementation of
+    # the PSL longest-match fold over the shared suffix list): each
+    # residue class's eTLD+1 is a publicly checkable PSL fact — co.uk,
+    # com, github.io (a PRIVATE-section suffix: the longest-match rule
+    # must pick it over plain 'io'), onion, com.au are public suffixes;
+    # 'weirdtld' is not (fallback = last label).  The engine's
+    # longest-match logic is never re-run; a fold bug (shortest-match,
+    # off-by-one label slicing, missing multi-label suffixes) breaks
+    # parity against these stated rows.
+    return """
+SELECT
+  CASE doc_id % 6
+    WHEN 0 THEN 'www.site' || CAST(doc_id AS STRING) || '.co.uk'
+    WHEN 1 THEN 'blog.site' || CAST(doc_id AS STRING) || '.com'
+    WHEN 2 THEN 'user' || CAST(doc_id AS STRING) || '.github.io'
+    WHEN 3 THEN 'deep.sub.host' || CAST(doc_id AS STRING) || '.onion'
+    WHEN 4 THEN 'site' || CAST(doc_id AS STRING) || '.weirdtld'
+    ELSE 'ftp.site' || CAST(doc_id AS STRING) || '.com.au'
+  END AS host,
+  CASE doc_id % 6
+    WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'github.io'
+    WHEN 3 THEN 'onion' WHEN 4 THEN 'weirdtld' ELSE 'com.au'
+  END AS public_suffix,
+  CASE doc_id % 6
+    WHEN 0 THEN 'site' || CAST(doc_id AS STRING) || '.co.uk'
+    WHEN 1 THEN 'site' || CAST(doc_id AS STRING) || '.com'
+    WHEN 2 THEN 'user' || CAST(doc_id AS STRING) || '.github.io'
+    WHEN 3 THEN 'host' || CAST(doc_id AS STRING) || '.onion'
+    WHEN 4 THEN 'site' || CAST(doc_id AS STRING) || '.weirdtld'
+    ELSE 'site' || CAST(doc_id AS STRING) || '.com.au'
+  END AS registered_domain
+FROM documents
 """
 
 
