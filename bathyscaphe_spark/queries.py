@@ -1104,6 +1104,28 @@ FROM documents
 """
 
 
+
+# Gopher fixture: the raw corpus is strictly [a-z ] words, so the
+# symbol / bullet-line / ellipsis-line rules would never fire on it —
+# per-residue suffixes make each rule BIND (and flip keep) for a known
+# class: %5==1 floods '#' symbols (10·n_symbol ≥ n_words), %5==2 floods
+# bullet lines (10·bullets ≥ 9·lines), %5==3 floods ellipsis line
+# endings (10·ell ≥ 3·lines); %5==0 appends the eight Gopher stopwords
+# (the raw corpus vocabulary holds only 'the', so n_stop ≥ 2 — and with
+# it keep — was CONSTANT FALSE over the whole driver corpus before
+# this fixture: the keep gate never bound); class 4 stays untouched as
+# the all-False control.  Classes 1-3 add no stopwords.  Valid in
+# Spark SQL and DuckDB alike (||, CASE, chr(10)).
+_GOPHER_TEXT_SQL = """
+text || CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN ' to be of and that have with the'
+  WHEN 1 THEN ' ## ## ## ## ## ## ## ## ## ##'
+  WHEN 2 THEN repeat(chr(10) || '- x', 10)
+  WHEN 3 THEN chr(10) || 'well then...' || chr(10) || 'more soon...'
+  ELSE '' END
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rules quality filter (Rae et al. 2021 §A1.1 — the standard
     pre-training corpus gate): word-count bounds, mean-word-length
@@ -1113,7 +1135,8 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (functions/textstats.py)."""
     from .functions.textstats import gopher_keep_col, gopher_signal_cols
 
-    d = _docs(spark, sf_dir)
+    _docs(spark, sf_dir)
+    d = spark.sql(f"SELECT doc_id, {_GOPHER_TEXT_SQL} AS text FROM documents")
     s = gopher_signal_cols(F.col("text"))
     return d.select(
         "doc_id",
@@ -1122,8 +1145,10 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_GOPHER = r"""
-WITH sig AS (
+ORACLE_GOPHER = rf"""
+WITH fixture AS (
+  SELECT doc_id, {_GOPHER_TEXT_SQL} AS text FROM documents
+), sig AS (
   SELECT doc_id,
     CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w != '')) AS BIGINT) AS n_words,
     CAST(coalesce(list_sum(list_transform(
@@ -1144,7 +1169,7 @@ WITH sig AS (
     CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
     CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
     CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT) AS n_ellipsis_lines
-  FROM documents
+  FROM fixture
 )
 SELECT *,
   (n_words BETWEEN 50 AND 100000
@@ -4489,29 +4514,22 @@ def q_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_STRIP_TRACKING = rf"""
-WITH d AS (SELECT doc_id, {_TRACK_URL_SQL} AS url FROM documents),
-p AS (
+# PLANTED-TRUTH oracle (r4, replacing a mirror that re-ran the engine's
+# tracking-param regex): the expected cleaned URL per residue class is
+# stated directly — %4==0 keeps only 'id' (utm_source drops), %4==1
+# keeps 'id' and 'x' in original order (fbclid drops from the middle),
+# %4==2 loses its whole query INCLUDING the '?' (all params tracking),
+# %4==3 is untouched.  A param-list or '?'-handling bug breaks parity.
+ORACLE_STRIP_TRACKING = """
+WITH c AS (
   SELECT doc_id,
-         split_part(url, '?', 1) AS base,
-         CASE WHEN strpos(url, '?') > 0
-              THEN substring(url, strpos(url, '?') + 1) END AS qs
-  FROM d
-),
-k AS (
-  SELECT doc_id, base,
-         CASE WHEN qs IS NULL THEN NULL
-              ELSE list_filter(string_split(qs, '&'),
-                   x -> x != '' AND NOT regexp_matches(x,
-                   '^(utm_[a-z0-9_]+|fbclid|gclid|dclid|msclkid|mc_eid|igshid|ref|ref_src)='))
-         END AS kept
-  FROM p
-),
-c AS (
-  SELECT doc_id,
-         CASE WHEN kept IS NULL OR len(kept) = 0 THEN base
-              ELSE base || '?' || array_to_string(kept, '&') END AS clean_url
-  FROM k
+         'https://h' || CAST(doc_id % 20 AS STRING) || '.onion/p'
+         || CAST(doc_id % 50 AS STRING)
+         || CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN '?id=' || CAST(doc_id % 9 AS STRING)
+              WHEN 1 THEN '?id=' || CAST(doc_id % 9 AS STRING) || '&x=1'
+              ELSE '' END AS clean_url
+  FROM documents
 )
 SELECT clean_url, count(*) AS n_variants, min(doc_id) AS first_doc
 FROM c GROUP BY clean_url
@@ -8087,76 +8105,25 @@ def q_published_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PUBLISHED_DATE = r"""
-WITH fixture AS (
-  SELECT doc_id,
-         CAST(2000 + doc_id % 20 AS VARCHAR) || '-'
-           || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-'
-           || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS iso,
-         doc_id % 6 AS variant
-  FROM documents
-), pages AS (
-  SELECT doc_id,
-    CASE variant
-      WHEN 0 THEN '<html><head><meta property="article:published_time"'
-                  || ' content="' || iso || 'T08:30:00Z"></head></html>'
-      WHEN 1 THEN '<html><head><meta content="' || iso
-                  || '" property="article:published_time"></head></html>'
-      WHEN 2 THEN '<script type="application/ld+json">'
-                  || '{"@type":"Article","datePublished": "' || iso
-                  || 'T00:00:00"}</script>'
-      WHEN 3 THEN '<body><time class="entry" datetime="' || iso
-                  || '">then</time></body>'
-      ELSE '<p>no date markup</p>' END AS html,
-    CASE WHEN variant = 4
-         THEN 'https://example.com/blog/' || replace(iso, '-', '/')
-              || '/post.html'
-         ELSE 'https://example.com/p/' || CAST(doc_id AS VARCHAR)
-    END AS url
-  FROM fixture
-), hits AS (
-  SELECT doc_id,
-    nullif(regexp_extract(html,
-      '<meta [^>]*property="article:published_time"[^>]* content="([^"]+)"',
-      1), '') AS og1,
-    nullif(regexp_extract(html,
-      '<meta [^>]*content="([^"]+)"[^>]* property="article:published_time"',
-      1), '') AS og2,
-    nullif(regexp_extract(html, '"datePublished"\s*:\s*"([^"]+)"', 1), '')
-      AS jsonld,
-    nullif(regexp_extract(html, '<time [^>]*datetime="([^"]+)"', 1), '')
-      AS t,
-    nullif(regexp_extract(url,
-      '/((?:19|20)[0-9]{2})[/-](0[1-9]|1[0-2])[/-](0[1-9]|[12][0-9]|3[01])(?:[/?#]|$)',
-      1), '') AS uy,
-    regexp_extract(url,
-      '/((?:19|20)[0-9]{2})[/-](0[1-9]|1[0-2])[/-](0[1-9]|[12][0-9]|3[01])(?:[/?#]|$)',
-      2) AS um,
-    regexp_extract(url,
-      '/((?:19|20)[0-9]{2})[/-](0[1-9]|1[0-2])[/-](0[1-9]|[12][0-9]|3[01])(?:[/?#]|$)',
-      3) AS ud
-  FROM pages
-), cascade AS (
-  SELECT doc_id,
-    coalesce(coalesce(og1, og2), jsonld, t,
-             CASE WHEN uy IS NOT NULL
-                  THEN uy || '-' || um || '-' || ud END) AS raw,
-    CASE WHEN coalesce(og1, og2) IS NOT NULL THEN 'og'
-         WHEN jsonld IS NOT NULL THEN 'jsonld'
-         WHEN t IS NOT NULL THEN 'time'
-         WHEN uy IS NOT NULL THEN 'url' END AS src
-  FROM hits
-), parsed AS (
-  SELECT doc_id,
-    CASE WHEN year(try_cast(substr(raw, 1, 10) AS DATE))
-              BETWEEN 1995 AND 2035
-         THEN try_cast(substr(raw, 1, 10) AS DATE) END AS d,
-    src
-  FROM cascade
-)
-SELECT doc_id, strftime(d, '%Y-%m-%d') AS published,
-       CASE WHEN d IS NOT NULL THEN src END AS date_source
-FROM parsed
+# PLANTED-TRUTH oracle (r4, replacing a full regex-mirror of the
+# extraction cascade): every variant's expected date IS the fixture's
+# iso string (all planted dates are plausibility-window-safe,
+# 2000-2019), and the winning source is the variant's carrier — og for
+# both attribute orders, jsonld, time, url, and NULL/NULL for the
+# markup-free class.  None of the engine's extraction regexes run here,
+# so a cascade-order or attribute-order bug breaks parity.
+ORACLE_PUBLISHED_DATE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 6 < 5
+            THEN CAST(2000 + doc_id % 20 AS VARCHAR) || '-'
+                 || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-'
+                 || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+       END AS published,
+       CASE CAST(doc_id % 6 AS INT)
+         WHEN 0 THEN 'og' WHEN 1 THEN 'og' WHEN 2 THEN 'jsonld'
+         WHEN 3 THEN 'time' WHEN 4 THEN 'url'
+       END AS date_source
+FROM documents
 """
 
 
