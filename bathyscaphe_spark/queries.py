@@ -831,9 +831,13 @@ LIMIT 100
 def q_a1_host_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 per-host timeout counting + threshold promotion
     (blacklister.go:143-186; threshold=5) over timeouts synthesized from
-    the events table."""
+    the events table.  The timeout sample uses stride 53 so per-host
+    counts STRADDLE the threshold (20 of 37 hosts promote at sf0.01;
+    the r1-r3 stride of 3 gave every host ≥ 5 and the threshold
+    comparison was constant-true — found by the r4 vacuous-signal
+    audit)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    timeouts = ev.where(F.col("event_id") % 3 == 0).selectExpr(
+    timeouts = ev.where(F.col("event_id") % 53 == 0).selectExpr(
         "'host' || CAST(user_id % 37 AS STRING) || '.onion' AS host"
     )
     counts = timeouts.groupBy("host").agg(F.count(F.lit(1)).alias("timeout_count"))
@@ -846,7 +850,7 @@ ORACLE_A1 = """
 SELECT host, COUNT(*) AS timeout_count, COUNT(*) >= 5 AS blacklisted
 FROM (
   SELECT 'host' || CAST(user_id % 37 AS STRING) || '.onion' AS host
-  FROM events WHERE event_id % 3 = 0
+  FROM events WHERE event_id % 53 = 0
 )
 GROUP BY host
 """
@@ -972,18 +976,40 @@ FROM documents
 # --- training-data pipeline operators over documents/embeddings -----------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash: canonical doc per md5(text) group."""
+    """Exact dedup by content hash: canonical doc per md5(text) group.
+
+    Fixture: every doc_id ≡ 0 (mod 7) replaces its body with one of
+    three shared boilerplate bodies (doc_id % 3), so the hash-groupBy
+    actually COLLAPSES rows — the raw corpus is all-unique and the
+    r1-r3 query never produced a group with n_dups > 1 (r4
+    vacuous-signal audit); the untouched six sevenths pin the
+    singleton path."""
     d = _docs(spark, sf_dir)
+    fixture = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit("shared boilerplate body "),
+            (F.col("doc_id") % 3).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
     return (
-        d.groupBy(F.md5(F.col("text")).alias("content_md5"))
+        d.select("doc_id", fixture.alias("text"))
+        .groupBy(F.md5(F.col("text")).alias("content_md5"))
         .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n_dups"))
     )
 
 
 ORACLE_DEDUP_EXACT = """
+WITH fixture AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'shared boilerplate body ' || CAST(doc_id % 3 AS STRING)
+              ELSE text END AS text
+  FROM documents
+)
 SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_doc,
        COUNT(*) AS n_dups
-FROM documents GROUP BY md5(text)
+FROM fixture GROUP BY md5(text)
 """
 
 
@@ -1193,10 +1219,27 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate by (doc_id, value) — one shuffle each, partial-aggregated
     map-side; the winning 2-gram picks deterministically by
     (count, chars, gram) descending so cross-engine ties are stable.
-    No UDFs anywhere."""
+    No UDFs anywhere.
+
+    Fixture: the raw corpus is single-line, so the dup-line signals —
+    and with them the 0.30 dup-line keep rule — were constant-zero for
+    three rounds of green parity (r4 vacuous-signal audit); every
+    doc_id ≡ 1 (mod 4) now appends three identical lines, flipping the
+    rule for a quarter of the corpus while the rest pins the zero
+    path."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup_block = F.concat(
+        F.lit("\n"),
+        F.concat_ws("\n", *([F.lit("repeat line")] * 3)),
+    )
+    d = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), dup_block))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     lines = d.select(
         "doc_id", F.explode(F.split("text", "\n")).alias("line")
     )
@@ -1263,8 +1306,15 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_REPETITION = r"""
-WITH lines AS (
-  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+WITH fixture AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1
+              THEN text || chr(10) || 'repeat line' || chr(10)
+                   || 'repeat line' || chr(10) || 'repeat line'
+              ELSE text END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM fixture
 ), line_stats AS (
   SELECT doc_id, sum(cnt) AS n_lines,
          sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_lines,
@@ -1273,7 +1323,7 @@ WITH lines AS (
   GROUP BY doc_id
 ), words AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), w -> w != '') AS ws
-  FROM documents
+  FROM fixture
 ), bigrams AS (
   SELECT doc_id, unnest(list_transform(range(2, len(ws) + 1),
                                        i -> ws[i - 1] || ' ' || ws[i])) AS gram
@@ -1295,7 +1345,7 @@ SELECT d.doc_id,
        CAST(coalesce(t.top2_chars, 0) AS BIGINT) AS top2_chars,
        (10 * coalesce(l.n_dup_lines, 0) <= 3 * coalesce(l.n_lines, 0)
         AND 5 * coalesce(t.top2_chars, 0) <= length(d.text)) AS keep
-FROM documents d
+FROM fixture d
 LEFT JOIN line_stats l USING (doc_id)
 LEFT JOIN top t USING (doc_id)
 """
@@ -1307,16 +1357,23 @@ def q_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers dup-line + top-2-gram) through functions/textstats.py
     dup_ngram_stats: dup-start flags from per-(doc, gram) window
     counts, coverage as a trailing ROWS max, one doc-keyed sort shared
-    by all window families.  Fixture: every doc_id ≡ 0 (mod 3) appends
-    its own first 8 words, planting duplicate 5..8-grams (and the
-    coverage-union overlap case) in a third of the corpus; the other
-    two thirds pin the no-repetition zero path."""
+    by all window families.  Fixture: every doc_id ≡ 0 (mod 6) appends
+    its own first 12 words (duplicate 10-grams exist, so the n=10 rule
+    fires — the r1-r3 8-word plant could never produce one and the
+    dup10 columns were constant-zero, r4 vacuous-signal audit); every
+    doc_id ≡ 3 (mod 6) appends its first 8 words (5..8-gram repeats
+    only, dup10 stays 0); the rest pin the no-repetition zero path."""
     from .functions.textstats import dup_ngram_stats
 
     d = _docs(spark, sf_dir)
     toks = F.filter(F.split("text", r"\s+"), lambda w: w != "")
     fixture = F.when(
-        F.col("doc_id") % 3 == 0,
+        F.col("doc_id") % 6 == 0,
+        F.concat_ws(
+            " ", F.col("text"), F.array_join(F.slice(toks, 1, 12), " ")
+        ),
+    ).when(
+        F.col("doc_id") % 6 == 3,
         F.concat_ws(
             " ", F.col("text"), F.array_join(F.slice(toks, 1, 8), " ")
         ),
@@ -1329,7 +1386,10 @@ def q_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DUP_NGRAM = r"""
 WITH fixture AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN text || ' ' || array_to_string(
+         CASE WHEN doc_id % 6 = 0 THEN text || ' ' || array_to_string(
+                 (list_filter(regexp_split_to_array(text, '\s+'),
+                              w -> w != ''))[1:12], ' ')
+              WHEN doc_id % 6 = 3 THEN text || ' ' || array_to_string(
                  (list_filter(regexp_split_to_array(text, '\s+'),
                               w -> w != ''))[1:8], ' ')
               ELSE text END AS text
