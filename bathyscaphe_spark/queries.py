@@ -1068,10 +1068,29 @@ FROM t GROUP BY lang
 """
 
 
+# quality_stats fixture: the raw corpus is strictly [a-z ], so the
+# punct/digit/upper counters were constant ZERO for three green rounds
+# (r4 vacuous-signal audit) — per-residue suffixes now give each
+# counter known non-zero values the oracle states arithmetically.
+_QUALITY_TEXT_SQL = """
+text || CASE CAST(doc_id % 4 AS INT)
+  WHEN 1 THEN ' ABC de 123!!'
+  WHEN 2 THEN ' X 9.'
+  WHEN 3 THEN ' #@%'
+  ELSE '' END
+"""
+
+
 def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals: punctuation/digit/uppercase/stopword
-    counts (integer outputs for hash stability)."""
-    d = _docs(spark, sf_dir)
+    counts (integer outputs for hash stability) over the planted
+    fixture; the oracle states the punct/digit/upper counts per
+    residue class (PLANTED TRUTH — the \\p{Punct} class itself is
+    under test), and counts the ' the ' literal independently."""
+    _docs(spark, sf_dir)
+    d = spark.sql(
+        f"SELECT doc_id, {_QUALITY_TEXT_SQL} AS text FROM documents"
+    )
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -1082,36 +1101,54 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_QUALITY = """
+ORACLE_QUALITY = f"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
-       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
-       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
-       CAST(len(regexp_extract_all(text, ' the ')) AS BIGINT) AS n_the
+       CAST(CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 2 WHEN 2 THEN 1
+            WHEN 3 THEN 3 ELSE 0 END AS BIGINT) AS n_punct,
+       CAST(CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 3 WHEN 2 THEN 1
+            ELSE 0 END AS BIGINT) AS n_digit,
+       CAST(CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 3 WHEN 2 THEN 1
+            ELSE 0 END AS BIGINT) AS n_upper,
+       CAST(len(regexp_extract_all({_QUALITY_TEXT_SQL}, ' the '))
+            AS BIGINT) AS n_the
 FROM documents
 """
 
 
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID: stopword votes with a fixed
-    tie-break (en > fr > de)."""
+    tie-break (en > fr > de).
+
+    Fixture: the raw corpus is English-vocabulary only, so the guess
+    was the SAME 'en' for all 500 docs across three green rounds — the
+    classifier never discriminated (r4 vacuous-signal audit).  A third
+    of docs now carry a French marker phrase and a third a German one
+    (12 votes each — the base corpus maxes at 7 English votes, so the
+    planted language wins deterministically); the oracle states the
+    expected guess per residue class without re-running the vote
+    counts."""
     from .functions.textstats import lang_guess_col
 
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", lang_guess_col(F.col("text")).alias("lang_guess"))
+    fr = " " + "et le " * 6
+    de = " " + "und der " * 6
+    fixture = (
+        F.when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(fr)))
+        .when(F.col("doc_id") % 3 == 2, F.concat(F.col("text"), F.lit(de)))
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        "doc_id", lang_guess_col(fixture).alias("lang_guess")
+    )
 
 
+# PLANTED-TRUTH oracle: expected guess per residue class (planted votes
+# provably outnumber any base-corpus English votes)
 ORACLE_LANG = """
 SELECT doc_id,
-  CASE WHEN en >= fr AND en >= de THEN 'en'
-       WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_guess
-FROM (
-  SELECT doc_id,
-    len(regexp_extract_all(lower(text), ' the ')) + len(regexp_extract_all(lower(text), ' and ')) AS en,
-    len(regexp_extract_all(lower(text), ' le ')) + len(regexp_extract_all(lower(text), ' et ')) AS fr,
-    len(regexp_extract_all(lower(text), ' der ')) + len(regexp_extract_all(lower(text), ' und ')) AS de
-  FROM documents
-)
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 1 THEN 'fr' WHEN 2 THEN 'de' ELSE 'en' END AS lang_guess
+FROM documents
 """
 
 
@@ -1853,7 +1890,11 @@ FROM fin f
 
 # --- near-dup corpus: documents + mutated copies (shared SQL) -------------
 # every 5th doc gets a near-identical copy (two words appended) so the
-# near-dup operators have guaranteed positives with known pair ids
+# near-dup operators have guaranteed positives with known pair ids;
+# every 10th doc gets a SECOND, differently-mutated copy so NEW-vs-NEW
+# pairs exist too (the r1-r3 corpus had exactly one copy per source, so
+# incremental_dedup's new-new candidate path never produced a row and
+# its pair_kind column was constant 'new_old' — r4 vacuous-signal audit)
 
 NEARDUP_CORPUS_SQL = """
 SELECT doc_id, text FROM documents
@@ -1861,6 +1902,10 @@ UNION ALL
 SELECT doc_id + 100000 AS doc_id,
        text || ' zz' || CAST(doc_id % 7 AS STRING) || ' qq' AS text
 FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id,
+       text || ' ww' || CAST(doc_id % 7 AS STRING) || ' rr' AS text
+FROM documents WHERE doc_id % 10 = 0
 """
 
 # DuckDB fragments replicating the shingling / MinHash kernels exactly
@@ -10654,21 +10699,31 @@ def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED quality classifier (the step q_quality_classifier's
     stand-in weights stub out): full-batch integer perceptron over
     2^18 hashed token features, 3 rounds, labels y=+1 iff the document
-    contains the token 'the' (a deterministic, learnable seed rule —
-    CCNet/DCLM train on wiki-vs-crawl seeds the same way).  Output is
-    one row per document with its score under the FINAL weights, the
-    prediction, and whether the trained model classifies it correctly.
+    carries the planted marker token (appended ×8 to every even
+    doc_id — CCNet/DCLM train on wiki-vs-crawl seeds the same way).
+    The marker's round-1 weight mass makes the batch separator exact
+    after ONE update, so rounds 2-3 MUST select zero misclassified
+    docs — a buggy selection rule would keep updating, shift the
+    weights, and break score parity.  (The r1-r3 label rule — "contains
+    'the'", 76/24 imbalanced, weak signal — left the batch perceptron a
+    constant +1 majority predictor: every pred was 1 for three green
+    rounds, the r4 vacuous-signal audit caught it, and numpy simulation
+    showed it needs ~60 oscillating rounds to learn.)  Output is one
+    row per document with its score under the FINAL weights, the
+    prediction (now a 250/250 split), and correctness (all-true).
     BIGINT weights + lr=1 keep training bit-identical at any
     parallelism; see operators/classify.py for the per-round scale
     shape (broadcast w ⋈ feats, two map-side-combined aggs)."""
     from .operators.classify import perceptron_train
 
     d = _docs(spark, sf_dir)
-    ts = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    marker = " " + "qualitymarker " * 8
     labeled = d.select(
         "doc_id",
-        "text",
-        F.when(F.array_contains(ts, "the"), F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(marker))
+        ).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
     )
     _, scored = perceptron_train(labeled, "doc_id", "text", "y", iters=3)
     return scored
@@ -10687,11 +10742,10 @@ def _perceptron_oracle_sql(iters: int = 3, nb: int = 1 << 18) -> str:
         rf"""
 WITH labeled AS (
   SELECT doc_id,
-         CASE WHEN list_contains(
-                list_filter(regexp_split_to_array(lower(text), '\s+'),
-                            w -> w != ''), 'the')
-              THEN 1 ELSE -1 END AS y,
-         text
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || ' ' || repeat('qualitymarker ', 8)
+              ELSE text END AS text
   FROM documents
 ), toks AS (
   SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
