@@ -5138,10 +5138,17 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "%Y-%m-%dT%H:%M:%SZ"
                 )
                 status = 200 if doc_id % 2 == 0 else 404
+                # vary the content type (r4: a constant 'text/html' made
+                # the ctype surface carry no signal) and header COUNT
+                # (every 5th record ships an extra header)
+                ctype = (
+                    "text/html" if doc_id % 4 else "text/plain; charset=utf-8"
+                )
+                hdrs = {"Content-Type": ctype, "X-Doc": str(doc_id)}
+                if doc_id % 5 == 0:
+                    hdrs["X-Extra"] = "1"
                 raw = build_warc_bytes(
-                    [(url, iso, status,
-                      {"Content-Type": "text/html", "X-Doc": str(doc_id)},
-                      body)],
+                    [(url, iso, status, hdrs, body)],
                     compress=doc_id % 3 == 0,
                 )
                 stream = (
@@ -5171,10 +5178,11 @@ SELECT doc_id,
        'http://h' || CAST(doc_id % 7 AS STRING) || '.onion/d'
            || CAST(doc_id AS STRING) || '.html' AS url,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS BIGINT) AS status,
-       CAST(2 AS BIGINT) AS n_headers,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_headers,
        CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS body_len,
        CAST(1714564800 + doc_id AS BIGINT) AS ts_unix,
-       'text/html' AS ctype
+       CASE WHEN doc_id % 4 = 0 THEN 'text/plain; charset=utf-8'
+            ELSE 'text/html' END AS ctype
 FROM documents
 """
 
@@ -8586,11 +8594,16 @@ _PHRASE = "order agg order"  # repeated term pins the multi-slot anchor fanout
 
 # plant a punctuation-separated occurrence on every 9th doc: it
 # tokenizes ADJACENT (phrase hit) though no raw substring matches —
-# the case that separates positional evaluation from a regex scan
+# the case that separates positional evaluation from a regex scan.
+# Every 27th doc plants TWO occurrences (separated by a filler token so
+# the anchors don't overlap): n_hits was constant 1 across r1-r3, so
+# the occurrence COUNT never varied (r4 vacuous-signal audit)
 _PHRASE_DOCS_SQL = """
 SELECT 'https://site-' || CAST(doc_id % 50 AS STRING)
            || '.onion/doc/' || CAST(doc_id AS STRING) AS url,
-       CASE WHEN doc_id % 9 = 0
+       CASE WHEN doc_id % 27 = 0
+            THEN 'order agg, order! mid order agg order ' || text
+            WHEN doc_id % 9 = 0
             THEN 'order agg, order! ' || text ELSE text END AS body
 FROM documents
 """
@@ -8892,7 +8905,12 @@ FROM (
 # Memento TimeMap: RFC 7089 capture listing per SURT key
 # --------------------------------------------------------------------------
 
-# multi-capture fixture: 100 urls x 5 captures (the warc_revisits shape)
+# multi-capture fixture (the warc_revisits shape) with VARIED chain
+# lengths: url index k = doc_id%100 keeps 1 capture (k<10 — the
+# single-memento chain: first==last, both neighbors NULL), 3 captures
+# (10<=k<40) or the full 5 (k>=40).  The r1-r3 uniform 100×5 grid made
+# n_mementos a constant 5 and never exercised the short/singleton
+# chains (r4 vacuous-signal audit).
 _TIMEMAP_PAGES_SQL = """
 SELECT 'http://h' || CAST(doc_id % 20 AS STRING) || '.onion/p'
          || CAST(doc_id % 100 AS STRING) AS url,
@@ -8900,6 +8918,9 @@ SELECT 'http://h' || CAST(doc_id % 20 AS STRING) || '.onion/p'
        CAST(200 AS INT) AS status,
        'b' AS html
 FROM documents
+WHERE (doc_id % 100 >= 40)
+   OR (doc_id % 100 >= 10 AND doc_id < 300)
+   OR (doc_id % 100 < 10 AND doc_id < 100)
 """
 
 
