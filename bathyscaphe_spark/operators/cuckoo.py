@@ -58,8 +58,12 @@ def collect_delete_delta(
     """Collect a (distinct-hash) expiry delta for ``delete_many``,
     BOUNDED by construction: fetches at most ``cap + 1`` rows and
     raises if the cap is exceeded, so an unbounded delta can never
-    materialize driver-side."""
-    pdf = df.select(col).limit(cap + 1).toPandas()
+    materialize driver-side.  The distinct is ENFORCED here (not a
+    docstring contract on the caller): a non-distinct frame would
+    otherwise spuriously trip the Δ cap — or ship duplicate hashes to
+    ``delete_many``, double-deleting fingerprints — even when the true
+    distinct delta is far under the bound."""
+    pdf = df.select(col).distinct().limit(cap + 1).toPandas()
     if len(pdf) > cap:
         raise ValueError(
             f"expiry delta exceeds the O(Δ) driver-patch bound ({cap} "

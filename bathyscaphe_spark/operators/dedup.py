@@ -433,7 +433,18 @@ def _verified_pairs(
 ) -> DataFrame:
     """Shared tail of the near-dup pipelines: persist the
     (id, sig, sh_hashes) frame, band-join for candidates, then verify
-    each pair with exact Jaccard over the shingle-hash sets."""
+    each pair with exact Jaccard over the shingle-hash sets.
+
+    Zero-shingle documents are dropped before banding when
+    ``threshold > 0``: every empty/short doc gets the same all-sentinel
+    signature (both the k-permutation and OPH kernels), so they collide
+    in EVERY band and the candidate self-join goes quadratic in the
+    number of empty docs — the exact hot-key skew this engine optimizes
+    against — even though exact-Jaccard verification (empty∪x ⇒ jac 0)
+    would discard every such pair anyway.  At threshold 0 they are kept
+    (an empty∩empty pair legitimately scores 0 ≥ 0)."""
+    if threshold > 0:
+        s = s.where(F.size("sh_hashes") > 0)
     s = s.persist()
     cand = lsh_candidate_pairs(
         s.select(id_col, "sig"), id_col, num_perm, bands
@@ -727,7 +738,7 @@ def simhash_near_pairs(
 
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float,
-    tile_rows: int = 65_536,
+    tile_rows: int = 65_536, max_tiles: int = 16,
 ) -> DataFrame:
     """Cosine-threshold pairs via TILED matrix multiplication: the
     corpus is split into deterministic hash tiles of ≤ ``tile_rows``
@@ -739,13 +750,32 @@ def embedding_near_dup_pairs(
     Driver memory is O(tile) — never O(corpus) (r1 collected the whole
     table, a driver OOM at scale; VERDICT r1 #5).  A pair is emitted by
     exactly one tile (the one holding its larger id), so the union is
-    duplicate-free.  The LSH-bucketed variant in operators/similarity.py
-    avoids the quadratic work entirely when recall < 1 is acceptable.
+    duplicate-free.
+
+    ADMISSIBILITY BOUND: this is the recall-1 EXACT path, and its work
+    is inherently O(n²) — n_tiles full-corpus scans, each a dense
+    matmul.  It is admissible only up to ``max_tiles · tile_rows`` rows
+    (default ~1M vectors: 16 corpus scans, each batch×64k BLAS — the
+    verifier regime); beyond that the function raises rather than
+    silently scheduling hundreds of sequential corpus scans.  At corpus
+    scale use the sub-quadratic routes: the banded-LSH variant in
+    operators/similarity.py (ann_lsh: recall < 1, no all-pairs) or
+    :func:`semdedup_prune` (cell-confined pairs) — this exact path then
+    serves as the opt-in per-bucket verifier, not the corpus pass.
     """
     spark = emb.sparkSession
     src = emb.select(id_col, vec_col)
     n = src.count()
     n_tiles = max(1, -(-n // tile_rows))
+    if n_tiles > max_tiles:
+        raise ValueError(
+            f"exact embedding near-dup is bounded to max_tiles={max_tiles} "
+            f"({max_tiles * tile_rows} rows); got {n} rows = {n_tiles} "
+            "tiles, i.e. an O(n²) job of that many full-corpus scans. "
+            "Use the LSH (operators/similarity.py) or SemDeDup "
+            "(semdedup_prune) scale paths, or raise max_tiles explicitly "
+            "if this many corpus scans is intended."
+        )
     tile_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles))
 
     outs = []

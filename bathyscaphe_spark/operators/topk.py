@@ -34,7 +34,16 @@ probabilistic, tightening geometrically with ``levels``: the defaults
 across 4096 cells (~244k small structs per buffer, megabytes); raise
 ``levels`` to 4 (262144 cells) if keys beyond 10^10 distinct values are
 plausible.  This is a strictly stronger guarantee than the whole-key
-``collect_list`` it replaces (divisor 1).
+``collect_list`` it replaces (divisor 1).  The cell hash is salted with
+the KEY columns (``xxhash64(key…, v)``), so the cell layout differs per
+key: a value set crafted to collide into one cell of a fixed
+``xxhash64(v)`` would reproduce the whole-key buffer for EVERY key it
+appears under — with the key salt an adversary must re-solve the
+collision per key, and an accidental hot cell under one key is
+independent of every other key's layout.  Against a deliberate
+per-key collision attack the leaf bound remains probabilistic
+(raising ``levels`` does not defeat a crafted set); the hard
+``fanout·k`` bound on all merge levels is unconditional either way.
 
 Determinism: output arrays sort by (value asc); ties are impossible
 within a key because stage 1 already made values distinct.  Identical
@@ -79,7 +88,9 @@ def smallest_k_by_key(
             F.struct(F.col(val_col).alias("val"), F.col("_n").alias("n")).alias(
                 "_s"
             ),
-            F.pmod(F.xxhash64(val_col), F.lit(cells)).alias("_cell"),
+            F.pmod(F.xxhash64(*key_cols, val_col), F.lit(cells)).alias(
+                "_cell"
+            ),
         )
     )
     cur = cnt.groupBy(*key_cols, "_cell").agg(

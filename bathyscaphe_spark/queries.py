@@ -4090,14 +4090,20 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_links"),
         F.countDistinct("doc_id").alias("n_src_docs"),
     )
+    # LEFT join + coalesce: the tournament drops NULL anchors (matching
+    # collect_list), so an href whose anchors are ALL null has no sample
+    # row — it must still surface with its exact counts and an empty
+    # sample, as the pre-tournament single aggregate did (count(*) keeps
+    # null-anchor links)
     sample = smallest_k_by_key(pairs, ["href"], "anchor", 16)
-    return counts.join(sample, "href").select(
+    empty = F.expr("CAST(array() AS array<struct<val:string,n:bigint>>)")
+    return counts.join(sample, "href", "left").select(
         "href",
         "n_links",
         "n_src_docs",
-        F.array_join(multiset_prefix(F.col("smallest"), 16), "|").alias(
-            "anchor_sample"
-        ),
+        F.array_join(
+            multiset_prefix(F.coalesce(F.col("smallest"), empty), 16), "|"
+        ).alias("anchor_sample"),
     )
 
 
@@ -7565,7 +7571,13 @@ def q_spoof_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF, and three rounds of parity were green on nothing).  The oracle
     derives the expected (skeleton, variants) rows from the planted
     residue structure alone — which doc ids get the Cyrillic ѕ — never
-    from the engine's translate fold."""
+    from the engine's translate fold.
+
+    The variant sample is emitted as a '|'-joined STRING (the library's
+    ``spoof_pairs`` returns array<string>; the r4 driver row was RED on
+    a `TypeError: unhashable type: 'list'` because the harness
+    canonicalizer cannot factorize list cells — the VALUES were
+    oracle-correct, the contract schema was driver-incompatible)."""
     from .functions.urltools import spoof_pairs
 
     d = _docs(spark, sf_dir)
@@ -7575,7 +7587,9 @@ def q_spoof_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE 'site' || CAST(doc_id % 7 AS STRING) || '.onion'"
         " END AS host"
     )
-    return spoof_pairs(hosts)
+    return spoof_pairs(hosts).withColumn(
+        "variants", F.array_join("variants", "|")
+    )
 
 
 def _spoof_oracle_sql() -> str:
@@ -7597,8 +7611,8 @@ WITH spoofed AS (
 )
 SELECT 'site' || CAST(k AS STRING) || '.onion' AS skeleton,
        CAST(2 AS BIGINT) AS n_variants,
-       ['site' || CAST(k AS STRING) || '.onion',
-        'ѕite' || CAST(k AS STRING) || '.onion'] AS variants
+       'site' || CAST(k AS STRING) || '.onion' || '|' ||
+       'ѕite' || CAST(k AS STRING) || '.onion' AS variants
 FROM flagged
 """
 

@@ -294,3 +294,15 @@ def test_collect_delete_delta_enforces_cap(spark):
     assert sorted(got.tolist()) == list(range(100))
     with pytest.raises(ValueError, match="driver-patch bound"):
         collect_delete_delta(df, "url_hash", cap=99)
+
+
+def test_collect_delete_delta_enforces_distinct(spark):
+    # the distinct is applied INSIDE the helper: a caller passing a
+    # non-distinct frame must neither spuriously trip the Δ cap nor
+    # ship duplicate hashes to delete_many (double-deleting another
+    # item's identical fingerprint)
+    from bathyscaphe_spark.operators.cuckoo import collect_delete_delta
+
+    dup = spark.range(100).selectExpr("id % 10 AS url_hash")  # 10 distinct
+    got = collect_delete_delta(dup, "url_hash", cap=10)  # cap < 100 raw rows
+    assert sorted(got.tolist()) == list(range(10))

@@ -122,3 +122,34 @@ class TestOphSpark:
         }
         assert set(got) == want
         assert all(v == 1.0 for v in got.values())
+
+    def test_empty_docs_never_reach_banding(self, spark):
+        """Zero-shingle docs all share the all-sentinel signature, so
+        without the pre-band filter they'd collide in EVERY band — a
+        quadratic candidate blowup in the number of empty docs.  The
+        filter must (a) keep the real-pair output identical and (b)
+        emit no pair touching an empty doc at threshold > 0."""
+        from bathyscaphe_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            oph_with_shingles,
+        )
+
+        rows = [(i, "") for i in range(50)]  # 50 empty docs
+        dup = " ".join(f"d{j}" for j in range(20))
+        rows += [(100, dup), (101, dup)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in oph_dedup_pairs(df, "doc_id", "text", 0.95).collect()
+        }
+        assert got == {(100, 101)}
+        # and the banding stage itself sees zero empty-doc candidates:
+        # 50 empty docs would otherwise mint 50·49/2 = 1225 candidates
+        s = oph_with_shingles(df, "doc_id", "text", 16)
+        from pyspark.sql import functions as F
+
+        cand = lsh_candidate_pairs(
+            s.where(F.size("sh_hashes") > 0).select("doc_id", "sig"),
+            "doc_id", 16, 8,
+        )
+        assert cand.count() == 1
