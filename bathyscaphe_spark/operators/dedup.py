@@ -1111,7 +1111,16 @@ def incremental_dedup_pairs(
     # re-run once per reference (five subtrees)
     new_sigs = minhash_with_shingles(
         new_docs, id_col, text_col, num_perm, k
-    ).persist()
+    )
+    if threshold > 0:
+        # zero-shingle docs share the all-sentinel signature: without
+        # this filter every empty doc collides with every other empty
+        # doc (old AND new sides) in every band — the same quadratic
+        # skew guard as _verified_pairs; verification would reject all
+        # such pairs anyway (empty∪x ⇒ jaccard 0 < threshold)
+        new_sigs = new_sigs.where(F.size("sh_hashes") > 0)
+        old_sigs = old_sigs.where(F.size("sh_hashes") > 0)
+    new_sigs = new_sigs.persist()
     banded_new = banded_signatures(new_sigs, id_col, num_perm, bands)
     banded_old = banded_signatures(old_sigs, id_col, num_perm, bands)
     cross = (
