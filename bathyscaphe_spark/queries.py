@@ -2057,19 +2057,49 @@ WHERE round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0 END, 3) >= 0.6
 """
 
 
+# spans-only fixture extension: every 20th doc also gets a PREPENDED
+# copy — a unique per-doc prefix (10 or 12 tokens, each embedding the
+# doc id so no prefix gram ever duplicates) ahead of the shared text.
+# Without it every duplicate span in the corpus started at token 0
+# (all shared material was a common PREFIX — r5 vacuous-signal audit:
+# span_start was constant 0 across 284 rows for four green rounds), so
+# the interval-merge start arithmetic away from 0 was never pinned by
+# parity.  With it span_start takes values {0, 10, 12}.
+_SPANS_P10 = " || ".join(
+    f"'p' || CAST(doc_id AS STRING) || '{t} '" for t in "abcdefghij"
+)
+_SPANS_P12 = " || ".join(
+    f"'p' || CAST(doc_id AS STRING) || '{t} '" for t in "abcdefghijkl"
+)
+SPANS_CORPUS_SQL = (
+    NEARDUP_CORPUS_SQL
+    + f"""
+UNION ALL
+SELECT doc_id + 300000 AS doc_id,
+       CASE WHEN doc_id % 40 = 0 THEN {_SPANS_P10}
+            ELSE {_SPANS_P12} END || text AS text
+FROM documents WHERE doc_id % 20 = 0
+"""
+)
+
+
 def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2021 arXiv:2107.06499
     re-expressed relationally): maximal token ranges covered by word
     10-grams appearing in >1 document (operators/dedup.py
     duplicate_spans — gram groupBy with min≠max doc test, semi-join
-    back, two-window interval merge; zero UDFs)."""
+    back, two-window interval merge; zero UDFs).  The corpus includes
+    prepended-copy docs (unique 10/12-token prefixes) so duplicate
+    spans start mid-document too — span_start ∈ {0, 10, 12}, pinning
+    the merge's start arithmetic, not just its extent."""
     from .operators.dedup import duplicate_spans
 
-    return duplicate_spans(_neardup_corpus(spark, sf_dir), "doc_id", "text")
+    _docs(spark, sf_dir)
+    return duplicate_spans(spark.sql(SPANS_CORPUS_SQL), "doc_id", "text")
 
 
 ORACLE_EXACT_SUBSTR = rf"""
-WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+WITH corpus AS ({SPANS_CORPUS_SQL}),
  w AS (SELECT doc_id, {_DUCK_WORDS} AS words FROM corpus),
  g AS (
   SELECT doc_id, i - 1 AS pos,
@@ -5693,10 +5723,28 @@ def _opic_oracle_sql(sweeps: int = _OPIC_SWEEPS) -> str:
 
 # documents plus exact-duplicate replicas (every 5th doc re-labeled) so
 # the dedup stage has real work — same fragment in both dialects
+# Language markers are planted per BASE doc residue and applied before
+# the duplicate union, so a +1000000 copy stays byte-identical to its
+# base (the exact-dedup window must still collapse them).  The phrases
+# match q_lang_guess's r4 fixture: 12 planted votes vs ≤7 base-corpus
+# English votes, so the planted language wins deterministically — the
+# r5 vacuous-signal audit found the previous all-English corpus made
+# corpus_build's lang column constant 'en', leaving the classifier's
+# fr/de branches outside this query's parity contract.
 _CORPUS_DOCS_SQL = """
-SELECT doc_id, text FROM documents
+SELECT doc_id,
+       text || CASE CAST(doc_id % 3 AS INT)
+         WHEN 1 THEN ' et le et le et le et le et le et le '
+         WHEN 2 THEN ' und der und der und der und der und der und der '
+         ELSE '' END AS text
+FROM documents
 UNION ALL
-SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+SELECT doc_id + 1000000 AS doc_id,
+       text || CASE CAST(doc_id % 3 AS INT)
+         WHEN 1 THEN ' et le et le et le et le et le et le '
+         WHEN 2 THEN ' und der und der und der und der und der und der '
+         ELSE '' END AS text
+FROM documents WHERE doc_id % 5 = 0
 """
 
 
@@ -5741,13 +5789,16 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CORPUS_BUILD = rf"""
+-- lang is PLANTED TRUTH: the winner per doc_id%3 residue is stated
+-- arithmetically (12 planted fr/de votes beat the ≤7 base English
+-- votes by construction), never by re-running the engine's stopword
+-- count — a vote/tokenization bug breaks parity instead of hiding.
+-- Dedup winners always carry a base doc_id (<1000000): every copy's
+-- base row exists with identical text, so doc_id%3 is the base residue.
 WITH docs2 AS ({_CORPUS_DOCS_SQL}),
 feat AS (
   SELECT doc_id, text,
          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
-         len(regexp_extract_all(lower(text), ' the ')) + len(regexp_extract_all(lower(text), ' and ')) AS en,
-         len(regexp_extract_all(lower(text), ' le ')) + len(regexp_extract_all(lower(text), ' et ')) AS fr,
-         len(regexp_extract_all(lower(text), ' der ')) + len(regexp_extract_all(lower(text), ' und ')) AS de,
          CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT) AS n_punct,
          CAST(length(text) AS BIGINT) AS n_chars
   FROM docs2
@@ -5760,8 +5811,8 @@ dedup AS (
   FROM kept
 )
 SELECT doc_id,
-       CASE WHEN en >= fr AND en >= de THEN 'en'
-            WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 1 THEN 'fr' WHEN 2 THEN 'de' ELSE 'en' END AS lang,
        n_tokens,
        {duckdb_fnv_signed_sql("regexp_replace(text, '[^ -~]', '', 'g')")} AS fingerprint
 FROM dedup WHERE rn = 1
@@ -9889,14 +9940,20 @@ def q_retry_after_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.politeness import retry_after_budgets
 
     d = _docs(spark, sf_dir)
-    # delay planted = doc_id % 90 + 10 seconds after `now` (epoch
-    # 1714564800, UTC session); every 7th doc gets a PAST date
+    # delay planted = (host index)·9 + 5 + doc_id%3 seconds after `now`
+    # (epoch 1714564800, UTC session); every 7th doc gets a PAST date.
+    # Host-DEPENDENT delays make the derived budget vary (low-index
+    # hosts have max delay < round_period, so floor(period/delay) > 1):
+    # the r5 vacuous-signal audit found the previous uniform 10–99 s
+    # spread gave every host a max ≥ 60 s, so budget was constant 1 and
+    # the division arithmetic was outside the parity contract — only
+    # the max-wins rule was pinned.
     fetched = d.selectExpr(
         "'h' || CAST(doc_id % 15 AS STRING) AS host",
         "CAST(CASE WHEN doc_id % 6 = 5 THEN 200 ELSE 503 END AS INT) AS status",
         "map('Retry-After', date_format(to_timestamp("
         "  1714564800 + CASE WHEN doc_id % 7 = 0 THEN -50"
-        "                    ELSE doc_id % 90 + 10 END),"
+        "                    ELSE (doc_id % 15) * 9 + 5 + doc_id % 3 END),"
         "  'EEE, dd MMM yyyy HH:mm:ss') || ' GMT') AS headers",
     )
     return retry_after_budgets(
@@ -9909,7 +9966,7 @@ WITH f AS (
   SELECT 'h' || CAST(doc_id % 15 AS STRING) AS host,
          CASE WHEN doc_id % 6 = 5 THEN 200 ELSE 503 END AS status,
          CASE WHEN doc_id % 7 = 0 THEN -50
-              ELSE doc_id % 90 + 10 END AS secs
+              ELSE (doc_id % 15) * 9 + 5 + doc_id % 3 END AS secs
   FROM documents
 )
 SELECT host, CAST(greatest(1, 60 // max(secs)) AS INT) AS budget
