@@ -101,18 +101,23 @@ def bpe_train(words: DataFrame, n_merges: int = 8) -> DataFrame:
     of adjacent pairs (every word fully merged).
     """
     spark = words.sparkSession
+    n_merges = int(n_merges)
     vocab = words.select(
         frame_word(F.col("w")).alias("sym"), "freq"
     ).persist()
-    vocab.count()
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:
-        for rank in range(1, int(n_merges) + 1):
+        for rank in range(1, n_merges + 1):
             t = _tokens(F.col("sym"))
             # zip_with over the two shifted slices: empty-safe for
             # fully-merged single-token words (sequence(1, size-1)
             # would DESCEND to [1, 0] there and trip ANSI element_at)
             n1 = F.greatest(F.size(t) - 1, F.lit(0))
+            # ONE job per iteration: this collect also materializes the
+            # current vocab's cache (the former separate count() per
+            # iteration doubled the job count — guide §1.2), after which
+            # the previous iteration's cache can be dropped
             best = (
                 vocab.select(
                     "freq",
@@ -132,18 +137,23 @@ def bpe_train(words: DataFrame, n_merges: int = 8) -> DataFrame:
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             lft, rgt, cnt = best[0]["lft"], best[0]["rgt"], int(best[0]["cnt"])
             merges.append((rank, lft, rgt, lft + rgt, cnt))
-            nxt = vocab.select(
-                _merge_expr(F.col("sym"), lft, rgt).alias("sym"), "freq"
-            ).persist()
-            nxt.count()
-            vocab.unpersist()
-            vocab = nxt
+            if rank < n_merges:
+                # the post-final-merge vocab is never read — don't build it
+                nxt = vocab.select(
+                    _merge_expr(F.col("sym"), lft, rgt).alias("sym"), "freq"
+                ).persist()
+                prev, vocab = vocab, nxt
     finally:
         vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
@@ -157,22 +167,45 @@ def bpe_encode(
     projection (chained replaces), no shuffle, no UDF.
 
     Each document's eligible words (same filter as training) frame
-    into the double-separator form and concatenate directly: a word
-    boundary is then ≥ 4 separators, which the 1-2-1-framed merge
-    pattern can never straddle — merges stay within words by
-    construction.  Output: (id_col, n_words, n_tokens) — n_tokens is
-    the post-merge subword count, the number a sequence-packing /
-    token-budget stage consumes.
+    into the double-separator form; a word boundary is ≥ 4 separators,
+    which the 1-2-1-framed merge pattern can never straddle — merges
+    stay within words by construction.  Output: (id_col, n_words,
+    n_tokens) — n_tokens is the post-merge subword count, the number a
+    sequence-packing / token-budget stage consumes.
+
+    Because merges never cross word boundaries, encoding FACTORIZES
+    over the vocabulary: the chained replaces run once per DISTINCT
+    word (a table orders of magnitude smaller than the corpus — the
+    same reduction training itself rides on), and each document's
+    n_tokens is the sum of its word instances' per-word token counts.
+    The former per-document form re-encoded every repeated word of
+    every document — at 100 TB that is the difference between N string
+    scans over the corpus and N scans over the vocab (guide §2.3:
+    shuffle/compute keys, not payloads).  Output-identical; the
+    unchanged oracle replays the per-document form.
     """
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda w: w.rlike("^[a-z]+$") & (F.length(w) >= 2),
     )
-    enc = F.concat_ws("", F.transform(words, frame_word))
+    inst = docs.select(F.col(id_col), F.explode(words).alias("w"))
+    enc = frame_word(F.col("w"))
     for lft, rgt in merges:
         enc = _merge_expr(enc, lft, rgt)
-    return docs.select(
-        F.col(id_col),
-        F.size(words).alias("n_words"),
-        F.size(_tokens(enc)).alias("n_tokens"),
+    wtok = inst.select("w").distinct().select(
+        "w", F.size(_tokens(enc)).alias("_n_tok")
+    )
+    per_doc = (
+        inst.join(wtok, "w")
+        .groupBy(id_col)
+        .agg(F.sum("_n_tok").alias("_toks"))
+    )
+    return (
+        docs.select(F.col(id_col), F.size(words).alias("n_words"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            F.coalesce(F.col("_toks"), F.lit(0)).cast("int").alias("n_tokens"),
+        )
     )

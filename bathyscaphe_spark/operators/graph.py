@@ -79,11 +79,15 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .distinct()
         .persist()
     )
+    # lazy checkpoints: the Σ-comp convergence collect right below is the
+    # action that materializes each round's labels, so the eager variant
+    # would run a second, redundant job per round (guide §1.2: fewer
+    # passes) — lineage is truncated identically either way
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Σ comp in DECIMAL(38,0): exact at any node-count/id scale
     total = labels.agg(
@@ -104,7 +108,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                         F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                     ).alias("comp"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             new_total = labels.agg(
                 F.sum(F.col("comp").cast("decimal(38,0)")).alias("t")
@@ -162,6 +166,8 @@ def connected_components_star(
         .persist()
     )
     # canonical undirected pairs (u > v), self-loops dropped
+    # lazy: the signature() head below materializes each round's pairs —
+    # an eager checkpoint would double the per-round job count
     pairs = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -169,7 +175,7 @@ def connected_components_star(
             F.least("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def signature(p: DataFrame) -> tuple[int, int]:
@@ -210,7 +216,7 @@ def connected_components_star(
                     F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
                 )
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             new_sig = signature(ss)
             pairs = ss
@@ -389,12 +395,14 @@ def opic_fp(edges: DataFrame, sweeps: int = 4) -> DataFrame:
             )
             if virt is not None:
                 nxt = nxt.crossJoin(F.broadcast(virt))
+            # lazy: lineage cut per sweep, all sweeps materialize in the
+            # final eager checkpoint's one cascading job (guide §1.2)
             state = nxt.select(
                 "node",
                 (F.col("_in") + vshare).cast("long").alias("cash"),
                 "hist",
-            ).localCheckpoint(eager=True)
-            virt = new_virt.localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
+            virt = new_virt.localCheckpoint(eager=False)
         out = state.select(
             "node",
             F.col("cash").alias("cash_fp"),
@@ -453,7 +461,10 @@ def resolve_redirects(edges: DataFrame, max_doublings: int = 6) -> DataFrame:
                 F.coalesce("j_nxt", "nxt").alias("nxt"),
                 (F.col("hops") + F.coalesce("j_hops", F.lit(0))).alias("hops"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: nothing to protect (no persisted input is dropped
+            # before the consumer runs); the consumer's single action
+            # materializes all doubling steps as one cascading job
+            .localCheckpoint(eager=False)
         )
     src_set = edges.select(F.col("src").alias("t")).distinct()
     return ptr.join(src_set, ptr["nxt"] == src_set["t"], "left").select(
@@ -528,7 +539,11 @@ def hits_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
                     F.col("n").alias("node"),
                     F.expr(f"(raw * {HITS_SCALE}) div m").alias("hub_fp"),
                 )
-                .localCheckpoint(eager=True)  # O(1) lineage across iters
+                # lazy: O(1) lineage per iter, but the whole loop
+                # materializes in the final eager checkpoint's ONE job
+                # (each lazy segment caches as the cascade computes it)
+                # instead of one job per iteration
+                .localCheckpoint(eager=False)
             )
         out = (
             nodes.join(hubs, "node", "left")
@@ -955,7 +970,7 @@ def seed_distance(
     ed = edges.select("src", "dst").distinct().persist()
     dist = (
         seeds.select("node").distinct().withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     try:
         for h in range(1, max_hops + 1):
@@ -964,11 +979,14 @@ def seed_distance(
                 ed.join(frontier, ed["src"] == frontier["node"])
                 .select(ed["dst"].alias("node"), F.lit(h).alias("dist"))
             )
+            # intermediate hops lazy (one cascading job at the end);
+            # the LAST hop stays eager so everything materializes while
+            # the edge cache is still live
             dist = (
                 dist.unionByName(reached)
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=(h == max_hops))
             )
     finally:
         ed.unpersist()
@@ -1073,7 +1091,7 @@ def hyperball_harmonic(
         .withColumn("hb_g", F.expr(f"hb_nn DIV {m}"))
         .withColumn("rho", F.expr(hb_rho_case_sql("hb_g")).cast("int"))
         .select("node", "bucket", "rho")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def est(r: DataFrame, t: int) -> DataFrame:
@@ -1097,11 +1115,14 @@ def hyperball_harmonic(
             prop = ed.join(regs, regs["node"] == ed["src"]).select(
                 ed["dst"].alias("node"), regs["bucket"], regs["rho"]
             )
+            # intermediate relaxations lazy; the LAST one eager so the
+            # whole cascade (which caches every intermediate regs the
+            # est() views read) runs as one job while ed is still cached
             regs = (
                 regs.unionByName(prop)
                 .groupBy("node", "bucket")
                 .agg(F.max("rho").alias("rho"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=(t == iters))
             )
             ests = ests.unionByName(est(regs, t))
     finally:

@@ -42,6 +42,7 @@ def rank_frontier(
     frontier: DataFrame,
     config: CrawlConfig,
     host_budgets: DataFrame | None = None,
+    two_phase: bool = True,
 ) -> DataFrame:
     """O1: per-host priority rank + budget truncation, skew-proof.
 
@@ -60,6 +61,15 @@ def rank_frontier(
     Input columns: url, url_hash, host, depth, priority, discovered_ts.
     Output: the scheduled subset, with ``fetch_rank`` retained for
     lineage/metrics.
+
+    ``two_phase=False`` skips the salted pre-rank and runs the single
+    per-host window directly — OUTPUT-IDENTICAL (phase 1 only discards
+    rows outside their bucket's top-cap, all of which phase 2 would cut
+    anyway), one exchange and one sort cheaper.  Callers that KNOW the
+    frontier delta is small (``run_round`` reads the row count from the
+    parquet footers) pick it below ``config.leftover_split_threshold``,
+    where no host can exceed a single task's capacity; the salted
+    two-phase stays the default for unbounded frontiers.
     """
     cap = F.lit(config.per_host_budget)
     if host_budgets is not None:
@@ -68,14 +78,16 @@ def rank_frontier(
         )
         frontier = frontier.join(bdg, "host", "left")
         cap = F.least(cap, F.coalesce(F.col("_host_budget"), cap))
-    b = max(1, config.skew_salt_buckets)
-    salt = F.pmod(F.col("url_hash"), F.lit(b))
-    w1 = Window.partitionBy("host", salt).orderBy(*_ORDER())
-    pre = (
-        frontier.withColumn("_pre_rank", F.row_number().over(w1))
-        .where(F.col("_pre_rank") <= cap)
-        .drop("_pre_rank")
-    )
+    pre = frontier
+    if two_phase:
+        b = max(1, config.skew_salt_buckets)
+        salt = F.pmod(F.col("url_hash"), F.lit(b))
+        w1 = Window.partitionBy("host", salt).orderBy(*_ORDER())
+        pre = (
+            frontier.withColumn("_pre_rank", F.row_number().over(w1))
+            .where(F.col("_pre_rank") <= cap)
+            .drop("_pre_rank")
+        )
     w2 = Window.partitionBy("host").orderBy(*_ORDER())
     out = (
         pre.withColumn("fetch_rank", F.row_number().over(w2))

@@ -40,7 +40,13 @@ def bootstrap(
         F.lit(0).alias("round"),
     )
     catalog.stage_round("frontier", delta, 0)
-    seen0 = delta.select(
+    # derive seen0 from the JUST-STAGED frontier parquet instead of the
+    # seeds plan: the seeds expression (a window over the pages universe
+    # in the bench) would otherwise be evaluated a second time for the
+    # same rows (guide §1.2: don't compute things twice)
+    seen0 = catalog.spark.read.parquet(
+        catalog._round_dir("frontier", 0)
+    ).select(
         "url_hash",
         F.lit(-1).alias("first_seen_round"),
         F.lit(None).cast("timestamp").alias("expires_ts"),

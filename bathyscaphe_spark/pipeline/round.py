@@ -435,13 +435,22 @@ def run_round(
         )
         frontier = frontier.join(F.broadcast(_cut), "host", "left_anti")
     n_frontier_rows = catalog.rows_in_round("frontier", round_n)
+    # the salted two-phase rank exists for mega-host skew; when the
+    # frontier delta is provably small (footer row count + the bounded
+    # recrawl pump), the single per-host window is output-identical and
+    # one exchange + one sort cheaper (guide §2.4)
+    small_frontier = (
+        n_frontier_rows + config.recrawl_budget < config.leftover_split_threshold
+    )
     if config.round_fetch_budget:
         # global cross-host cap: the TakeOrdered cut is not a per-row
         # predicate, so the leftover falls back to the anti-join below
         from ..operators.politeness import global_fetch_cap
 
         scheduled = global_fetch_cap(
-            rank_frontier(frontier, config, host_budgets),
+            rank_frontier(
+                frontier, config, host_budgets, two_phase=not small_frontier
+            ),
             config.round_fetch_budget,
         ).persist()
         leftover_df, rank_caches = None, [scheduled]
@@ -457,7 +466,9 @@ def run_round(
     else:
         # small frontier: plain anti-join leftover (AQE broadcasts the
         # scheduled side; avoids materializing the two window caches)
-        scheduled = rank_frontier(frontier, config, host_budgets).persist()
+        scheduled = rank_frontier(
+            frontier, config, host_budgets, two_phase=not small_frontier
+        ).persist()
         leftover_df, rank_caches = None, [scheduled]
     if "_base_priority" in scheduled.columns:  # rank-time-only column
         scheduled = scheduled.drop("_base_priority")

@@ -6019,6 +6019,48 @@ FROM documents
 """
 
 
+def _stage_stream_batches(
+    df: DataFrame, batch_col, n_batches: int, root: str, cols: list[str]
+) -> str:
+    """Write a streaming fixture's micro-batch arrival files in ONE
+    Spark job (the former per-batch ``coalesce(1).write`` loop ran one
+    job per batch — guide §1.2: fewer passes).
+
+    Hash-repartitioning by the batch id puts every row of a batch into
+    exactly one task, so the partitionBy writer emits exactly one
+    parquet file per batch directory; each file then moves into the
+    source dir with mtime = batch order (the arrival-order contract
+    ``maxFilesPerTrigger=1`` consumes).  Row order within a batch file
+    is not part of any stream kernel's contract (the kernels sort or
+    aggregate per key), so the shuffle's nondeterministic row order is
+    immaterial.
+    """
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    stage = os.path.join(root, "stage_all")
+    (
+        df.withColumn("_b", batch_col.cast("int"))
+        .select("_b", *cols)
+        .repartition(F.col("_b"))
+        .write.partitionBy("_b")
+        .parquet(stage)
+    )
+    t0 = int(_time.time())
+    for b in range(n_batches):
+        parts = glob.glob(os.path.join(stage, f"_b={b}", "*.parquet"))
+        if len(parts) != 1:
+            raise RuntimeError(f"batch {b}: expected 1 file, got {parts}")
+        dst = os.path.join(in_dir, f"batch-{b}.parquet")
+        shutil.move(parts[0], dst)
+        os.utime(dst, (t0 + b, t0 + b))
+    return in_dir
+
+
 def q_streaming_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in ``dropDuplicatesWithinWatermark`` beside the
     custom applyInPandasWithState path: the same 4-batch arrival
@@ -6044,22 +6086,10 @@ def q_streaming_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"to_timestamp({base} + (doc_id % 4) * 60)"),
     )
     root = tempfile.mkdtemp(prefix="q_stream_dedup_nat_")
-    in_dir = os.path.join(root, "in")
-    os.makedirs(in_dir)
     try:
-        t0 = int(_time.time())
-        for b in range(4):
-            stage = os.path.join(root, f"stage{b}")
-            (
-                inp.where(F.col("doc_id") % 4 == b)
-                .select("url", "url_hash", "ev_ts")
-                .coalesce(1)
-                .write.parquet(stage)
-            )
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(in_dir, f"batch-{b}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (t0 + b, t0 + b))
+        in_dir = _stage_stream_batches(
+            inp, F.col("doc_id") % 4, 4, root, ["url", "url_hash", "ev_ts"]
+        )
         stream = (
             spark.readStream.schema("url string, url_hash long, ev_ts timestamp")
             .option("maxFilesPerTrigger", 1)
@@ -6101,22 +6131,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_hash", fnv1_64(F.col("url"))
     )
     root = tempfile.mkdtemp(prefix="q_stream_dedup_")
-    in_dir = os.path.join(root, "in")
-    os.makedirs(in_dir)
     try:
-        t0 = int(_time.time())
-        for b in range(4):
-            stage = os.path.join(root, f"stage{b}")
-            (
-                inp.where(F.col("doc_id") % 4 == b)
-                .select("url", "url_hash")
-                .coalesce(1)
-                .write.parquet(stage)
-            )
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(in_dir, f"batch-{b}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (t0 + b, t0 + b))  # file order == batch order
+        in_dir = _stage_stream_batches(
+            inp, F.col("doc_id") % 4, 4, root, ["url", "url_hash"]
+        )
         stream = (
             spark.readStream.schema("url string, url_hash long")
             .option("maxFilesPerTrigger", 1)
@@ -6193,37 +6211,24 @@ def q_streaming_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     root = tempfile.mkdtemp(prefix="q_stream_win_")
-    in_dir = os.path.join(root, "in")
-    os.makedirs(in_dir)
     try:
-        t0 = int(_time.time())
-        for b in range(4):
-            stage = os.path.join(root, f"stage{b}")
-            (
-                inp.where(
-                    F.expr("(((doc_id * 2) % 997) * 13) div 3300") == b
-                )
-                .select("host", "warc_ts", "status")
-                .coalesce(1)
-                .write.parquet(stage)
-            )
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(in_dir, f"batch-{b}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (t0 + b, t0 + b))
-        # sentinel: one far-future row advances the watermark past all
-        # real windows, so append mode emits them before termination
-        sent = os.path.join(root, "stage_sent")
-        spark.sql(
-            f"SELECT 'zz.sentinel' AS host,"
+        # sentinel: one far-future row (its own batch 4) advances the
+        # watermark past all real windows, so append mode emits them
+        # before termination — unioned into the same one-job staging
+        sent = spark.sql(
+            f"SELECT CAST(NULL AS BIGINT) AS doc_id, 'zz.sentinel' AS host,"
             f" to_timestamp({base + 10 * 86400}) AS warc_ts,"
             f" CAST(200 AS INT) AS status"
-        ).coalesce(1).write.parquet(sent)
-        part = glob.glob(os.path.join(sent, "part-*.parquet"))[0]
-        dst = os.path.join(in_dir, "batch-4.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (t0 + 4, t0 + 4))
-
+        )
+        in_dir = _stage_stream_batches(
+            inp.unionByName(sent),
+            F.coalesce(
+                F.expr("(((doc_id * 2) % 997) * 13) div 3300"), F.lit(4)
+            ),
+            5,
+            root,
+            ["host", "warc_ts", "status"],
+        )
         stream = (
             spark.readStream.schema("host string, warc_ts timestamp, status int")
             .option("maxFilesPerTrigger", 1)
@@ -11294,21 +11299,11 @@ def q_rate_limit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
     inp = spark.sql(_RL_ROWS_SQL.format(div="DIV"))
     root = tempfile.mkdtemp(prefix="q_rate_limit_")
-    in_dir = os.path.join(root, "in")
-    os.makedirs(in_dir)
     try:
-        t0 = int(_time.time())
-        for b in range(4):
-            stage = os.path.join(root, f"stage{b}")
-            (
-                inp.where(F.col("batch") == b)
-                .coalesce(1)
-                .write.parquet(stage)
-            )
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(in_dir, f"batch-{b}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (t0 + b, t0 + b))  # file order == epoch order
+        in_dir = _stage_stream_batches(
+            inp, F.col("batch"), 4, root,
+            ["host", "batch", "url_hash", "priority"],
+        )
         stream = (
             spark.readStream.schema(
                 "host string, batch long, url_hash long, priority long"
