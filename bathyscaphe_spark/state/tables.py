@@ -366,6 +366,34 @@ class TableCatalog:
             shutil.rmtree(self._round_dir(name, r), ignore_errors=True)
         return removed
 
+    def head_of_state(
+        self, name: str, column: str, limit: int
+    ) -> list | None:
+        """Up to ``limit`` values of one column of a full-state table,
+        read driver-side with pyarrow — no Spark job (the per-round F4
+        blacklist head is ≤ 65 rows by contract; a Spark collect for it
+        cost a scheduler round-trip every round).  Returns None when the
+        table has no committed round (callers fall back to the empty
+        DataFrame they already hold) — values come from the same parquet
+        files ``read_state`` would scan, so the result is identical."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        rounds = self._committed_rounds(name, None)
+        if not rounds:
+            return None
+        out: list = []
+        for f in sorted(
+            _glob.glob(os.path.join(self._round_dir(name, rounds[-1]), "*.parquet"))
+        ):
+            pf = pq.ParquetFile(f)
+            for batch in pf.iter_batches(columns=[column]):
+                out.extend(batch.column(0).to_pylist())
+                if len(out) >= limit:
+                    return out[:limit]
+        return out
+
     def rows_in_round(self, name: str, round_n: int) -> int:
         """Exact row count of a staged/committed round directory from the
         parquet footers — no Spark job."""
