@@ -445,7 +445,13 @@ def _verified_pairs(
     (an empty∩empty pair legitimately scores 0 ≥ 0)."""
     if threshold > 0:
         s = s.where(F.size("sh_hashes") > 0)
-    s = s.persist()
+    # localCheckpoint, not persist: the band join + both verification
+    # joins read one materialization, and the cached RDD is released by
+    # the ContextCleaner once the query's frames go out of scope — a
+    # bare persist() stays registered in the CacheManager for the whole
+    # session (the bench runs ~200 queries in one session; leaked caches
+    # compound into memory pressure)
+    s = s.localCheckpoint()
     cand = lsh_candidate_pairs(
         s.select(id_col, "sig"), id_col, num_perm, bands
     )
@@ -1120,7 +1126,9 @@ def incremental_dedup_pairs(
         # such pairs anyway (empty∪x ⇒ jaccard 0 < threshold)
         new_sigs = new_sigs.where(F.size("sh_hashes") > 0)
         old_sigs = old_sigs.where(F.size("sh_hashes") > 0)
-    new_sigs = new_sigs.persist()
+    # localCheckpoint, not persist — session-lifetime cache leak otherwise
+    # (see _verified_pairs)
+    new_sigs = new_sigs.localCheckpoint()
     banded_new = banded_signatures(new_sigs, id_col, num_perm, bands)
     banded_old = banded_signatures(old_sigs, id_col, num_perm, bands)
     cross = (
