@@ -86,20 +86,41 @@ class ShardedBloom:
     def _packed_from(cls, df: DataFrame, col: str, bits_per_shard: int,
                      num_shards: int, num_hashes: int) -> np.ndarray:
         """Distributed bit-array build: each partition ORs its keys into a
-        local array; ``treeReduce(bitwise_or)`` combines logarithmically."""
+        local array; ``treeReduce(bitwise_or)`` combines logarithmically.
+
+        The keys reach Python as Arrow batches (``mapInArrow`` — one
+        vectorized numpy pass per batch); the former ``rdd.mapPartitions``
+        form pickled every key as a Row object one at a time (guide §4:
+        the row path is the slow boundary).  Only the ONE packed array
+        per partition crosses the RDD layer, so the treeReduce keeps its
+        executor-side logarithmic combine — the property that bounds
+        driver traffic when the filter is GBs at a 10^10-key seen set."""
         nbytes = num_shards * bits_per_shard // 8
         bps, ns, k = bits_per_shard, num_shards, num_hashes
 
-        def _build_partition(rows):
-            arr = np.zeros(nbytes, dtype=np.uint8)
-            hashes = np.fromiter((r[0] for r in rows if r[0] is not None),
-                                 dtype=np.int64)
-            if hashes.size:
-                idx = cls._positions(hashes, bps, ns, k).ravel()
-                np.bitwise_or.at(arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
-            yield arr
+        def _build_batches(batches):
+            import pyarrow as pa
 
-        parts = df.select(col).rdd.mapPartitions(_build_partition)
+            arr = np.zeros(nbytes, dtype=np.uint8)
+            for batch in batches:
+                c = batch.column(0)
+                if c.null_count:
+                    c = c.drop_null()
+                hashes = c.to_numpy(zero_copy_only=False).astype(np.int64)
+                if hashes.size:
+                    idx = cls._positions(hashes, bps, ns, k).ravel()
+                    np.bitwise_or.at(
+                        arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([arr.tobytes()], type=pa.binary())], ["b"]
+            )
+
+        parts = (
+            df.select(col)
+            .mapInArrow(_build_batches, "b binary")
+            .rdd.map(lambda r: np.frombuffer(r[0], dtype=np.uint8))
+        )
         if parts.isEmpty():
             # zero-partition input (an empty standing set is batch 0 of
             # every incremental consumer) — the all-zeros filter
