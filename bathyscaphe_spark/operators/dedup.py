@@ -445,13 +445,13 @@ def _verified_pairs(
     (an empty∩empty pair legitimately scores 0 ≥ 0)."""
     if threshold > 0:
         s = s.where(F.size("sh_hashes") > 0)
-    # localCheckpoint, not persist: the band join + both verification
-    # joins read one materialization, and the cached RDD is released by
-    # the ContextCleaner once the query's frames go out of scope — a
-    # bare persist() stays registered in the CacheManager for the whole
-    # session (the bench runs ~200 queries in one session; leaked caches
-    # compound into memory pressure)
-    s = s.localCheckpoint()
+    # persist, deliberately NOT localCheckpoint: an r6 interleaved A/B
+    # measured the eager checkpoint's extra materialization job at
+    # ~+0.4 s per query vs the cache shared inside the single action
+    # (persist 2.61/2.65 s vs checkpoint 3.02/3.14 s warm min on
+    # dedup_oph_lsh); the session-lifetime CacheManager entry is the
+    # accepted cost
+    s = s.persist()
     cand = lsh_candidate_pairs(
         s.select(id_col, "sig"), id_col, num_perm, bands
     )
@@ -1126,9 +1126,9 @@ def incremental_dedup_pairs(
         # such pairs anyway (empty∪x ⇒ jaccard 0 < threshold)
         new_sigs = new_sigs.where(F.size("sh_hashes") > 0)
         old_sigs = old_sigs.where(F.size("sh_hashes") > 0)
-    # localCheckpoint, not persist — session-lifetime cache leak otherwise
-    # (see _verified_pairs)
-    new_sigs = new_sigs.localCheckpoint()
+    # persist, not localCheckpoint — see _verified_pairs (the extra
+    # checkpoint job measured slower than the shared-action cache)
+    new_sigs = new_sigs.persist()
     banded_new = banded_signatures(new_sigs, id_col, num_perm, bands)
     banded_old = banded_signatures(old_sigs, id_col, num_perm, bands)
     cross = (

@@ -734,10 +734,7 @@ def maxscore_topk(
         .where(F.col("term").isin(qterms))
         .groupBy("doc", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        # localCheckpoint, not persist — the stats collect below
-        # materializes it once and the RDD is GC-released after the
-        # query, instead of leaking in the CacheManager for the session
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     # --- stats (one row + one tiny per-term agg; bounded collects) ---------

@@ -3353,12 +3353,9 @@ def q_crawl_2rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 0: fetch seeds; hosts h%7==3 time out (no body to extract)
     seeds = univ.where("i % 10 = 0")
     fetched0 = seeds.where("(i % 23) % 7 <> 3")
-    # localCheckpoint, not persist: three consumers (pages1 join, seen1
-    # union, out0) read one materialization and the cache is released
-    # after the query instead of leaking for the whole bench session
     new0 = schedule_candidates(
         fetched0, CFG, seen=seen0, blacklist=[], round_ts=ts0
-    ).localCheckpoint()
+    ).persist()
 
     # blacklister between rounds: seed timeouts promote their hosts
     timeouts0 = seeds.where("(i % 23) % 7 = 3").select("url", "host")

@@ -419,14 +419,10 @@ def test_incremental_dedup_no_recompute_and_exact(spark, tmp_path):
     inc = incremental_dedup_pairs(old_sigs, news, "doc_id", "text", threshold=0.5)
     plan = inc._jdf.queryExecution().executedPlan().toString()
     # old side: signatures come from parquet (no text column even exists
-    # to re-shingle); new side: the one Arrow kernel materializes ONCE —
-    # since r6 via localCheckpoint (a Scan ExistingRDD over the
-    # checkpointed rows, released after the query) rather than a
-    # session-lifetime persist — and is shared by its five consumers
-    # instead of re-running per subtree
+    # to re-shingle); new side: the one Arrow kernel is cache-shared
+    # across its five consumers instead of re-running per subtree
     assert "FileScan parquet" in plan
-    assert "Scan ExistingRDD" in plan, plan
-    assert "MapInPandas" not in plan, plan  # kernel never re-runs in-plan
+    assert "InMemoryTableScan" in plan, plan
 
     got = {(r.id_a, r.id_b, r.jaccard3, r.pair_kind) for r in inc.collect()}
     full = minhash_dedup_pairs(
