@@ -253,13 +253,27 @@ def _edges_with_outdeg(edges: DataFrame):
     must ``na.drop()`` first.
 
     Returns ``(deg, ed, nodes)``; ``ed`` and ``nodes`` are persisted
-    and the caller owns both unpersists."""
+    and the caller owns both unpersists.
+
+    Both caches are pinned to an explicit hash partitioning (``ed`` on
+    ``src`` — every iteration's rank join key; ``nodes`` on ``node`` —
+    every iteration's state key) at ``spark.sql.shuffle.partitions``
+    width: the fixed-point loops then repartition their per-iteration
+    aggregation ONCE to the same key/width and every join in the loop
+    is co-partitioned — no exchange beyond the one inherent edge-sized
+    shuffle per iteration (r6; the same alignment as lpa_communities).
+    An explicit width survives AQE coalescing, which would otherwise
+    give each cache an unpredictable partition count that defeats the
+    co-partitioning check."""
+    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").persist()  # invariant across iterations
+    # invariant across iterations, partitioned on the per-iteration key
+    ed = edges.join(deg, "src").repartition(P, "src").persist()
     nodes = (
         ed.select(F.col("src").alias("node"))
         .union(ed.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(P, "node")
         .persist()  # re-read every iteration's left join
     )
     return deg, ed, nodes
@@ -277,6 +291,7 @@ def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
                  + Σ_{(u→v)} (r_i(u)·85) div (100·outdeg(u))
     """
     deg, ed, nodes = _edges_with_outdeg(edges)
+    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     n = nodes.count()  # one scalar; materializes both caches
     if n == 0:
         df = nodes.withColumn("rank_fp", F.lit(0).cast("long"))
@@ -295,6 +310,10 @@ def pagerank_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
                         f"(rank_fp * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)"
                     ).alias("c"),
                 )
+                # explicit repartition to the caches' key/width: the
+                # groupBy then adds no exchange of its own and the
+                # node-keyed left join below is co-partitioned (r6)
+                .repartition(P, "node")
                 .groupBy("node")
                 .agg(F.sum("c").alias("contrib"))
             )
@@ -346,6 +365,7 @@ def opic_fp(edges: DataFrame, sweeps: int = 4) -> DataFrame:
     state is one row per node.
     """
     deg, ed, nodes = _edges_with_outdeg(edges)
+    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     n = nodes.count()
     if n == 0:
         df = nodes.select(
@@ -375,6 +395,7 @@ def opic_fp(edges: DataFrame, sweeps: int = 4) -> DataFrame:
                     F.col("dst").alias("node"),
                     F.expr("cash div outdeg").alias("c"),
                 )
+                .repartition(P, "node")
                 .groupBy("node")
                 .agg(F.sum("c").alias("inflow"))
             )
@@ -705,6 +726,7 @@ def trustrank_fp(
     Returns ``(node: long, trust_fp: long)``.
     """
     deg, ed, nodes = _edges_with_outdeg(edges)
+    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     t = F.broadcast(
         trusted.select(F.col(trusted.columns[0]).alias("node")).distinct()
     )
@@ -733,6 +755,7 @@ def trustrank_fp(
                         f"(trust_fp * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)"
                     ).alias("c"),
                 )
+                .repartition(P, "node")
                 .groupBy("node")
                 .agg(F.sum("c").alias("contrib"))
             )
@@ -827,6 +850,7 @@ def pagerank_dangling_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
     broadcast scalar (never a collect).
     """
     deg, ed, nodes = _edges_with_outdeg(edges)
+    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     n = nodes.count()
     if n == 0:
         df = nodes.withColumn("rank_fp", F.lit(0).cast("long"))
@@ -852,6 +876,10 @@ def pagerank_dangling_fp(edges: DataFrame, iters: int = 3) -> DataFrame:
                         f"(rank_fp * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)"
                     ).alias("c"),
                 )
+                # explicit repartition to the caches' key/width: the
+                # groupBy then adds no exchange of its own and the
+                # node-keyed left join below is co-partitioned (r6)
+                .repartition(P, "node")
                 .groupBy("node")
                 .agg(F.sum("c").alias("contrib"))
             )
